@@ -1,0 +1,66 @@
+"""As-of join — a custom operator Spark lacks natively.
+
+Semantics: for each left row, attach the most recent right row of the
+same key with ``right.ts <= left.ts`` (the "last event at or before"
+join; cf. the MERGE-style joins the reference exercises at
+``api.py:92-102``, but over event time).
+
+Implementation is the union+last_value trick, NOT a per-group
+``pd.merge_asof`` and NOT a range self-join:
+
+1. tag right rows side=0, left rows side=1, union by name;
+2. single hash shuffle on the key, sort within partition by
+   (ts, side, tiebreak);
+3. ``last(value, ignorenulls=True)`` over an unbounded-preceding
+   running window carries the latest right value forward;
+4. keep side=1 rows.
+
+At 100 TB this costs exactly one shuffle of left+right (same as any
+join on the key), no candidate-pair blow-up, no Python in the loop,
+and skewed keys are handled by AQE. Ordering includes a unique
+tiebreak column so results are deterministic under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    right_values: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Attach latest right_values (right.ts <= left.ts) per key.
+
+    ``left`` and ``right`` must both carry ``on + [ts, tiebreak]``;
+    ``right_values`` columns are taken from ``right`` and appear in
+    the output prefixed ``asof_``.
+    """
+    l_tagged = left.withColumn("__side", F.lit(1))
+    for v in right_values:
+        l_tagged = l_tagged.withColumn(f"asof_{v}", F.lit(None).cast(right.schema[v].dataType))
+    r_tagged = right.select(
+        *on,
+        F.col(ts).alias(ts),
+        F.col(tiebreak).alias(tiebreak),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"asof_{v}") for v in right_values],
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
+    u = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in right_values:
+        u = u.withColumn(f"asof_{v}", F.last(f"asof_{v}", ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__side")

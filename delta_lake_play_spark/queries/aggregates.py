@@ -1,0 +1,199 @@
+"""Aggregations (SURVEY.md §2.4).
+
+The reference's only aggregate is the latest-version max
+(``api.py:75`` — ``history().agg({"version": "max"})``); everything
+else is the north-star analytical surface. All of these compile to
+Spark's partial+final HashAggregate (map-side combine), so shuffle
+volume is #groups, not #rows — the property that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.functions.exact import dsum, sql_dsum
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- agg_max_scalar (api.py:75 shape) -----------------------------------
+
+_MAX_ORACLE = """
+SELECT max(o_totalprice) AS max_price,
+       max(o_orderdate) AS max_date,
+       max(o_orderkey)  AS max_key
+FROM orders
+"""
+
+
+@register("agg_max_scalar", oracle=_MAX_ORACLE)
+def agg_max_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.max("o_orderdate").alias("max_date"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# --- agg_count_distinct: exact distinct (expand + 2-phase agg) ----------
+
+_CD_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_count_distinct", oracle=_CD_ORACLE)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- agg_approx_count_distinct: HLL++ (estimate ≠ oracle → rows-only) ---
+
+
+@register("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch: constant memory per group regardless of
+    cardinality — the 100 TB substitute for exact distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+
+
+# --- agg_rollup: hierarchical subtotals ----------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_bal")
+    )
+
+
+# --- agg_cube: all grouping combinations ---------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity', 0)} AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 0).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+# --- agg_grouping_sets: explicit grouping sets ---------------------------
+
+_GSETS_SQL = f"""
+SELECT r_name, c_mktsegment, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SQL text runs on both engines (ANSI GROUPING SETS)."""
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GSETS_SQL)
+
+
+# --- agg_collect_list_set: grouped array materialization ------------------
+# Arrays are rendered to sorted CSV strings so the value hash is
+# deterministic and engine-independent.
+
+_COLLECT_ORACLE = """
+SELECT r_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+"""
+
+
+@register("agg_collect_list_set", oracle=_COLLECT_ORACLE)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+# --- agg_filtered: conditional aggregation --------------------------------
+
+_FILTERED_ORACLE = f"""
+SELECT l_linestatus,
+       {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END", 0)} AS qty_returned,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register("agg_filtered", oracle=_FILTERED_ORACLE)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dsum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")), 0).alias(
+            "qty_returned"
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- agg_percentile: exact quantiles ---------------------------------------
+# Quantile fractions are powers of two (0.25/0.5/0.75) so linear
+# interpolation is bit-exact on both engines.
+
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       median(l_quantity) AS med_qty,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile", oracle=_PCTL_ORACLE)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )

@@ -1,0 +1,128 @@
+"""Projection / filter / predicates (SURVEY.md §2.2).
+
+The reference's predicates are an equality join condition
+(``api.py:94``) and an ``id IN (...)`` delete target built unsafely
+by f-string (``api.py:107`` — renders ``(7,)`` for single ids and is
+injection-prone). Here every predicate is a parameterized Column
+expression, so Catalyst pushes it into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- project_columns: fixed column set/order (api.py:23-26,86) --------
+
+_PROJECT_ORACLE = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+
+@register("project_columns", oracle=_PROJECT_ORACLE)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- filter_in_list: the api.py:107 predicate, done safely ------------
+
+_IDS = [1, 7, 42, 99, 123]
+
+_IN_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN ({', '.join(map(str, _IDS))})
+"""
+
+
+@register("filter_in_list", oracle=_IN_ORACLE)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`Column.isin` instead of the reference's f-string SQL — same
+    semantics, no single-element/empty-tuple hazard, pushdown-able."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isin(_IDS))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- filter_equality (api.py:94 shape) ---------------------------------
+
+_EQ_ORACLE = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+"""
+
+
+@register("filter_equality", oracle=_EQ_ORACLE)
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+    )
+
+
+# --- filter_range: numeric + date range predicates ---------------------
+
+_RANGE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("filter_range", oracle=_RANGE_ORACLE)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+
+# --- filter_null_handling: three-valued logic ---------------------------
+# The testdata has no physical nulls, so nulls are introduced with
+# NULLIF and then exercised with IS NULL / COALESCE on both sides.
+
+_NULL_ORACLE = """
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled
+FROM customer
+WHERE NULLIF(c_mktsegment, 'BUILDING') IS NULL OR c_acctbal < 0
+"""
+
+
+@register("filter_null_handling", oracle=_NULL_ORACLE)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.coalesce(seg_or_null, F.lit("(redacted)")).alias("seg_filled"),
+        "c_acctbal",
+    ).filter(seg_or_null.isNull() | (F.col("c_acctbal") < 0)).drop("c_acctbal")
+
+
+# --- filter_like: string pattern predicates -----------------------------
+
+_LIKE_ORACLE = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE p_name LIKE '%widget%' AND p_brand LIKE 'Brand#1%'
+"""
+
+
+@register("filter_like", oracle=_LIKE_ORACLE)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%") & F.col("p_brand").like("Brand#1%")
+    ).select("p_partkey", "p_name", "p_brand")

@@ -1,0 +1,303 @@
+"""Joins (SURVEY.md §2.3).
+
+The reference's only join is MERGE's source↔target equi-join on
+``names.id = updates.id`` (``api.py:92-94``), whose matched /
+not-matched branches are semi/anti joins. This module covers that
+family plus the scale-relevant strategies: broadcast for small dims,
+multiway star joins (Catalyst reorders), theta/range join via
+broadcast nested loop, as-of join via single-shuffle union+window,
+and a bucketed self-join for pair generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.functions.exact import dsum, sql_dsum
+from delta_lake_play_spark.operators.asof import asof_join
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- join_inner_equi (api.py:92-94 shape) ------------------------------
+
+_INNER_ORACLE = """
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
+@register("join_inner_equi", oracle=_INNER_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+# --- join_left_outer ----------------------------------------------------
+
+_LEFT_ORACLE = """
+SELECT c_custkey, o_orderkey
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_totalprice > 450000
+"""
+
+
+@register("join_left_outer", oracle=_LEFT_ORACLE)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 450000)
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey")
+
+
+# --- join_full_outer (MERGE's underlying join shape) --------------------
+
+_FULL_ORACLE = """
+WITH rich AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+), busy AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+  GROUP BY o_custkey HAVING COUNT(*) >= 15
+)
+SELECT c_custkey, c_acctbal, o_custkey, n_orders
+FROM rich FULL OUTER JOIN busy ON c_custkey = o_custkey
+"""
+
+
+@register("join_full_outer", oracle=_FULL_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    busy = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+    return rich.join(busy, rich.c_custkey == busy.o_custkey, "full")
+
+
+# --- join_left_semi: rows WITH a match (whenMatched set, api.py:95-97) --
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+"""
+
+
+@register("join_left_semi", oracle=_SEMI_ORACLE)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- join_left_anti: rows WITHOUT a match (whenNotMatched, api.py:98-102)
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+@register("join_left_anti", oracle=_ANTI_ORACLE)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- join_broadcast: small-dim star edge, no shuffle of the fact --------
+
+_BCAST_ORACLE = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+@register("join_broadcast", oracle=_BCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of nation/region: at 100 TB the fact side
+    never shuffles for these joins (BroadcastHashJoin both edges)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+# --- join_multiway_star: TPC-H-Q5-shaped chained star joins -------------
+
+_STAR_ORACLE = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("join_multiway_star", oracle=_STAR_ORACLE)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem→orders→customer→nation→region. Catalyst pushes the
+    region filter through the dim chain and broadcasts every dim; the
+    fact table is scanned once, shuffled only for the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# --- join_theta_range: non-equi banding join ----------------------------
+
+_BANDS = [(0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"), (300000.0, 600000.0, "high")]
+
+_THETA_ORACLE = f"""
+WITH bands(lo, hi, band) AS (VALUES
+  (0.0, 100000.0, 'low'), (100000.0, 300000.0, 'mid'), (300000.0, 600000.0, 'high'))
+SELECT band, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+@register("join_theta_range", oracle=_THETA_ORACLE)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-band join: the band table is tiny and broadcast, so the
+    non-equi condition runs as BroadcastNestedLoopJoin — fact rows
+    stream through without a shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    )
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(bands, cond)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+# --- join_self_pairs: bucketed self-join (candidate pair pattern) -------
+
+_PAIRS_ORACLE = """
+SELECT a.n_regionkey AS r_key, a.n_name AS name_a, b.n_name AS name_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+"""
+
+
+@register("join_self_pairs", oracle=_PAIRS_ORACLE)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join restricted to a bucket key (here region) with a
+    total-order guard `a < b` — the shape LSH dedup uses so candidate
+    pairs stay ≪ n² (see llm/dedup.py for the full pipeline)."""
+    n = load_table(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(
+        F.col("a.n_regionkey").alias("r_key"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+    )
+
+
+# --- join_asof_last_event: as-of join via union+window ------------------
+
+_ASOF_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ats, event_id, 1 AS side, value AS purchase_value,
+         NULL::DOUBLE AS cv, NULL::TIMESTAMP AS cts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts::TIMESTAMP, event_id, 0, NULL, value, ts::TIMESTAMP
+  FROM events WHERE event_type = 'click'
+), g AS (
+  SELECT user_id, ats, event_id, side, purchase_value,
+         last_value(cv IGNORE NULLS) OVER w AS last_click_value,
+         last_value(cts IGNORE NULLS) OVER w AS last_click_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ats, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ats AS ts, purchase_value, last_click_value, last_click_ts
+FROM g WHERE side = 1
+"""
+
+
+@register("join_asof_last_event", oracle=_ASOF_ORACLE)
+def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest click of the same user at or
+    before it (operators/asof.py: one shuffle, no pair blow-up)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        right_values=["click_value", "click_ts"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("asof_click_value").alias("last_click_value"),
+        F.col("asof_click_ts").alias("last_click_ts"),
+    )

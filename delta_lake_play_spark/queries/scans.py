@@ -1,0 +1,89 @@
+"""Scans / sources / sinks (SURVEY.md §2.1).
+
+The reference's scan surface is one Delta table read three ways
+(latest / versionAsOf / timestampAsOf — ``api.py:74-80``) plus
+createDataFrame ingestion (``spark_project.py:34-35``, ``api.py:91``)
+and a pandas sink (``api.py:85``). Versioned reads live in
+``table/versioned.py`` + ``queries/dml_queries.py``; here are the
+stateless scan forms over the synthetic tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- scan_parquet: columnar scan with column pruning -----------------
+
+_SCAN_ORACLE = """
+SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size >= 10
+"""
+
+
+@register("scan_parquet", oracle=_SCAN_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate reach the parquet reader (ReadSchema is
+    3 columns, PushedFilters carries p_size >= 10)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 10)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --- create_dataframe_rows: local rows + explicit schema --------------
+# The reference's seed rows and schema (spark_project.py:29-35).
+
+_SEED_ROWS = [(1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")]
+
+_SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("firstname", T.StringType(), False),
+        T.StructField("lastname", T.StringType(), False),
+    ]
+)
+
+_CREATE_ORACLE = """
+SELECT * FROM (VALUES (1, 'James', 'Bond'), (2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs'))
+  t(id, firstname, lastname)
+"""
+
+
+@register("create_dataframe_rows", oracle=_CREATE_ORACLE)
+def create_dataframe_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(_SEED_ROWS, _SEED_SCHEMA)
+
+
+# --- collect_to_pandas: Arrow round-trip sink (api.py:63,85) ----------
+
+_PANDAS_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("collect_to_pandas", oracle=_PANDAS_ORACLE)
+def collect_to_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toPandas round-trip on a dimension table — the reference's
+    serving sink (``api.py:85-86``). Only ever applied to small
+    results; big tables stay distributed."""
+    pdf = load_table(spark, sf_dir, "nation").toPandas()
+    return spark.createDataFrame(pdf)
+
+
+# --- json_column_parse: semi-structured props column ------------------
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+"""
+
+
+@register("json_column_parse", oracle=_JSON_ORACLE)
+def json_column_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)

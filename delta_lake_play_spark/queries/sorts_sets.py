@@ -1,0 +1,154 @@
+"""Sorts / limits / top-k (SURVEY.md §2.6) and set ops (§2.7).
+
+The reference sorts only in the meta plane (history keyed by version,
+``api.py:67``) and implies UNION-ALL append semantics through the
+Delta DML surface (``README.md:11``). Sorts here are
+range-partitioned (Spark samples key ranges, no single-node sort);
+top-k compiles to TakeOrderedAndProject (per-partition heap + driver
+merge of k rows — never a full sort at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- sort_by_key (api.py:67 shape, data plane) ---------------------------
+
+_SORT_ORACLE = "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey"
+
+
+@register("sort_by_key", oracle=_SORT_ORACLE)
+def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# --- sort_multi_col_nulls: multi-column sort with null placement ----------
+
+_SORT_NULLS_ORACLE = """
+SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+FROM customer
+WHERE c_acctbal > 9500 OR c_acctbal < -900
+ORDER BY seg DESC NULLS LAST, c_acctbal ASC, c_custkey
+"""
+
+
+@register("sort_multi_col_nulls", oracle=_SORT_NULLS_ORACLE)
+def sort_multi_col_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        c.filter((F.col("c_acctbal") > 9500) | (F.col("c_acctbal") < -900))
+        .select("c_custkey", seg.alias("seg"), "c_acctbal")
+        .orderBy(
+            F.col("seg").desc_nulls_last(), F.col("c_acctbal").asc(), F.col("c_custkey")
+        )
+    )
+
+
+# --- limit_n: deterministic first-N (ordered) ------------------------------
+
+_LIMIT_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+@register("limit_n", oracle=_LIMIT_ORACLE)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- topk_global: TakeOrderedAndProject -------------------------------------
+
+_TOPK_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+"""
+
+
+@register("topk_global", oracle=_TOPK_ORACLE)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --- set_union_all: append semantics (README.md:11) -------------------------
+
+_UNION_ORACLE = """
+SELECT o_orderkey, o_totalprice, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'big' AS src FROM orders WHERE o_totalprice > 450000
+"""
+
+
+@register("set_union_all", oracle=_UNION_ORACLE)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit("urgent").alias("src")
+    )
+    big = o.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_totalprice", F.lit("big").alias("src")
+    )
+    return urgent.unionByName(big)
+
+
+# --- set_distinct: duplicate elimination -------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_quantity < 25 THEN 'small' ELSE 'bulk' END AS l_shipmode
+  FROM lineitem)
+"""
+
+
+@register("set_distinct", oracle=_DISTINCT_ORACLE)
+def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(F.col("l_quantity") < 25, "small").otherwise("bulk").alias("l_shipmode"),
+    ).distinct()
+
+
+# --- set_intersect: common rows of two queries --------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+@register("set_intersect", oracle=_INTERSECT_ORACLE)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).intersect(year(1996))

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,8 +34,27 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one synthetic table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). We read it via the
+    ``nanosAsLong`` legacy mode and floor to microseconds with exact
+    integer division (``div 1000`` on int64 — double division would
+    round by up to ±0.25µs at epoch-ns magnitudes). DuckDB's reader
+    floors ns→µs the same way, so both engines see identical
+    timestamps. This is a scan-level rewrite: still a plain columnar
+    scan with pushdown on every other column.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return raw
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
