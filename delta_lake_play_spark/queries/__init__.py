@@ -6,6 +6,9 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     filters,
     flagship,
     joins,
+    scalar_functions,
     scans,
     sorts_sets,
+    udfs,
+    windows,
 )

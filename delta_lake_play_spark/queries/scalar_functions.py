@@ -1,0 +1,347 @@
+"""Scalar functions: string / date / math / array / map / json
+(SURVEY.md §2.9).
+
+The reference's own scalar work is meta-plane only (timestamp→string
+cast at ``api.py:65``, JSON round-trip at ``api.py:67``); the driver
+tables require the full set. Everything here is a built-in Catalyst
+expression — codegen'd, JVM-side, no Python in the row loop.
+
+Oracle-parity: no transcendentals whose last-ulp rounding may differ
+between libm and the JVM (sqrt IS exact per IEEE-754, so it's safe);
+array reductions accumulate on an integer grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- fn_string_basic ----------------------------------------------------
+
+_STR_ORACLE = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       length(p_name) AS name_len,
+       substring(p_name, 1, 5) AS name_pfx,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       trim('  ' || p_name || ' ') AS name_trim
+FROM part
+"""
+
+
+@register("fn_string_basic", oracle=_STR_ORACLE)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+# --- fn_string_split_tokens ----------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       string_split(text, ' ')[-1] AS last_token
+FROM documents
+"""
+
+
+@register("fn_string_split_tokens", oracle=_SPLIT_ORACLE)
+def fn_string_split_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+# --- fn_string_regex --------------------------------------------------------
+
+_REGEX_ORACLE = r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+       regexp_replace(c_name, '0+', '', 'g') AS name_nozeros,
+       regexp_matches(c_mktsegment, '^(BU|MA)') AS seg_bm
+FROM customer
+"""
+
+
+@register("fn_string_regex", oracle=_REGEX_ORACLE)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("cust_num"),
+        F.regexp_replace("c_name", "0+", "").alias("name_nozeros"),
+        F.col("c_mktsegment").rlike("^(BU|MA)").alias("seg_bm"),
+    )
+
+
+# --- fn_date_trunc_extract ----------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dy,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       date_trunc('month', o_orderdate) AS month_start
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+@register("fn_date_trunc_extract", oracle=_DATE_ORACLE)
+def fn_date_trunc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+# --- fn_date_arith ---------------------------------------------------------------
+
+_DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+       o_orderdate - INTERVAL 1 WEEK AS week_before
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+@register("fn_date_arith", oracle=_DATE_ARITH_ORACLE)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.datediff("o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 WEEK")).alias("week_before"),
+    )
+
+
+# --- fn_timestamp_cast_fmt: the api.py:65 cast --------------------------------------
+
+_TS_FMT_ORACLE = """
+SELECT event_id,
+       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+       CAST(date_trunc('second', ts::TIMESTAMP) AS VARCHAR) AS ts_str,
+       strftime(ts::TIMESTAMP, '%Y-%m-%d') AS ts_date
+FROM events WHERE event_id < 500
+"""
+
+
+@register("fn_timestamp_cast_fmt", oracle=_TS_FMT_ORACLE)
+def fn_timestamp_cast_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp→string rendering, as the reference's history endpoint
+    does (``api.py:65`` — ``str(row["timestamp"])``)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_fmt"),
+        F.date_trunc("second", F.col("ts")).cast("string").alias("ts_str"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
+    )
+
+
+# --- fn_math ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 1) AS net_1dp,
+       abs(l_quantity - 25) AS qty_dev,
+       sqrt(l_quantity) AS qty_sqrt,
+       l_quantity * l_quantity AS qty_sq,
+       floor(l_extendedprice / 1000) AS price_kbucket,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+@register("fn_math", oracle=_MATH_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt is IEEE-exact (safe for hashing); transcendentals
+    (ln/exp/pow) are excluded from oracle-checked output because JVM
+    vs libm may differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1).alias("net_1dp"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kbucket"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# --- fn_cond_case -------------------------------------------------------------------------
+
+_CASE_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       CASE WHEN o_orderstatus = 'O' AND o_orderpriority LIKE '1-%' THEN 'open_urgent'
+            WHEN o_orderstatus = 'O' THEN 'open'
+            ELSE 'closed_or_partial' END AS status_class
+FROM orders
+"""
+
+
+@register("fn_cond_case", oracle=_CASE_ORACLE)
+def fn_cond_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(
+            (F.col("o_orderstatus") == "O") & F.col("o_orderpriority").like("1-%"),
+            "open_urgent",
+        )
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("closed_or_partial")
+        .alias("status_class"),
+    )
+
+
+# --- fn_array_ops ----------------------------------------------------------------------------
+
+_ARR_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS e0,
+       list_min(embedding) AS e_min,
+       list_max(embedding) AS e_max,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos
+FROM embeddings
+"""
+
+
+@register("fn_array_ops", oracle=_ARR_ORACLE)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e0"),
+        F.array_min("embedding").alias("e_min"),
+        F.array_max("embedding").alias("e_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# --- fn_array_hof: map/filter/reduce (the dot-product primitive) --------------------------------
+# Reduction accumulates round(x²·1e6) as BIGINT so the array fold is
+# exact and order-independent across engines.
+
+_HOF_ORACLE = """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+            AS BIGINT) AS sq_norm_scaled,
+       len(list_filter(embedding, x -> abs(x) > 0.1)) AS n_strong,
+       CAST(list_sum(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_pos
+FROM embeddings
+"""
+
+
+@register("fn_array_hof", oracle=_HOF_ORACLE)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    demb = F.col("embedding").cast("array<double>")
+    sq_scaled = F.aggregate(
+        F.transform(demb, lambda x: F.round(x * x * 1000000, 0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_pos = F.aggregate(
+        F.transform(demb, lambda x: F.when(x > 0, 1).otherwise(0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        sq_scaled.alias("sq_norm_scaled"),
+        F.size(F.filter(demb, lambda x: F.abs(x) > 0.1)).alias("n_strong"),
+        n_pos.alias("n_pos"),
+    )
+
+
+# --- fn_explode: array → rows ---------------------------------------------------------------------
+
+_EXPLODE_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 50
+"""
+
+
+@register("fn_explode", oracle=_EXPLODE_ORACLE)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+# --- fn_map_json: props parsing (events.props, TESTDATA.md:13) -------------------------------------
+
+_MAP_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       array_to_string(json_keys(props), ',') AS prop_keys
+FROM events WHERE event_id < 500
+"""
+
+
+@register("fn_map_json", oracle=_MAP_JSON_ORACLE)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        F.concat_ws(",", F.map_keys(parsed)).alias("prop_keys"),
+    )
+
+
+# --- fn_hash: stable 64-bit hashing (hash families differ → rows-only) -------------------------------
+
+
+@register("fn_hash", oracle=None)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64/md5/crc32 for dedup bucketing — rows-only check since
+    DuckDB's hash families differ from Spark's."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("h_xx64"),
+        F.md5("text").alias("h_md5"),
+        F.crc32("text").alias("h_crc32"),
+        F.hash("text", "lang").alias("h_multi"),
+    )

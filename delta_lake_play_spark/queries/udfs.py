@@ -1,0 +1,119 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+The reference defines no UDFs; policy here is built-ins first (all of
+§2.9 is pure Catalyst). These entries demonstrate the escape hatches
+for when Spark lacks a primitive, in preference order: Arrow-
+vectorized pandas UDF ≫ grouped applyInPandas ≫ row-at-a-time Python
+UDF (shown once, deliberately on a small projection).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- udf_python_scalar: row-at-a-time UDF (the slow path, shown once) ----
+
+
+@F.udf(T.StringType())
+def _normalize_name(name: str) -> str:
+    # Customer#000000042 -> CUST-42
+    return "CUST-" + str(int(name.split("#")[1]))
+
+
+_PYUDF_ORACLE = r"""
+SELECT c_custkey,
+       'CUST-' || CAST(CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS VARCHAR)
+         AS cust_code
+FROM customer
+"""
+
+
+@register("udf_python_scalar", oracle=_PYUDF_ORACLE)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", _normalize_name("c_name").alias("cust_code"))
+
+
+# --- udf_pandas_vectorized: Arrow-batched scalar UDF ----------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def _engagement_score(value: pd.Series) -> pd.Series:
+    # Plain IEEE arithmetic → bit-identical to the SQL formulation.
+    return (value * 2 + 1) / 3
+
+
+_PDUDF_ORACLE = """
+SELECT event_id, (value * 2 + 1) / 3 AS score
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("udf_pandas_vectorized", oracle=_PDUDF_ORACLE)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow transfers columnar batches; numpy does the math — the
+    10-100× faster Python path when one is unavoidable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select("event_id", _engagement_score("value").alias("score"))
+
+
+# --- udaf_pandas_grouped: applyInPandas custom aggregate -------------------
+
+_UDAF_SCHEMA = "event_type string, n bigint, sum_value double, value_span double"
+
+
+def _per_type_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    cents = (pdf["value"] * 100).round().astype("int64")  # exact grid math
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(pdf)],
+            "sum_value": [cents.sum() / 100.0],
+            "value_span": [pdf["value"].max() - pdf["value"].min()],
+        }
+    )
+
+
+_UDAF_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       max(value) - min(value) AS value_span
+FROM events GROUP BY event_type
+"""
+
+
+@register("udaf_pandas_grouped", oracle=_UDAF_ORACLE)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas aggregation (UDAF shape). Grouped on a
+    low-cardinality key here; at scale the group count, not row
+    count, bounds the pandas memory per task."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(_per_type_stats, _UDAF_SCHEMA)
+
+
+# --- udtf_explode_ngrams: text → n-gram rows (pure Catalyst, no UDTF needed) --
+
+_NGRAM_ORACLE = """
+SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 30)
+"""
+
+
+@register("udtf_explode_ngrams", oracle=_NGRAM_ORACLE)
+def udtf_explode_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram expansion as transform(sequence)+explode — the UDTF
+    shape without leaving codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"
+    )
+    return d.select("doc_id", F.explode(bigrams).alias("bigram"))

@@ -1,0 +1,230 @@
+"""Window functions (SURVEY.md §2.5).
+
+None exist in the reference (its only "windowing" is pandas
+``set_index("version")`` at ``api.py:67``); these are the north-star
+analytical surface and the building blocks for as-of join, top-k per
+group and sessionization.
+
+Determinism rules used throughout:
+- every ORDER BY carries a unique tiebreaker (event_id / *_orderkey);
+- running/moving SUM/AVG go through integer cents (DuckDB evaluates
+  sliding frames with a segment tree whose double addition order
+  differs from Spark's running accumulation — bigint is exact);
+- event-time arithmetic is integer microseconds (``unix_micros`` /
+  ``epoch_us``), never double epoch seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- win_row_number_topk_per_group ---------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+@register("win_row_number_topk_per_group", oracle=_TOPK_ORACLE)
+def win_row_number_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: one shuffle on the group key; AQE
+    handles skewed customers. (A global sort would be wrong at scale.)"""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- win_rank_dense_rank ---------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT p_partkey, p_type, p_retailprice,
+       rank()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC) AS drnk
+FROM part
+"""
+
+
+@register("win_rank_dense_rank", oracle=_RANK_ORACLE)
+def win_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_partkey",
+        "p_type",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# --- win_lag_lead_delta ------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("win_lag_lead_delta", oracle=_LAG_ORACLE)
+def win_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
+# --- win_running_sum_frame ----------------------------------------------------
+
+_RUNSUM_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_spend
+FROM orders
+"""
+
+
+@register("win_running_sum_frame", oracle=_RUNSUM_ORACLE)
+def win_running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_spend"),
+    )
+
+
+# --- win_range_frame_moving_avg -------------------------------------------------
+
+_MOVAVG_ORACLE = """
+SELECT event_id, user_id, epoch_s,
+       (SUM(cents) OVER w / 100.0) / COUNT(cents) OVER w AS moving_avg_1h
+FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts::TIMESTAMP) // 1000000 AS epoch_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_range_frame_moving_avg", oracle=_MOVAVG_ORACLE)
+def win_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour trailing average per user. RANGE frames are tie-safe:
+    all rows in the value range are peers, so no tiebreak is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("epoch_s"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        ((F.sum("cents").over(w) / F.lit(100.0)) / F.count("cents").over(w)).alias(
+            "moving_avg_1h"
+        ),
+    )
+
+
+# --- win_ntile ---------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile
+FROM customer
+"""
+
+
+@register("win_ntile", oracle=_NTILE_ORACLE)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("wealth_quartile")
+    )
+
+
+# --- win_session_id: gap-based sessionization (batch form) ---------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+_SESSION_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - lag(epoch_us(ts::TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {_SESSION_GAP_US}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+"""
+
+
+@register("win_session_id", oracle=_SESSION_ORACLE)
+def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New session when the per-user gap exceeds 30 min; session_id is
+    the running count of session starts. Integer-µs math throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(is_new).over(run).alias("session_id"),
+    )
