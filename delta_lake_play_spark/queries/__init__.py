@@ -3,6 +3,7 @@ implemented operator from SURVEY.md §2 into the registry."""
 
 from delta_lake_play_spark.queries import (  # noqa: F401
     aggregates,
+    dml_queries,
     filters,
     flagship,
     joins,

@@ -1,0 +1,300 @@
+"""Table DML + time travel queries (SURVEY.md §2.1/§2.7/§2.8).
+
+Each query materializes a throwaway versioned table (table/
+versioned.py) from the ``customer`` table, applies a deterministic
+commit sequence, and reads a snapshot back — so the DuckDB oracle can
+express the expected content as a pure batch query over ``customer``.
+This checks the actual table layer end-to-end (write → log → snapshot
+resolution → read), not just a batch rewrite of it.
+
+Commit sequences mirror the reference's lifecycle: create-if-absent
+(``spark_project.py:26-37``), merge upsert (``api.py:92-102``),
+predicate delete (``api.py:107``), version/timestamp reads
+(``api.py:74-80``), history (``api.py:60-67``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+# Deterministic derived sets over customer -----------------------------------
+
+_SRC_SQL = """
+  SELECT c_custkey, 'UPDATED-' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 3
+"""
+
+
+def _merge_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = c.filter(F.col("c_custkey") % 10 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return updates.unionByName(inserts)
+
+
+def _appended_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 25 == 7).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        F.concat(F.lit("APPEND-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
+_APPEND_SQL = """
+  SELECT c_custkey + 2000000 AS c_custkey, 'APPEND-' || c_name AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 25 = 7
+"""
+
+
+def _fresh_from_customer(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    return VersionedTable.create(
+        spark, temp_table_path(), load_table(spark, sf_dir, "customer")
+    )
+
+
+# --- dml_merge_upsert (api.py:92-102) ----------------------------------------
+
+_MERGE_ORACLE = f"""
+WITH src AS ({_SRC_SQL})
+SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+UNION ALL SELECT * FROM src
+"""
+
+
+@register("dml_merge_upsert", oracle=_MERGE_ORACLE)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)
+    t.merge(_merge_source(spark, sf_dir), key="c_custkey")
+    return t.to_df()
+
+
+# --- dml_delete_where (api.py:107, fixed semantics) ---------------------------
+
+_DELETE_ORACLE = "SELECT * FROM customer WHERE NOT (c_acctbal < 0)"
+
+
+@register("dml_delete_where", oracle=_DELETE_ORACLE)
+def dml_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)
+    t.delete(F.col("c_acctbal") < 0)
+    return t.to_df()
+
+
+# --- dml_update_where (Delta DML surface, README.md:11) ------------------------
+
+_UPDATE_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       CASE WHEN c_acctbal > 9000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
+@register("dml_update_where", oracle=_UPDATE_ORACLE)
+def dml_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)
+    t.update({"c_mktsegment": F.lit("PREMIUM")}, F.col("c_acctbal") > 9000)
+    return t.to_df()
+
+
+# --- dml_insert_append ----------------------------------------------------------
+
+_APPEND_ORACLE = f"SELECT * FROM customer UNION ALL {_APPEND_SQL}"
+
+
+@register("dml_insert_append", oracle=_APPEND_ORACLE)
+def dml_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)
+    t.append(_appended_rows(spark, sf_dir))
+    return t.to_df()
+
+
+# --- scan_latest_snapshot (api.py:74) -------------------------------------------
+
+_LATEST_ORACLE = f"""
+WITH v1 AS (SELECT * FROM customer UNION ALL {_APPEND_SQL})
+SELECT * FROM v1 WHERE NOT (c_acctbal < 0)
+"""
+
+
+@register("scan_latest_snapshot", oracle=_LATEST_ORACLE)
+def scan_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.append(_appended_rows(spark, sf_dir))           # v1
+    t.delete(F.col("c_acctbal") < 0)                  # v2
+    return t.to_df()
+
+
+# --- time_travel_version (api.py:77) ---------------------------------------------
+
+_TTV_ORACLE = f"SELECT * FROM customer UNION ALL {_APPEND_SQL}"
+
+
+@register("time_travel_version", oracle=_TTV_ORACLE)
+def time_travel_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Later commits must not leak into an as-of read: v2 deletes rows,
+    yet read(version=1) still sees them."""
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.append(_appended_rows(spark, sf_dir))           # v1
+    t.delete(F.col("c_acctbal") < 0)                  # v2
+    return t.read(version=1)
+
+
+# --- time_travel_timestamp (api.py:80) --------------------------------------------
+
+_TTT_ORACLE = _TTV_ORACLE
+
+
+@register("time_travel_timestamp", oracle=_TTT_ORACLE)
+def time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.append(_appended_rows(spark, sf_dir))           # v1
+    v1_ts = {r["version"]: r["timestamp"] for r in t.history().collect()}[1]
+    t.delete(F.col("c_acctbal") < 0)                  # v2
+    return t.read(timestamp=v1_ts)
+
+
+# --- set_except_snapshot_diff: change feed from time travel (README.md:9) ----------
+
+_DIFF_ORACLE = f"""
+WITH v1 AS (SELECT * FROM customer UNION ALL {_APPEND_SQL})
+SELECT * FROM v1 WHERE c_acctbal < 0
+"""
+
+
+@register("set_except_snapshot_diff", oracle=_DIFF_ORACLE)
+def set_except_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows removed between v1 and v2 = v1 EXCEPT ALL v2."""
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.append(_appended_rows(spark, sf_dir))           # v1
+    t.delete(F.col("c_acctbal") < 0)                  # v2
+    return t.read(version=1).exceptAll(t.read(version=2))
+
+
+# --- dml_restore -------------------------------------------------------------------
+
+_RESTORE_ORACLE = "SELECT * FROM customer"
+
+
+@register("dml_restore", oracle=_RESTORE_ORACLE)
+def dml_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive commit then restore(0): latest content equals the
+    original table again (history keeps all three commits)."""
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.delete(F.col("c_acctbal") < 5000)               # v1
+    t.restore(0)                                      # v2
+    return t.to_df()
+
+
+# --- dml_vacuum --------------------------------------------------------------------
+
+_VACUUM_ORACLE = f"""
+WITH v1 AS (SELECT * FROM customer UNION ALL {_APPEND_SQL})
+SELECT * FROM v1 WHERE NOT (c_acctbal < 0)
+"""
+
+
+@register("dml_vacuum", oracle=_VACUUM_ORACLE)
+def dml_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum drops old snapshot data but the latest read (and the
+    log) survive."""
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.append(_appended_rows(spark, sf_dir))           # v1
+    t.delete(F.col("c_acctbal") < 0)                  # v2
+    t.vacuum(retain_last=1)
+    return t.to_df()
+
+
+# --- dml_history: deterministic projection of the commit log ------------------------
+
+_HISTORY_ORACLE = """
+SELECT 0 AS version, 'CREATE' AS operation,
+       (SELECT COUNT(*) FROM customer) AS num_rows
+UNION ALL
+SELECT 1, 'DELETE', (SELECT COUNT(*) FROM customer WHERE NOT (c_acctbal < 0))
+UNION ALL
+SELECT 2, 'RESTORE', (SELECT COUNT(*) FROM customer)
+"""
+
+
+@register("dml_history", oracle=_HISTORY_ORACLE)
+def dml_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)
+    t.delete(F.col("c_acctbal") < 0)
+    t.restore(0)
+    return t.history().select("version", "operation", "num_rows")
+
+
+# --- history_scan: full history incl. wall-clock timestamps (rows-only) -------------
+
+
+@register("history_scan", oracle=None)
+def history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The api.py:60-67 shape — version, timestamp string, operation,
+    parameters. Timestamps are wall-clock → rows-only check."""
+    t = _fresh_from_customer(spark, sf_dir)
+    t.append(_appended_rows(spark, sf_dir))
+    t.delete(F.col("c_acctbal") < 0)
+    return t.history()
+
+
+# --- write_table_create + create_if_absent (spark_project.py:26-37) -----------------
+
+_SEED_ORACLE = """
+SELECT * FROM (VALUES (1, 'James', 'Bond'), (2, 'Alice', 'Rogers'), (3, 'Joe', 'Bloggs'))
+  t(id, firstname, lastname)
+"""
+
+_SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("firstname", T.StringType(), False),
+        T.StructField("lastname", T.StringType(), False),
+    ]
+)
+
+_SEED_ROWS = [(1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")]
+
+
+@register("write_table_create", oracle=_SEED_ORACLE)
+def write_table_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = spark.createDataFrame(_SEED_ROWS, _SEED_SCHEMA)
+    t = VersionedTable.create(spark, temp_table_path("names"), seed)
+    return t.to_df()
+
+
+@register("create_if_absent", oracle=_SEED_ORACLE)
+def create_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second open of the same path must NOT re-seed (the reference's
+    create-or-open, spark_project.py:26-37)."""
+    seed = spark.createDataFrame(_SEED_ROWS, _SEED_SCHEMA)
+    path = temp_table_path("names-cia")
+    VersionedTable.create_if_absent(spark, path, seed)
+    empty = spark.createDataFrame([], _SEED_SCHEMA)
+    t = VersionedTable.create_if_absent(spark, path, empty)  # opens, no reseed
+    return t.to_df()

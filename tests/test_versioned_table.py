@@ -1,0 +1,100 @@
+"""Versioned table layer: the canonical DML sequence from FIXTURES.md
+(mirroring api.py:88-107 semantics) plus invariants."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_play_spark.table.versioned import (
+    MergeSourceKeyError,
+    VersionedTable,
+    temp_table_path,
+)
+
+SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("firstname", T.StringType(), False),
+        T.StructField("lastname", T.StringType(), False),
+    ]
+)
+SEED = [(1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")]
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def names(spark):
+    return VersionedTable.create(
+        spark, temp_table_path("names-test"), spark.createDataFrame(SEED, SEED_SCHEMA)
+    )
+
+
+def test_canonical_dml_sequence(spark, names):
+    # merge upsert: update id=2, insert id=4 (api.py:92-102)
+    src = spark.createDataFrame(
+        [(2, "Alice", "Smith"), (4, "Eve", "Adams")], SEED_SCHEMA
+    )
+    names.merge(src, key="id")
+    assert rows(names.to_df()) == [
+        (1, "James", "Bond"),
+        (2, "Alice", "Smith"),
+        (3, "Joe", "Bloggs"),
+        (4, "Eve", "Adams"),
+    ]
+    # delete id IN (1, 4) (api.py:107, safe isin form)
+    names.delete(F.col("id").isin([1, 4]))
+    assert rows(names.to_df()) == [(2, "Alice", "Smith"), (3, "Joe", "Bloggs")]
+    # snapshots at versions 0/1/2 + history (api.py:60-67)
+    assert rows(names.read(version=0)) == sorted(SEED)
+    assert names.read(version=1).count() == 4
+    hist = {r["version"]: r["operation"] for r in names.history().collect()}
+    assert hist == {0: "CREATE", 1: "MERGE", 2: "DELETE"}
+
+
+def test_merge_duplicate_source_keys_raise(spark, names):
+    dup = spark.createDataFrame([(2, "A", "B"), (2, "C", "D")], SEED_SCHEMA)
+    with pytest.raises(MergeSourceKeyError):
+        names.merge(dup, key="id")
+
+
+def test_time_travel_immutable_under_later_writes(spark, names):
+    names.delete(F.col("id") == 1)
+    v1 = rows(names.read(version=1))
+    names.delete(F.col("id") == 2)
+    assert rows(names.read(version=1)) == v1  # README.md:9 semantics
+    assert names.latest_version() == 2
+
+
+def test_timestamp_travel(spark, names):
+    names.delete(F.col("id") == 1)  # v1
+    ts_v1 = {r["version"]: r["timestamp"] for r in names.history().collect()}[1]
+    names.delete(F.col("id") == 2)  # v2
+    assert rows(names.read(timestamp=ts_v1)) == rows(names.read(version=1))
+
+
+def test_restore_and_vacuum(spark, names):
+    names.delete(F.col("id") != 2)  # v1
+    names.restore(0)  # v2
+    assert rows(names.to_df()) == sorted(SEED)
+    dropped = names.vacuum(retain_last=1)
+    assert dropped == [0, 1]
+    assert not os.path.isdir(names._snapshot_dir(0))
+    assert rows(names.to_df()) == sorted(SEED)  # latest survives
+    assert names.history().count() == 3  # log survives vacuum
+    with pytest.raises(Exception):
+        names.read(version=0).collect()  # vacuumed data is gone
+
+
+def test_create_if_absent_does_not_reseed(spark):
+    path = temp_table_path("cia-test")
+    VersionedTable.create_if_absent(spark, path, spark.createDataFrame(SEED, SEED_SCHEMA))
+    t2 = VersionedTable.create_if_absent(
+        spark, path, spark.createDataFrame([], SEED_SCHEMA)
+    )
+    assert t2.to_df().count() == 3
+    assert t2.latest_version() == 0
