@@ -7,6 +7,10 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     filters,
     flagship,
     joins,
+    llm_dedup,
+    llm_multimodal,
+    llm_similarity,
+    llm_text,
     scalar_functions,
     scans,
     sorts_sets,

@@ -1,0 +1,234 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.12): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's dedup surface is only MERGE-key uniqueness
+(``api.py:92-102``); these are the EXT operators the north-star
+mandates for 100 TB corpora. Scale shape for every variant:
+
+- exact:      one hash-shuffle on the dedup key (map-side partial agg).
+- minhash:    per-doc signature (narrow, codegen) → explode BANDS rows
+              → shuffle on (band_id, band_val) → within-bucket pairs →
+              exact-Jaccard verify. Never an all-pairs join.
+- simhash:    per-doc 16-bit signature → 4-nibble LSH blocks (perfect
+              recall at hamming ≤ 3) → same bucket-join shape.
+- n-gram:     the *verify* stage (exact bigram-set Jaccard) run on a
+              bounded candidate set; at scale candidates come from the
+              minhash/simhash buckets above, never brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.llm import minhash as mh
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- llm_dedup_exact ------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies,
+       min(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+"""
+
+
+@register("llm_dedup_exact", oracle=_EXACT_ORACLE)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy on the full text, keeping the
+    lowest doc_id per group — one shuffle, map-side combined. (At
+    100 TB you group on ``xxhash64(text)`` instead of the raw text to
+    shrink shuffle width; grouping on text here keeps the oracle
+    comparison byte-exact.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+# --- llm_dedup_near_minhash ----------------------------------------------
+
+_JACCARD_THRESHOLD = 0.8
+
+
+def _minhash_oracle() -> str:
+    tk = mh.sql_token_set("text")
+    hashes = mh.sql_token_hashes("tk")
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, tk, {band} AS band_id, {mh.sql_band_value('sig', band)} AS band_val FROM sig"
+        for band in range(mh.BANDS)
+    )
+    jac = mh.sql_jaccard("ta.tk", "tb.tk")
+    return f"""
+WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents),
+sig AS (SELECT doc_id, tk, {mh.sql_minhash_signature(hashes)} AS sig FROM toks),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+FROM cand c
+JOIN toks ta ON ta.doc_id = c.doc_a
+JOIN toks tb ON tb.doc_id = c.doc_b
+WHERE {jac} >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("llm_dedup_near_minhash", oracle=_minhash_oracle())
+def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact set
+    Jaccard ≥ 0.8.
+
+    Candidate generation shuffles O(docs × BANDS) rows on the bucket
+    key; the self-join is within-bucket only. The verify join brings
+    token sets back by doc_id (two more key-shuffles). All three
+    shuffles are on high-cardinality keys — no skew beyond true
+    dup-family size, which AQE's skew-join split handles if a family
+    is pathological."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", mh.token_set("text").alias("tk"))
+    sig = toks.select(
+        "doc_id",
+        "tk",
+        mh.band_values(mh.minhash_signature(F.transform("tk", mh.char_hash))).alias("bands"),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_id", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# --- llm_dedup_simhash ----------------------------------------------------
+
+_HAMMING_MAX = 3
+
+
+def _simhash_oracle() -> str:
+    tk = mh.sql_token_set("text")
+    sim = mh.sql_simhash(mh.sql_token_hashes("tk"))
+    nib_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, sim, {k} AS nib_id, (sim >> {4 * k}) & 15 AS nib_val FROM sims"
+        for k in range(mh.NIBBLES)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents),
+sims AS (SELECT doc_id, {sim} AS sim FROM toks),
+nibs AS ({nib_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a, b.doc_id AS doc_b, b.sim AS sim_b
+  FROM nibs a JOIN nibs b
+    ON a.nib_id = b.nib_id AND a.nib_val = b.nib_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
+"""
+
+
+@register("llm_dedup_simhash", oracle=_simhash_oracle())
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via 4-bit-block LSH.
+
+    The nibble bucketing has perfect recall at this radius
+    (pigeonhole: ≤3 differing bits can't touch all 4 blocks), so the
+    expensive pairwise hamming check only runs within buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    sims = d.select(
+        "doc_id", mh.simhash(mh.token_hashes("text")).alias("sim")
+    )
+    nibs = sims.select(
+        "doc_id", "sim", F.posexplode(mh.simhash_nibbles(F.col("sim"))).alias("nib_id", "nib_val")
+    )
+    a, b = nibs.alias("a"), nibs.alias("b")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, on=["nib_id", "nib_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+# --- llm_dedup_ngram_jaccard ----------------------------------------------
+
+_NGRAM_SCOPE = 150  # bounded candidate set for the brute-force verify demo
+_NGRAM_TOPN = 20
+
+
+def _ngram_oracle() -> str:
+    jac = mh.sql_jaccard("a.bg", "b.bg")
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+  FROM documents WHERE doc_id < {_NGRAM_SCOPE}
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT {_NGRAM_TOPN}
+"""
+
+
+@register("llm_dedup_ngram_jaccard", oracle=_ngram_oracle())
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-set Jaccard, top-20 most similar pairs in a
+    bounded scope — the order-sensitive verify stage (catches
+    sequence-preserving near-dups that token-set Jaccard overrates).
+
+    Deliberately brute-force over ≤150 docs: this is the *verifier*;
+    at corpus scale its input is the candidate pairs from the
+    minhash/simhash buckets, so the quadratic term never sees n."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _NGRAM_SCOPE)
+    tk = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        )
+    )
+    g = d.select("doc_id", bigrams.alias("bg"))
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
+    inter = F.size(F.array_intersect("bg_a", "bg_b"))
+    jac = inter.cast("double") / (F.size("bg_a") + F.size("bg_b") - inter)
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(_NGRAM_TOPN)
+    )

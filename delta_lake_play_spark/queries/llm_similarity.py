@@ -1,0 +1,184 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.12):
+embedding-cosine near-dup pairs, brute-force top-k ANN baseline, and
+an IVF-style cell-restricted variant as the scale path.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` folds from
+``functions/vectors.py``) in double precision, so cosines are
+bit-identical to DuckDB's ``list_reduce`` twin: both engines fold the
+same doubles left-to-right with the same IEEE ops. That makes even
+the top-k *ranking* oracle-checkable (ties broken by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.functions.vectors import cosine_sim
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+
+def _sql_cos(da: str, db: str) -> str:
+    """DuckDB cosine twin of ``vectors.cosine_sim`` (same fold order:
+    left-to-right over the arrays, accumulate in double)."""
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({da})+1), i -> {da}[i]*{db}[i])), (acc,x) -> acc+x)"
+    )
+    norm_a = f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({da}, x -> x*x)), (acc,x) -> acc+x))"
+    norm_b = f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({db}, x -> x*x)), (acc,x) -> acc+x))"
+    return f"({dot} / ({norm_a} * {norm_b}))"
+
+
+# --- llm_dedup_embedding_cosine -------------------------------------------
+
+_COS_THRESHOLD = 0.3
+
+_EMB_DEDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       {_sql_cos('a.de', 'b.de')} AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_cos('a.de', 'b.de')} >= {_COS_THRESHOLD}
+"""
+
+
+@register("llm_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold within a blocking
+    key (the precomputed cluster label — the IVF-cell / LSH-bucket
+    pattern). The self-join shuffles on the block key, so pair
+    enumeration is quadratic only within a cell, never over n —
+    the same shape that keeps this tractable at 10⁹ vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"))
+    cos = cosine_sim("emb_a", "emb_b")
+    return (
+        a.join(b, on="label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= _COS_THRESHOLD)
+    )
+
+
+# --- llm_similarity_topk (brute-force baseline) ---------------------------
+
+_N_QUERIES = 10
+_TOP_K = 3
+
+_TOPK_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+q AS (SELECT vec_id AS query_id, de AS dq FROM v WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, de AS dc FROM v WHERE vec_id >= {_N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id, {_sql_cos('dq', 'dc')} AS cos_sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@register("llm_similarity_topk", oracle=_TOPK_ORACLE)
+def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector — the exact-recall
+    ANN baseline. The small query set broadcasts, so the candidate
+    side streams through one scan with no shuffle of the big table;
+    ranking is a per-query-partition window (k rows kept per query).
+    Scale path: ``llm_similarity_ivf`` restricts candidates to the
+    query's cell."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
+    )
+    c = e.where(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", cosine_sim("emb_q", "emb_c").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --- llm_similarity_ivf (cell-restricted scale path) ----------------------
+
+_CENTROID_STRIDE = 50  # vec_id % 50 == 0 → deterministic centroid set
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, de AS dcent FROM v WHERE vec_id % {_CENTROID_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, cent.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cos('v.de', 'cent.dcent')} DESC, cent.centroid_id
+           ) AS rn
+    FROM v CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT v.vec_id AS query_id, v.de AS dq, a.centroid_id
+      FROM v JOIN assign a ON v.vec_id = a.vec_id WHERE v.vec_id < {_N_QUERIES}),
+c AS (SELECT v.vec_id AS neighbor_id, v.de AS dc, a.centroid_id
+      FROM v JOIN assign a ON v.vec_id = a.vec_id WHERE v.vec_id >= {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.centroid_id, {_sql_cos('q.dq', 'c.dc')} AS cos_sim
+  FROM q JOIN c ON q.centroid_id = c.centroid_id
+)
+SELECT query_id, neighbor_id, centroid_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, centroid_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@register("llm_similarity_ivf", oracle=_IVF_ORACLE)
+def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its
+    nearest centroid (broadcast cross-join against the tiny centroid
+    set — one streaming pass), then search only the query's cell.
+
+    Per-query work drops from O(n) to O(n / cells); recall is
+    traded for that speedup exactly as in a FAISS IVF index. The
+    cell join shuffles on centroid_id — at scale you'd pre-partition
+    (bucket) the corpus by cell so probes are shuffle-free."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") % _CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("emb_cent")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        cosine_sim("embedding", "emb_cent").desc(), "centroid_id"
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "embedding")
+    )
+    q = assign.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "centroid_id", F.col("embedding").alias("emb_q")
+    )
+    c = assign.where(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id", F.col("embedding").alias("emb_c")
+    )
+    scored = q.join(c, on="centroid_id").select(
+        "query_id", "neighbor_id", "centroid_id",
+        cosine_sim("emb_q", "emb_c").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.12):
+corpus stats, quality filtering, language-ID, fingerprinting.
+
+All pure-Catalyst column expressions from
+``delta_lake_play_spark/llm/text.py`` — per-document narrow work
+inside whole-stage codegen, so throughput scales linearly with
+executors; the only shuffle in this module is the stats groupBy
+(low-cardinality key, map-side partial agg).
+
+Oracle-parity: every aggregate is an int64 sum or a single IEEE
+division of exact integers — order-independent, bit-identical in
+DuckDB (see ``text.py`` module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.llm import text as tx
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- llm_text_stats -------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+         AS total_distinct_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("llm_text_stats", oracle=_STATS_ORACLE)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics: doc/token/char counts.
+
+    Integer sums only (order-independent); the mean is one exact-int
+    division. One shuffle on a tiny key space."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count("text")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(tx.distinct_tokens("text"))).alias("total_distinct_tokens"),
+    )
+
+
+# --- llm_doc_quality_filter -----------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_token_len
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, distinct_ratio, mean_token_len
+FROM q
+WHERE n_tokens >= 40 AND distinct_ratio >= 0.25 AND mean_token_len BETWEEN 2 AND 8
+"""
+
+
+@register("llm_doc_quality_filter", oracle=_QUALITY_ORACLE)
+def llm_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: token count, lexical diversity, mean
+    token length — the classic cheap filters a corpus pipeline runs
+    before any model-based scoring. Pure narrow filter: predicate
+    evaluates per-row in codegen, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        (F.size(tx.distinct_tokens("text")).cast("double") / tx.token_count("text")).alias(
+            "distinct_ratio"
+        ),
+        ((F.col("n_chars") - (tx.token_count("text") - F.lit(1))).cast("double")
+         / tx.token_count("text")).alias("mean_token_len"),
+    )
+    return q.where(
+        (F.col("n_tokens") >= 40)
+        & (F.col("distinct_ratio") >= 0.25)
+        & F.col("mean_token_len").between(2, 8)
+    )
+
+
+# --- llm_text_lang_id -----------------------------------------------------
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS actual_lang,
+       {tx.sql_lang_id("text")} AS pred_lang
+FROM documents
+"""
+
+
+@register("llm_text_lang_id", oracle=_LANGID_ORACLE)
+def llm_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-dictionary language-ID per document (argmax of per-
+    language marker hits, deterministic tie-break). The operator
+    shape — array filter + CASE ladder, zero shuffles — is exactly
+    where a fastText-style Pandas-UDF scorer would slot in."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        tx.lang_id("text").alias("pred_lang"),
+    )
+
+
+# --- llm_text_fingerprint -------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id, {tx.sql_fingerprint("text")} AS fingerprint
+FROM documents
+"""
+
+
+@register("llm_text_fingerprint", oracle=_FP_ORACLE)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (mod-prime
+    polynomial fold) — the content-addressable ID exact dedup and
+    change detection key on. Bit-identical across engines; at 100 TB
+    you'd swap in ``xxhash64`` (see ``fn_hash``) for speed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
