@@ -14,6 +14,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     scalar_functions,
     scans,
     sorts_sets,
+    streaming_queries,
     udfs,
     windows,
 )

@@ -1,0 +1,140 @@
+"""Driver-facing entries for the streaming layer (SURVEY.md §2.10).
+
+The driver contract collects a batch DataFrame, so each key registers
+the *batch form* of the streaming computation — the same builder
+function that ``tests/test_streaming.py`` runs as a real
+``readStream``/``foreachBatch`` query and checks for batch/stream
+parity. Watermark-dependent behavior is runtime-only, hence those
+keys' oracles check the complete-data batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+from delta_lake_play_spark.streaming import events_stream as es
+
+# --- stream_tumbling_window -----------------------------------------------
+
+from delta_lake_play_spark.functions.exact import sql_dsum
+
+_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       {sql_dsum('value', 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_window", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return es.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+# --- stream_sliding_window ------------------------------------------------
+
+# Size 10 min, slide 5 min ⇒ each event is in exactly two windows,
+# starting at time_bucket(5min, ts) and 5 minutes before it.
+_SLIDING_ORACLE = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, event_type FROM events
+)
+SELECT window_start, event_type, count(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("stream_sliding_window", oracle=_SLIDING_ORACLE)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return es.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# --- stream_session_window ------------------------------------------------
+
+# Gap-based sessionization: new session when the gap to the previous
+# event is >= 30 minutes (session_window's end is last event + gap,
+# so an event exactly at the previous end starts a new session).
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_ORACLE)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return es.session_aggs(load_table(spark, sf_dir, "events"))
+
+
+# --- stream_watermark_late ------------------------------------------------
+
+_WATERMARK_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       max(value) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("stream_watermark_late", oracle=_WATERMARK_ORACLE)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked hourly aggregation (withWatermark
+    is a no-op on batch data — the oracle checks the complete-data
+    answer the stream converges to; the late-drop behavior itself is
+    exercised in tests/test_streaming.py)."""
+    return es.hourly_user_stats(
+        load_table(spark, sf_dir, "events"), watermark=es.WATERMARK
+    )
+
+
+# --- stream_dedup_stateful ------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type, value
+FROM events
+"""
+
+
+@register("stream_dedup_stateful", oracle=_DEDUP_ORACLE)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return es.dedup_events(load_table(spark, sf_dir, "events"), watermark=es.WATERMARK)
+
+
+# --- stream_foreachBatch_upsert (rows-only: runs a real stream) -----------
+
+
+@register("stream_foreachBatch_upsert")
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs an actual availableNow stream whose every micro-batch
+    MERGEs into a versioned table; returns the final snapshot
+    (rows-only: batch boundaries are runtime-dependent)."""
+    return es.run_foreach_batch_upsert(spark, sf_dir)

@@ -1,0 +1,156 @@
+"""Structured Streaming layer over the ``events`` table
+(SURVEY.md §2.10 — the reference has no streaming; this is the EXT
+surface for the events stream).
+
+Design rule: every streaming computation is a *builder* that takes a
+DataFrame and returns a DataFrame, applied identically to
+``spark.read`` (batch, for the driver's DuckDB oracle) and
+``spark.readStream`` (with watermarks, for the real incremental
+path). Batch/stream parity is therefore a property of the code
+shape, and is asserted in ``tests/test_streaming.py`` by running the
+stream with ``trigger(availableNow)`` + ``foreachBatch`` capture.
+
+Scale notes: windowed aggregations shuffle on (window, key) — state
+store size is bounded by windows × keys, and the watermark bounds how
+many windows stay open. ``dropDuplicates`` state is bounded by the
+watermark horizon. The foreachBatch sink reuses the versioned-table
+MERGE (same semantics as ``api.py:92-102`` in the reference, batch by
+batch).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.sources.catalog import load_table
+
+WATERMARK = "15 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, with the same
+    ns→µs timestamp normalization as the batch reader
+    (``sources/catalog.py``): schema is taken from the batch read, so
+    batch and stream see identical column types."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # The file source requires a directory basePath; a glob whose
+    # non-glob prefix is the directory satisfies it while matching
+    # exactly the events file.
+    stream = spark.readStream.schema(raw_schema).parquet(path + "*")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-10-minute (event_type) counts + exact-grid value sum — the
+    canonical tumbling window. Window start is epoch-aligned in both
+    Spark and DuckDB's ``time_bucket``, so the batch form
+    oracle-checks exactly. Only streaming-supported aggregates
+    (count / sum — no distinct), so the same builder runs unchanged
+    under readStream with a watermark."""
+    from delta_lake_play_spark.functions.exact import dsum
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in
+    exactly size/slide = 2 windows."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_aggs(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+    ``session_window`` end = last event + gap; a new session starts
+    when the gap to the previous event is ≥ the gap duration."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def hourly_user_stats(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Hourly per-window distinct users + max value. With
+    ``watermark`` set (streaming), events later than the watermark
+    horizon are dropped and window state is evicted; on a batch
+    DataFrame ``withWatermark`` is a no-op, so the batch form is the
+    complete-data answer the stream converges to."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "n_users", "max_value")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Exactly-once by event_id. Streaming keeps one state entry per
+    id inside the watermark horizon; batch form is plain
+    ``dropDuplicates`` over the same key."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → versioned-table MERGE sink: every micro-batch upserts
+    into a VersionedTable by event_id (one table version per batch,
+    exactly the reference's MERGE semantics applied incrementally).
+    Uses ``trigger(availableNow=True)`` so the call processes the
+    whole source and terminates; returns the final snapshot."""
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    events = load_table(spark, sf_dir, "events")
+    table = VersionedTable.create(spark, temp_table_path("stream_upsert"), events.limit(0))
+    stream = read_events_stream(spark, sf_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(batch_df.dropDuplicates(["event_id"]), key="event_id")
+
+    checkpoint = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    query = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return table.to_df()

@@ -1,0 +1,110 @@
+"""Batch/stream parity for the streaming layer (SURVEY.md §5.5).
+
+Each builder in ``streaming/events_stream.py`` is run twice: once on
+a batch read (the driver/oracle form) and once as a real Structured
+Streaming query with ``trigger(availableNow=True)`` captured via
+``foreachBatch`` / memory sink — results must agree. A separate test
+shows watermarking actually dropping late data across micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.sources.catalog import load_table
+from delta_lake_play_spark.streaming import events_stream as es
+
+from .parity import compare
+
+
+def _run_stream_to_df(stream_df, spark, complete: bool):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the final result as a batch DataFrame."""
+    name = f"t_{abs(hash(stream_df)) % 10**8}"
+    writer = stream_df.writeStream.format("memory").queryName(name)
+    writer = writer.outputMode("complete" if complete else "append")
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@pytest.mark.parametrize(
+    "builder,complete",
+    [
+        (lambda df: es.tumbling_counts(df, watermark=es.WATERMARK), True),
+        (lambda df: es.sliding_counts(df), True),
+        (lambda df: es.session_aggs(df), True),
+        (lambda df: es.dedup_events(df, watermark=es.WATERMARK), False),
+    ],
+    ids=["tumbling", "sliding", "session", "dedup"],
+)
+def test_batch_stream_parity(spark, sf_dir, builder, complete):
+    batch = builder(load_table(spark, sf_dir, "events")).toPandas()
+    stream_in = es.read_events_stream(spark, sf_dir)
+    streamed = _run_stream_to_df(builder(stream_in), spark, complete).toPandas()
+    compare(streamed, batch, "stream parity")
+
+
+def test_foreach_batch_upsert(spark, sf_dir):
+    final = es.run_foreach_batch_upsert(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    # MERGE by unique event_id over the whole stream ⇒ snapshot == source.
+    assert final.count() == events.count()
+    assert final.select(F.countDistinct("event_id")).first()[0] == events.count()
+
+
+def test_watermark_drops_late_data(spark):
+    """Three micro-batches: the last contains an event 2h older than
+    the watermark established by the first — the watermarked windowed
+    count must drop it. (The watermark used for late-row filtering
+    lags one batch behind the data that set it, hence the middle
+    batch: it lets the 11:45 watermark take effect before the late
+    row arrives.)"""
+    rows1 = [(1, "2024-01-01 10:00:00", 1, "a", 1.0), (2, "2024-01-01 12:00:00", 1, "a", 1.0)]
+    rows2 = [(4, "2024-01-01 12:30:00", 1, "a", 1.0)]
+    rows3 = [(3, "2024-01-01 10:01:00", 1, "a", 1.0)]  # 2h late, > 15 min watermark
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double"
+    src = tempfile.mkdtemp(prefix="late_events_")
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        out = os.path.join(src, f"batch{i}")
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(out)
+        # The file source processes oldest-modTime first; sub-second
+        # write times tie, so pin distinct mtimes to fix batch order.
+        for root, _, files in os.walk(out):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i * 60,) * 2)
+
+    read_schema = spark.read.parquet(os.path.join(src, "batch0")).schema
+    stream = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "batch*"))
+    )
+    windowed = (
+        stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    # Append mode: a window is emitted once the watermark passes its
+    # end, and late rows below the watermark are dropped beforehand.
+    # (Complete mode would keep all state and still absorb late data.)
+    name = "wm_late"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {r["window"]["start"].isoformat(): r["n"] for r in spark.table(name).collect()}
+    # Batch 0 sets the watermark to 12:00 - 15 min; the 10:00 window
+    # finalizes with n=1 — the 10:01 late event from batch 1 must NOT
+    # have been added (n=2 would mean the watermark failed to drop it).
+    assert emitted.get("2024-01-01T10:00:00") == 1, f"late event not dropped: {emitted}"
