@@ -1,0 +1,70 @@
+"""Serving facade tests: replay the reference's endpoint semantics
+(``api.py:55-107``) against the handler layer — seed, merge-upsert,
+predicate delete, history, and time travel through the HTTP shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_play_spark.serving.handlers import NamesTableService, TableRow
+from delta_lake_play_spark.table.versioned import temp_table_path
+
+
+@pytest.fixture()
+def service(spark):
+    return NamesTableService(spark, temp_table_path("serving"))
+
+
+def _names(resp):
+    return {(r["id"], r["firstname"], r["lastname"]) for r in resp["data"]}
+
+
+def test_hello_world(service):
+    assert service.hello_world() == {"message": "Hello World"}
+
+
+def test_get_table_latest_seed(service):
+    resp = service.get_table()
+    assert resp["version"] == 0
+    assert _names(resp) == {(1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")}
+
+
+def test_merge_updates_and_inserts(service):
+    # api.py:95-102: matched id=1 updates, unmatched id=9 inserts.
+    resp = service.merge_to_table(
+        [TableRow(1, "Jim", "Bond"), TableRow(9, "Q", "Branch")]
+    )
+    assert resp["version"] == 1
+    latest = service.get_table()
+    assert _names(latest) == {
+        (1, "Jim", "Bond"),
+        (2, "Alice", "Rogers"),
+        (3, "Joe", "Bloggs"),
+        (9, "Q", "Branch"),
+    }
+    # Time travel: version 0 unchanged (README.md:9 semantics).
+    v0 = service.get_table(version=0)
+    assert _names(v0) == {(1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")}
+
+
+def test_delete_single_id(service):
+    # The api.py:107 f-string hazard case: a single-element id list.
+    resp = service.delete_from_table([2])
+    assert resp["version"] == 1
+    assert _names(service.get_table()) == {(1, "James", "Bond"), (3, "Joe", "Bloggs")}
+
+
+def test_history_keyed_by_version(service):
+    service.merge_to_table([TableRow(5, "M", "Boss")])
+    hist = service.get_table_history()
+    # api.py:67 shape: {column: {version: value}} with string timestamps.
+    assert set(hist["operation"].keys()) == {"0", "1"}
+    assert hist["operation"]["0"] == "CREATE"
+    assert hist["operation"]["1"] == "MERGE"
+    assert isinstance(hist["timestamp"]["1"], str)
+
+
+def test_bad_version_raises(service):
+    with pytest.raises(ValueError):
+        service.get_table(version=99)
