@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions — the 100 TB discipline as tests.
+
+Correct results can hide a plan that would collapse at scale (full
+scans where a filter should push down, shuffles where a broadcast
+should happen). These tests pin the plan properties that matter:
+predicate pushdown into the Parquet scan, column pruning, broadcast
+joins for small dims, and TakeOrderedAndProject for global top-k.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from delta_lake_play_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[key](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_range")
+    assert "PushedFilters: [" in plan
+    # The range predicate itself, not just IsNotNull, must push down.
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_on_flagship(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_group_sum_avg_count")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # Q1 needs 7 of lineitem's 16 columns; the scan must not read e.g.
+    # l_comment or l_orderkey.
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    # lineitem→orders→customer→nation→region: every dim side fits the
+    # broadcast threshold at test scale; the fact table must stream.
+    plan = _plan(spark, sf_dir, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan, "global top-k should not range-sort everything"
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["llm_dedup_near_minhash", "llm_dedup_simhash", "join_self_pairs"]
+)
+def test_self_join_pairs_are_bucketed_not_cartesian(spark, sf_dir, key):
+    plan = _plan(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, f"{key} degenerated to a cartesian product"
