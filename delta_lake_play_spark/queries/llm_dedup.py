@@ -97,35 +97,13 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted — it feeds both band-explosion branches and both sides
     of the verify join, and recomputing the char-level fold 4× is
     the single biggest cost at bench scale. (At 100 TB this persist
-    becomes a checkpoint of the signature table to Parquet.)"""
+    becomes a checkpoint of the signature table to Parquet.)
+
+    Library form: ``operators/dedup.py::minhash_near_dup_pairs``."""
+    from delta_lake_play_spark.operators.dedup import minhash_near_dup_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    hashed = d.select(
-        "doc_id",
-        F.array_distinct(mh.token_hashes("text")).alias("hs"),
-    ).persist()
-    sig = hashed.select(
-        "doc_id", mh.band_values(mh.minhash_signature(F.col("hs"))).alias("bands")
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode("bands").alias("band_id", "band_val")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, on=["band_id", "band_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ta = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    tb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = inter.cast("double") / (F.size("hs_a") + F.size("hs_b") - inter)
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
-    )
+    return minhash_near_dup_pairs(d, "doc_id", "text", _JACCARD_THRESHOLD)
 
 
 # --- llm_dedup_simhash ----------------------------------------------------
@@ -164,32 +142,15 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The nibble bucketing has perfect recall at this radius
     (pigeonhole: ≤3 differing bits can't touch all 4 blocks), so the
-    expensive pairwise hamming check only runs within buckets."""
+    expensive pairwise hamming check only runs within buckets.
+    Hamming is filtered BEFORE the pair-distinct so the distinct's
+    shuffle carries surviving pairs only.
+
+    Library form: ``operators/dedup.py::simhash_near_dup_pairs``."""
+    from delta_lake_play_spark.operators.dedup import simhash_near_dup_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    # Persisted: feeds both sides of the nibble self-join, and the
-    # 16-bit-position fold over every document is the expensive part.
-    sims = d.select(
-        "doc_id", mh.simhash(mh.token_hashes("text")).alias("sim")
-    ).persist()
-    nibs = sims.select(
-        "doc_id", "sim", F.posexplode(mh.simhash_nibbles(F.col("sim"))).alias("nib_id", "nib_val")
-    )
-    a, b = nibs.alias("a"), nibs.alias("b")
-    # Hamming is computed and filtered BEFORE the distinct: the bit
-    # math is cheap per candidate row, and filtering first shrinks
-    # the distinct's shuffle to the surviving pairs only.
-    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
-    return (
-        a.join(b, on=["nib_id", "nib_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .where(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
-    )
+    return simhash_near_dup_pairs(d, "doc_id", "text", _HAMMING_MAX)
 
 
 # --- llm_dedup_ngram_jaccard ----------------------------------------------

@@ -11,7 +11,7 @@ the top-k *ranking* oracle-checkable (ties broken by vec_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_play_spark.functions.vectors import cosine_sim
@@ -91,22 +91,18 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side streams through one scan with no shuffle of the big table;
     ranking is a per-query-partition window (k rows kept per query).
     Scale path: ``llm_similarity_ivf`` restricts candidates to the
-    query's cell."""
+    query's cell.
+
+    Library form: ``operators/similarity.py::cosine_topk``."""
+    from delta_lake_play_spark.operators.similarity import cosine_topk
+
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("emb_q")
-    )
-    c = e.where(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_c")
-    )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", cosine_sim("emb_q", "emb_c").alias("cos_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return cosine_topk(
+        corpus=e.where(F.col("vec_id") >= _N_QUERIES),
+        queries=e.where(F.col("vec_id") < _N_QUERIES),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_TOP_K,
     )
 
 
@@ -152,33 +148,17 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-query work drops from O(n) to O(n / cells); recall is
     traded for that speedup exactly as in a FAISS IVF index. The
     cell join shuffles on centroid_id — at scale you'd pre-partition
-    (bucket) the corpus by cell so probes are shuffle-free."""
+    (bucket) the corpus by cell so probes are shuffle-free.
+
+    Library form: ``operators/similarity.py::ivf_topk``."""
+    from delta_lake_play_spark.operators.similarity import ivf_topk
+
     e = load_table(spark, sf_dir, "embeddings")
-    cent = e.where(F.col("vec_id") % _CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("emb_cent")
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        cosine_sim("embedding", "emb_cent").desc(), "centroid_id"
-    )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "embedding")
-    )
-    q = assign.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "centroid_id", F.col("embedding").alias("emb_q")
-    )
-    c = assign.where(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "centroid_id", F.col("embedding").alias("emb_c")
-    )
-    scored = q.join(c, on="centroid_id").select(
-        "query_id", "neighbor_id", "centroid_id",
-        cosine_sim("emb_q", "emb_c").alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    return ivf_topk(
+        corpus=e.where(F.col("vec_id") >= _N_QUERIES),
+        queries=e.where(F.col("vec_id") < _N_QUERIES),
+        centroids=e.where(F.col("vec_id") % _CENTROID_STRIDE == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_TOP_K,
     )
