@@ -87,3 +87,29 @@ def json_column_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+# --- scan_data_skipping ---------------------------------------------------
+
+_SKIP_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_orderkey BETWEEN 100 AND 500
+"""
+
+
+@register("scan_data_skipping", oracle=_SKIP_ORACLE)
+def scan_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping from commit-log min/max stats
+    (SURVEY.md §4): the table is range-laid-out on the key, so the
+    range read opens only the files whose [min,max] overlaps the
+    band — the log answers which, no data I/O for pruned files. The
+    residual predicate keeps results exact, which the oracle checks
+    against a plain filtered scan."""
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    li = load_table(spark, sf_dir, "lineitem").repartitionByRange(8, "l_orderkey")
+    table = VersionedTable.create(spark, temp_table_path("skip"), li)
+    return table.read_range("l_orderkey", 100, 500).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
