@@ -113,3 +113,33 @@ def scan_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_range("l_orderkey", 100, 500).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+# --- scan_partition_pruning -----------------------------------------------
+
+_PARTPRUNE_ORACLE = """
+SELECT event_id, user_id, value
+FROM events
+WHERE event_type = 'click'
+"""
+
+
+@register("scan_partition_pruning", oracle=_PARTPRUNE_ORACLE)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level partition pruning on a hive-partitioned
+    versioned table (SURVEY.md §4): events laid out by event_type, so
+    an equality filter on the partition column touches exactly one
+    directory — Catalyst resolves it at planning time
+    (PartitionFilters), zero I/O for the other partitions. At scale
+    the layout key is the dominant access predicate (e.g. event day)."""
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    ev = load_table(spark, sf_dir, "events")
+    table = VersionedTable.create(
+        spark, temp_table_path("events-part"), ev, partition_by=["event_type"]
+    )
+    return (
+        table.to_df()
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )

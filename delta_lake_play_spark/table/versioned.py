@@ -78,13 +78,25 @@ class VersionedTable:
     # ----------------------------------------------------------------- lifecycle
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "VersionedTable":
-        """Persist ``df`` as version 0 (``spark_project.py:36`` shape)."""
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> "VersionedTable":
+        """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
+
+        ``partition_by`` lays every snapshot out hive-style on the
+        given columns; reads then get directory-level partition
+        pruning from Spark for free (the scale path for e.g. events
+        partitioned by day — SURVEY.md §4). The choice is recorded in
+        the CREATE log entry and applied to all later commits."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
         os.makedirs(t._log_dir, exist_ok=True)
-        t._commit(df, "CREATE", {})
+        t._commit(df, "CREATE", {"partitionBy": partition_by or []})
         return t
 
     @classmethod
@@ -263,7 +275,14 @@ class VersionedTable:
             selected.append(f["path"])
         if not selected:
             return full.filter(F.lit(False))
-        return self.spark.read.schema(full.schema).parquet(*selected).filter(pred)
+        # basePath keeps hive partition columns resolvable when
+        # addressing leaf files directly on a partitioned snapshot.
+        return (
+            self.spark.read.option("basePath", self._snapshot_dir(version))
+            .schema(full.schema)
+            .parquet(*selected)
+            .filter(pred)
+        )
 
     def _collect_file_stats(self, snap: str) -> tuple[list[dict], int]:
         """One distributed pass: per-file row counts + min/max of
@@ -335,11 +354,21 @@ class VersionedTable:
             raise ValueError(f"no version at or before {ts.isoformat()}")
         return max(candidates)
 
+    def partition_columns(self) -> list[str]:
+        """Table partitioning, from the CREATE entry (empty if none)."""
+        if 0 not in self._versions():
+            return []
+        return self._read_log(0).get("operationParameters", {}).get("partitionBy", [])
+
     def _commit(self, df: DataFrame, operation: str, params: dict) -> int:
         versions = self._versions()
         version = (max(versions) + 1) if versions else 0
         snap = self._snapshot_dir(version)
-        df.write.mode("errorifexists").parquet(snap)
+        part_cols = params.get("partitionBy") if operation == "CREATE" else self.partition_columns()
+        writer = df.write.mode("errorifexists")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(snap)
         files, num_rows = self._collect_file_stats(snap)
         entry = {
             "version": version,

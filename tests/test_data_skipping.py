@@ -52,3 +52,39 @@ def test_open_bounds(spark, sf_dir):
     table, li = _make_table(spark, sf_dir)
     n = li.filter(F.col("l_orderkey") >= 5000).count()
     assert table.read_range("l_orderkey", lower=5000).count() == n
+
+
+def test_partitioned_table_prunes_directories(spark, sf_dir):
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = VersionedTable.create(
+        spark, temp_table_path("evpart"), ev, partition_by=["event_type"]
+    )
+    one_type = table.to_df().where(F.col("event_type") == "click")
+    # Pruning happens at planning time: the partition filter appears
+    # in the scan node (inputFiles() would list the whole file index).
+    plan = one_type._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    assert one_type.count() == ev.where(F.col("event_type") == "click").count()
+    # DML preserves the layout: next version is still partitioned.
+    table.delete(F.col("event_type") == "view")
+    assert table.partition_columns() == ["event_type"]
+    v1 = table.to_df()
+    assert v1.where(F.col("event_type") == "view").count() == 0
+    assert any("event_type=click" in f for f in v1.inputFiles())
+
+
+def test_read_range_on_partitioned_table(spark, sf_dir):
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = VersionedTable.create(
+        spark, temp_table_path("evpart2"), ev, partition_by=["event_type"]
+    )
+    got = table.read_range("user_id", 0, 5)
+    expected = ev.where(F.col("user_id").between(0, 5))
+    assert got.count() == expected.count()
+    # Partition columns survive leaf-file addressing (basePath).
+    assert "event_type" in got.columns
+    assert got.where(F.col("event_type").isNull()).count() == 0
