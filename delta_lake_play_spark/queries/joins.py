@@ -301,3 +301,45 @@ def join_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_value").alias("last_click_value"),
         F.col("asof_click_ts").alias("last_click_ts"),
     )
+
+
+# --- join_salted_skew -----------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT l.l_orderkey, o.o_custkey, l.l_extendedprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side carries a
+    deterministic salt, the dimension side is replicated per salt
+    value, and the join key becomes (key, salt) — a hot key's rows
+    spread over `factor` reducers instead of one. Results are
+    identical to the plain join, which is exactly what the oracle
+    checks. (AQE's skew splitting handles this at runtime too; the
+    operator is for the build-side-skew cases AQE can't split.)
+
+    Library form: ``operators/salted_join.py::salted_join``."""
+    from delta_lake_play_spark.operators.salted_join import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .withColumnRenamed("o_orderkey", "okey")
+    )
+    joined = salted_join(
+        li.select("okey", "l_linenumber", "l_extendedprice"),
+        orders.select("okey", "o_custkey"),
+        key="okey",
+        salt_cols=["okey", "l_linenumber"],
+        factor=8,
+    )
+    return joined.select(
+        F.col("okey").alias("l_orderkey"), "o_custkey", "l_extendedprice"
+    )

@@ -134,3 +134,36 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd swap in ``xxhash64`` (see ``fn_hash``) for speed."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+# --- llm_text_token_bpe ---------------------------------------------------
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single other
+# glyphs — the GPT-2-style split that precedes merge rules. The same
+# regex evaluates identically in Java (Spark) and DuckDB's engine
+# because it uses only literal classes and alternation.
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       regexp_extract_all(text, '{_BPE_PATTERN}')[1] AS first_bpe_token
+FROM documents
+"""
+
+
+@register("llm_text_token_bpe", oracle=_BPE_ORACLE)
+def llm_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish regex pre-tokenizer vs plain
+    whitespace — the cost model every training-data pipeline needs
+    (budget is measured in model tokens, not words). Pure codegen:
+    one regex pass per document, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        tx.token_count("text").alias("n_ws_tokens"),
+        F.element_at(bpe, 1).alias("first_bpe_token"),
+    )

@@ -138,3 +138,37 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGEs into a versioned table; returns the final snapshot
     (rows-only: batch boundaries are runtime-dependent)."""
     return es.run_foreach_batch_upsert(spark, sf_dir)
+
+
+# --- stream_stateful_count (applyInPandasWithState) -----------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful_count", oracle=_STATEFUL_ORACLE)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the applyInPandasWithState running counter as a real
+    availableNow stream; the last (max) emission per user is the
+    complete count regardless of how many micro-batches the source
+    produced, which is what the oracle checks against a batch
+    groupBy."""
+    from pyspark.sql import functions as F
+
+    stream = es.read_events_stream(spark, sf_dir)
+    name = "stateful_counts_sink"
+    q = (
+        es.stateful_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events")
+    )

@@ -154,3 +154,34 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return table.to_df()
+
+
+def stateful_user_counts(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running event counter whose state survives across
+    micro-batches (the minimal template for bespoke streaming state —
+    sessionizers, decaying counters, CEP — where the built-in
+    windowed aggregates don't fit).
+
+    Each batch updates the user's count state and emits the running
+    total (update semantics), so the LAST emission per user is the
+    complete count. State is one long per user — bounded by key
+    cardinality, not event volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
