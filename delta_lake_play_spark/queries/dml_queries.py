@@ -298,3 +298,51 @@ def create_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = spark.createDataFrame([], _SEED_SCHEMA)
     t = VersionedTable.create_if_absent(spark, path, empty)  # opens, no reseed
     return t.to_df()
+
+
+# --- dml_optimize_compact (Delta OPTIMIZE surface) -------------------------
+
+_OPTIMIZE_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey BETWEEN 200 AND 600
+"""
+
+
+@register("dml_optimize_compact", oracle=_OPTIMIZE_ORACLE)
+def dml_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE: bin-pack a fragmented snapshot into few files,
+    range-clustered on the access key so the per-file min/max bands
+    are tight and read_range's stats pruning becomes selective.
+    Content is identical to the pre-OPTIMIZE version — the oracle
+    checks the pruned post-OPTIMIZE read against a plain filter."""
+    c = load_table(spark, sf_dir, "customer").repartition(16)
+    t = VersionedTable.create(spark, temp_table_path("opt"), c)
+    t.optimize(target_files=4, cluster_by=["c_custkey"])
+    return t.read_range("c_custkey", 200, 600).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --- dml_change_feed (CDC between versions) --------------------------------
+
+_CDC_ORACLE = f"""
+WITH src AS ({_SRC_SQL}),
+v0 AS (SELECT * FROM customer),
+v1 AS (
+  SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+  UNION ALL SELECT * FROM src
+)
+SELECT *, 'insert' AS _change_type FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+UNION ALL
+SELECT *, 'delete' AS _change_type FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+"""
+
+
+@register("dml_change_feed", oracle=_CDC_ORACLE)
+def dml_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between versions: full-row diff with _change_type
+    (updates appear as delete+insert), computed as two anti-diffs of
+    the snapshots — no row-level delta log required."""
+    t = _fresh_from_customer(spark, sf_dir)
+    t.merge(_merge_source(spark, sf_dir), key="c_custkey")
+    return t.changes(0, 1)

@@ -210,6 +210,39 @@ class VersionedTable:
         snap = self.read(version=version)
         return self._commit(snap, "RESTORE", {"sourceVersion": version})
 
+    def optimize(
+        self, target_files: int = 8, cluster_by: list[str] | None = None
+    ) -> int:
+        """Delta-style OPTIMIZE: rewrite the latest snapshot into
+        ``target_files`` bin-packed files, optionally range-clustered
+        on ``cluster_by`` so each file carries a tight min/max band —
+        which is what makes ``read_range``'s stats pruning selective.
+        Content-identical to the previous version (same rows, new
+        layout); at 100 TB this is the periodic maintenance job that
+        keeps file counts bounded and skipping effective."""
+        df = self.to_df()
+        if cluster_by:
+            df = df.repartitionByRange(target_files, *cluster_by)
+        else:
+            df = df.coalesce(target_files)
+        return self._commit(
+            df, "OPTIMIZE", {"targetFiles": target_files, "clusterBy": cluster_by or []}
+        )
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """CDC-style change feed between two versions: full-row diff
+        with a ``_change_type`` column (``insert`` / ``delete``;
+        an update appears as delete+insert of the changed row).
+        Computed as two anti-diffs of the snapshots — O(rows) with a
+        single shuffle each, no log of row-level deltas needed."""
+        if to_version is None:
+            to_version = self.latest_version()
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        inserted = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deleted = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserted.unionByName(deleted)
+
     def vacuum(self, retain_last: int = 2) -> list[int]:
         """Drop snapshot data directories beyond the retention window;
         the log is kept so history stays queryable. Returns vacuumed

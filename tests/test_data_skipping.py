@@ -88,3 +88,46 @@ def test_read_range_on_partitioned_table(spark, sf_dir):
     # Partition columns survive leaf-file addressing (basePath).
     assert "event_type" in got.columns
     assert got.where(F.col("event_type").isNull()).count() == 0
+
+
+def test_optimize_compacts_and_improves_clustering(spark, sf_dir):
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    # 32 shuffled files: every file spans nearly the full key range,
+    # so stats-based pruning can't drop anything.
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)
+    table = VersionedTable.create(spark, temp_table_path("opt"), li)
+    before = table._read_log(0)["files"]
+    assert len(before) > 8
+    pruned_before = len(table.read_range("l_orderkey", 100, 500).inputFiles())
+
+    v = table.optimize(target_files=8, cluster_by=["l_orderkey"])
+    after = table._read_log(v)["files"]
+    assert len(after) <= 8
+    # Content identical…
+    assert table.read(version=v).count() == li.count()
+    # …and the clustered layout now actually prunes.
+    pruned_after = len(table.read_range("l_orderkey", 100, 500).inputFiles())
+    assert pruned_after < len(after)
+    assert pruned_after <= pruned_before
+
+
+def test_change_feed(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), False),
+        ]
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("cdc"), spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    )
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], schema), key="id")
+    rows = {(r.id, r.name, r._change_type) for r in t.changes(0, 1).collect()}
+    assert rows == {
+        (2, "B", "insert"),
+        (3, "c", "insert"),
+        (2, "b", "delete"),
+    }
