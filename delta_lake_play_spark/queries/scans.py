@@ -143,3 +143,49 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "click")
         .select("event_id", "user_id", "value")
     )
+
+
+# --- sink_csv_roundtrip ---------------------------------------------------
+
+_CSV_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("sink_csv_roundtrip", oracle=_CSV_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-explicit CSV source: write the table with a
+    header, read it back with the declared schema (never inference in
+    a pipeline — inference is a full extra pass at 100 TB and can
+    drift types between runs). Oracle checks content identity."""
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = tempfile.mkdtemp(prefix="csv_sink_") + "/nation"
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(out)
+    )
+
+
+# --- sink_json_roundtrip --------------------------------------------------
+
+_JSONSINK_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("sink_json_roundtrip", oracle=_JSONSINK_ORACLE)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-explicit source — the interchange
+    format for event feeds; same no-inference rule as CSV."""
+    import tempfile
+
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = tempfile.mkdtemp(prefix="json_sink_") + "/region"
+    r.write.mode("overwrite").json(out)
+    return spark.read.schema("r_regionkey int, r_name string").json(out)
