@@ -304,7 +304,7 @@ def create_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OPTIMIZE_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal
-FROM customer WHERE c_custkey BETWEEN 200 AND 600
+FROM customer WHERE c_custkey BETWEEN 10 AND 60
 """
 
 
@@ -318,7 +318,7 @@ def dml_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").repartition(16)
     t = VersionedTable.create(spark, temp_table_path("opt"), c)
     t.optimize(target_files=4, cluster_by=["c_custkey"])
-    return t.read_range("c_custkey", 200, 600).select(
+    return t.read_range("c_custkey", 10, 60).select(
         "c_custkey", "c_name", "c_acctbal"
     )
 
