@@ -197,3 +197,64 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
     )
+
+
+# --- agg_pivot ------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_PIVOT_ORACLE = """
+SELECT c_nationkey,
+       {cols}
+FROM customer
+GROUP BY c_nationkey
+""".format(
+    cols=",\n       ".join(
+        f"count(*) FILTER (c_mktsegment = '{s}') AS {s.lower()}" for s in _SEGMENTS
+    )
+)
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one output column per market segment. The segment list
+    is declared, not discovered — at scale an undeclared pivot runs
+    an extra distinct pass AND risks an unbounded column explosion;
+    declaring values keeps it a single partial+final aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    out = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+    )
+    renamed = out.select(
+        "c_nationkey", *[F.col(s).alias(s.lower()) for s in _SEGMENTS]
+    )
+    # Pivot leaves null for absent (nation, segment) pairs; the SQL
+    # FILTER form yields 0 — align on 0.
+    return renamed.na.fill(0, [s.lower() for s in _SEGMENTS])
+
+
+# --- agg_max_by_min_by ----------------------------------------------------
+
+_MAXBY_ORACLE = """
+SELECT o_custkey,
+       max_by(o_orderkey, o_totalprice) AS best_order,
+       min_by(o_orderkey, o_totalprice) AS worst_order,
+       max(o_totalprice) AS best_price
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("agg_max_by_min_by", oracle=_MAXBY_ORACLE)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (the 'top row per group without a
+    join-back' pattern). o_totalprice is unique per customer in this
+    data, so max_by is deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )

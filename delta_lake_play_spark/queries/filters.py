@@ -126,3 +126,42 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(
         F.col("p_name").like("%widget%") & F.col("p_brand").like("Brand#1%")
     ).select("p_partkey", "p_name", "p_brand")
+
+
+# --- sample_hash_mod (deterministic, cross-engine) ------------------------
+
+_HASHSAMPLE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 1000 < 100
+"""
+
+
+@register("sample_hash_mod", oracle=_HASHSAMPLE_ORACLE)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample by hash-mod on the row key — the
+    training-data sampling pattern that survives reruns, engine
+    changes, and repartitioning (unlike rand()-based sampling, the
+    same rows are selected everywhere, which also makes held-out
+    splits stable). Pure int64 arithmetic, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keep = (
+        (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber") * F.lit(40503))
+        % 1000
+        < 100
+    )
+    return li.where(keep).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# --- sample_bernoulli (rows-only: RNG differs across engines) -------------
+
+
+@register("sample_bernoulli")
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli row sampling (`df.sample`) — deterministic
+    within Spark for a fixed seed and partitioning, but the RNG
+    stream is engine-specific, hence rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
