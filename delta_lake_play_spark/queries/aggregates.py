@@ -258,3 +258,39 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
         F.max("o_totalprice").alias("best_price"),
     )
+
+
+# --- agg_stddev_exact -----------------------------------------------------
+
+_STDDEV_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n * (n - 1))) / 100.0 AS stddev_value
+FROM s
+"""
+
+
+@register("agg_stddev_exact", oracle=_STDDEV_ORACLE)
+def agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample standard deviation via exact integer sums of x and x²
+    on the 2-dp value grid, finished by one deterministic IEEE
+    formula — order-independent, unlike the built-in Welford-update
+    stddev whose float accumulation depends on partition order (the
+    built-in is the right choice when you don't need cross-run
+    bit-stability; this is the pattern when you do)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stddev = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n * (n - 1))) / 100.0
+    return agg.select("event_type", "n", stddev.alias("stddev_value"))

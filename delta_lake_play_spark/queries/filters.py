@@ -165,3 +165,31 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+# --- filter_null_safe_eq --------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+SELECT e1.event_id AS id_a, e2.event_id AS id_b
+FROM events e1 JOIN events e2
+  ON json_extract_string(e1.props, '$.k') IS NOT DISTINCT FROM
+     json_extract_string(e2.props, '$.k')
+ AND e1.event_id < e2.event_id
+WHERE e1.event_id < 50 AND e2.event_id < 50
+"""
+
+
+@register("filter_null_safe_eq", oracle=_NULLSAFE_ORACLE)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM): the join
+    predicate where NULL must match NULL — e.g. grouping events by an
+    optional JSON property. A plain `=` silently drops every
+    NULL-keyed row."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 50)
+    k = F.get_json_object("props", "$.k")
+    a = ev.select(F.col("event_id").alias("id_a"), k.alias("k_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), k.alias("k_b"))
+    return (
+        a.join(b, F.col("k_a").eqNullSafe(F.col("k_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+    )

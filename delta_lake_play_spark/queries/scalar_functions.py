@@ -345,3 +345,29 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("text").alias("h_crc32"),
         F.hash("text", "lang").alias("h_multi"),
     )
+
+
+# --- fn_bitwise -----------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id >> 8 AS high_bits,
+       xor(event_id, 12345) AS xored,
+       bit_count(CAST(event_id AS BIGINT)) AS popcount
+FROM events WHERE event_id < 1000
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/shift/xor/popcount — the bucket/flag arithmetic
+    layer (well-defined on non-negative int64 in every engine)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftright("event_id", 8).alias("high_bits"),
+        F.col("event_id").bitwiseXOR(F.lit(12345)).alias("xored"),
+        F.bit_count("event_id").alias("popcount"),
+    )

@@ -228,3 +228,42 @@ def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(is_new).over(run).alias("session_id"),
     )
+
+
+# --- win_first_last_nth ---------------------------------------------------
+
+_FLN_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS latest_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register("win_first_last_nth", oracle=_FLN_ORACLE)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit full-partition frame —
+    last_value under the default frame is the classic silent bug
+    (it returns the CURRENT row), so the frame is always spelled
+    out. Unique tiebreak column keeps ordering deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

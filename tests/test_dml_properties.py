@@ -61,9 +61,10 @@ def test_random_dml_sequences(spark, ops):
 
     for op_code, seed in ops:
         ids = sorted(model)
-        if op_code == 0:  # MERGE: update one existing + insert one new
-            target = ids[seed % len(ids)] if ids else next_id
-            rows = [(target, f"u{seed}", "Merged"), (next_id, f"n{seed}", "New")]
+        if op_code == 0:  # MERGE: update one existing (if any) + insert one new
+            rows = [(next_id, f"n{seed}", "New")]
+            if ids:
+                rows.append((ids[seed % len(ids)], f"u{seed}", "Merged"))
             table.merge(
                 spark.createDataFrame(rows, SCHEMA), key="id"
             )
