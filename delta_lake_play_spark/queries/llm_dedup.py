@@ -206,3 +206,34 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(_NGRAM_TOPN)
     )
+
+
+# --- llm_dedup_fingerprint ------------------------------------------------
+
+def _fp_oracle() -> str:
+    from delta_lake_play_spark.llm.text import sql_fingerprint
+
+    return f"""
+SELECT {sql_fingerprint('text')} AS fp,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("llm_dedup_fingerprint", oracle=_fp_oracle())
+def llm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the 8-byte document fingerprint instead
+    of the raw text — at 100 TB this shrinks the dedup shuffle from
+    full documents to (hash, doc_id) pairs, the difference between
+    shuffling the corpus and shuffling 16 bytes per doc. Collisions
+    merge distinct docs (probability ~n²/2P); production uses a
+    128-bit hash, the pattern is identical."""
+    from delta_lake_play_spark.llm.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )

@@ -162,3 +162,43 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         k=_TOP_K,
     )
+
+
+# --- llm_embedding_quantize -----------------------------------------------
+
+_QUANT_LEVELS = 64  # floor-quantize to [-64, 64] — floor is the only
+# rounding both engines define identically at .5 boundaries
+
+_QUANT_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+m AS (
+  SELECT vec_id, de,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(de, x -> abs(x))),
+                     (acc, x) -> greatest(acc, x)) AS max_abs
+  FROM v
+)
+SELECT vec_id, max_abs,
+       list_transform(de, x -> CAST(floor(x * {_QUANT_LEVELS} / max_abs) AS INT)) AS q
+FROM m
+"""
+
+
+@register("llm_embedding_quantize", oracle=_QUANT_ORACLE)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style embedding quantization: per-vector max-abs scale,
+    floor to [-LEVELS, LEVELS] — 4× smaller vectors for the ANN index
+    with recall traded per the usual quantization curve. Floor (not
+    round) so both engines agree at .5 boundaries; the scale factor
+    is an exact fold, so quantized codes are bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    de = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(
+        F.transform(de, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    base = e.select("vec_id", de.alias("de"), max_abs.alias("max_abs"))
+    q = F.transform(
+        F.col("de"), lambda x: F.floor(x * _QUANT_LEVELS / F.col("max_abs")).cast("int")
+    )
+    return base.select("vec_id", "max_abs", q.alias("q"))
