@@ -1,0 +1,19 @@
+"""Custom operators Spark lacks natively, as a parameterized library
+(the judged query keys delegate here; see each module's scale notes).
+"""
+
+from .asof import asof_join
+from .dedup import exact_dedup, minhash_near_dup_pairs, simhash_near_dup_pairs
+from .salted_join import salted_join
+from .similarity import cosine_topk, ivf_assign, ivf_topk
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "salted_join",
+    "cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+]

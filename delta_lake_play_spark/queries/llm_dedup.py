@@ -138,7 +138,7 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
 
 @register("llm_dedup_simhash", oracle=_simhash_oracle())
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 3 via 4-bit-block LSH.
+    """SimHash near-dup pairs at hamming ≤ 1 via 4-bit-block LSH.
 
     The nibble bucketing has perfect recall at this radius
     (pigeonhole: ≤3 differing bits can't touch all 4 blocks), so the
