@@ -343,3 +343,42 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("okey").alias("l_orderkey"), "o_custkey", "l_extendedprice"
     )
+
+
+# --- join_bucketed_colocated ----------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT l.l_orderkey, l.l_extendedprice, o.o_custkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides are written
+    bucketBy(8) + sortBy on the join key, so the sort-merge join
+    consumes the bucket layout directly — ZERO exchanges in the plan
+    (asserted in tests/test_plan_shapes.py). At 100 TB this is how a
+    fact-fact join avoids shuffling either table: pay the layout cost
+    once at write time, join shuffle-free forever after. The merge
+    hint keeps the demo on the SMJ path regardless of broadcast
+    thresholds."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    for name, df, key in [("b_lineitem", li, "l_orderkey"), ("b_orders", o, "o_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", tempfile.mkdtemp(prefix=f"bucket_{name}_"))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    return (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .select("l_orderkey", "l_extendedprice", "o_custkey")
+    )

@@ -72,3 +72,11 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
 def test_self_join_pairs_are_bucketed_not_cartesian(spark, sf_dir, key):
     plan = _plan(spark, sf_dir, key)
     assert "CartesianProduct" not in plan, f"{key} degenerated to a cartesian product"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed co-located join must not shuffle either side"
+    )
