@@ -69,6 +69,10 @@ class MergeSourceKeyError(ValueError):
     """Multiple source rows match a single target key (Delta errors too)."""
 
 
+class MergeSchemaError(ValueError):
+    """Source schema drifts from the target and evolution wasn't requested."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -170,7 +174,7 @@ class VersionedTable:
         new = self.to_df().unionByName(df)
         return self._commit(new, "APPEND", {})
 
-    def merge(self, source: DataFrame, key: str) -> int:
+    def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
         """MERGE upsert on ``key``: update matched target rows from the
         source, insert unmatched source rows — exactly the reference's
         ``whenMatchedUpdate(...).whenNotMatchedInsert(...)`` chain
@@ -178,6 +182,14 @@ class VersionedTable:
 
         Errors when the source has duplicate keys (Delta semantics):
         a target row may match at most one source row.
+
+        Schema drift (the ``api.py:91`` hazard — the reference infers
+        the source schema per request while the target's is fixed):
+        by default a source missing target columns or carrying extras
+        raises ``MergeSchemaError`` with the exact column sets. With
+        ``evolve_schema=True``, Delta's autoMerge behavior applies —
+        new source columns are added to the table (null for untouched
+        rows), missing source columns are filled with null.
         """
         dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:
@@ -185,7 +197,20 @@ class VersionedTable:
                 f"source has multiple rows for key {key}={dup[0][0]!r}"
             )
         target = self.to_df()
-        source = source.select(*target.columns)  # align column order
+        t_cols, s_cols = set(target.columns), set(source.columns)
+        if not evolve_schema:
+            if t_cols != s_cols:
+                raise MergeSchemaError(
+                    f"source schema drift: missing={sorted(t_cols - s_cols)} "
+                    f"extra={sorted(s_cols - t_cols)}; pass evolve_schema=True to merge anyway"
+                )
+            source = source.select(*target.columns)  # align column order
+        else:
+            for c in sorted(t_cols - s_cols):
+                source = source.withColumn(c, F.lit(None).cast(target.schema[c].dataType))
+            for c in sorted(s_cols - t_cols):
+                target = target.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
+            source = source.select(*target.columns)
         untouched = target.join(source, key, "left_anti")
         new = untouched.unionByName(source)
         return self._commit(new, "MERGE", {"key": key})

@@ -98,3 +98,37 @@ def test_create_if_absent_does_not_reseed(spark):
     )
     assert t2.to_df().count() == 3
     assert t2.latest_version() == 0
+
+
+def test_merge_schema_drift_raises_and_evolves(spark):
+    from pyspark.sql import types as T
+
+    from delta_lake_play_spark.table.versioned import (
+        MergeSchemaError,
+        VersionedTable,
+        temp_table_path,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), False),
+        ]
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("drift"), spark.createDataFrame([(1, "a")], schema)
+    )
+    drifted = spark.createDataFrame(
+        [(2, "b", "extra")], "id int, name string, note string"
+    )
+    with pytest.raises(MergeSchemaError, match="extra=\\['note'\\]"):
+        t.merge(drifted, key="id")
+    # Evolution: new column appears, old rows null-filled.
+    v = t.merge(drifted, key="id", evolve_schema=True)
+    rows = {(r.id, r.name, r.note) for r in t.read(version=v).collect()}
+    assert rows == {(1, "a", None), (2, "b", "extra")}
+    # Missing-column source also evolves (null-filled).
+    small = spark.createDataFrame([(3, "c")], "id int, name string")
+    v2 = t.merge(small, key="id", evolve_schema=True)
+    rows2 = {(r.id, r.name, r.note) for r in t.read(version=v2).collect()}
+    assert (3, "c", None) in rows2 and len(rows2) == 3
