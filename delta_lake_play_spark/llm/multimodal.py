@@ -78,3 +78,25 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 out["frame_bytes"].append(len(frame))
                 out["frame_checksum"].append(sum(frame))
         yield pd.DataFrame(out)
+
+
+RESIZE_SCHEMA = "doc_id bigint, thumb_bytes int, thumb_checksum bigint"
+
+THUMB_SIZE = 256  # bytes in the fake thumbnail
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: "resize" each payload to a fixed-size
+    thumbnail (deterministic byte truncation standing in for the
+    image scaler — swap for PIL's ``Image.resize`` where codecs
+    exist). The batch shape is the real thing: bounded output row
+    width regardless of input payload size."""
+    for pdf in batches:
+        thumbs = [p[:THUMB_SIZE] for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "thumb_bytes": [len(t) for t in thumbs],
+                "thumb_checksum": [sum(t) for t in thumbs],
+            }
+        )

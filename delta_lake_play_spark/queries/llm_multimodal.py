@@ -85,3 +85,17 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(
         mm.frame_sample_batches, schema=mm.FRAME_SCHEMA
     )
+
+
+# --- llm_multimodal_resize: fixed-size thumbnail stage (rows-only) ---------
+
+
+@register("llm_multimodal_resize")
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail stage over the binary column via mapInPandas
+    (scaler stubbed; see ``llm/multimodal.py``) — output width is
+    bounded regardless of payload size, which is what keeps the
+    downstream columnar layout predictable."""
+    return _payloads(spark, sf_dir).mapInPandas(
+        mm.resize_batches, schema=mm.RESIZE_SCHEMA
+    )

@@ -236,7 +236,10 @@ class VersionedTable:
         return self._commit(snap, "RESTORE", {"sourceVersion": version})
 
     def optimize(
-        self, target_files: int = 8, cluster_by: list[str] | None = None
+        self,
+        target_files: int = 8,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Delta-style OPTIMIZE: rewrite the latest snapshot into
         ``target_files`` bin-packed files, optionally range-clustered
@@ -244,14 +247,33 @@ class VersionedTable:
         which is what makes ``read_range``'s stats pruning selective.
         Content-identical to the previous version (same rows, new
         layout); at 100 TB this is the periodic maintenance job that
-        keeps file counts bounded and skipping effective."""
+        keeps file counts bounded and skipping effective.
+
+        ``zorder_by`` (mutually exclusive with ``cluster_by``)
+        clusters on the Z-order curve of several numeric columns:
+        each column is min-max-scaled to a 16-bit rank and the bits
+        are interleaved, so files carry tight bands on EVERY listed
+        column, not just the first — lexicographic range clustering
+        only helps its leading column."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass either cluster_by or zorder_by, not both")
         df = self.to_df()
-        if cluster_by:
+        if zorder_by:
+            df = df.repartitionByRange(
+                target_files, _zorder_key(df, zorder_by)
+            ).sortWithinPartitions(_zorder_key(df, zorder_by))
+        elif cluster_by:
             df = df.repartitionByRange(target_files, *cluster_by)
         else:
             df = df.coalesce(target_files)
         return self._commit(
-            df, "OPTIMIZE", {"targetFiles": target_files, "clusterBy": cluster_by or []}
+            df,
+            "OPTIMIZE",
+            {
+                "targetFiles": target_files,
+                "clusterBy": cluster_by or [],
+                "zorderBy": zorder_by or [],
+            },
         )
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -444,6 +466,33 @@ class VersionedTable:
         # distinct wall-clock per commit so timestamp travel is total-ordered
         time.sleep(0.002)
         return version
+
+
+_Z_BITS = 16
+
+
+def _zorder_key(df: DataFrame, cols: list[str]) -> Column:
+    """Z-order curve value: min-max-scale each column to a _Z_BITS
+    rank, interleave the bits. The min/max pass is one tiny aggregate
+    (2 scalars per column to the driver)."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    max_rank = (1 << _Z_BITS) - 1
+    for i, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        rank = F.least(
+            F.lit(max_rank),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_rank).cast("long"),
+        )
+        for j in range(_Z_BITS):
+            # bit j of rank → bit (j*n + i) of the z value
+            z = z + F.shiftleft(F.shiftright(rank, j).bitwiseAND(F.lit(1)), j * n + i)
+    return z
 
 
 def temp_table_path(prefix: str = "vtable") -> str:

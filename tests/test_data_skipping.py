@@ -131,3 +131,21 @@ def test_change_feed(spark):
         (3, "c", "insert"),
         (2, "b", "delete"),
     }
+
+
+def test_zorder_prunes_on_both_columns(spark, sf_dir):
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(16)
+    table = VersionedTable.create(spark, temp_table_path("zord"), li)
+    v = table.optimize(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
+    n_files = len(table._read_log(v)["files"])
+    # A narrow band on EITHER column must prune files — lexicographic
+    # clustering would only manage this for its leading column.
+    for col in ("l_orderkey", "l_partkey"):
+        lo = 1
+        hi = int(li.agg(F.expr(f"percentile({col}, 0.1)")).first()[0])
+        pruned = len(table.read_range(col, lo, hi, version=v).inputFiles())
+        assert pruned < n_files, f"no pruning on {col}: {pruned}/{n_files}"
+        full = li.filter(F.col(col).between(lo, hi))
+        assert table.read_range(col, lo, hi, version=v).count() == full.count()
