@@ -73,6 +73,10 @@ class MergeSchemaError(ValueError):
     """Source schema drifts from the target and evolution wasn't requested."""
 
 
+class ConstraintViolationError(ValueError):
+    """A commit would write rows violating a table CHECK constraint."""
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -88,6 +92,7 @@ class VersionedTable:
         path: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -95,12 +100,23 @@ class VersionedTable:
         given columns; reads then get directory-level partition
         pruning from Spark for free (the scale path for e.g. events
         partitioned by day — SURVEY.md §4). The choice is recorded in
-        the CREATE log entry and applied to all later commits."""
+        the CREATE log entry and applied to all later commits.
+
+        ``constraints`` maps constraint name → SQL boolean expression
+        (Delta CHECK constraints): every commit validates the new
+        snapshot content and refuses to write rows where any
+        expression is false or null — the ingest-time data-quality
+        gate. The check is one distributed filter+limit per commit,
+        short-circuiting at the first violation found."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
         os.makedirs(t._log_dir, exist_ok=True)
-        t._commit(df, "CREATE", {"partitionBy": partition_by or []})
+        t._commit(
+            df,
+            "CREATE",
+            {"partitionBy": partition_by or [], "constraints": constraints or {}},
+        )
         return t
 
     @classmethod
@@ -440,9 +456,26 @@ class VersionedTable:
             return []
         return self._read_log(0).get("operationParameters", {}).get("partitionBy", [])
 
+    def constraints(self) -> dict[str, str]:
+        """Table CHECK constraints, from the CREATE entry."""
+        if 0 not in self._versions():
+            return {}
+        return self._read_log(0).get("operationParameters", {}).get("constraints", {})
+
+    def _check_constraints(self, df: DataFrame, checks: dict[str, str]) -> None:
+        for name, expr in checks.items():
+            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"constraint {name!r} ({expr}) violated, e.g. row {bad[0].asDict()}"
+                )
+
     def _commit(self, df: DataFrame, operation: str, params: dict) -> int:
         versions = self._versions()
         version = (max(versions) + 1) if versions else 0
+        checks = params.get("constraints") if operation == "CREATE" else self.constraints()
+        if checks:
+            self._check_constraints(df, checks)
         snap = self._snapshot_dir(version)
         part_cols = params.get("partitionBy") if operation == "CREATE" else self.partition_columns()
         writer = df.write.mode("errorifexists")

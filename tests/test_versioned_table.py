@@ -132,3 +132,42 @@ def test_merge_schema_drift_raises_and_evolves(spark):
     v2 = t.merge(small, key="id", evolve_schema=True)
     rows2 = {(r.id, r.name, r.note) for r in t.read(version=v2).collect()}
     assert (3, "c", None) in rows2 and len(rows2) == 3
+
+
+def test_check_constraints_gate_every_commit(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from delta_lake_play_spark.table.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+        temp_table_path,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("qty", T.IntegerType(), False),
+        ]
+    )
+    checks = {"qty_positive": "qty > 0", "id_known": "id < 1000"}
+    # CREATE with violating seed rows is itself refused.
+    with pytest.raises(ConstraintViolationError, match="qty_positive"):
+        VersionedTable.create(
+            spark, temp_table_path("chk"), spark.createDataFrame([(1, -5)], schema),
+            constraints=checks,
+        )
+    t = VersionedTable.create(
+        spark, temp_table_path("chk2"), spark.createDataFrame([(1, 5)], schema),
+        constraints=checks,
+    )
+    # Appending a violating row is refused; the table is untouched.
+    with pytest.raises(ConstraintViolationError, match="id_known"):
+        t.append(spark.createDataFrame([(5000, 2)], schema))
+    assert t.latest_version() == 0
+    # Valid DML still flows.
+    t.append(spark.createDataFrame([(2, 7)], schema))
+    assert t.to_df().count() == 2
+    # UPDATE that would break a constraint is refused too.
+    with pytest.raises(ConstraintViolationError, match="qty_positive"):
+        t.update({"qty": F.lit(-1)}, F.col("id") == 2)
