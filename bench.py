@@ -54,6 +54,11 @@ def main() -> None:
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         timings[key] = round(time.perf_counter() - t0, 4)
+        # Drop caches persisted inside query builders (LSH signature
+        # stages etc.) — across 100+ queries in one JVM the leaked
+        # storage memory otherwise compounds into GC pressure that
+        # can double late-query timings (measured).
+        spark.catalog.clearCache()
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:

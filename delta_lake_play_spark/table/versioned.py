@@ -16,7 +16,12 @@ Commit protocol: write the snapshot directory first, then the log
 entry via write-temp + atomic ``os.rename`` — a reader never sees a
 version whose data isn't fully on disk. Single-writer is assumed
 (documented limitation; Delta's optimistic concurrency would add a
-log-contention retry loop on the same layout).
+log-contention retry loop on the same layout). Two racing writers
+cannot both win a version: the snapshot write uses
+``mode("errorifexists")``, so the second committer of version N
+fails at the data directory before touching the log — losers error
+rather than corrupt; the retry loop is the missing convenience, not
+the safety.
 
 Copy-on-write at snapshot granularity: every commit rewrites the
 table through a distributed ``df.write.parquet``. At 100 TB the
