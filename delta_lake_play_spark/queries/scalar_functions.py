@@ -371,3 +371,72 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").bitwiseXOR(F.lit(12345)).alias("xored"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+# --- fn_interval_arith ----------------------------------------------------
+
+_INTERVAL_ORACLE = """
+SELECT event_id,
+       ts + INTERVAL 90 MINUTE AS ts_plus,
+       ts - INTERVAL 1 DAY AS ts_minus,
+       CAST(CAST(ts AS DATE) + 7 AS TIMESTAMP) AS week_later
+FROM events WHERE event_id < 1000
+"""
+
+
+@register("fn_interval_arith", oracle=_INTERVAL_ORACLE)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ± INTERVAL and date offset arithmetic."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus"),
+        F.date_add(F.col("ts").cast("date"), 7).cast("timestamp").alias("week_later"),
+    )
+
+
+# --- fn_string_pad_translate ----------------------------------------------
+
+_PAD_ORACLE = """
+SELECT p_partkey,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       translate(p_brand, '#', '-') AS brand_dashed,
+       replace(p_type, ' ', '_') AS type_snake,
+       reverse(p_name) AS name_rev
+FROM part
+"""
+
+
+@register("fn_string_pad_translate", oracle=_PAD_ORACLE)
+def fn_string_pad_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lpad/translate/replace/reverse — the key-formatting layer."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+# --- fn_greatest_least ----------------------------------------------------
+
+_GL_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       greatest(l_quantity, l_discount * 100, l_linenumber) AS g,
+       least(l_quantity, l_tax * 100, l_linenumber) AS l
+FROM lineitem WHERE l_orderkey < 200
+"""
+
+
+@register("fn_greatest_least", oracle=_GL_ORACLE)
+def fn_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_quantity", F.col("l_discount") * 100, "l_linenumber").alias("g"),
+        F.least("l_quantity", F.col("l_tax") * 100, "l_linenumber").alias("l"),
+    )

@@ -267,3 +267,30 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+# --- win_percent_rank_cume_dist -------------------------------------------
+
+_PRCD_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("win_percent_rank_cume_dist", oracle=_PRCD_ORACLE)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (both are exact rational
+    divisions of row counts — bit-identical across engines)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
