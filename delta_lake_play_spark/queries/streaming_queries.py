@@ -172,3 +172,29 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("user_id").agg(
         F.max("n_events").alias("n_events")
     )
+
+
+# --- stream_stream_join (interval attribution join) -----------------------
+
+_SSJOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("stream_stream_join", oracle=_SSJOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream interval join
+    (click→purchase attribution within 30 minutes); the streaming
+    form with state eviction runs in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return es.click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )

@@ -185,3 +185,37 @@ def stateful_user_counts(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: for every click,
+    the purchases by the same user within 30 minutes AFTER it — the
+    attribution join. In streaming both sides carry a watermark and
+    the join condition bounds event-time distance, so state for
+    unmatched rows is evicted once the watermark passes the bound;
+    without the time bound a stream-stream join would buffer forever.
+    """
+    if watermark is not None:
+        clicks = clicks.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond).select(
+        "click_id", "purchase_id", F.col("c_user").alias("user_id"),
+        "click_ts", "purchase_ts",
+    )

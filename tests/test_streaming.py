@@ -108,3 +108,20 @@ def test_watermark_drops_late_data(spark):
     # finalizes with n=1 — the 10:01 late event from batch 1 must NOT
     # have been added (n=2 would mean the watermark failed to drop it).
     assert emitted.get("2024-01-01T10:00:00") == 1, f"late event not dropped: {emitted}"
+
+
+def test_stream_stream_join_parity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    batch = es.click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    ).toPandas()
+    s1 = es.read_events_stream(spark, sf_dir)
+    s2 = es.read_events_stream(spark, sf_dir)
+    joined = es.click_purchase_attribution(
+        s1.where(F.col("event_type") == "click"),
+        s2.where(F.col("event_type") == "purchase"),
+        watermark="1 hour",
+    )
+    streamed = _run_stream_to_df(joined, spark, complete=False).toPandas()
+    compare(streamed, batch, "stream-stream join parity")
