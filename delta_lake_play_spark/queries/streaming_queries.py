@@ -160,15 +160,24 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = es.read_events_stream(spark, sf_dir)
     name = "stateful_counts_sink"
-    q = (
-        es.stateful_user_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State shuffle width = one Arrow/Python worker pipeline per
+    # partition; the key space is tiny (~15 users), so 32 partitions
+    # would spin up 32 workers per batch for nothing. Scope the
+    # setting to this query and restore afterwards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            es.stateful_user_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).groupBy("user_id").agg(
         F.max("n_events").alias("n_events")
     )
