@@ -294,3 +294,50 @@ def agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     stddev = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n * (n - 1))) / 100.0
     return agg.select("event_type", "n", stddev.alias("stddev_value"))
+
+
+# --- agg_corr_exact -------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(round(l_tax * 100) AS BIGINT) * CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) /
+       (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_disc_tax
+FROM s
+"""
+
+
+@register("agg_corr_exact", oracle=_CORR_ORACLE)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer sums on the 2-dp grid
+    (same pattern as agg_stddev_exact): order-independent and
+    bit-identical across engines, unlike the built-in streaming corr
+    whose accumulation order varies with partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    y = F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
+        * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_disc_tax"))

@@ -189,3 +189,29 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="json_sink_") + "/region"
     r.write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey int, r_name string").json(out)
+
+
+# --- sql_api_entry --------------------------------------------------------
+
+# One string, valid in both Spark SQL and DuckDB — demonstrating the
+# engine's SQL surface (spark.sql over the registered temp views) in
+# addition to the DataFrame API every other key uses.
+_SQL_API_QUERY = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_api_entry", oracle=_SQL_API_QUERY)
+def sql_api_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: register the catalog as temp views and run
+    a textual query through Catalyst — same plan, same optimizations
+    as the DataFrame form (the oracle runs the identical string)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_API_QUERY)
