@@ -40,7 +40,12 @@ def davg(col: Column | str, grid: int = 2) -> Column:
 def sql_dsum(expr: str, grid: int = 2) -> str:
     """DuckDB twin of :func:`dsum`."""
     scale = 10**grid
-    return f"(SUM(CAST(round(({expr}) * {scale}) AS BIGINT)) / {float(scale)})"
+    # CAST the quotient to DOUBLE explicitly: Spark SQL parses the bare
+    # literal ``100.0`` as DECIMAL(4,1) and types BIGINT/DECIMAL as
+    # DECIMAL, while DuckDB's ``100.0`` is DOUBLE — without the cast the
+    # two engines return different result types for the same values
+    # (the round-1 agg_grouping_sets hash FAIL).
+    return f"CAST(SUM(CAST(round(({expr}) * {scale}) AS BIGINT)) / {float(scale)} AS DOUBLE)"
 
 
 def sql_davg(expr: str, grid: int = 2) -> str:

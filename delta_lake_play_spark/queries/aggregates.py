@@ -271,7 +271,7 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
-       sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n * (n - 1))) / 100.0 AS stddev_value
+       sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS stddev_value
 FROM s
 """
 
@@ -292,7 +292,8 @@ def agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents * cents).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    stddev = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n * (n - 1))) / 100.0
+    # sample variance = (n·Σx² − (Σx)²) / (n·(n−1))
+    stddev = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))) / 100.0
     return agg.select("event_type", "n", stddev.alias("stddev_value"))
 
 
