@@ -10,31 +10,42 @@ DML surface the reference adopts.
 Layout::
 
     <path>/_log/00000000000000000000.json   commit entries (one per version)
-    <path>/v=N/part-*.parquet               full snapshot for version N
+    <path>/c-N-<uid>/part-*.parquet         data files written BY commit N
+                                            (no "=" in the name, so hive
+                                            partition inference ignores it)
 
-Commit protocol: write the snapshot directory first, then the log
-entry via write-temp + atomic ``os.rename`` — a reader never sees a
-version whose data isn't fully on disk. Single-writer is assumed
-(documented limitation; Delta's optimistic concurrency would add a
-log-contention retry loop on the same layout). Two racing writers
-cannot both win a version: the snapshot write uses
-``mode("errorifexists")``, so the second committer of version N
-fails at the data directory before touching the log — losers error
-rather than corrupt; the retry loop is the missing convenience, not
-the safety.
+Each log entry carries the **complete file list** for its version
+(paths relative to the table root + per-file row counts and min/max
+stats), so a version is an arbitrary set of files spanning many
+commit directories. DML is **file-granular copy-on-write**, the same
+algorithm delta-core runs for the reference (``api.py:92-107``):
 
-Copy-on-write at snapshot granularity: every commit rewrites the
-table through a distributed ``df.write.parquet``. At 100 TB the
-production variant rewrites only touched files using the per-commit
-min/max key stats recorded in the log (data skipping); the log schema
-already carries them (``key_stats``), and reads prune snapshot
-directories by version, never by scanning data.
+1. find *touched* files — the files that physically contain rows
+   matching the DELETE/UPDATE predicate or MERGE keys (one
+   distributed scan with ``input_file_name()``; parquet predicate
+   pushdown and file stats keep it cheap),
+2. rewrite only those files' rows into a fresh commit directory,
+3. carry every untouched file forward **by reference** in the new
+   log entry.
 
-The MERGE semantics hazard in the reference is fixed here: multiple
-source rows matching one target key raise (Delta's behavior) instead
-of nondeterministically duplicating updates, and DELETE predicates
-are Column expressions, not f-string SQL (``api.py:107`` renders
-``id IN (7,)`` for single ids — invalid SQL — and is injectable).
+A 1-row MERGE on a 100 TB table therefore rewrites one file, not
+100 TB; APPEND writes only the new rows; RESTORE writes no data at
+all (it re-references the old version's file list).
+
+Commit protocol: data files first (into a commit-unique directory —
+two racing writers can never collide on data paths), then the log
+entry via write-temp + atomic ``os.link``, which fails if the
+version number was taken. Losing writers raise
+``VersionConflictError`` and the DML methods retry against the new
+latest snapshot (optimistic concurrency, Delta's loop on
+``_delta_log`` conflicts). A writer that crashes between data write
+and log link leaves an orphaned directory that ``vacuum`` reclaims;
+readers never see it because reads go through the log's file list.
+
+Per-file stats come from the parquet **footers** of just-written
+files (driver-side ``pyarrow`` metadata reads — no second data
+scan). On a cluster with an object store this loop would fan out,
+but it is O(#new files) footer fetches either way, never a rescan.
 """
 
 from __future__ import annotations
@@ -42,14 +53,25 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-import time
 import uuid
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
+from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_STAT_TYPES = (
+    T.NumericType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.BooleanType,
+)
 
 
 def _stat_json(v):
@@ -60,6 +82,11 @@ def _stat_json(v):
         return v.isoformat()
     if isinstance(v, Decimal):
         return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
     return v
 
 
@@ -82,6 +109,13 @@ class ConstraintViolationError(ValueError):
     """A commit would write rows violating a table CHECK constraint."""
 
 
+class VersionConflictError(RuntimeError):
+    """Another writer committed the target version first (retryable)."""
+
+
+_MAX_COMMIT_RETRIES = 5
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -101,26 +135,28 @@ class VersionedTable:
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
-        ``partition_by`` lays every snapshot out hive-style on the
-        given columns; reads then get directory-level partition
+        ``partition_by`` lays every commit's files out hive-style on
+        the given columns; reads then get directory-level partition
         pruning from Spark for free (the scale path for e.g. events
         partitioned by day — SURVEY.md §4). The choice is recorded in
         the CREATE log entry and applied to all later commits.
 
         ``constraints`` maps constraint name → SQL boolean expression
-        (Delta CHECK constraints): every commit validates the new
-        snapshot content and refuses to write rows where any
-        expression is false or null — the ingest-time data-quality
-        gate. The check is one distributed filter+limit per commit,
-        short-circuiting at the first violation found."""
+        (Delta CHECK constraints): every commit validates the rows it
+        is about to WRITE (not the carried files, which were already
+        validated at their own commit) and refuses to write rows
+        where any expression is false or null — the ingest-time
+        data-quality gate, one distributed filter+limit per commit."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
         os.makedirs(t._log_dir, exist_ok=True)
-        t._commit(
+        t._commit_files(
             df,
+            [],
             "CREATE",
             {"partitionBy": partition_by or [], "constraints": constraints or {}},
+            df.schema,
         )
         return t
 
@@ -162,7 +198,8 @@ class VersionedTable:
         versions = self._versions()
         if version not in versions:
             raise ValueError(f"version {version} not in table (have {sorted(versions)})")
-        return self.spark.read.parquet(self._snapshot_dir(version))
+        entry = self._read_log(version)
+        return self._read_entry(entry)
 
     def latest_version(self) -> int:
         versions = self._versions()
@@ -191,15 +228,32 @@ class VersionedTable:
     # ----------------------------------------------------------------- DML
 
     def append(self, df: DataFrame) -> int:
-        """INSERT-append (Delta DML surface, ``README.md:11``)."""
-        new = self.to_df().unionByName(df)
-        return self._commit(new, "APPEND", {})
+        """INSERT-append (Delta DML surface, ``README.md:11``): writes
+        ONLY the new rows; every existing file is carried by
+        reference — O(new data), not O(table)."""
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            have, want = set(df.columns), {f.name for f in schema.fields}
+            if have != want:
+                raise MergeSchemaError(
+                    f"append schema drift: missing={sorted(want - have)} "
+                    f"extra={sorted(have - want)}"
+                )
+            aligned = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+            return self._commit_files(aligned, list(entry["files"]), "APPEND", {}, schema)
+
+        return self._retrying(attempt)
 
     def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
         """MERGE upsert on ``key``: update matched target rows from the
         source, insert unmatched source rows — exactly the reference's
         ``whenMatchedUpdate(...).whenNotMatchedInsert(...)`` chain
-        (``api.py:92-102``), decomposed into anti-join ∪ source.
+        (``api.py:92-102``). File-granular: only files physically
+        holding a matched key are rewritten; the rest carry forward.
 
         Errors when the source has duplicate keys (Delta semantics):
         a target row may match at most one source row.
@@ -209,52 +263,127 @@ class VersionedTable:
         by default a source missing target columns or carrying extras
         raises ``MergeSchemaError`` with the exact column sets. With
         ``evolve_schema=True``, Delta's autoMerge behavior applies —
-        new source columns are added to the table (null for untouched
-        rows), missing source columns are filled with null.
+        new source columns are added to the table schema (carried
+        files simply read as null for them; no rewrite), missing
+        source columns are filled with null.
         """
         dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:
             raise MergeSourceKeyError(
                 f"source has multiple rows for key {key}={dup[0][0]!r}"
             )
-        target = self.to_df()
-        t_cols, s_cols = set(target.columns), set(source.columns)
-        if not evolve_schema:
-            if t_cols != s_cols:
-                raise MergeSchemaError(
-                    f"source schema drift: missing={sorted(t_cols - s_cols)} "
-                    f"extra={sorted(s_cols - t_cols)}; pass evolve_schema=True to merge anyway"
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            t_cols = [f.name for f in schema.fields]
+            s_cols = set(source.columns)
+            src = source
+            if not evolve_schema:
+                if set(t_cols) != s_cols:
+                    raise MergeSchemaError(
+                        f"source schema drift: missing={sorted(set(t_cols) - s_cols)} "
+                        f"extra={sorted(s_cols - set(t_cols))}; pass evolve_schema=True to merge anyway"
+                    )
+                new_schema = schema
+            else:
+                extra = sorted(s_cols - set(t_cols))
+                new_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(c, src.schema[c].dataType, True) for c in extra]
                 )
-            source = source.select(*target.columns)  # align column order
-        else:
-            for c in sorted(t_cols - s_cols):
-                source = source.withColumn(c, F.lit(None).cast(target.schema[c].dataType))
-            for c in sorted(s_cols - t_cols):
-                target = target.withColumn(c, F.lit(None).cast(source.schema[c].dataType))
-            source = source.select(*target.columns)
-        untouched = target.join(source, key, "left_anti")
-        new = untouched.unionByName(source)
-        return self._commit(new, "MERGE", {"key": key})
+            for f in new_schema.fields:
+                if f.name not in src.columns:
+                    src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+            src = src.select(*[f.name for f in new_schema.fields])
+
+            target = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            touched = self._distinct_files(
+                target.join(src.select(key).distinct(), key, "left_semi")
+            )
+            carried = [
+                f for f in entry["files"] if self._abs(f["path"]) not in touched
+            ]
+            touched_df = self._read_paths(sorted(touched), schema)
+            for f in new_schema.fields:
+                if f.name not in touched_df.columns:
+                    touched_df = touched_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            touched_df = touched_df.select(*[f.name for f in new_schema.fields])
+            new_rows = touched_df.join(src, key, "left_anti").unionByName(src)
+            return self._commit_files(
+                new_rows, carried, "MERGE", {"key": key}, new_schema
+            )
+
+        return self._retrying(attempt)
 
     def delete(self, predicate: Column | str) -> int:
         """DELETE rows matching the predicate (``api.py:107``), taken
-        as a Column expression — no f-string SQL construction."""
+        as a Column expression — no f-string SQL construction. SQL
+        DELETE semantics: only rows where the predicate is TRUE are
+        removed; NULL-predicate rows are kept. Only files physically
+        containing a matching row are rewritten."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        new = self.to_df().filter(~pred)
-        return self._commit(new, "DELETE", {"predicate": str(predicate)})
+        hit = F.coalesce(pred, F.lit(False))
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            cur = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            touched = self._distinct_files(cur.filter(hit))
+            carried = [
+                f for f in entry["files"] if self._abs(f["path"]) not in touched
+            ]
+            params = {"predicate": str(predicate)}
+            if not touched:
+                return self._commit_files(None, carried, "DELETE", params, schema)
+            kept = self._read_paths(sorted(touched), schema).filter(~hit)
+            return self._commit_files(kept, carried, "DELETE", params, schema)
+
+        return self._retrying(attempt)
 
     def update(self, set_cols: dict[str, Column], where: Column | str) -> int:
-        """UPDATE … SET … WHERE (Delta DML surface, ``README.md:11``)."""
+        """UPDATE … SET … WHERE (Delta DML surface, ``README.md:11``).
+        Rewrites only the files containing a row where the predicate
+        is TRUE (NULL ⇒ row unchanged, SQL semantics)."""
         pred = F.expr(where) if isinstance(where, str) else where
-        df = self.to_df()
-        for name, value in set_cols.items():
-            df = df.withColumn(name, F.when(pred, value).otherwise(F.col(name)))
-        return self._commit(df, "UPDATE", {"where": str(where)})
+        hit = F.coalesce(pred, F.lit(False))
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            cur = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            touched = self._distinct_files(cur.filter(hit))
+            carried = [
+                f for f in entry["files"] if self._abs(f["path"]) not in touched
+            ]
+            params = {"where": str(where)}
+            if not touched:
+                return self._commit_files(None, carried, "UPDATE", params, schema)
+            updated = self._read_paths(sorted(touched), schema)
+            for name, value in set_cols.items():
+                updated = updated.withColumn(
+                    name, F.when(hit, value).otherwise(F.col(name))
+                )
+            return self._commit_files(updated, carried, "UPDATE", params, schema)
+
+        return self._retrying(attempt)
 
     def restore(self, version: int) -> int:
-        """Re-commit an old snapshot as the newest version."""
-        snap = self.read(version=version)
-        return self._commit(snap, "RESTORE", {"sourceVersion": version})
+        """Re-commit an old snapshot as the newest version — pure
+        metadata: the new log entry re-references the old version's
+        files, no data is read or written."""
+
+        def attempt() -> int:
+            entry = self._read_log(version)
+            return self._commit_files(
+                None,
+                list(entry["files"]),
+                "RESTORE",
+                {"sourceVersion": version},
+                self._entry_schema(entry),
+            )
+
+        return self._retrying(attempt)
 
     def optimize(
         self,
@@ -268,7 +397,9 @@ class VersionedTable:
         which is what makes ``read_range``'s stats pruning selective.
         Content-identical to the previous version (same rows, new
         layout); at 100 TB this is the periodic maintenance job that
-        keeps file counts bounded and skipping effective.
+        keeps file counts bounded and skipping effective. (The full
+        rewrite is OPTIMIZE's job — the production refinement is
+        bin-packing per partition/size bucket, same commit shape.)
 
         ``zorder_by`` (mutually exclusive with ``cluster_by``)
         clusters on the Z-order curve of several numeric columns:
@@ -278,51 +409,93 @@ class VersionedTable:
         only helps its leading column."""
         if cluster_by and zorder_by:
             raise ValueError("pass either cluster_by or zorder_by, not both")
-        df = self.to_df()
-        if zorder_by:
-            df = df.repartitionByRange(
-                target_files, _zorder_key(df, zorder_by)
-            ).sortWithinPartitions(_zorder_key(df, zorder_by))
-        elif cluster_by:
-            df = df.repartitionByRange(target_files, *cluster_by)
-        else:
-            df = df.coalesce(target_files)
-        return self._commit(
-            df,
-            "OPTIMIZE",
-            {
-                "targetFiles": target_files,
-                "clusterBy": cluster_by or [],
-                "zorderBy": zorder_by or [],
-            },
-        )
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            df = self._read_entry(entry)
+            if zorder_by:
+                out = df.repartitionByRange(
+                    target_files, _zorder_key(df, zorder_by)
+                ).sortWithinPartitions(_zorder_key(df, zorder_by))
+            elif cluster_by:
+                out = df.repartitionByRange(target_files, *cluster_by)
+            else:
+                out = df.coalesce(target_files)
+            return self._commit_files(
+                out,
+                [],
+                "OPTIMIZE",
+                {
+                    "targetFiles": target_files,
+                    "clusterBy": cluster_by or [],
+                    "zorderBy": zorder_by or [],
+                },
+                schema,
+            )
+
+        return self._retrying(attempt)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """CDC-style change feed between two versions: full-row diff
         with a ``_change_type`` column (``insert`` / ``delete``;
         an update appears as delete+insert of the changed row).
-        Computed as two anti-diffs of the snapshots — O(rows) with a
-        single shuffle each, no log of row-level deltas needed."""
+        Because versions share untouched files by reference, the diff
+        only reads files present in exactly ONE of the two versions —
+        shared files cancel in the multiset difference by identity,
+        so a 1-file change on a 10k-file table diffs 2 files."""
         if to_version is None:
             to_version = self.latest_version()
-        old = self.read(version=from_version)
-        new = self.read(version=to_version)
-        inserted = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
-        deleted = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        e_old, e_new = self._read_log(from_version), self._read_log(to_version)
+        old_paths = {self._abs(f["path"]) for f in e_old["files"]}
+        new_paths = {self._abs(f["path"]) for f in e_new["files"]}
+        schema = self._entry_schema(e_new)
+        old_only = self._read_paths(sorted(old_paths - new_paths), self._entry_schema(e_old))
+        new_only = self._read_paths(sorted(new_paths - old_paths), schema)
+        for f in schema.fields:
+            if f.name not in old_only.columns:
+                old_only = old_only.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old_only = old_only.select(*[f.name for f in schema.fields])
+        inserted = new_only.exceptAll(old_only).withColumn("_change_type", F.lit("insert"))
+        deleted = old_only.exceptAll(new_only).withColumn("_change_type", F.lit("delete"))
         return inserted.unionByName(deleted)
 
     def vacuum(self, retain_last: int = 2) -> list[int]:
-        """Drop snapshot data directories beyond the retention window;
-        the log is kept so history stays queryable. Returns vacuumed
-        versions."""
-        import shutil
-
-        keep = set(sorted(self._versions())[-retain_last:])
+        """Delete data files not referenced by the last
+        ``retain_last`` versions; the log is kept so history stays
+        queryable. Because versions share files, a file is only
+        reclaimed when NO retained version references it (so e.g. a
+        RESTORE target's files survive a vacuum that drops the
+        intermediate version). Returns the versions that are no
+        longer fully readable."""
+        versions = sorted(self._versions())
+        keep = set(versions[-retain_last:]) if retain_last > 0 else set()
+        referenced = {
+            self._abs(f["path"])
+            for v in keep
+            for f in self._read_log(v)["files"]
+        }
+        for name in os.listdir(self.path):
+            sub = os.path.join(self.path, name)
+            if name == "_log" or not os.path.isdir(sub):
+                continue
+            for root, _dirs, fnames in os.walk(sub, topdown=False):
+                for fn in fnames:
+                    fp = os.path.join(root, fn)
+                    if fp not in referenced:
+                        os.remove(fp)
+                try:
+                    os.rmdir(root)  # prune now-empty dirs
+                except OSError:
+                    pass
         dropped = []
-        for v in sorted(self._versions()):
-            snap = self._snapshot_dir(v)
-            if v not in keep and os.path.isdir(snap):
-                shutil.rmtree(snap)
+        for v in versions:
+            if v in keep:
+                continue
+            if not all(
+                os.path.exists(self._abs(f["path"]))
+                for f in self._read_log(v)["files"]
+            ):
                 dropped.append(v)
         return dropped
 
@@ -349,78 +522,29 @@ class VersionedTable:
         if version is None:
             version = self.latest_version()
         entry = self._read_log(version)
-        full = self.read(version=version)
+        schema = self._entry_schema(entry)
         pred = F.lit(True)
         if lower is not None:
             pred = pred & (F.col(col) >= F.lit(lower))
         if upper is not None:
             pred = pred & (F.col(col) <= F.lit(upper))
-        files = entry.get("files")
-        if not files:  # pre-stats log entry: correct, unpruned
-            return full.filter(pred)
         lo_key, up_key = _stat_key(lower), _stat_key(upper)
         selected = []
-        for f in files:
+        for f in entry["files"]:
             stats = f.get("stats", {}).get(col)
             if stats is None:  # no stats for this column: must read
-                selected.append(f["path"])
+                selected.append(self._abs(f["path"]))
                 continue
             fmin, fmax = stats
-            if fmin is None or fmax is None:  # nulls present / unknown
-                selected.append(f["path"])
+            if fmin is None or fmax is None:  # unknown: must read
+                selected.append(self._abs(f["path"]))
                 continue
             if lo_key is not None and _stat_key(fmax) < lo_key:
                 continue
             if up_key is not None and _stat_key(fmin) > up_key:
                 continue
-            selected.append(f["path"])
-        if not selected:
-            return full.filter(F.lit(False))
-        # basePath keeps hive partition columns resolvable when
-        # addressing leaf files directly on a partitioned snapshot.
-        return (
-            self.spark.read.option("basePath", self._snapshot_dir(version))
-            .schema(full.schema)
-            .parquet(*selected)
-            .filter(pred)
-        )
-
-    def _collect_file_stats(self, snap: str) -> tuple[list[dict], int]:
-        """One distributed pass: per-file row counts + min/max of
-        every atomic column (the commit-log data-skipping stats)."""
-        df = self.spark.read.parquet(snap)
-        stat_cols = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(
-                f.dataType,
-                (
-                    T.NumericType,
-                    T.StringType,
-                    T.DateType,
-                    T.TimestampType,
-                    T.TimestampNTZType,
-                    T.BooleanType,
-                ),
-            )
-        ]
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in stat_cols:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
-        rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
-        files = [
-            {
-                "path": r["__file"],
-                "num_rows": r["__n"],
-                "stats": {
-                    c: [_stat_json(r[f"__min_{c}"]), _stat_json(r[f"__max_{c}"])]
-                    for c in stat_cols
-                },
-            }
-            for r in rows
-        ]
-        return files, sum(r["__n"] for r in rows)
+            selected.append(self._abs(f["path"]))
+        return self._read_paths(selected, schema).filter(pred)
 
     # ----------------------------------------------------------------- internals
 
@@ -433,15 +557,74 @@ class VersionedTable:
             if f.endswith(".json")
         }
 
-    def _snapshot_dir(self, version: int) -> str:
-        return os.path.join(self.path, f"v={version}")
-
     def _read_log(self, version: int) -> dict:
         with open(os.path.join(self._log_dir, f"{version:020d}.json")) as fh:
             return json.load(fh)
 
+    def _entry_schema(self, entry: dict) -> T.StructType:
+        return T.StructType.fromJson(entry["schema"])
+
+    def _abs(self, rel: str) -> str:
+        return rel if rel.startswith("/") else os.path.join(self.path, rel)
+
+    @staticmethod
+    def _norm_file(uri: str) -> str:
+        """``input_file_name()`` URI → local filesystem path."""
+        p = unquote(uri)
+        if p.startswith("file://"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        return p
+
+    def _distinct_files(self, tagged: DataFrame) -> set[str]:
+        """Distinct source files of the rows in ``tagged`` (which must
+        carry a ``__file`` = input_file_name() column). One distributed
+        scan; the projection is a single string column."""
+        return {
+            self._norm_file(r["__file"])
+            for r in tagged.select("__file").distinct().collect()
+        }
+
+    def _read_paths(self, paths: list[str], schema: T.StructType) -> DataFrame:
+        """Assemble a DataFrame from an explicit file list under the
+        logged schema. Files written by partitioned commits live under
+        hive-style subdirs of their commit directory, so reads group
+        by commit dir and set ``basePath`` per group — partition
+        columns stay resolvable while addressing leaf files."""
+        schema = _nullable(schema)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        part_cols = self.partition_columns()
+        if not part_cols:
+            return self.spark.read.schema(schema).parquet(*paths)
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            rel = os.path.relpath(p, self.path)
+            base = os.path.join(self.path, rel.split(os.sep)[0])
+            groups.setdefault(base, []).append(p)
+        out = None
+        for base, grp in sorted(groups.items()):
+            df = (
+                self.spark.read.option("basePath", base)
+                .schema(schema)
+                .parquet(*grp)
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _read_entry(self, entry: dict) -> DataFrame:
+        return self._read_paths(
+            [self._abs(f["path"]) for f in entry["files"]],
+            self._entry_schema(entry),
+        )
+
     def _resolve_timestamp(self, ts: datetime | str) -> int:
-        """Max version with commit timestamp ≤ ts (``api.py:80``)."""
+        """Max version with commit timestamp ≤ ts (``api.py:80``).
+        Commit timestamps are strictly increasing (enforced at commit
+        time), so the mapping is unambiguous."""
         if isinstance(ts, str):
             ts = datetime.fromisoformat(ts)
         if ts.tzinfo is None:
@@ -456,10 +639,16 @@ class VersionedTable:
         return max(candidates)
 
     def partition_columns(self) -> list[str]:
-        """Table partitioning, from the CREATE entry (empty if none)."""
+        """Table partitioning, from the CREATE entry (empty if none).
+        Memoized — partitioning is fixed at CREATE time."""
+        cached = getattr(self, "_part_cols", None)
+        if cached is not None:
+            return cached
         if 0 not in self._versions():
             return []
-        return self._read_log(0).get("operationParameters", {}).get("partitionBy", [])
+        cols = self._read_log(0).get("operationParameters", {}).get("partitionBy", [])
+        self._part_cols = cols
+        return cols
 
     def constraints(self) -> dict[str, str]:
         """Table CHECK constraints, from the CREATE entry."""
@@ -475,35 +664,200 @@ class VersionedTable:
                     f"constraint {name!r} ({expr}) violated, e.g. row {bad[0].asDict()}"
                 )
 
-    def _commit(self, df: DataFrame, operation: str, params: dict) -> int:
-        versions = self._versions()
-        version = (max(versions) + 1) if versions else 0
-        checks = params.get("constraints") if operation == "CREATE" else self.constraints()
-        if checks:
-            self._check_constraints(df, checks)
-        snap = self._snapshot_dir(version)
-        part_cols = params.get("partitionBy") if operation == "CREATE" else self.partition_columns()
-        writer = df.write.mode("errorifexists")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(snap)
-        files, num_rows = self._collect_file_stats(snap)
+    def _retrying(self, attempt):
+        """Optimistic-concurrency loop: re-run the whole DML attempt
+        (which re-reads the latest snapshot) when another writer took
+        our target version."""
+        for _ in range(_MAX_COMMIT_RETRIES - 1):
+            try:
+                return attempt()
+            except VersionConflictError:
+                continue
+        return attempt()  # last try surfaces the conflict
+
+    # ----------------------------------------------------------------- commit
+
+    def _commit_files(
+        self,
+        new_df: DataFrame | None,
+        carried: list[dict],
+        operation: str,
+        params: dict,
+        schema: T.StructType,
+    ) -> int:
+        """Write ``new_df`` (if any) as fresh data files, then commit
+        a log entry whose file list is ``carried`` + the new files.
+        Raises :class:`VersionConflictError` if the version was taken
+        between read and commit (the written data directory is left
+        orphaned for ``vacuum`` — readers never see it)."""
+        version = self._next_version()
+        checks = (
+            params.get("constraints") if operation == "CREATE" else self.constraints()
+        )
+        if checks and new_df is not None and operation != "OPTIMIZE":
+            self._check_constraints(new_df, checks)
+        part_cols = (
+            params.get("partitionBy") if operation == "CREATE" else self.partition_columns()
+        )
+        new_entries: list[dict] = []
+        if new_df is not None:
+            # Schema enforcement (Delta writer behavior): everything
+            # written conforms to the logged schema, whatever types the
+            # source expressions produced.
+            new_df = new_df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+            rel_dir = f"c-{version}-{uuid.uuid4().hex[:8]}"
+            data_dir = os.path.join(self.path, rel_dir)
+            writer = new_df.write.mode("errorifexists")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(data_dir)
+            new_entries = self._footer_entries(rel_dir, schema, part_cols or [])
+        files = carried + new_entries
         entry = {
             "version": version,
-            "timestamp": datetime.now(timezone.utc).isoformat(),
+            "timestamp": self._commit_timestamp(version),
             "operation": operation,
             "operationParameters": params,
-            "num_rows": num_rows,
+            "num_rows": sum(f["num_rows"] for f in files),
             "files": files,
+            "schema": json.loads(schema.json()),
         }
         os.makedirs(self._log_dir, exist_ok=True)
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{version:020d}.json"))
-        # distinct wall-clock per commit so timestamp travel is total-ordered
-        time.sleep(0.002)
+        final = os.path.join(self._log_dir, f"{version:020d}.json")
+        try:
+            os.link(tmp, final)  # atomic create — fails if version taken
+        except FileExistsError:
+            raise VersionConflictError(
+                f"version {version} committed by another writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
+
+    def _next_version(self) -> int:
+        """Target version for a commit — the race window optimistic
+        concurrency closes: two writers may both pick N, only one
+        ``os.link``s the log entry, the other retries."""
+        versions = self._versions()
+        return (max(versions) + 1) if versions else 0
+
+    def _commit_timestamp(self, version: int) -> str:
+        """Wall-clock, bumped to strictly after the previous commit so
+        timestamp travel is total-ordered without sleeping."""
+        now = datetime.now(timezone.utc)
+        if version > 0:
+            try:
+                prev = datetime.fromisoformat(
+                    self._read_log(version - 1)["timestamp"]
+                )
+            except FileNotFoundError:
+                return now.isoformat()
+            floor = prev + timedelta(milliseconds=1)
+            if now < floor:
+                now = floor
+        return now.isoformat()
+
+    def _footer_entries(
+        self, rel_dir: str, schema: T.StructType, part_cols: list[str]
+    ) -> list[dict]:
+        """Per-file row counts + min/max stats read from the parquet
+        FOOTERS of the files a commit just wrote — no data rescan.
+        Partition-column stats come from the directory names (each
+        file holds exactly one partition value)."""
+        import pyarrow.parquet as pq
+
+        atomic = {
+            f.name: f
+            for f in schema.fields
+            if isinstance(f.dataType, _STAT_TYPES) and f.name not in part_cols
+        }
+        entries = []
+        base = os.path.join(self.path, rel_dir)
+        for root, _dirs, fnames in os.walk(base):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                md = pq.ParquetFile(fp).metadata
+                if md.num_rows == 0:
+                    continue
+                mins: dict[str, object] = {}
+                maxs: dict[str, object] = {}
+                known = set(atomic)
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    seen = set()
+                    for ci in range(group.num_columns):
+                        col = group.column(ci)
+                        name = col.path_in_schema
+                        if name not in known:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo, hi = _stat_json(st.min), _stat_json(st.max)
+                        if lo is None or hi is None:
+                            continue
+                        seen.add(name)
+                        mins[name] = lo if name not in mins else min(mins[name], lo)
+                        maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                    # a column must have valid stats in EVERY row group
+                    known &= seen
+                stats = {
+                    c: [mins[c], maxs[c]] for c in known if c in mins and c in maxs
+                }
+                rel_file = os.path.relpath(fp, self.path)
+                for c, v in _partition_values(rel_file, part_cols, schema).items():
+                    if v is not None:
+                        stats[c] = [v, v]
+                entries.append(
+                    {"path": rel_file, "num_rows": md.num_rows, "stats": stats}
+                )
+        return entries
+
+
+def _nullable(schema: T.StructType) -> T.StructType:
+    """All-nullable copy: carried files may legitimately lack evolved
+    columns, and parquet readers treat user schemas as nullable."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
+
+def _partition_values(
+    rel_file: str, part_cols: list[str], schema: T.StructType
+) -> dict[str, object]:
+    """Hive-style ``col=value`` components of a data file path, cast
+    to the schema's column types (None for the hive null marker)."""
+    out: dict[str, object] = {}
+    if not part_cols:
+        return out
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for comp in rel_file.split(os.sep)[1:-1]:
+        if "=" not in comp:
+            continue
+        name, _, raw = comp.partition("=")
+        if name not in part_cols:
+            continue
+        raw = unquote(raw)
+        if raw == _HIVE_NULL:
+            out[name] = None
+            continue
+        dt = by_name.get(name)
+        if isinstance(dt, T.BooleanType):
+            out[name] = raw.lower() == "true"
+        elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            out[name] = float(raw)
+        elif isinstance(dt, T.NumericType):
+            out[name] = int(raw)
+        else:
+            out[name] = raw
+    return out
 
 
 _Z_BITS = 16

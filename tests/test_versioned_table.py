@@ -78,16 +78,93 @@ def test_timestamp_travel(spark, names):
 
 
 def test_restore_and_vacuum(spark, names):
-    names.delete(F.col("id") != 2)  # v1
-    names.restore(0)  # v2
+    names.append(spark.createDataFrame([(4, "Eve", "Adams")], SEED_SCHEMA))  # v1
+    names.restore(0)  # v2 — metadata-only, re-references v0's files
     assert rows(names.to_df()) == sorted(SEED)
     dropped = names.vacuum(retain_last=1)
-    assert dropped == [0, 1]
-    assert not os.path.isdir(names._snapshot_dir(0))
+    # v2 references v0's files, so vacuum may only reclaim v1's
+    # private appended file — v0 stays readable through shared files.
+    assert dropped == [1]
     assert rows(names.to_df()) == sorted(SEED)  # latest survives
+    assert rows(names.read(version=0)) == sorted(SEED)  # shared files survive
     assert names.history().count() == 3  # log survives vacuum
     with pytest.raises(Exception):
-        names.read(version=0).collect()  # vacuumed data is gone
+        names.read(version=1).collect()  # v1's private rewrite is gone
+
+
+def test_restore_writes_no_data(spark, names):
+    names.delete(F.col("id") == 1)  # v1
+    dirs_before = {d for d in os.listdir(names.path) if d != "_log"}
+    names.restore(0)  # v2
+    dirs_after = {d for d in os.listdir(names.path) if d != "_log"}
+    assert dirs_before == dirs_after  # no new data directory
+    assert [f["path"] for f in names._read_log(2)["files"]] == [
+        f["path"] for f in names._read_log(0)["files"]
+    ]
+
+
+def test_dml_rewrites_only_touched_files(spark):
+    """File-granular copy-on-write: a DELETE hitting one file's key
+    range must carry every other file forward by reference (identical
+    path in the next version's log entry)."""
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 1000)
+    t = VersionedTable.create(
+        spark, temp_table_path("cow"), df.repartitionByRange(8, "id")
+    )
+    before = {f["path"] for f in t._read_log(0)["files"]}
+    assert len(before) == 8
+    v = t.delete(F.col("id") == 5)  # lives in exactly one range file
+    after = {f["path"] for f in t._read_log(v)["files"]}
+    assert len(before & after) == 7  # 7 files carried by reference
+    assert t.to_df().count() == 999
+    # Same invariant for MERGE: one key touches one file.
+    src = spark.createDataFrame([(7, 7000), (2000, 1)], "id long, k long")
+    v2 = t.merge(src, key="id")
+    after2 = {f["path"] for f in t._read_log(v2)["files"]}
+    assert len(after & after2) >= 6
+    got = {(r.id, r.k) for r in t.to_df().filter(F.col("id").isin(7, 2000)).collect()}
+    assert got == {(7, 7000), (2000, 1)}
+
+
+def test_delete_keeps_null_predicate_rows(spark):
+    """SQL DELETE removes only TRUE-predicate rows; NULL stays."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id int, qty int"
+    )
+    t = VersionedTable.create(spark, temp_table_path("delnull"), df)
+    t.delete(F.col("qty") > 20)
+    assert rows(t.to_df()) == [(1, 10), (2, None)]
+
+
+def test_concurrent_writer_conflict_retries(spark, names):
+    """Optimistic concurrency: if another writer lands our target
+    version between version-pick and log-link, the DML retries
+    against the new latest instead of failing or corrupting."""
+    import json as _json
+
+    # A second writer has already committed version 1 (re-using v0's
+    # file list — a metadata commit).
+    entry = names._read_log(0)
+    rogue = dict(entry, version=1, operation="ROGUE")
+    with open(os.path.join(names._log_dir, f"{1:020d}.json"), "w") as fh:
+        _json.dump(rogue, fh)
+    # Our writer's first version-pick is stale (doesn't see the rogue
+    # commit yet) → the log link collides → the append must retry.
+    calls = {"n": 0}
+    real_next = type(names)._next_version
+
+    def stale_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return 1
+        return real_next(names)
+
+    names._next_version = stale_once
+    v = names.append(spark.createDataFrame([(9, "New", "Comer")], SEED_SCHEMA))
+    assert calls["n"] >= 2  # the conflict path actually ran
+    assert v == 2
+    got = rows(names.to_df())
+    assert (9, "New", "Comer") in got and len(got) == 4
 
 
 def test_create_if_absent_does_not_reseed(spark):
