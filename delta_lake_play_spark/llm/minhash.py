@@ -19,9 +19,12 @@ stage. Bounds: char fold keeps the accumulator < P ≈ 2^30, so
 ``acc*131 + 255 < 2^38``; the affine rehash ``(A*h + B) % P`` with
 A,B < 2^7 stays < 2^38; the band fold likewise. No overflow anywhere.
 
-All builders return Columns composed from ``split`` / ``transform`` /
-``aggregate`` / ``array_min`` — JVM-side higher-order functions, zero
-Python in the hot path, no shuffle until the candidate join.
+Execution shape: higher-order functions (``split`` / ``transform`` /
+``aggregate``) run interpreted, OUTSIDE whole-stage codegen — so they
+are confined to the tiny distinct-token vocabulary (hash each token
+ONCE), while the per-document work (signature mins, simhash bit
+votes) is plain column arithmetic inside one codegen'd hash
+aggregate over exploded token rows. Zero Python in any path.
 
 Every Spark builder has a ``sql_*`` twin that renders the same
 computation as DuckDB SQL for the driver's t2 oracle.
@@ -39,8 +42,9 @@ K = 16  # minhash signature length
 BANDS = 4  # LSH bands …
 ROWS = 4  # … of this many signature rows each (K = BANDS * ROWS)
 
-SIMHASH_BITS = 16
-NIBBLES = 4  # simhash LSH: 4 × 4-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
+SIMHASH_BITS = 60  # 4 families × 15 bits; < 63 so 1<<j stays in int64
+BLOCK_BITS = 15  # simhash LSH: 4 × 15-bit blocks; hamming ≤ 3 ⇒ ≥1 block equal
+NBLOCKS = SIMHASH_BITS // BLOCK_BITS
 
 
 def _a(j: int) -> int:
@@ -88,65 +92,79 @@ def token_hashes(text: Column | str) -> Column:
     return F.transform(token_set(text), char_hash)
 
 
-def _rehash(j: int):
-    # Exact-arity closure: pyspark infers lambda shape from the Python
-    # signature, so a `lambda h, j=j` two-parameter lambda would be
-    # (mis)read as transform's binary (element, index) form.
-    a, b = _a(j), _b(j)
-    return lambda h: (h * a + b) % P
+def sig_min_aggs(h: str = "h") -> list[Column]:
+    """The K minhash-signature aggregates over a flat ``(doc, h)``
+    relation: ``min((A_j*h + B_j) % P) AS s<j>``.
+
+    This is the scale-shape of the signature computation: per-doc
+    signatures come out of ONE codegen'd hash aggregate (map-side
+    combined) over exploded token rows — no higher-order-function
+    lambdas in the hot path (Spark evaluates those interpreted,
+    outside whole-stage codegen; measured ~10× slower at bench
+    scale). ``h*A < 2^60`` so the arithmetic never overflows."""
+    col = F.col(h)
+    return [
+        F.min((col * _a(j) + _b(j)) % P).alias(f"s{j}") for j in range(K)
+    ]
 
 
-def minhash_signature(hashes: Column) -> Column:
-    """K-element signature: min over tokens of ``(A_j*h + B_j) % P``."""
-    sig = [F.array_min(F.transform(hashes, _rehash(j))) for j in range(K)]
-    return F.array(*sig)
-
-
-def band_values(sig: Column) -> Column:
-    """Fold each band's ROWS signature entries into one bucket value.
-
-    Returns ``array<long>`` of length BANDS; pair with
-    ``posexplode`` to get ``(band_id, band_val)`` bucket keys.
-    """
+def band_cols_from_sig(prefix: str = "s") -> list[Column]:
+    """Fold each band's ROWS signature columns into one bucket value
+    (plain int64 arithmetic over the ``s<j>`` aggregate outputs)."""
     vals = []
     for band in range(BANDS):
-        acc = F.element_at(sig, band * ROWS + 1)
+        acc = F.col(f"{prefix}{band * ROWS}")
         for r in range(1, ROWS):
-            acc = (acc * B + F.element_at(sig, band * ROWS + r + 1)) % P
+            acc = (acc * B + F.col(f"{prefix}{band * ROWS + r}")) % P
         vals.append(acc)
-    return F.array(*vals)
+    return vals
 
 
-def simhash(hashes: Column) -> Column:
-    """SIMHASH_BITS-bit simhash over distinct-token hashes (weight 1).
+def simhash_g_cols(h: Column) -> list[Column]:
+    """The NBLOCKS per-token rehashes feeding the simhash bit families:
+    family k supplies signature bits [15k, 15k+15) from the low bits
+    of ``g_k = (A_k*h + B_k) % P``. Computed once per DISTINCT token
+    (vocabulary table), not per occurrence."""
+    return [(h * _a(k) + _b(k)) % P for k in range(NBLOCKS)]
 
-    Bit j is set when more token hashes have bit j set than clear.
-    Pure bit arithmetic (shift/and) so DuckDB reproduces it exactly.
-    """
-    def bit_scorer(lo: int, hi: int):
-        # Exact binary arity for aggregate's merge lambda (see _rehash).
-        # Bit j of h as (h % 2^(j+1)) >= 2^j — F.shiftright can't take
-        # a lambda variable as its column argument, mod/compare can.
-        return lambda acc, h: acc + F.when((h % hi) >= lo, F.lit(1)).otherwise(F.lit(-1))
 
+def simhash_score_aggs(g_prefix: str = "g") -> list[Column]:
+    """The SIMHASH_BITS per-bit ±1 vote sums over a flat
+    ``(doc, g_0..g_{NBLOCKS-1})`` relation — one codegen'd hash
+    aggregate computes every bit's score."""
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        k, b = divmod(j, BLOCK_BITS)
+        bit = F.shiftright(F.col(f"{g_prefix}{k}"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"sc{j}"))
+    return aggs
+
+
+def simhash_from_scores(sc_prefix: str = "sc") -> Column:
+    """Assemble the SIMHASH_BITS-bit signature from the vote sums:
+    bit j set iff more tokens voted 1 than 0."""
     out = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        score = F.aggregate(
-            hashes, F.lit(0).cast("long"), bit_scorer(1 << j, 1 << (j + 1))
+        out = out + F.when(F.col(f"{sc_prefix}{j}") > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
         )
-        out = out + F.when(score > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
 
 
-def simhash_nibbles(sim: Column) -> Column:
-    """``array<long>`` of NIBBLES 4-bit blocks — the simhash LSH key.
+def simhash_blocks(sim: Column) -> Column:
+    """``array<long>`` of NBLOCKS 15-bit blocks — the simhash LSH key.
 
-    By pigeonhole, two signatures within hamming distance NIBBLES-1
-    share at least one block, so bucketing on ``(nibble_id, value)``
-    has perfect recall at that radius.
-    """
+    By pigeonhole, two signatures within hamming distance NBLOCKS-1
+    share at least one block, so bucketing on ``(block_id, value)``
+    has perfect recall at that radius — with a 4×2^15 bucket key
+    space, vs the 64 total buckets of a 16-bit/4-nibble scheme whose
+    within-bucket join degenerates to O(n²/64) at scale."""
+    mask = (1 << BLOCK_BITS) - 1
     return F.array(
-        *[F.shiftright(sim, 4 * k).bitwiseAND(F.lit(15)) for k in range(NIBBLES)]
+        *[
+            F.shiftright(sim, BLOCK_BITS * k).bitwiseAND(F.lit(mask))
+            for k in range(NBLOCKS)
+        ]
     )
 
 
@@ -185,14 +203,19 @@ def sql_band_value(sig_expr: str, band: int) -> str:
 
 
 def sql_simhash(hashes_expr: str) -> str:
+    """DuckDB twin of the 60-bit simhash: per bit j (family k = j//15,
+    bit b = j%15), vote with bit b of ``(A_k*h + B_k) % P`` summed
+    over the (non-distinct) token-hash list."""
     terms = []
     for j in range(SIMHASH_BITS):
+        k, b = divmod(j, BLOCK_BITS)
+        g = f"((h*{_a(k)} + {_b(k)}) % {P})"
         score = (
             f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform({hashes_expr}, h -> ((h >> {j}) & 1) * 2 - 1)), "
+            f"list_transform({hashes_expr}, h -> (({g} >> {b}) & 1) * 2 - 1)), "
             f"(acc, x) -> acc + x)"
         )
-        terms.append(f"(CASE WHEN {score} > 0 THEN {1 << j} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {score} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 

