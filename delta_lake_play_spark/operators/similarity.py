@@ -49,21 +49,40 @@ def cosine_topk(
 def ivf_assign(
     vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (broadcast
-    cross-join against the small centroid set — one streaming pass).
+    """Assign each vector to its max-cosine centroid as a NARROW map:
+    the centroid set is collected (it is tiny by construction —
+    IVF uses O(√n) centroids) and embedded as a literal
+    ``array<struct<cid, cvec>>``; each row folds over it with
+    ``array_max`` of ``(cos_sim, -cid)`` structs, so the argmax —
+    ties to the lowest centroid id, matching
+    ``ORDER BY cos DESC, centroid_id`` — happens per row with NO
+    join, no window, and no Exchange. A cross-join + row_number
+    alternative shuffles n×C scored rows — 10¹¹ rows at 10⁹ vectors
+    × 100 centroids — where this streams the corpus once. (Beyond a
+    few thousand centroids the literal outgrows the plan; switch the
+    same fold to a broadcast-variable Pandas UDF.)
+
     Returns the vectors with an added ``centroid_id`` column."""
-    cent = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__emb_cent")
+    cent_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
-    w = Window.partitionBy(id_col).orderBy(
-        cosine_sim(vec_col, "__emb_cent").desc(), "centroid_id"
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
     )
-    return (
-        vectors.crossJoin(F.broadcast(cent))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__emb_cent")
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            cosine_sim(F.col(vec_col), c["cvec"]).alias("sim"),
+            (-c["cid"]).alias("ncid"),
+        ),
     )
+    return vectors.withColumn("centroid_id", -F.array_max(scored)["ncid"])
 
 
 def ivf_topk(

@@ -142,8 +142,10 @@ SELECT query_id, neighbor_id, centroid_id, cos_sim, rank FROM (
 @register("llm_similarity_ivf", oracle=_IVF_ORACLE)
 def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its
-    nearest centroid (broadcast cross-join against the tiny centroid
-    set — one streaming pass), then search only the query's cell.
+    nearest centroid as a narrow per-row fold over the literal
+    centroid array (no join, no window, no Exchange — see
+    ``operators/similarity.py::ivf_assign``), then search only the
+    query's cell.
 
     Per-query work drops from O(n) to O(n / cells); recall is
     traded for that speedup exactly as in a FAISS IVF index. The

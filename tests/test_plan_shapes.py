@@ -66,6 +66,23 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ivf_assignment_is_a_narrow_map(spark, sf_dir):
+    """Cell assignment must not shuffle n×C scored rows: the argmax
+    over centroids happens per row (literal centroid array), so the
+    assignment plan has no Exchange, no join, and no window."""
+    from delta_lake_play_spark.operators.similarity import ivf_assign
+    from delta_lake_play_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(
+        e, e.where(F.col("vec_id") % 50 == 0), "vec_id", "embedding"
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Window"):
+        assert op not in plan, f"ivf_assign plan contains {op}"
+
+
 @pytest.mark.parametrize(
     "key", ["llm_dedup_near_minhash", "llm_dedup_simhash", "join_self_pairs"]
 )
