@@ -19,7 +19,28 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
+
+
+def _np_batch(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch byte view: (bytes, per-row lengths, per-row starts).
+
+    One ``b"".join`` + ``np.frombuffer`` per Arrow batch — every
+    per-row feature below is then sliced out of cumulative sums, so
+    the Python interpreter never touches individual bytes (the fake
+    decoder shouldn't cost codec money)."""
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    joined = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else lens
+    return joined, lens, starts
+
+
+def _segment_sums(joined: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Sum of ``joined[starts[i]:ends[i]]`` per row, via one int64
+    cumulative sum (empty segments sum to 0)."""
+    csum = np.concatenate(([0], np.cumsum(joined, dtype=np.int64)))
+    return csum[ends] - csum[starts]
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, header_sum bigint, width int, height int"
@@ -48,17 +69,20 @@ def fake_decode_features(payload: bytes) -> tuple[int, int, int, int]:
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: binary payload column → decoded feature rows
-    (1→1). Operates on whole Arrow batches; per-batch memory is the
-    batch's payload bytes, independent of partition size."""
+    (1→1). Operates on whole Arrow batches (numpy-vectorized — the
+    interpreter sees one array op per feature, not one call per row);
+    per-batch memory is the batch's payload bytes, independent of
+    partition size."""
     for pdf in batches:
-        feats = [fake_decode_features(p) for p in pdf["payload"]]
+        joined, lens, starts = _np_batch(pdf["payload"])
+        head_sums = _segment_sums(joined, starts, starts + np.minimum(lens, 16))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
-                "n_bytes": [f[0] for f in feats],
-                "header_sum": [f[1] for f in feats],
-                "width": [f[2] for f in feats],
-                "height": [f[3] for f in feats],
+                "n_bytes": lens,
+                "header_sum": head_sums,
+                "width": (lens % 640 + 1).astype(np.int32),
+                "height": (lens % 480 + 1).astype(np.int32),
             }
         )
 
@@ -68,16 +92,24 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     FRAME_SIZE-byte frames and emit every FRAME_STRIDE-th frame
     (1→N row explosion — the video-frame-sampling batch shape)."""
     for pdf in batches:
-        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_frames = max(1, len(payload) // FRAME_SIZE)
-            for idx in range(0, n_frames, FRAME_STRIDE):
-                frame = payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
-                out["doc_id"].append(doc_id)
-                out["frame_idx"].append(idx)
-                out["frame_bytes"].append(len(frame))
-                out["frame_checksum"].append(sum(frame))
-        yield pd.DataFrame(out)
+        joined, lens, starts = _np_batch(pdf["payload"])
+        n_frames = np.maximum(1, lens // FRAME_SIZE)
+        sampled = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        # flat (doc, frame) index without a Python loop: global row
+        # position minus each doc's first row gives the within-doc rank
+        first_row = np.cumsum(sampled) - sampled
+        within = np.arange(sampled.sum()) - np.repeat(first_row, sampled)
+        frame_idx = within * FRAME_STRIDE
+        f_starts = np.repeat(starts, sampled) + frame_idx * FRAME_SIZE
+        f_ends = np.minimum(f_starts + FRAME_SIZE, np.repeat(starts + lens, sampled))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].values, sampled),
+                "frame_idx": frame_idx.astype(np.int32),
+                "frame_bytes": (f_ends - f_starts).astype(np.int32),
+                "frame_checksum": _segment_sums(joined, f_starts, f_ends),
+            }
+        )
 
 
 RESIZE_SCHEMA = "doc_id bigint, thumb_bytes int, thumb_checksum bigint"
@@ -92,11 +124,12 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     exist). The batch shape is the real thing: bounded output row
     width regardless of input payload size."""
     for pdf in batches:
-        thumbs = [p[:THUMB_SIZE] for p in pdf["payload"]]
+        joined, lens, starts = _np_batch(pdf["payload"])
+        bounds = np.minimum(lens, THUMB_SIZE)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
-                "thumb_bytes": [len(t) for t in thumbs],
-                "thumb_checksum": [sum(t) for t in thumbs],
+                "thumb_bytes": bounds.astype(np.int32),
+                "thumb_checksum": _segment_sums(joined, starts, starts + bounds),
             }
         )
