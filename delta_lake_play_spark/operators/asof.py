@@ -40,16 +40,28 @@ def asof_join(
     ``left`` and ``right`` must both carry ``on + [ts, tiebreak]``;
     ``right_values`` columns are taken from ``right`` and appear in
     the output prefixed ``asof_``.
+
+    The carried payload is a single STRUCT of all right values, not
+    the value columns themselves: a struct from a right row is
+    non-null even when every field in it is null, so
+    ``last(ignorenulls=True)`` selects the latest right ROW — a
+    matched row whose value is genuinely NULL yields NULL, instead
+    of leaking an older row's value forward.
     """
-    l_tagged = left.withColumn("__side", F.lit(1))
-    for v in right_values:
-        l_tagged = l_tagged.withColumn(f"asof_{v}", F.lit(None).cast(right.schema[v].dataType))
+    from pyspark.sql import types as T
+
+    carry_type = T.StructType(
+        [T.StructField(v, right.schema[v].dataType, True) for v in right_values]
+    )
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__carry", F.lit(None).cast(carry_type)
+    )
     r_tagged = right.select(
         *on,
         F.col(ts).alias(ts),
         F.col(tiebreak).alias(tiebreak),
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"asof_{v}") for v in right_values],
+        F.struct(*[F.col(v).alias(v) for v in right_values]).alias("__carry"),
     )
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
@@ -61,6 +73,8 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col(tiebreak).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("__carry", F.last("__carry", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
     for v in right_values:
-        u = u.withColumn(f"asof_{v}", F.last(f"asof_{v}", ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"asof_{v}", F.col("__carry")[v])
+    return out.drop("__side", "__carry")

@@ -38,7 +38,17 @@ def salted_join(
     ``salt_cols`` must jointly have high cardinality within a key (a
     row id, or the columns that make the row unique) so the salt
     spreads evenly. Result equals ``left.join(right, key, how)``
-    exactly."""
+    exactly for inner/left joins. Right/full outer joins are refused:
+    an unmatched right row exists ``factor`` times after replication
+    and would surface ``factor`` times in the output (and salting the
+    LEFT side can't help a right-outer join's skew anyway — swap the
+    sides and use ``how='left'``)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left join types, not {how!r}: "
+            "replicated unmatched right rows would duplicate in the output"
+        )
     if isinstance(salt_cols, str):
         salt_cols = [salt_cols]
     salted_left = left.withColumn(

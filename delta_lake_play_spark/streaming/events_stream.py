@@ -120,11 +120,22 @@ def hourly_user_stats(events: DataFrame, watermark: str | None = None) -> DataFr
 
 
 def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
-    """Exactly-once by event_id. Streaming keeps one state entry per
-    id inside the watermark horizon; batch form is plain
-    ``dropDuplicates`` over the same key."""
-    if watermark is not None:
-        events = events.withWatermark("ts", watermark)
+    """Exactly-once by event_id. The streaming form uses
+    ``dropDuplicatesWithinWatermark`` so state entries are EVICTED
+    once the watermark passes them — a plain ``dropDuplicates`` on a
+    bare key never evicts (the event-time column isn't in the dedup
+    subset), so a continuous stream would accumulate one state entry
+    per id forever. Duplicates are only detected within the watermark
+    horizon, which is the deal streaming dedup always offers. Batch
+    form is plain ``dropDuplicates`` over the same key — the
+    complete-data answer the stream converges to when duplicates
+    arrive within the horizon."""
+    if watermark is not None and events.isStreaming:
+        return (
+            events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
     return events.dropDuplicates(["event_id"]).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )

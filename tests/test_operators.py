@@ -1,0 +1,75 @@
+"""Operator-library unit tests: semantics the oracle queries can't
+exercise (NULL payloads, refused join types, statistical identities).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.operators.asof import asof_join
+from delta_lake_play_spark.operators.salted_join import salted_join
+
+
+def test_asof_preserves_matched_rows_null_value(spark):
+    """A matched right row whose value column is genuinely NULL must
+    yield NULL — not leak an older row's value forward."""
+    left = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 20, 101)], "k string, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 200, 1.5), ("u1", 15, 201, None)],
+        "k string, ts int, lid int, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], ts="ts", right_values=["v"], tiebreak="lid"
+    )
+    got = {r["lid"]: r["asof_v"] for r in out.collect()}
+    assert got[100] == 1.5  # latest right row at ts<=10 carries 1.5
+    assert got[101] is None  # latest right row at ts<=20 has v = NULL
+
+
+def test_asof_no_right_row_yet(spark):
+    left = spark.createDataFrame([("u1", 1, 100)], "k string, ts int, lid int")
+    right = spark.createDataFrame(
+        [("u1", 5, 200, 9.0)], "k string, ts int, lid int, v double"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts="ts", right_values=["v"], tiebreak="lid"
+    )
+    assert out.collect()[0]["asof_v"] is None
+
+
+def test_salted_join_refuses_right_and_full_outer(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, x string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, key="id", salt_cols="x", how=how)
+
+
+def test_salted_left_join_keeps_unmatched_left_once(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (3, 13)], "id int, lval int"
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "id int, rval string")
+    got = salted_join(left, right, key="id", salt_cols="lval", how="left")
+    plain = left.join(right, on="id", how="left")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_exact_stddev_matches_builtin(spark, sf_dir):
+    """agg_stddev_exact's integer-grid formula must agree with
+    F.stddev_samp (ADVICE r1: the denominator was n²(n−1))."""
+    from delta_lake_play_spark.queries.aggregates import agg_stddev_exact
+
+    got = {
+        r["event_type"]: r["stddev_value"]
+        for r in agg_stddev_exact(spark, sf_dir).collect()
+    }
+    ref = {
+        r["event_type"]: r["sd"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.stddev_samp(F.round(F.col("value"), 2)).alias("sd"))
+        .collect()
+    }
+    for et, sd in ref.items():
+        assert got[et] == pytest.approx(sd, rel=1e-9), et
