@@ -66,10 +66,10 @@ def test_similarity_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_ivf_assignment_is_a_narrow_map(spark, sf_dir):
-    """Cell assignment must not shuffle n×C scored rows: the argmax
-    over centroids happens per row (literal centroid array), so the
-    assignment plan has no Exchange, no join, and no window."""
+def test_ivf_assignment_shuffles_n_rows_not_n_times_c(spark, sf_dir):
+    """Cell assignment must not shuffle n×C scored rows: centroids
+    broadcast, the argmax is a map-side-combined max aggregate (no
+    window), and the only exchange carries the per-vector partials."""
     from delta_lake_play_spark.operators.similarity import ivf_assign
     from delta_lake_play_spark.sources.catalog import load_table
     from pyspark.sql import functions as F
@@ -79,8 +79,11 @@ def test_ivf_assignment_is_a_narrow_map(spark, sf_dir):
         e, e.where(F.col("vec_id") % 50 == 0), "vec_id", "embedding"
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    for op in ("Exchange", "Join", "Window"):
-        assert op not in plan, f"ivf_assign plan contains {op}"
+    assert "Window" not in plan, "argmax must be an aggregate, not a window"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # partial + final HashAggregate pair around a single n-row exchange
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial_max" in plan or "partial" in plan.lower()
 
 
 @pytest.mark.parametrize(
