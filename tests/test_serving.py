@@ -68,3 +68,70 @@ def test_history_keyed_by_version(service):
 def test_bad_version_raises(service):
     with pytest.raises(ValueError):
         service.get_table(version=99)
+
+
+# --------------------------- real HTTP round-trip ---------------------------
+
+
+def test_http_server_end_to_end(spark):
+    """The runnable stdlib server: all five routes over real sockets,
+    reference request/response shapes (api.py:52-107)."""
+    import json
+    import urllib.request
+
+    from delta_lake_play_spark.serving.http_server import start_server
+
+    server, _thread = start_server(spark, temp_table_path("serving-http"))
+    port = server.server_address[1]
+
+    def call(method, path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=data, method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        assert call("GET", "/hello_world") == (200, {"message": "Hello World"})
+
+        status, table = call("POST", "/get_table", {"version": None})
+        assert status == 200 and table["version"] == "0"
+        assert _names(table) == {
+            (1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")
+        }
+
+        status, merged = call(
+            "PUT", "/merge_to_table",
+            {"data": [
+                {"id": 1, "firstname": "Jim", "lastname": "Bond"},
+                {"id": 9, "firstname": "Q", "lastname": "Branch"},
+            ]},
+        )
+        assert (status, merged) == (200, {"version": 1})
+
+        status, deleted = call("DELETE", "/delete_from_table", {"ids": [2]})
+        assert (status, deleted) == (200, {"version": 2})
+
+        status, latest = call("POST", "/get_table", {})
+        assert status == 200 and _names(latest) == {
+            (1, "Jim", "Bond"), (3, "Joe", "Bloggs"), (9, "Q", "Branch")
+        }
+
+        status, v0 = call("POST", "/get_table", {"version": 0})  # time travel
+        assert status == 200 and (1, "James", "Bond") in _names(v0)
+
+        status, hist = call("GET", "/get_table_history")
+        assert status == 200 and hist["operation"] == {
+            "0": "CREATE", "1": "MERGE", "2": "DELETE"
+        }
+
+        assert call("GET", "/nope")[0] == 404
+        assert call("PUT", "/merge_to_table", {"wrong": []})[0] == 422
+        assert call("POST", "/get_table", {"version": 99})[0] == 422
+    finally:
+        server.shutdown()
