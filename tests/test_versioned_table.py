@@ -248,3 +248,22 @@ def test_check_constraints_gate_every_commit(spark):
     # UPDATE that would break a constraint is refused too.
     with pytest.raises(ConstraintViolationError, match="qty_positive"):
         t.update({"qty": F.lit(-1)}, F.col("id") == 2)
+
+
+def test_schema_evolution_leaves_untouched_files_unrewritten(spark):
+    """Evolving MERGE must not rewrite files that hold no matched key:
+    the new column materializes only in the logged schema, and carried
+    files read back null-filled."""
+    df = spark.range(0, 100).withColumn("name", F.concat(F.lit("n"), F.col("id")))
+    t = VersionedTable.create(
+        spark, temp_table_path("evolve-carry"), df.repartitionByRange(4, "id")
+    )
+    before = {f["path"] for f in t._read_log(0)["files"]}
+    src = spark.createDataFrame([(5, "five", "NEW")], "id long, name string, note string")
+    v = t.merge(src, key="id", evolve_schema=True)
+    after = {f["path"] for f in t._read_log(v)["files"]}
+    assert len(before & after) == 3  # 3 of 4 range files carried as-is
+    out = t.to_df()
+    assert out.filter(F.col("id") == 5).first()["note"] == "NEW"
+    # rows from carried (pre-evolution) files read as null for the new col
+    assert out.filter(F.col("note").isNull()).count() == 99
