@@ -153,3 +153,112 @@ def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
         F.min(id_col).alias("keeper_" + id_col),
         F.count("*").alias("n_copies"),
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation — the "collapse each duplicate CLUSTER to one
+    canonical doc" step that follows any pairwise dedup operator
+    (pairs say a≈b and b≈c; the cluster keeps exactly one of a,b,c).
+
+    ``nodes``: one column ``node``; ``pairs``: columns ``a``, ``b``.
+    Returns ``(node, cluster)`` where ``cluster`` is the smallest
+    node id in the component (singletons map to themselves).
+
+    Two execution paths, picked by edge count. Verified near-dup
+    pairs are the OUTPUT of a dedup pipeline — orders of magnitude
+    smaller than the corpus — so when they fit
+    (``driver_threshold``), the edge list is collected and solved
+    with union-find on the driver, then broadcast-joined back onto
+    the nodes: two jobs, no iteration. (Collecting the EDGES is not
+    collecting the data; a 100 TB corpus with 10M dup pairs is an
+    80 MB edge list.) Above the threshold, the distributed loop:
+
+    iterative label propagation WITH pointer jumping: each round
+    every node takes the min of (its label, its neighbors' labels,
+    its label's label). Neighbor-min alone converges in diameter
+    rounds — a 2000-node chain graph measured 20+ rounds without
+    converging — while the label-of-label hop halves remaining path
+    lengths, giving O(log diameter) total rounds (the classic
+    two-phase CC trick). Raises if ``max_iterations`` pass without
+    convergence rather than returning silently-partial clusters.
+    Rounds are plain join+aggregate shuffles; the loop is a
+    driver-side WHILE; every round's labels are eagerly
+    ``localCheckpoint``-ed, which BOTH materializes them and
+    truncates the logical plan — without that, each round's plan
+    nests every previous round's and Catalyst re-analysis grows
+    without bound (measured: a 20-round loop stopped planning, not
+    computing). The convergence check is then a cheap scan of the
+    checkpoint. (GraphX/GraphFrames ship the same algorithm; this is
+    the DataFrame-native form.)"""
+    pairs = pairs.persist()
+    if pairs.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs.select("a", "b").collect():
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min so the root IS the cluster id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        pairs.unpersist()
+        spark = nodes.sparkSession
+        mdf = spark.createDataFrame(mapping or [(-1, -1)], "node long, cluster long")
+        return (
+            nodes.join(F.broadcast(mdf), "node", "left")
+            .select("node", F.coalesce("cluster", "node").alias("cluster"))
+        )
+
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("cluster"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        parent = labels.select(
+            F.col("node").alias("p_node"), F.col("cluster").alias("p_cluster")
+        )
+        best = F.least(
+            "cluster",
+            F.coalesce("nmin", "cluster"),
+            F.coalesce("p_cluster", "cluster"),  # pointer jump
+        )
+        rnd = (
+            labels.join(neighbor_min, "node", "left")
+            .join(parent, labels.cluster == parent.p_node, "left")
+            .select(
+                "node",
+                best.alias("cluster"),
+                (F.col("cluster") != best).cast("long").alias("__changed"),
+            )
+            .localCheckpoint()  # eager: materialize + truncate lineage
+        )
+        changed = rnd.agg(F.sum("__changed")).first()[0]
+        labels = rnd.drop("__changed")
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    return labels

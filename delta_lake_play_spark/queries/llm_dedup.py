@@ -211,6 +211,62 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_dedup_clusters ----------------------------------------------------
+
+_CLUSTER_COS = 0.3
+
+
+def _clusters_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_similarity import _sql_cos
+
+    cos = _sql_cos("a.de", "b.de")
+    return f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_CLUSTER_COS}
+),
+edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+walk(node, lab) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT e.eb, w.lab FROM walk w JOIN edges e ON e.ea = w.node
+)
+SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS cluster
+FROM walk GROUP BY node
+"""
+
+
+@register("llm_dedup_clusters", oracle=_clusters_oracle())
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    embedding-cosine near-dup pair graph — the step after any
+    pairwise dedup that picks one canonical doc per transitive
+    duplicate family (a≈b, b≈c ⇒ {a,b,c} keep min id). Iterative
+    min-label propagation (driver loop, one join+agg shuffle per
+    round, diameter-bounded); the oracle is the same closure as a
+    DuckDB recursive CTE.
+
+    Library form: ``operators/dedup.py::connected_components``."""
+    from delta_lake_play_spark.operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    from delta_lake_play_spark.functions.vectors import cosine_sim
+
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("b"), "label", F.col("embedding").alias("emb_b"))
+    pairs = (
+        a.join(b, on="label")
+        .where(F.col("a") < F.col("b"))
+        .where(cosine_sim("emb_a", "emb_b") >= _CLUSTER_COS)
+        .select("a", "b")
+    )
+    out = connected_components(e.select(F.col("vec_id").alias("node")), pairs)
+    return out.select(F.col("node").alias("vec_id"), "cluster")
+
+
 # --- llm_dedup_fingerprint ------------------------------------------------
 
 def _fp_oracle() -> str:

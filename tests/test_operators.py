@@ -73,3 +73,23 @@ def test_exact_stddev_matches_builtin(spark, sf_dir):
     }
     for et, sd in ref.items():
         assert got[et] == pytest.approx(sd, rel=1e-9), et
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-node chain needs multiple propagation rounds (diameter 3);
+    singletons keep their own label."""
+    from delta_lake_play_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2)], "a long, b long"  # chain 1-2-3-4
+    )
+    want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+    # driver union-find path (edges fit) and distributed loop path
+    got = {r["node"]: r["cluster"] for r in connected_components(nodes, pairs).collect()}
+    assert got == want
+    got_dist = {
+        r["node"]: r["cluster"]
+        for r in connected_components(nodes, pairs, driver_threshold=0).collect()
+    }
+    assert got_dist == want
