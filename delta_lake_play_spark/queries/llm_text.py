@@ -167,3 +167,79 @@ def llm_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("n_ws_tokens"),
         F.element_at(bpe, 1).alias("first_bpe_token"),
     )
+
+
+# --- llm_decontaminate ----------------------------------------------------
+
+_DECON_N = 3        # n-gram width for containment
+_DECON_STRIDE = 97  # doc_id % 97 == 0 → deterministic "benchmark" set
+
+
+def _decon_grams_sql(tk: str) -> str:
+    gram = " || ' ' || ".join(f"{tk}[i+{d}]" for d in range(_DECON_N))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({tk}) - {_DECON_N - 1}, 0) + 1), i -> {gram}))"
+    )
+
+
+_DECON_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+  FROM documents
+),
+g AS (SELECT doc_id, {_decon_grams_sql('t')} AS gs FROM tk),
+bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % {_DECON_STRIDE} = 0),
+dg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % {_DECON_STRIDE} <> 0)
+SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM dg JOIN bg USING (gram)
+GROUP BY dg.doc_id
+"""
+
+
+@register("llm_decontaminate", oracle=_DECON_ORACLE)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    contains any word 3-gram of the held-out benchmark set (here a
+    deterministic doc_id-stride slice standing in for the eval
+    suite), with the count of distinct contaminated n-grams per doc.
+
+    Shape at 100 TB: the benchmark n-gram set is small and fixed →
+    distinct + broadcast; each corpus doc explodes its distinct
+    3-grams (narrow) and the containment check is a broadcast-hash
+    semi-join — the corpus is never shuffled. (Hash the grams to
+    xxhash64 in production to shrink the broadcast; raw strings here
+    keep the oracle byte-exact.)"""
+    d = load_table(spark, sf_dir, "documents")
+    # Tokenize ONCE and persist: referencing the split/filter subtree
+    # from every element_at in the gram lambda lets CollapseProject
+    # inline it per reference, re-splitting each text ~300× (measured
+    # 11× slower at bench scale).
+    tok = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("t"),
+    ).persist()
+    tk = F.col("t")
+    n = F.greatest(F.size(tk) - (_DECON_N - 1), F.lit(0))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tk, i + d) for d in range(_DECON_N)]
+    )
+    # sequence(1, 0) would DESCEND in Spark — guard the short-doc case
+    grams = F.array_distinct(
+        F.when(n >= 1, F.transform(F.sequence(F.lit(1), n), gram))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    g = tok.select("doc_id", grams.alias("gs"))
+    bench = (
+        g.where(F.col("doc_id") % _DECON_STRIDE == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    corpus = g.where(F.col("doc_id") % _DECON_STRIDE != 0).select(
+        "doc_id", F.explode("gs").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
