@@ -9,7 +9,7 @@ expression, so Catalyst pushes it into the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from delta_lake_play_spark.registry import register
@@ -192,4 +192,81 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("k_a").eqNullSafe(F.col("k_b")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
+    )
+
+
+# --- sample_stratified_topn (exact N per stratum) -------------------------
+
+_STRAT_N = 50
+
+_STRAT_ORACLE = f"""
+SELECT event_type, event_id, user_id, value FROM (
+  SELECT event_type, event_id, user_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (event_id * 2654435761 + 40503) % 1000000007, event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= {_STRAT_N}
+"""
+
+
+@register("sample_stratified_topn", oracle=_STRAT_ORACLE)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: exactly N rows per stratum,
+    chosen by ranking a deterministic per-row hash inside each group
+    (a seeded shuffle that is stable across engines, reruns, and
+    partitioning — rand() is none of those). One shuffle on the
+    stratum key; per-group state is the running top-N. This is the
+    balanced-eval-split / per-source-quota primitive a data-mix
+    pipeline needs when proportional sampling would starve small
+    strata."""
+    ev = load_table(spark, sf_dir, "events")
+    shuffle_key = (F.col("event_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(
+        1000000007
+    )
+    w = Window.partitionBy("event_type").orderBy(shuffle_key, "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _STRAT_N)
+        .select("event_type", "event_id", "user_id", "value")
+    )
+
+
+# --- sample_data_mix (per-source rates, one pass) -------------------------
+
+_MIX_RATES = {"src0": 1000, "src1": 500, "src2": 250}  # per-mille keep rates
+_MIX_DEFAULT = 100
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents
+WHERE (doc_id * 2654435761 + 97) % 1000 < (CASE {cases} ELSE {_MIX_DEFAULT} END)
+GROUP BY source
+"""
+
+
+@register("sample_data_mix", oracle=_mix_oracle())
+def sample_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: keep each source at its configured rate
+    (100% src0, 50% src1, 25% src2, 10% everything else) with one
+    deterministic hash-threshold predicate — a single narrow pass,
+    no shuffle until the audit aggregate. The same upweight/
+    downweight table drives corpus composition at 100 TB; hash-based
+    selection keeps every rerun and engine picking identical rows."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = (F.col("doc_id") * F.lit(2654435761) + F.lit(97)) % 1000 < rate
+    return (
+        d.where(keep)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
     )
