@@ -267,8 +267,13 @@ class VersionedTable:
         files simply read as null for them; no rewrite), missing
         source columns are filled with null.
         """
-        dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+        # One source aggregation serves both the duplicate-key check
+        # (Delta semantics: a target row may match at most one source
+        # row) and the touched-file semi-join below — no second scan.
+        src_keys = source.groupBy(key).count().persist()
+        dup = src_keys.filter(F.col("count") > 1).limit(1).collect()
         if dup:
+            src_keys.unpersist()
             raise MergeSourceKeyError(
                 f"source has multiple rows for key {key}={dup[0][0]!r}"
             )
@@ -299,7 +304,7 @@ class VersionedTable:
 
             target = self._read_entry(entry).withColumn("__file", F.input_file_name())
             touched = self._distinct_files(
-                target.join(src.select(key).distinct(), key, "left_semi")
+                target.join(src_keys.select(key), key, "left_semi")
             )
             carried = [
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
@@ -314,7 +319,10 @@ class VersionedTable:
                 new_rows, carried, "MERGE", {"key": key}, new_schema
             )
 
-        return self._retrying(attempt)
+        try:
+            return self._retrying(attempt)
+        finally:
+            src_keys.unpersist()
 
     def delete(self, predicate: Column | str) -> int:
         """DELETE rows matching the predicate (``api.py:107``), taken
