@@ -135,3 +135,48 @@ def test_http_server_end_to_end(spark):
         assert call("POST", "/get_table", {"version": 99})[0] == 422
     finally:
         server.shutdown()
+
+
+def test_http_concurrent_merges_both_commit(spark):
+    """Two writers PUT /merge_to_table at once: optimistic concurrency
+    must land both as distinct versions (order immaterial), with both
+    rows in the final table."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from delta_lake_play_spark.serving.http_server import start_server
+
+    server, _thread = start_server(spark, temp_table_path("serving-conc"))
+    port = server.server_address[1]
+
+    def merge(row):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/merge_to_table",
+            data=json.dumps({"data": [row]}).encode(),
+            method="PUT",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())["version"]
+
+    try:
+        rows = [
+            {"id": 100, "firstname": "Left", "lastname": "Writer"},
+            {"id": 200, "firstname": "Right", "lastname": "Writer"},
+        ]
+        with ThreadPoolExecutor(2) as pool:
+            versions = sorted(pool.map(merge, rows))
+        assert versions == [1, 2]  # both committed, no version lost
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/get_table",
+            data=b"{}", method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            table = json.loads(resp.read())
+        ids = {r["id"] for r in table["data"]}
+        assert {100, 200} <= ids and table["version"] == "2"
+    finally:
+        server.shutdown()
