@@ -191,14 +191,22 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale its input is the candidate pairs from the
     minhash/simhash buckets, so the quadratic term never sees n."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _NGRAM_SCOPE)
-    tk = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    # Tokenize into a materialized column first: referencing the
+    # split/filter subtree from every element_at would inline it per
+    # gram position (CollapseProject), re-splitting each text O(len)
+    # times.
+    tok = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tk"),
+    ).persist()
+    tk = F.col("tk")
     bigrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(tk) - 1),
             lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
         )
     )
-    g = d.select("doc_id", bigrams.alias("bg"))
+    g = tok.select("doc_id", bigrams.alias("bg"))
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect("bg_a", "bg_b"))
