@@ -115,6 +115,12 @@ _PRIORITY: tuple[str, ...] = (
     # heaviest last within the window
     "llm_dedup_near_minhash",
     "llm_dedup_simhash",
+    # second tier: new round-2 keys, first in line if the window grows
+    "llm_similarity_lsh",
+    "llm_dedup_clusters",
+    "llm_decontaminate",
+    "sample_stratified_topn",
+    "sample_data_mix",
 )
 
 

@@ -46,6 +46,13 @@ Per-file stats come from the parquet **footers** of just-written
 files (driver-side ``pyarrow`` metadata reads — no second data
 scan). On a cluster with an object store this loop would fan out,
 but it is O(#new files) footer fetches either way, never a rescan.
+
+Storage assumption: the commit point is an atomic create-if-absent
+of the log entry (``os.link``), which POSIX filesystems and HDFS
+provide. Object stores without atomic create (S3) need the same
+protocol routed through a conditional-put or a commit/locking
+service — exactly the boundary delta-core draws with its
+LogStore abstraction; the layout and recovery story are unchanged.
 """
 
 from __future__ import annotations
