@@ -100,3 +100,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, (
         "bucketed co-located join must not shuffle either side"
     )
+
+
+def test_versioned_read_keeps_pushdown_and_pruning(spark, sf_dir):
+    """The explicit-file-list read path must not cost Catalyst its
+    parquet pushdown: filters reach the scan and the ReadSchema is
+    pruned to the projection."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.catalog import load_table
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    li = load_table(spark, sf_dir, "lineitem").repartitionByRange(4, "l_orderkey")
+    t = VersionedTable.create(spark, temp_table_path("push"), li)
+    df = t.to_df().filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
