@@ -215,3 +215,26 @@ def sql_api_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SQL_API_QUERY)
+
+
+# --- sink_orc_roundtrip ---------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register("sink_orc_roundtrip", oracle=_ORC_ORACLE)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip — the second columnar format Spark
+    ships natively (vectorized reader, predicate pushdown, zlib/zstd
+    stripes), for interop with Hive-era warehouses. Content identity
+    is the oracle; types survive exactly (unlike CSV, no re-parse)."""
+    import tempfile
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="orc_sink_") + "/supplier"
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
