@@ -342,3 +342,31 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)
     )
     return s.select("l_returnflag", "n", corr.alias("corr_disc_tax"))
+
+
+# --- agg_median -----------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       CAST(median(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS median_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_median", oracle=_MEDIAN_ORACLE)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median on the cent grid: both engines take the
+    true middle element (or the IEEE midpoint of the middle pair —
+    identical arithmetic on int64 inputs), so the result is
+    hash-comparable where a float-valued median could drift. Exact
+    medians need the full sorted group; at 100 TB the streaming
+    substitute is approx_percentile's KLL sketch (bounded state,
+    mergeable) — exercised by agg_percentile/agg_approx_count keys."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        (F.median(cents) / 100.0).cast("double").alias("median_value"),
+        F.count("*").alias("n"),
+    )
