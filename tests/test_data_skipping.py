@@ -149,3 +149,19 @@ def test_zorder_prunes_on_both_columns(spark, sf_dir):
         assert pruned < n_files, f"no pruning on {col}: {pruned}/{n_files}"
         full = li.filter(F.col(col).between(lo, hi))
         assert table.read_range(col, lo, hi, version=v).count() == full.count()
+
+
+def test_footer_stats_match_recomputed_minmax(spark, sf_dir):
+    """Commit-log stats come from parquet footers (no rescan) — they
+    must equal the true per-file min/max, not merely contain it:
+    too-wide stats silently disable skipping, too-narrow break it."""
+    table, _ = _make_table(spark, sf_dir)
+    entry = table._read_log(0)
+    for f in entry["files"]:
+        df = spark.read.parquet(table._abs(f["path"]))
+        for col in ("l_orderkey", "l_quantity", "l_returnflag"):
+            lo, hi = f["stats"][col]
+            row = df.agg(F.min(col), F.max(col)).first()
+            assert (lo, hi) == (row[0], row[1]), (f["path"], col)
+        n = df.count()
+        assert n == f["num_rows"]
