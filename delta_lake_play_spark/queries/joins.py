@@ -382,3 +382,62 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bo, bl.l_orderkey == bo.o_orderkey)
         .select("l_orderkey", "l_extendedprice", "o_custkey")
     )
+
+
+# --- join_region_revenue (TPC-H Q5 shape) ---------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_FROM = "1996-01-01"
+_Q5_TO = "1997-01-01"
+
+_Q5_ORACLE = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation    ON s_nationkey = n_nationkey
+JOIN region    ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_FROM}'
+  AND o_orderdate < TIMESTAMP '{_Q5_TO}'
+GROUP BY n_name
+"""
+
+
+@register("join_region_revenue", oracle=_Q5_ORACLE)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue for one region and order
+    year across customer⋈orders⋈lineitem⋈supplier⋈nation⋈region —
+    the local-supplier-volume pattern. Plan shape at 100 TB: region/
+    nation/supplier/customer broadcast (all far under the threshold
+    after the region filter pushes down), so the only shuffled
+    relations are the two facts, and Catalyst orders the joins to
+    filter orders by date BEFORE touching lineitem. Revenue uses the
+    exact cent-grid sum so the hash matches DuckDB bit-for-bit."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_TO).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == _Q5_REGION)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(revenue, 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
