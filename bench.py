@@ -65,7 +65,14 @@ def main() -> None:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = sf_name
-    result = {
+
+    # The driver captures only the last ~2000 chars of output, so the
+    # stdout JSON line must stay well under that or it is truncated
+    # mid-line and unparseable (this is what happened in round 1: 123
+    # per-query entries ≈ 4.5 KB).  stdout carries the headline
+    # queries; the full per-query map goes to stderr and a sidecar
+    # file for local analysis.
+    full = {
         "metric": "total_wall_clock_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -74,8 +81,65 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        full["failures"] = failures
+    with open(os.path.join(_REPO_DIR, "bench_full.json"), "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(full), file=sys.stderr)
+
+    headline = [k for k in _HEADLINE if k in timings]
+    compact = {
+        "metric": "total_wall_clock_all_queries",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: round(timings[k], 2) for k in headline},
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+    }
+    print(json.dumps(compact, separators=(",", ":")))
+
+
+#: One representative per SURVEY.md §2 family plus every
+#: LLM-pipeline operator — the queries the JSON line reports
+#: per-key.  `value` still totals ALL registered queries.
+_HEADLINE = [
+    "agg_group_sum_avg_count",   # flagship TPC-H Q1 shape
+    "join_region_revenue",       # TPC-H Q5 shape, 6-table star
+    "join_multiway_star",
+    "join_asof_last_event",
+    "join_bucketed_colocated",
+    "win_row_number_topk_per_group",
+    "topk_global",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "filter_range",
+    "scan_data_skipping",
+    "dml_merge_upsert",
+    "dml_delete_where",
+    "time_travel_version",
+    "set_except_snapshot_diff",
+    "fn_array_hof",
+    "fn_map_json",
+    "stream_tumbling_window",
+    "stream_foreachBatch_upsert",
+    "udf_pandas_vectorized",
+    "udaf_pandas_grouped",
+    "llm_dedup_exact",
+    "llm_dedup_near_minhash",
+    "llm_dedup_simhash",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_embedding_cosine",
+    "llm_dedup_clusters",
+    "llm_decontaminate",
+    "llm_similarity_topk",
+    "llm_similarity_ivf",
+    "llm_similarity_lsh",
+    "llm_text_stats",
+    "llm_text_token_bpe",
+    "llm_doc_quality_filter",
+    "llm_multimodal_decode",
+    "llm_embedding_quantize",
+]
 
 
 if __name__ == "__main__":

@@ -370,3 +370,45 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.median(cents) / 100.0).cast("double").alias("median_value"),
         F.count("*").alias("n"),
     )
+
+
+# --- agg_mode -------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT o_orderpriority, o_orderstatus AS mode_status, cnt
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY cnt DESC, o_orderstatus DESC) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
+@register("agg_mode", oracle=_MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    The built-in ``F.mode`` breaks ties arbitrarily, which is
+    non-reproducible across engines AND across Spark runs — so the
+    mode is computed as count-then-argmax with an explicit tiebreak
+    (highest count, then lexicographically largest value). Two
+    map-side-combined shuffles on tiny key spaces; the second input
+    is |priorities| x |statuses| rows regardless of table size, so
+    this scales to any row count."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    best = counts.groupBy("o_orderpriority").agg(
+        F.max(F.struct("cnt", "o_orderstatus")).alias("best")
+    )
+    return best.select(
+        "o_orderpriority",
+        F.col("best.o_orderstatus").alias("mode_status"),
+        F.col("best.cnt").alias("cnt"),
+    )

@@ -346,3 +346,23 @@ def dml_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fresh_from_customer(spark, sf_dir)
     t.merge(_merge_source(spark, sf_dir), key="c_custkey")
     return t.changes(0, 1)
+
+
+# --- dml_clone_shallow -------------------------------------------------------------
+
+_CLONE_ORACLE = """
+SELECT * FROM customer WHERE NOT (c_acctbal < 0)
+"""
+
+
+@register("dml_clone_shallow", oracle=_CLONE_ORACLE)
+def dml_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone then diverge: the clone's DELETE rewrites only
+    its touched files under the CLONE's directory while the source
+    table is untouched (asserted structurally in
+    tests/test_versioned_table.py). The clone commit itself is
+    metadata-only — O(1) for any table size."""
+    t = _fresh_from_customer(spark, sf_dir)           # source v0
+    clone = t.clone_to(temp_table_path())             # clone v0 (no data copied)
+    clone.delete(F.col("c_acctbal") < 0)              # clone v1, COW
+    return clone.to_df()

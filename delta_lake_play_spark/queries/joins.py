@@ -441,3 +441,127 @@ def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --- join_shipping_priority (TPC-H Q3 shape) ------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-06-01"
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("join_shipping_priority", oracle=_Q3_ORACLE)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-orders revenue by order, top 10.
+
+    Scale shape: the segment filter cuts customer ~5x before its
+    join, both date filters push to the parquet scans, the filtered
+    customer side broadcasts, and the final ORDER BY ... LIMIT 10
+    compiles to TakeOrderedAndProject (per-partition top-k heaps +
+    driver merge of 10 rows — no global sort). The groupBy key
+    (l_orderkey) is the lineitem join key, so AQE can plan the agg
+    without a second full shuffle of the join output."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# --- join_range_bucketed --------------------------------------------------
+# Fact-to-fact interval join. join_theta_range broadcasts because its
+# band table is tiny; when BOTH sides are large the nested-loop plan
+# is quadratic and there is nothing to broadcast. Scale path: quantize
+# the range dimension into fixed-width buckets, expand each probe's
+# interval to the buckets it covers (a trailing window equal to the
+# bucket width = exactly 2 rows per probe), hash-equi-join on
+# (type, bucket), then refine with the exact predicate. A (probe,
+# event) pair meets in exactly the event's bucket, so no dedup pass
+# is needed.
+
+_RB_WIDTH_US = 600 * 1_000_000  # 10-minute buckets == trailing window
+
+_RB_ORACLE = """
+SELECT a.event_id,
+       CAST(count(*) AS BIGINT) AS n_recent,
+       CAST(SUM(CAST(round(b.value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS sum_value
+FROM events a
+JOIN events b
+  ON b.event_type = a.event_type
+ AND b.ts::TIMESTAMP BETWEEN a.ts::TIMESTAMP - INTERVAL 10 MINUTE
+                         AND a.ts::TIMESTAMP
+WHERE a.event_id % 20 = 0
+GROUP BY a.event_id
+"""
+
+
+@register("join_range_bucketed", oracle=_RB_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-10-minute same-type activity (count + value
+    sum) via the bucketed interval self-join. Both inputs shuffle
+    ONCE on the (event_type, bucket) key — plain hash partitioning,
+    no range-partition sampling pass, no nested-loop — probe rows
+    are duplicated exactly 2x, and the refine filter runs inside the
+    join's codegen stage. The same recipe handles any window/width
+    ratio at ceil(window/width)+1 rows per probe."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    probes = ev.where(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        F.col("event_type"),
+        F.col("ts").alias("probe_ts"),
+        F.explode(
+            F.array(
+                F.floor((F.col("us") - _RB_WIDTH_US) / _RB_WIDTH_US),
+                F.floor(F.col("us") / _RB_WIDTH_US),
+            )
+        ).alias("bucket"),
+    )
+    pts = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        F.floor(F.col("us") / _RB_WIDTH_US).alias("bucket"),
+    )
+    refined = probes.join(pts, ["event_type", "bucket"]).where(
+        (F.col("ts") >= F.col("probe_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("ts") <= F.col("probe_ts"))
+    )
+    return refined.groupBy(F.col("probe_id").alias("event_id")).agg(
+        F.count("*").alias("n_recent"),
+        dsum("value").alias("sum_value"),
+    )

@@ -243,3 +243,68 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# --- llm_tfidf_topterms ---------------------------------------------------
+# TF-IDF-style distinctive-term extraction with a LINEAR idf
+# (N / df) instead of ln(N / df): division and multiplication are
+# correctly-rounded IEEE ops so the score is bit-identical across
+# engines, while libm ln() implementations are not guaranteed to
+# agree in the last ulp (hash-parity trap). Production would swap in
+# F.log — a one-line change that does not alter the plan.
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register("llm_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by tf-idf score.
+
+    Scale shape: explode -> two partial-agg shuffles (term freq per
+    doc; doc freq per term over the distinct pairs), a term-keyed
+    join (vocabulary-sized right side — sort-merge at 100 TB, and
+    Zipf's law means the hot head of the vocabulary is exactly where
+    AQE's skew-join split earns its keep), a broadcast of the 1-row
+    corpus count, and a per-doc top-k window. Nothing is ever
+    all-pairs and no stage holds more than a vocabulary in memory."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.col("tf").cast("double") * (F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

@@ -440,3 +440,89 @@ def fn_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_quantity", F.col("l_discount") * 100, "l_linenumber").alias("g"),
         F.least("l_quantity", F.col("l_tax") * 100, "l_linenumber").alias("l"),
     )
+
+
+# --- fn_try_arith: error-safe arithmetic / casts --------------------------
+# Spark's try_* family returns NULL instead of raising (ANSI-safe
+# pipelines). DuckDB has TRY_CAST but errors on arithmetic overflow,
+# so the oracle guards with NULLIF / CASE — same values, no error
+# path. 2^62 * l_linenumber overflows int64 for l_linenumber >= 2.
+
+_TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_quantity - 26, 0) AS safe_ratio,
+       TRY_CAST(CASE WHEN l_linenumber > 3 THEN CAST(l_linenumber AS VARCHAR)
+                     ELSE l_returnflag END AS INTEGER) AS parsed_int,
+       CASE WHEN l_linenumber >= 2 THEN NULL
+            ELSE 4611686018427387904 * l_linenumber END AS big_mul
+FROM lineitem WHERE l_orderkey < 400
+"""
+
+
+@register("fn_try_arith", oracle=_TRY_ORACLE)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide / try_cast / try_multiply: NULL-on-error semantics.
+
+    All narrow codegen expressions — the point is semantic parity of
+    the error path (divide-by-zero, bad cast, int64 overflow), not
+    plan shape."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    parse_src = F.when(
+        F.col("l_linenumber") > 3, F.col("l_linenumber").cast("string")
+    ).otherwise(F.col("l_returnflag"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.col("l_quantity") - 26).alias("safe_ratio"),
+        parse_src.try_cast("int").alias("parsed_int"),
+        F.try_multiply(F.lit(4611686018427387904), F.col("l_linenumber")).alias(
+            "big_mul"
+        ),
+    )
+
+
+# --- fn_struct_ops: named_struct / getField / struct ordering -------------
+
+_STRUCT_ORACLE = """
+SELECT o_orderkey,
+       struct_pack(d := o_orderdate, p := o_totalprice).d AS od,
+       struct_pack(d := o_orderdate, p := o_totalprice).p AS op,
+       struct_pack(status := o_orderstatus,
+                   prio := struct_pack(name := o_orderpriority)
+                  ).prio.name AS prio_name
+FROM orders
+ORDER BY struct_pack(p := o_totalprice, k := o_orderkey) DESC
+LIMIT 10
+"""
+
+
+@register("fn_struct_ops", oracle=_STRUCT_ORACLE)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, nested field access, and ordering BY a
+    struct (lexicographic by field position — identical comparison
+    semantics in Spark and DuckDB). Structs are Tungsten-inlined:
+    building and field-extracting them is free codegen projection,
+    and the ORDER BY struct compiles to TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    dp = F.struct(
+        F.col("o_orderdate").alias("d"), F.col("o_totalprice").alias("p")
+    )
+    nested = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.struct(F.col("o_orderpriority").alias("name")).alias("prio"),
+    )
+    sort_key = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            dp.getField("d").alias("od"),
+            dp.getField("p").alias("op"),
+            nested.getField("prio").getField("name").alias("prio_name"),
+            sort_key.alias("_sk"),
+        )
+        .orderBy(F.col("_sk").desc())
+        .limit(10)
+        .drop("_sk")
+    )

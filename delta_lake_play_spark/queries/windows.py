@@ -294,3 +294,41 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# --- win_count_distinct: running distinct count ---------------------------
+# Spark does not support DISTINCT aggregates over a window frame.
+# The scalable identity: a user contributes 1 exactly at their first
+# occurrence, so running-distinct-count == running SUM of a
+# first-occurrence flag (row_number()==1 over (event_type, user_id)).
+# Two window passes, no per-row set state — at 100 TB the collect_set
+# alternative would hold the whole distinct set per ROW; this holds
+# one integer. DuckDB supports the DISTINCT window aggregate
+# natively, which is the oracle.
+
+_WCD_ORACLE = """
+SELECT event_id, event_type, ts::TIMESTAMP AS ts,
+       CAST(count(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_users_so_far
+FROM events
+"""
+
+
+@register("win_count_distinct", oracle=_WCD_ORACLE)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_new = (F.row_number().over(w_first) == 1).cast("long")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(is_new).over(w_run).alias("distinct_users_so_far"),
+    )

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import uuid
 from datetime import date, datetime, timedelta, timezone
@@ -121,6 +122,10 @@ class VersionConflictError(RuntimeError):
 
 
 _MAX_COMMIT_RETRIES = 5
+
+# Data directories are named c-<version>-<hex8> (deliberately free of
+# "=" so Spark never hive-infers partitions from them on leaf reads).
+_COMMIT_DIR_RE = re.compile(r"^c-\d+-[0-9a-f]{8}$")
 
 
 class VersionedTable:
@@ -400,6 +405,45 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
+    def clone_to(self, path: str, version: int | None = None) -> "VersionedTable":
+        """Shallow clone (Delta ``CLONE``): a new table at ``path``
+        whose version-0 entry references this table's data files by
+        absolute path — metadata-only, zero bytes of data copied, so
+        cloning a 100 TB table costs one log write. Copy-on-write
+        makes later DML on either table invisible to the other: new
+        commits write their files under their own table directory and
+        only drop references to the shared ones. Same caveat as Delta
+        shallow clones: ``vacuum`` on the SOURCE can reclaim files the
+        clone still references (the clone's own vacuum never walks
+        outside its directory), so deep-copy via
+        ``VersionedTable.create(spark, path, self.to_df())`` before
+        retiring the source."""
+        src = self._read_log(
+            self.latest_version() if version is None else version
+        )
+        clone = VersionedTable(self.spark, path)
+        if clone.exists():
+            raise FileExistsError(f"versioned table already exists at {path}")
+        os.makedirs(clone._log_dir, exist_ok=True)
+        files = [{**f, "path": self._abs(f["path"])} for f in src["files"]]
+        entry = {
+            "version": 0,
+            "timestamp": clone._commit_timestamp(0),
+            "operation": "CLONE",
+            "operationParameters": {
+                "sourcePath": self.path,
+                "sourceVersion": src["version"],
+                "partitionBy": self.partition_columns(),
+                "constraints": self.constraints(),
+            },
+            "num_rows": src["num_rows"],
+            "files": files,
+            "schema": src["schema"],
+        }
+        with open(os.path.join(clone._log_dir, f"{0:020d}.json"), "w") as fh:
+            json.dump(entry, fh)
+        return clone
+
     def optimize(
         self,
         target_files: int = 8,
@@ -617,9 +661,7 @@ class VersionedTable:
             return self.spark.read.schema(schema).parquet(*paths)
         groups: dict[str, list[str]] = {}
         for p in paths:
-            rel = os.path.relpath(p, self.path)
-            base = os.path.join(self.path, rel.split(os.sep)[0])
-            groups.setdefault(base, []).append(p)
+            groups.setdefault(self._commit_base(p), []).append(p)
         out = None
         for base, grp in sorted(groups.items()):
             df = (
@@ -629,6 +671,20 @@ class VersionedTable:
             )
             out = df if out is None else out.unionByName(df)
         return out
+
+    def _commit_base(self, p: str) -> str:
+        """``basePath`` for a leaf file of a partitioned commit: its
+        enclosing commit directory (``c-<version>-<hex>``). Resolved
+        structurally rather than relative to ``self.path`` because a
+        shallow clone's file list points into ANOTHER table's
+        directory."""
+        d = os.path.dirname(p)
+        while d and d != os.sep:
+            if _COMMIT_DIR_RE.match(os.path.basename(d)):
+                return d
+            d = os.path.dirname(d)
+        rel = os.path.relpath(p, self.path)
+        return os.path.join(self.path, rel.split(os.sep)[0])
 
     def _read_entry(self, entry: dict) -> DataFrame:
         return self._read_paths(

@@ -267,3 +267,53 @@ def test_schema_evolution_leaves_untouched_files_unrewritten(spark):
     assert out.filter(F.col("id") == 5).first()["note"] == "NEW"
     # rows from carried (pre-evolution) files read as null for the new col
     assert out.filter(F.col("note").isNull()).count() == 99
+
+
+def test_shallow_clone_shares_files_and_diverges(spark):
+    """clone_to is metadata-only (clone v0 references the source's
+    physical files), and later DML on the clone is invisible to the
+    source — and vice versa."""
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    t = VersionedTable.create(
+        spark, temp_table_path("clone-src"), df.repartitionByRange(8, "id")
+    )
+    src_files = {t._abs(f["path"]) for f in t._read_log(0)["files"]}
+    clone = t.clone_to(temp_table_path("clone-dst"))
+    clone_files = {f["path"] for f in clone._read_log(0)["files"]}
+    assert clone_files == src_files  # zero data copied
+    assert not os.path.exists(os.path.join(clone.path, "c-0-00000000"))
+    assert rows(clone.to_df()) == rows(t.to_df())
+
+    # diverge the clone: COW rewrites only touched files, new files
+    # land under the CLONE's directory, source content is unchanged
+    v = clone.delete(F.col("id") == 5)
+    after = {f["path"] for f in clone._read_log(v)["files"]}
+    assert len(after & src_files) == 7
+    for p in after - src_files:
+        assert p.startswith(clone.path) or not p.startswith("/")
+    assert t.to_df().count() == 1000
+    assert clone.to_df().count() == 999
+
+    # diverge the source: clone stays pinned to the cloned snapshot
+    t.delete(F.col("id") < 100)
+    assert clone.to_df().count() == 999
+
+    # clone's own vacuum never reclaims the shared source files
+    clone.append(spark.createDataFrame([(5000, 1)], "id long, k long"))
+    clone.vacuum(retain_last=1)
+    assert all(os.path.exists(p) for p in src_files)
+    assert t.to_df().count() == 900
+
+
+def test_clone_of_partitioned_table_reads_partitions(spark):
+    """A clone of a hive-partitioned table resolves partition columns
+    through the structural commit-dir basePath (the file list points
+    into the source's directory)."""
+    df = spark.range(0, 200).withColumn("p", (F.col("id") % 3).cast("string"))
+    t = VersionedTable.create(
+        spark, temp_table_path("clone-part-src"), df, partition_by=["p"]
+    )
+    clone = t.clone_to(temp_table_path("clone-part-dst"))
+    assert clone.partition_columns() == ["p"]
+    got = {(r.p, r.n) for r in clone.to_df().groupBy("p").count().withColumnRenamed("count", "n").collect()}
+    assert got == {("0", 67), ("1", 67), ("2", 66)}
