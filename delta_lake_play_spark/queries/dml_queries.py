@@ -366,3 +366,36 @@ def dml_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = t.clone_to(temp_table_path())             # clone v0 (no data copied)
     clone.delete(F.col("c_acctbal") < 0)              # clone v1, COW
     return clone.to_df()
+
+
+# --- dml_replace_where -------------------------------------------------------------
+
+_RW_ORACLE = """
+SELECT * FROM customer WHERE NOT (c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT c_custkey, 'RW-' || c_name AS c_name, c_nationkey,
+       0.0 AS c_acctbal, c_mktsegment
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+"""
+
+
+@register("dml_replace_where", oracle=_RW_ORACLE)
+def dml_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta replaceWhere: swap the BUILDING-segment slice for a
+    recomputed version of itself (here: even keys only, renamed,
+    zeroed balance) in ONE atomic commit — the idempotent-backfill
+    primitive. Files without a BUILDING row are carried by
+    reference."""
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    c = load_table(spark, sf_dir, "customer")
+    replacement = c.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 2 == 0)
+    ).select(
+        "c_custkey",
+        F.concat(F.lit("RW-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    t.overwrite_where(replacement, F.col("c_mktsegment") == "BUILDING")  # v1
+    return t.to_df()

@@ -388,6 +388,49 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
+    def overwrite_where(self, df: DataFrame, predicate: Column | str) -> int:
+        """Delta ``replaceWhere``: atomically replace every row
+        matching the predicate with ``df``'s rows, in one commit.
+        The idempotent-backfill primitive — rerunning a day's
+        pipeline swaps that day's slice without touching the rest.
+
+        Like Delta, incoming rows are validated against the
+        predicate (a backfill that writes outside its declared slice
+        is a bug, not an overwrite). File-granular: only files
+        physically containing a matching row are rewritten; at scale,
+        a predicate aligned with the partition/clustering layout means
+        the rewrite set is exactly the slice's files and everything
+        else is carried by reference."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(pred, F.lit(False))
+        bad = df.filter(~hit).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"overwrite_where source row outside predicate slice: "
+                f"{bad[0].asDict()}"
+            )
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            cur = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            touched = self._distinct_files(cur.filter(hit))
+            carried = [
+                f for f in entry["files"] if self._abs(f["path"]) not in touched
+            ]
+            params = {"predicate": str(predicate)}
+            aligned = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+            if touched:
+                kept = self._read_paths(sorted(touched), schema).filter(~hit)
+                aligned = kept.unionByName(aligned)
+            return self._commit_files(
+                aligned, carried, "REPLACE_WHERE", params, schema
+            )
+
+        return self._retrying(attempt)
+
     def restore(self, version: int) -> int:
         """Re-commit an old snapshot as the newest version — pure
         metadata: the new log entry re-references the old version's

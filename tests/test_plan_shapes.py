@@ -9,38 +9,34 @@ joins for small dims, and TakeOrderedAndProject for global top-k.
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 
+from delta_lake_play_spark.plans import assert_scalable, formatted_plan, summarize
 from delta_lake_play_spark.registry import all_queries
 
 QUERIES = all_queries()
 
 
 def _plan(spark, sf_dir, key: str) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        QUERIES[key](spark, sf_dir).explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(QUERIES[key](spark, sf_dir))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "filter_range")
-    assert "PushedFilters: [" in plan
     # The range predicate itself, not just IsNotNull, must push down.
-    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    assert_scalable(
+        QUERIES["filter_range"](spark, sf_dir), require_pushdown_on="l_shipdate"
+    )
 
 
 def test_column_pruning_on_flagship(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "agg_group_sum_avg_count")
-    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     # Q1 needs 7 of lineitem's 16 columns; the scan must not read e.g.
     # l_comment or l_orderkey.
-    assert "l_comment" not in read_schema
-    assert "l_orderkey" not in read_schema
-    assert "l_quantity" in read_schema
+    s = assert_scalable(
+        QUERIES["agg_group_sum_avg_count"](spark, sf_dir),
+        require_pruned_out="l_comment",
+    )
+    assert all("l_orderkey" not in r for r in s.read_schemas)
+    assert any("l_quantity" in r for r in s.read_schemas)
 
 
 def test_small_dims_broadcast(spark, sf_dir):
@@ -87,11 +83,41 @@ def test_ivf_assignment_shuffles_n_rows_not_n_times_c(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "key", ["llm_dedup_near_minhash", "llm_dedup_simhash", "join_self_pairs"]
+    "key",
+    [
+        "llm_dedup_near_minhash",
+        "llm_dedup_simhash",
+        "join_self_pairs",
+        "join_range_bucketed",
+    ],
 )
 def test_self_join_pairs_are_bucketed_not_cartesian(spark, sf_dir, key):
     plan = _plan(spark, sf_dir, key)
     assert "CartesianProduct" not in plan, f"{key} degenerated to a cartesian product"
+
+
+def test_q3_pushdown_broadcast_and_topk(spark, sf_dir):
+    """TPC-H Q3 shape: both date filters reach the scans, the
+    filtered customer side broadcasts, and the top-10 compiles to
+    TakeOrderedAndProject instead of a global sort."""
+    s = assert_scalable(
+        QUERIES["join_shipping_priority"](spark, sf_dir),
+        require_pushdown_on="l_shipdate",
+    )
+    assert s.n_broadcast_joins >= 1
+    assert s.has_take_ordered
+    assert any("o_orderdate" in f for f in s.pushed_filters)
+
+
+def test_range_bucketed_join_is_single_pass(spark, sf_dir):
+    """The bucketed interval join must hash-shuffle (no
+    range-partition sampling pass, no nested-loop): every join in
+    the plan is an equi-join and exchange count stays bounded."""
+    s = summarize(QUERIES["join_range_bucketed"](spark, sf_dir))
+    assert not s.has_cartesian
+    # probe shuffle + build shuffle + final agg shuffle
+    assert s.n_exchanges <= 3
+    assert s.n_sort_merge_joins + s.n_broadcast_joins >= 1
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):

@@ -317,3 +317,28 @@ def test_clone_of_partitioned_table_reads_partitions(spark):
     assert clone.partition_columns() == ["p"]
     got = {(r.p, r.n) for r in clone.to_df().groupBy("p").count().withColumnRenamed("count", "n").collect()}
     assert got == {("0", 67), ("1", 67), ("2", 66)}
+
+
+def test_overwrite_where_replaces_slice_atomically(spark):
+    """replaceWhere swaps exactly the predicate slice, carries
+    untouched files, and rejects out-of-slice source rows."""
+    df = spark.range(0, 1000).withColumn("day", (F.col("id") % 10).cast("int"))
+    t = VersionedTable.create(
+        spark, temp_table_path("rw"), df.repartition(10, "day")
+    )
+    before = {f["path"] for f in t._read_log(0)["files"]}
+    backfill = spark.createDataFrame(
+        [(9001, 3), (9002, 3)], "id long, day int"
+    )
+    v = t.overwrite_where(backfill, F.col("day") == 3)
+    out = t.to_df()
+    assert out.filter(F.col("day") == 3).count() == 2
+    assert out.filter(F.col("day") != 3).count() == 900
+    after = {f["path"] for f in t._read_log(v)["files"]}
+    assert before & after  # untouched files carried by reference
+
+    with pytest.raises(ValueError, match="outside predicate slice"):
+        t.overwrite_where(
+            spark.createDataFrame([(1, 4)], "id long, day int"),
+            F.col("day") == 3,
+        )
