@@ -399,3 +399,75 @@ def dml_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.overwrite_where(replacement, F.col("c_mktsegment") == "BUILDING")  # v1
     return t.to_df()
+
+
+# --- dml_merge_cdc: MERGE with a whenMatchedDelete clause --------------------------
+
+_CDC_ORACLE = """
+WITH src AS (
+  SELECT c_custkey, 'UPDATED-' || c_name AS c_name, c_nationkey,
+         c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, -99999.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 3 AND c_custkey % 10 <> 0
+)
+SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+UNION ALL
+SELECT * FROM src WHERE NOT (c_acctbal = -99999.0)
+"""
+
+
+@register("dml_merge_cdc", oracle=_CDC_ORACLE)
+def dml_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One MERGE applies a CDC batch of upserts AND tombstones
+    (whenMatchedDelete): rows flagged with the sentinel balance
+    delete their matched target row instead of updating it. Same
+    single touched-file detection pass as a plain merge."""
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    c = load_table(spark, sf_dir, "customer")
+    ups = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    tomb = c.filter(
+        (F.col("c_custkey") % 7 == 3) & (F.col("c_custkey") % 10 != 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lit(-99999.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    t.merge(
+        ups.unionByName(tomb),
+        key="c_custkey",
+        delete_matched_where=F.col("c_acctbal") == -99999.0,
+    )                                                  # v1
+    return t.to_df()
+
+
+# --- dml_delete_mor: merge-on-read delete via deletion vectors ---------------------
+
+_MOR_ORACLE = """
+SELECT * FROM customer
+WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 100 = 7)
+"""
+
+
+@register("dml_delete_mor", oracle=_MOR_ORACLE)
+def dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two merge-on-read DELETEs: each commit writes only row
+    positions into the log (zero data bytes — the point-delete path
+    for a 100 TB table); the read masks them via a broadcast
+    anti-join on (file, row position). CoW delete remains the bulk
+    path; OPTIMIZE hardens the vectors away."""
+    t = _fresh_from_customer(spark, sf_dir)                       # v0
+    t.delete_mor(F.col("c_acctbal") < 0)                          # v1: DV only
+    t.delete_mor(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_custkey") % 100 == 7)
+    )                                                             # v2: DV union
+    return t.to_df()

@@ -308,3 +308,68 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+# --- llm_pii_redact -------------------------------------------------------
+# Regex-based PII scrubbing — the pass every training corpus runs
+# before anything else. The synthetic documents have no real PII, so
+# the operator plants deterministic email/phone-shaped spans in a few
+# docs and then scrubs them — exercising detection counts + masking
+# replacement end-to-end. Patterns use only RE2-safe syntax (no
+# backrefs/lookahead) so Spark's Java regex and DuckDB's RE2 agree.
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+"
+_PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' contact user' || doc_id || '@mail.example.com or +01-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM planted
+WHERE len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+   OR len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+"""
+
+
+@register("llm_pii_redact", oracle=_PII_ORACLE)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-mask PII spans (emails, phone numbers) with span
+    counts per document. Pure narrow regexp codegen — no shuffle at
+    all; at 100 TB this runs at scan speed. Production swaps in the
+    full pattern battery (SSNs, IBANs, addresses) and an allowlist;
+    the plan shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +01-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails = F.regexp_count(planted, F.lit(_EMAIL_RE))
+    n_phones = F.regexp_count(planted, F.lit(_PHONE_RE))
+    clean = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_phones.alias("n_phones"),
+            clean.alias("clean_text"),
+        )
+        .where((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )

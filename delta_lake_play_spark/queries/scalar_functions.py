@@ -526,3 +526,47 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_sk")
     )
+
+
+# --- fn_url_parse ---------------------------------------------------------
+# Spark's parse_url vs a regex twin in DuckDB (which has no URL
+# parser). URLs are synthesized well-formed, where the two
+# extraction methods provably agree.
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT c_custkey,
+         'https://' || lower(replace(c_mktsegment, ' ', '')) ||
+         '.example.com/cust/' || CAST(c_custkey AS VARCHAR) ||
+         '?nation=' || CAST(c_nationkey AS VARCHAR) || '&v=2' AS url
+  FROM customer WHERE c_custkey % 50 = 0
+)
+SELECT c_custkey, url,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'nation=([0-9]+)', 1) AS nation_param
+FROM u
+"""
+
+
+@register("fn_url_parse", oracle=_URL_ORACLE)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url(HOST/PATH/QUERY key) — the log-pipeline staple.
+    Narrow codegen projection; no shuffle."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 50 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit(""))),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?nation="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&v=2"),
+    )
+    return c.select(
+        "c_custkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("nation")).alias("nation_param"),
+    )

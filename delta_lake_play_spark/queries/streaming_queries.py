@@ -207,3 +207,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
     )
+
+
+# --- stream_table_source: versioned table as a streaming SOURCE -----------
+
+_TABLE_SRC_ORACLE = """
+SELECT * FROM customer
+UNION ALL
+SELECT c_custkey + 2000000 AS c_custkey, 'APPEND-' || c_name AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 25 = 7
+"""
+
+
+@register("stream_table_source", oracle=_TABLE_SRC_ORACLE)
+def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table read as a real Structured Streaming SOURCE
+    (Python DataSource API, ``sources/table_stream.py``): commit
+    versions are offsets, each appended file is one input partition,
+    and an availableNow pass drains CREATE + APPEND into a memory
+    sink. This is the Delta ``spark.readStream.format('delta')``
+    surface (reference ``README.md:9-11``) rebuilt Spark-first."""
+    import uuid as _uuid
+
+    from delta_lake_play_spark.queries.dml_queries import (
+        _appended_rows,
+        _fresh_from_customer,
+    )
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = _fresh_from_customer(spark, sf_dir)           # v0
+    t.append(_appended_rows(spark, sf_dir))           # v1
+    name = "table_src_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("versioned_table")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,156 @@
+"""Versioned table as a Structured Streaming SOURCE.
+
+The reference's engine (Delta) lets a table be read with
+``spark.readStream`` — each commit's new files become a micro-batch
+(`delta-io` streaming source semantics). This module provides the
+same capability for this repo's versioned tables through Spark 4's
+Python DataSource API: offsets are commit versions, a batch is the
+set of files a commit ADDED, and non-append commits (rewrites,
+deletion-vector growth) fail the stream unless ``ignoreChanges`` is
+set — exactly Delta's default contract.
+
+Scale shape: ``partitions()`` emits one input partition per new data
+file, so a 1000-file append fans out across the cluster; each task
+reads its parquet file as Arrow batches (zero row-by-row Python).
+The driver-side work per micro-batch is a log-JSON diff — no data
+I/O.
+
+Usage::
+
+    spark.dataSource.register(VersionedTableDataSource)
+    df = (spark.readStream.format("versioned_table")
+          .option("ignoreChanges", "false").load(table_path))
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _log_entries(path: str) -> dict[int, str]:
+    """version -> log file path (no parse — cheap to list)."""
+    log_dir = os.path.join(path, "_log")
+    out = {}
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and not name.startswith("."):
+            out[int(name[: -len(".json")])] = os.path.join(log_dir, name)
+    return out
+
+
+def _read_entry(path: str, version: int) -> dict:
+    with open(_log_entries(path)[version]) as fh:
+        return json.load(fh)
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.ignore_changes = str(
+            options.get("ignoreChanges", options.get("ignorechanges", "false"))
+        ).lower() in ("true", "1")
+        create = _read_entry(self.path, 0)
+        if create.get("operationParameters", {}).get("partitionBy"):
+            raise NotImplementedError(
+                "streaming source over hive-partitioned tables: leaf files "
+                "do not carry the partition columns; read the batch snapshot "
+                "or stream an unpartitioned table"
+            )
+        latest = _read_entry(self.path, max(_log_entries(self.path)))
+        self._schema = T.StructType.fromJson(latest["schema"])
+
+    # ---- offsets: commit versions ------------------------------------
+
+    def initialOffset(self) -> dict:
+        # -1 = before the CREATE commit, so the first micro-batch
+        # delivers the initial snapshot (Delta's default behavior).
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": max(_log_entries(self.path))}
+
+    # ---- planning ----------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new_paths: list[str] = []
+        prev_files: dict[str, tuple] = {}
+        if start["version"] >= 0:
+            prev_files = self._file_map(start["version"])
+        for v in range(start["version"] + 1, end["version"] + 1):
+            cur = self._file_map(v)
+            removed = set(prev_files) - set(cur)
+            dv_grew = [
+                p for p in set(cur) & set(prev_files) if cur[p] != prev_files[p]
+            ]
+            if (removed or dv_grew) and not self.ignore_changes:
+                raise ValueError(
+                    f"version {v} is not append-only "
+                    f"(removed={len(removed)} files, dv-changed={len(dv_grew)}); "
+                    "set ignoreChanges=true to stream only the added files"
+                )
+            new_paths.extend(sorted(set(cur) - set(prev_files)))
+            prev_files = cur
+        return [_FilePartition(p) for p in new_paths]
+
+    def _file_map(self, version: int) -> dict[str, tuple]:
+        entry = _read_entry(self.path, version)
+        out = {}
+        for f in entry["files"]:
+            p = f["path"]
+            if not p.startswith("/"):
+                p = os.path.join(self.path, p)
+            out[p] = tuple(f.get("dv", []))
+        return out
+
+    # ---- execution (runs in Python workers) --------------------------
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        tbl = pq.read_table(partition.path)
+        # Align to the table schema: files written before a schema
+        # evolution lack the added columns — fill them with nulls,
+        # and emit columns in schema order.
+        cols = []
+        for f in self._schema.fields:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name))
+            else:
+                cols.append(pa.nulls(len(tbl), type=to_arrow_type(f.dataType)))
+        yield from pa.table(
+            dict(zip([f.name for f in self._schema.fields], cols))
+        ).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class VersionedTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self) -> T.StructType:
+        # latest schema wins (evolution only adds nullable columns)
+        latest = max(_log_entries(self.options["path"]))
+        entry = _read_entry(self.options["path"], latest)
+        return T.StructType.fromJson(entry["schema"])
+
+    def streamReader(self, schema: T.StructType) -> VersionedTableStreamReader:
+        return VersionedTableStreamReader(self.options)

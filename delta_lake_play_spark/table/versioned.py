@@ -260,12 +260,26 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
-    def merge(self, source: DataFrame, key: str, evolve_schema: bool = False) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        evolve_schema: bool = False,
+        delete_matched_where: Column | str | None = None,
+    ) -> int:
         """MERGE upsert on ``key``: update matched target rows from the
         source, insert unmatched source rows — exactly the reference's
         ``whenMatchedUpdate(...).whenNotMatchedInsert(...)`` chain
         (``api.py:92-102``). File-granular: only files physically
         holding a matched key are rewritten; the rest carry forward.
+
+        ``delete_matched_where`` adds Delta's ``whenMatchedDelete``
+        clause: a matched source row whose (source-side) predicate is
+        TRUE deletes the target row instead of updating it, and is not
+        inserted. The tombstone-feed pattern — one MERGE applies a CDC
+        batch of upserts AND deletes. No extra scan: the delete rows
+        ride the same touched-file detection and the clause is one
+        filter on the source.
 
         Errors when the source has duplicate keys (Delta semantics):
         a target row may match at most one source row.
@@ -314,22 +328,37 @@ class VersionedTable:
                     src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
             src = src.select(*[f.name for f in new_schema.fields])
 
-            target = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            target = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(
                 target.join(src_keys.select(key), key, "left_semi")
             )
+            hit_files = [
+                f for f in entry["files"] if self._abs(f["path"]) in touched
+            ]
             carried = [
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
-            touched_df = self._read_paths(sorted(touched), schema)
+            touched_df = self._read_files(hit_files, schema)
             for f in new_schema.fields:
                 if f.name not in touched_df.columns:
                     touched_df = touched_df.withColumn(f.name, F.lit(None).cast(f.dataType))
             touched_df = touched_df.select(*[f.name for f in new_schema.fields])
-            new_rows = touched_df.join(src, key, "left_anti").unionByName(src)
-            return self._commit_files(
-                new_rows, carried, "MERGE", {"key": key}, new_schema
-            )
+            params: dict = {"key": key}
+            src_apply = src
+            if delete_matched_where is not None:
+                dpred = (
+                    F.expr(delete_matched_where)
+                    if isinstance(delete_matched_where, str)
+                    else delete_matched_where
+                )
+                # Tombstone semantics: a delete-marked source row
+                # removes its matched target row and is NEVER inserted
+                # (matched or not) — the anti-join below already drops
+                # every source key from the target side.
+                src_apply = src.filter(~F.coalesce(dpred, F.lit(False)))
+                params["deleteMatchedWhere"] = str(delete_matched_where)
+            new_rows = touched_df.join(src, key, "left_anti").unionByName(src_apply)
+            return self._commit_files(new_rows, carried, "MERGE", params, new_schema)
 
         try:
             return self._retrying(attempt)
@@ -348,15 +377,18 @@ class VersionedTable:
         def attempt() -> int:
             entry = self._read_log(self.latest_version())
             schema = self._entry_schema(entry)
-            cur = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            cur = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(cur.filter(hit))
+            hit_files = [
+                f for f in entry["files"] if self._abs(f["path"]) in touched
+            ]
             carried = [
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
             params = {"predicate": str(predicate)}
             if not touched:
                 return self._commit_files(None, carried, "DELETE", params, schema)
-            kept = self._read_paths(sorted(touched), schema).filter(~hit)
+            kept = self._read_files(hit_files, schema).filter(~hit)
             return self._commit_files(kept, carried, "DELETE", params, schema)
 
         return self._retrying(attempt)
@@ -371,20 +403,70 @@ class VersionedTable:
         def attempt() -> int:
             entry = self._read_log(self.latest_version())
             schema = self._entry_schema(entry)
-            cur = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            cur = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(cur.filter(hit))
+            hit_files = [
+                f for f in entry["files"] if self._abs(f["path"]) in touched
+            ]
             carried = [
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
             params = {"where": str(where)}
             if not touched:
                 return self._commit_files(None, carried, "UPDATE", params, schema)
-            updated = self._read_paths(sorted(touched), schema)
+            updated = self._read_files(hit_files, schema)
             for name, value in set_cols.items():
                 updated = updated.withColumn(
                     name, F.when(hit, value).otherwise(F.col(name))
                 )
             return self._commit_files(updated, carried, "UPDATE", params, schema)
+
+        return self._retrying(attempt)
+
+    def delete_mor(self, predicate: Column | str) -> int:
+        """Merge-on-read DELETE via deletion vectors (Delta DV
+        feature): instead of rewriting every touched file
+        (copy-on-write — ``delete``), record the matching row
+        POSITIONS per file in the commit log and mask them at read
+        time. A point delete on a 100 TB table writes zero data
+        bytes. Reads apply the mask as a broadcast anti-join on
+        (file, row position); ``optimize`` hardens DVs by rewriting
+        the masked rows away.
+
+        The trade: CoW pays at write time, MoR at read time — use
+        ``delete_mor`` for small/selective deletes between OPTIMIZE
+        runs, ``delete`` for bulk deletes. Positions are stored as a
+        plain index list in the log entry (at production scale: a
+        roaring bitmap in a sidecar file, same read shape)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(pred, F.lit(False))
+
+        def attempt() -> int:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            # Raw positions of matching rows. Already-masked rows may
+            # match again; the set-union below makes that a no-op.
+            cur = self._read_paths(
+                [self._abs(f["path"]) for f in entry["files"]],
+                schema,
+                with_meta=True,
+            )
+            matched = (
+                cur.filter(hit).select("__path", "__row_idx").collect()
+            )
+            by_file: dict[str, set[int]] = {}
+            for r in matched:
+                by_file.setdefault(r["__path"], set()).add(r["__row_idx"])
+            files = []
+            for f in entry["files"]:
+                ap = self._abs(f["path"])
+                if ap in by_file:
+                    dv = sorted(set(f.get("dv", [])) | by_file[ap])
+                    files.append({**f, "dv": dv})
+                else:
+                    files.append(f)
+            params = {"predicate": str(predicate)}
+            return self._commit_files(None, files, "DELETE_MOR", params, schema)
 
         return self._retrying(attempt)
 
@@ -413,8 +495,11 @@ class VersionedTable:
         def attempt() -> int:
             entry = self._read_log(self.latest_version())
             schema = self._entry_schema(entry)
-            cur = self._read_entry(entry).withColumn("__file", F.input_file_name())
+            cur = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(cur.filter(hit))
+            hit_files = [
+                f for f in entry["files"] if self._abs(f["path"]) in touched
+            ]
             carried = [
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
@@ -423,7 +508,7 @@ class VersionedTable:
                 *[F.col(f.name).cast(f.dataType) for f in schema.fields]
             )
             if touched:
-                kept = self._read_paths(sorted(touched), schema).filter(~hit)
+                kept = self._read_files(hit_files, schema).filter(~hit)
                 aligned = kept.unionByName(aligned)
             return self._commit_files(
                 aligned, carried, "REPLACE_WHERE", params, schema
@@ -549,11 +634,30 @@ class VersionedTable:
         if to_version is None:
             to_version = self.latest_version()
         e_old, e_new = self._read_log(from_version), self._read_log(to_version)
-        old_paths = {self._abs(f["path"]) for f in e_old["files"]}
-        new_paths = {self._abs(f["path"]) for f in e_new["files"]}
+
+        # Identity includes the deletion vector: a file whose DV grew
+        # between versions is a real change (its masked rows were
+        # deleted) and must not cancel out of the diff.
+        def ident(f: dict) -> tuple:
+            return (self._abs(f["path"]), tuple(f.get("dv", [])))
+
+        old_ids = {ident(f) for f in e_old["files"]}
+        new_ids = {ident(f) for f in e_new["files"]}
         schema = self._entry_schema(e_new)
-        old_only = self._read_paths(sorted(old_paths - new_paths), self._entry_schema(e_old))
-        new_only = self._read_paths(sorted(new_paths - old_paths), schema)
+        old_only = self._read_files(
+            sorted(
+                (f for f in e_old["files"] if ident(f) not in new_ids),
+                key=lambda f: f["path"],
+            ),
+            self._entry_schema(e_old),
+        )
+        new_only = self._read_files(
+            sorted(
+                (f for f in e_new["files"] if ident(f) not in old_ids),
+                key=lambda f: f["path"],
+            ),
+            schema,
+        )
         for f in schema.fields:
             if f.name not in old_only.columns:
                 old_only = old_only.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -634,19 +738,15 @@ class VersionedTable:
         selected = []
         for f in entry["files"]:
             stats = f.get("stats", {}).get(col)
-            if stats is None:  # no stats for this column: must read
-                selected.append(self._abs(f["path"]))
-                continue
-            fmin, fmax = stats
-            if fmin is None or fmax is None:  # unknown: must read
-                selected.append(self._abs(f["path"]))
-                continue
-            if lo_key is not None and _stat_key(fmax) < lo_key:
-                continue
-            if up_key is not None and _stat_key(fmin) > up_key:
-                continue
-            selected.append(self._abs(f["path"]))
-        return self._read_paths(selected, schema).filter(pred)
+            if stats is not None:
+                fmin, fmax = stats
+                if fmin is not None and fmax is not None:
+                    if lo_key is not None and _stat_key(fmax) < lo_key:
+                        continue
+                    if up_key is not None and _stat_key(fmin) > up_key:
+                        continue
+            selected.append(f)
+        return self._read_files(selected, schema).filter(pred)
 
     # ----------------------------------------------------------------- internals
 
@@ -690,30 +790,86 @@ class VersionedTable:
             for r in tagged.select("__file").distinct().collect()
         }
 
-    def _read_paths(self, paths: list[str], schema: T.StructType) -> DataFrame:
+    def _read_paths(
+        self, paths: list[str], schema: T.StructType, with_meta: bool = False
+    ) -> DataFrame:
         """Assemble a DataFrame from an explicit file list under the
         logged schema. Files written by partitioned commits live under
         hive-style subdirs of their commit directory, so reads group
         by commit dir and set ``basePath`` per group — partition
-        columns stay resolvable while addressing leaf files."""
+        columns stay resolvable while addressing leaf files.
+
+        ``with_meta`` appends ``__path`` (normalized source file path)
+        and ``__row_idx`` (position within that file) from the hidden
+        ``_metadata`` struct — the join keys for deletion vectors and
+        the touched-file detection. Selected at the scan, these are
+        zero-cost generated columns, not data reads."""
         schema = _nullable(schema)
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if with_meta:
+                out = out.withColumn("__path", F.lit(None).cast("string")).withColumn(
+                    "__row_idx", F.lit(None).cast("long")
+                )
+            return out
+
+        meta_cols = [
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "__path"
+            ),
+            F.col("_metadata.row_index").alias("__row_idx"),
+        ]
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return df.select("*", *meta_cols) if with_meta else df
+
         part_cols = self.partition_columns()
         if not part_cols:
-            return self.spark.read.schema(schema).parquet(*paths)
+            return _finish(self.spark.read.schema(schema).parquet(*paths))
         groups: dict[str, list[str]] = {}
         for p in paths:
             groups.setdefault(self._commit_base(p), []).append(p)
         out = None
         for base, grp in sorted(groups.items()):
-            df = (
-                self.spark.read.option("basePath", base)
-                .schema(schema)
-                .parquet(*grp)
+            df = _finish(
+                self.spark.read.option("basePath", base).schema(schema).parquet(*grp)
             )
             out = df if out is None else out.unionByName(df)
         return out
+
+    def _read_files(
+        self,
+        file_entries: list[dict],
+        schema: T.StructType,
+        keep_path: str | None = None,
+    ) -> DataFrame:
+        """Read a list of log file entries, applying each file's
+        deletion vector (``dv``: row indices masked out by a
+        merge-on-read DELETE). The DV table is tiny (one row per
+        deleted row index) and broadcast into a left-anti join keyed
+        on (file, row position) — the scan itself is untouched, so
+        pushdown and pruning survive. ``keep_path`` retains the
+        normalized source-file column under that name (for
+        touched-file detection)."""
+        paths = [self._abs(f["path"]) for f in file_entries]
+        dv_rows = [
+            (self._abs(f["path"]), int(i))
+            for f in file_entries
+            for i in f.get("dv", [])
+        ]
+        if not dv_rows and keep_path is None:
+            return self._read_paths(paths, schema)
+        df = self._read_paths(paths, schema, with_meta=True)
+        if dv_rows:
+            dv_df = self.spark.createDataFrame(
+                dv_rows, "__path string, __row_idx long"
+            )
+            df = df.join(F.broadcast(dv_df), ["__path", "__row_idx"], "left_anti")
+        if keep_path is not None:
+            df = df.withColumnRenamed("__path", keep_path).drop("__row_idx")
+        else:
+            df = df.drop("__path", "__row_idx")
+        return df
 
     def _commit_base(self, p: str) -> str:
         """``basePath`` for a leaf file of a partitioned commit: its
@@ -730,10 +886,7 @@ class VersionedTable:
         return os.path.join(self.path, rel.split(os.sep)[0])
 
     def _read_entry(self, entry: dict) -> DataFrame:
-        return self._read_paths(
-            [self._abs(f["path"]) for f in entry["files"]],
-            self._entry_schema(entry),
-        )
+        return self._read_files(entry["files"], self._entry_schema(entry))
 
     def _resolve_timestamp(self, ts: datetime | str) -> int:
         """Max version with commit timestamp ≤ ts (``api.py:80``).
@@ -834,7 +987,7 @@ class VersionedTable:
             "timestamp": self._commit_timestamp(version),
             "operation": operation,
             "operationParameters": params,
-            "num_rows": sum(f["num_rows"] for f in files),
+            "num_rows": sum(f["num_rows"] - len(f.get("dv", [])) for f in files),
             "files": files,
             "schema": json.loads(schema.json()),
         }

@@ -125,3 +125,60 @@ def test_stream_stream_join_parity(spark, sf_dir):
     )
     streamed = _run_stream_to_df(joined, spark, complete=False).toPandas()
     compare(streamed, batch, "stream-stream join parity")
+
+
+def test_versioned_table_streaming_source(spark):
+    """Offsets are commit versions: a second availableNow pass from
+    the same checkpoint delivers ONLY the files committed since the
+    first pass, and a non-append commit fails the stream."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = VersionedTable.create(
+        spark, temp_table_path("src-stream"), spark.range(0, 100).withColumn("k", F.col("id") % 3)
+    )
+    t.append(spark.range(100, 150).withColumn("k", F.col("id") % 3))
+
+    ckpt = tempfile.mkdtemp(prefix="src-stream-ckpt")
+    seen: list[int] = []
+
+    def sink(batch_df, _bid):
+        seen.extend(r["id"] for r in batch_df.select("id").collect())
+
+    def drain(stream_df):
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    df = spark.readStream.format("versioned_table").load(t.path)
+    drain(df)
+    assert sorted(seen) == list(range(150))
+
+    # incremental: only the new append arrives on the same checkpoint
+    t.append(spark.range(150, 160).withColumn("k", F.col("id") % 3))
+    drain(df)
+    assert sorted(seen) == list(range(160))
+
+    # a rewriting commit (CoW delete) is not append-only: stream fails
+    t.delete(F.col("id") == 0)
+    with pytest.raises(Exception, match="not append-only|STREAM_FAILED"):
+        drain(df)
+
+    # ... unless ignoreChanges streams just the added (rewritten) files
+    seen.clear()
+    df2 = (
+        spark.readStream.format("versioned_table")
+        .option("ignoreChanges", "true").load(t.path)
+    )
+    drain(df2)
+    # the delete rewrote one file: its surviving rows re-emit
+    assert seen and 0 not in seen

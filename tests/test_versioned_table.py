@@ -342,3 +342,52 @@ def test_overwrite_where_replaces_slice_atomically(spark):
             spark.createDataFrame([(1, 4)], "id long, day int"),
             F.col("day") == 3,
         )
+
+
+def test_merge_delete_clause_applies_tombstones(spark, names):
+    """whenMatchedDelete: delete-marked source rows remove their
+    matched target rows and are never inserted (matched or not)."""
+    src = spark.createDataFrame(
+        [(2, "Alice", "Smith"), (3, "__DEL__", "x"), (9, "__DEL__", "x")],
+        SEED_SCHEMA,
+    )
+    names.merge(src, key="id", delete_matched_where=F.col("firstname") == "__DEL__")
+    got = rows(names.to_df())
+    assert got == [(1, "James", "Bond"), (2, "Alice", "Smith")]
+
+
+def test_delete_mor_writes_no_data_and_masks_rows(spark):
+    """Deletion vectors: the MoR delete commit references the SAME
+    physical files (zero data written), reads mask the positions,
+    time travel still sees them, CoW rewrites honor the mask, and
+    OPTIMIZE hardens the vectors away."""
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 10)
+    t = VersionedTable.create(
+        spark, temp_table_path("mor"), df.repartitionByRange(8, "id")
+    )
+    before = {f["path"] for f in t._read_log(0)["files"]}
+    v1 = t.delete_mor(F.col("id").isin(5, 500, 999))
+    e1 = t._read_log(v1)
+    assert {f["path"] for f in e1["files"]} == before  # no new files
+    assert sum(len(f.get("dv", [])) for f in e1["files"]) == 3
+    assert e1["num_rows"] == 997
+    assert t.to_df().count() == 997
+    assert t.to_df().filter(F.col("id").isin(5, 500, 999)).count() == 0
+    assert t.read(version=0).count() == 1000  # time travel unaffected
+
+    # change feed sees the masked rows as deletes
+    ch = t.changes(0, v1)
+    assert {(r.id, r._change_type) for r in ch.collect()} == {
+        (5, "delete"), (500, "delete"), (999, "delete"),
+    }
+
+    # a CoW delete on a DV'd file must not resurrect masked rows
+    v2 = t.delete(F.col("id") == 6)  # same file as id=5
+    assert t.to_df().count() == 996
+    assert t.to_df().filter(F.col("id") == 5).count() == 0
+
+    # OPTIMIZE hardens: fresh files, no DVs, same content
+    v3 = t.optimize(target_files=4)
+    e3 = t._read_log(v3)
+    assert all(not f.get("dv") for f in e3["files"])
+    assert t.to_df().count() == 996
