@@ -412,3 +412,36 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.o_orderstatus").alias("mode_status"),
         F.col("best.cnt").alias("cnt"),
     )
+
+
+# --- agg_histogram --------------------------------------------------------
+
+_HIST_WIDTH = 50_000
+
+_HIST_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / {_HIST_WIDTH}) * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("agg_histogram", oracle=_HIST_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram as a groupBy on the bucket index —
+    the one-pass, map-side-combined shape (bucket count is bounded by
+    the value range, not the row count). min/max per bucket double as
+    a sanity check that bucketing is tight."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_WIDTH)
+    return o.groupBy(
+        bucket.alias("bucket"),
+        (bucket * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -230,15 +230,20 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (reference ``README.md:9-11``) rebuilt Spark-first."""
     import uuid as _uuid
 
-    from delta_lake_play_spark.queries.dml_queries import (
-        _appended_rows,
-        _fresh_from_customer,
-    )
+    from delta_lake_play_spark.queries.dml_queries import _appended_rows
     from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
 
     spark.dataSource.register(VersionedTableDataSource)
-    t = _fresh_from_customer(spark, sf_dir)           # v0
-    t.append(_appended_rows(spark, sf_dir))           # v1
+    # Few large files, not many tiny ones: each file is one Python
+    # source task, and at this row count per-task overhead would
+    # dominate 32 shards (measured 10.8s -> ~4s at sf0.1).
+    t = VersionedTable.create(
+        spark,
+        temp_table_path(),
+        load_table(spark, sf_dir, "customer").coalesce(4),
+    )                                                 # v0
+    t.append(_appended_rows(spark, sf_dir).coalesce(1))  # v1
     name = "table_src_" + _uuid.uuid4().hex[:8]
     q = (
         spark.readStream.format("versioned_table")

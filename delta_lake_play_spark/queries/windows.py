@@ -332,3 +332,66 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(is_new).over(w_run).alias("distinct_users_so_far"),
     )
+
+
+# --- win_funnel_pattern: sequential-pattern detection ---------------------
+# MATCH_RECOGNIZE-style funnel (view -> click -> purchase, each hop
+# within 24 hours -- sized to this corpus's ~2 events/user/day density) with NO self-joins: two stacked window passes
+# over the same (user, time) ordering carry "latest qualifying
+# previous stage" forward as running maxima. One shuffle total, state
+# per row is two timestamps — the shape survives any event volume,
+# where the naive 3-way self-join explodes quadratically per user.
+# Running MAX of a CASE (not last+ignorenulls) keeps both engines'
+# semantics trivially identical under the total (ts, event_id) order.
+
+_HOP_US = 24 * 3600 * 1_000_000
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts,
+         epoch_us(ts::TIMESTAMP) AS us
+  FROM events
+), w1 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER
+    (PARTITION BY user_id ORDER BY us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_us
+  FROM e
+), w2 AS (
+  SELECT *, max(CASE WHEN event_type = 'click' AND v_us IS NOT NULL
+                      AND us - v_us <= {_HOP_US} THEN us END) OVER
+    (PARTITION BY user_id ORDER BY us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_us
+  FROM w1
+)
+SELECT event_id, user_id, ts, CAST(c_us AS BIGINT) AS click_us
+FROM w2
+WHERE event_type = 'purchase' AND c_us IS NOT NULL AND us - c_us <= {_HOP_US}
+"""
+
+
+@register("win_funnel_pattern", oracle=_FUNNEL_ORACLE)
+def win_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v_us = F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    w1 = ev.withColumn("v_us", v_us)
+    c_us = F.max(
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("v_us").isNotNull()
+            & (F.col("us") - F.col("v_us") <= _HOP_US),
+            F.col("us"),
+        )
+    ).over(w)
+    w2 = w1.withColumn("c_us", c_us)
+    return w2.where(
+        (F.col("event_type") == "purchase")
+        & F.col("c_us").isNotNull()
+        & (F.col("us") - F.col("c_us") <= _HOP_US)
+    ).select("event_id", "user_id", "ts", F.col("c_us").alias("click_us"))
