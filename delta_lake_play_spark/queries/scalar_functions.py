@@ -570,3 +570,34 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("nation")).alias("nation_param"),
     )
+
+
+# --- fn_variant_json: Spark 4 VARIANT ingestion ---------------------------
+# parse_json -> VARIANT is the open-ended semi-structured path (no
+# declared schema, binary-encoded, field access without re-parsing).
+# DuckDB twin uses its JSON extraction; outputs are projected to
+# concrete types so the comparison is type-stable.
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events WHERE event_id % 100 = 0
+"""
+
+
+@register("fn_variant_json", oracle=_VARIANT_ORACLE)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingest + typed field extraction + schema_of_variant.
+    At 100 TB, VARIANT beats from_json-with-declared-schema when the
+    payload shape drifts: the binary encoding parses once at ingest
+    and every later access is a cheap path lookup, not a re-parse."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"),
+        F.schema_of_variant(v).alias("variant_schema"),
+    )

@@ -117,3 +117,51 @@ def udtf_explode_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"
     )
     return d.select("doc_id", F.explode(bigrams).alias("bigram"))
+
+
+# --- udtf_python_offsets: a REAL Python UDTF (Spark 3.5+ @udtf) -----------
+# udtf_explode_ngrams shows the preferred pure-Catalyst expansion;
+# this key exercises the actual Python UDTF surface — a table
+# function with per-row generator state (cumulative char offsets),
+# invoked through a SQL LATERAL join. Python-per-row is the cost of
+# the API: use it for logic that genuinely needs imperative state,
+# never where explode/transform can express the expansion.
+
+_UDTF_OFF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, CAST(u['pos'] AS INTEGER) AS pos, u['term'] AS term FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1, 'term': t[i]} for i in range(1, len(t) + 1)]) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id % 25 = 0)
+  )
+)
+SELECT doc_id, pos, term,
+       CAST(coalesce(SUM(len(term) + 1) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+         AS start
+FROM tok
+"""
+
+
+@register("udtf_python_offsets", oracle=_UDTF_OFF_ORACLE)
+def udtf_python_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string, start int")
+    class SplitOffsets:
+        def eval(self, text: str):
+            off = 0
+            for i, tkn in enumerate(text.split(" ")):
+                yield i, tkn, off
+                off += len(tkn) + 1
+
+    spark.udtf.register("split_offsets", SplitOffsets)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.term, s.start "
+        "FROM udtf_docs, LATERAL split_offsets(text) s"
+    )
