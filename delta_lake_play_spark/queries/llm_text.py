@@ -373,3 +373,58 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
     )
+
+
+# --- llm_repetition_filter ------------------------------------------------
+# Gopher-style repetition rule (Rae et al. 2021, public): documents
+# whose most frequent bigram covers too much of the text are
+# boilerplate/spam. Fraction = two exact integer counts + one IEEE
+# division — bit-identical across engines.
+
+_REP_THRESHOLD = 0.18
+
+_REP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), counts AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio,
+       (CAST(MAX(c) AS DOUBLE) / SUM(c)) > {_REP_THRESHOLD} AS flagged
+FROM counts GROUP BY doc_id
+"""
+
+
+@register("llm_repetition_filter", oracle=_REP_ORACLE)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-bigram repetition ratio per document with a Gopher-style
+    flag. Two map-side-combined shuffles keyed on (doc, bigram) then
+    doc — both high-cardinality, no skew beyond genuinely repetitive
+    documents. The production battery adds the 2-4-gram and
+    duplicate-line variants of the same shape."""
+    d = load_table(spark, sf_dir, "documents")
+    # sequence(1, 0) would DESCEND in Spark — guard the 1-token case
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    counts = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.max("c").cast("double") / F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_count"),
+        ratio.alias("rep_ratio"),
+        (ratio > _REP_THRESHOLD).alias("flagged"),
+    )
