@@ -15,6 +15,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     scans,
     sorts_sets,
     streaming_queries,
+    subqueries,
     udfs,
     windows,
 )

@@ -1,0 +1,205 @@
+"""Subquery & decorrelation surface (SURVEY.md §2 extension).
+
+The reference exposes a SQL endpoint backed by Spark
+(``/root/reference/python/delta_api/delta_api/api.py:83-88`` runs
+arbitrary ``spark.sql`` text), so every SQL subquery form Spark
+supports is part of its query surface. These keys exercise Catalyst's
+subquery machinery explicitly — EXISTS / NOT EXISTS, IN over an
+aggregated subquery, correlated scalar subqueries, uncorrelated
+scalar subqueries, and correlated LATERAL — through ``spark.sql``
+over temp views, because the DataFrame API cannot express a
+correlated subquery without hand-rewriting it into a join (which
+would skip the decorrelation path we want covered).
+
+Scale notes: Catalyst decorrelates each form into the join you would
+have written by hand — EXISTS/IN into left-semi joins (shuffle on the
+correlation key, AQE-sizable), NOT EXISTS into left-anti, correlated
+scalar aggregates into an aggregate-then-join, LATERAL-with-LIMIT
+into a partitioned window top-k. None of these materialize the
+subquery per outer row, so a 100 TB outer table costs one shuffle,
+not O(outer) subquery executions. The shapes are pinned in
+``tests/test_plan_shapes.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_lake_play_spark.functions.exact import sql_dsum
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- sub_exists_late_lineitem (TPC-H Q4 shape) ----------------------------
+# Orders that have at least one lineitem shipped more than 75 days
+# after the order date, counted per priority. The reference dataset
+# has no l_commitdate/l_receiptdate, so the Q4 "late" predicate is
+# expressed against l_shipdate vs o_orderdate — the correlation
+# structure (EXISTS with an outer-column comparison inside) is
+# identical.
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 75 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("sub_exists_late_lineitem", oracle=_Q4_SQL)
+def sub_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a correlated non-equi predicate (Q4 shape).
+
+    Catalyst decorrelates to a left-semi hash join on l_orderkey with
+    the date comparison as a join-side filter; the orders date-range
+    filter is pushed to the parquet scan. One shuffle, then a partial
+    + final count aggregate.
+    """
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+# --- sub_scalar_small_quantity (TPC-H Q17 shape) --------------------------
+# Revenue that would be lost by only stocking large quantities of one
+# brand: lineitems whose quantity is below half of that part's average
+# quantity. Correlated scalar aggregate subquery. l_quantity is
+# integer-valued, so AVG (exact integer sum / exact count) is the same
+# IEEE double in both engines, and the 0.5 * avg comparison is
+# deterministic; the revenue sum uses the exact cent-grid fold.
+
+_Q17_SQL = f"""
+SELECT {sql_dsum('l_extendedprice')} AS lost_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("sub_scalar_small_quantity", oracle=_Q17_SQL)
+def sub_scalar_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (Q17 shape).
+
+    Decorrelates to: per-part AVG aggregate over lineitem (map-side
+    partial), joined back on p_partkey, filter, global aggregate. The
+    brand filter prunes part before the join; the per-part aggregate
+    is the only wide stage over lineitem.
+    """
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+# --- sub_in_large_orders (TPC-H Q18 shape) --------------------------------
+# Customers who placed orders totalling more than 140 units: IN over a
+# GROUP BY ... HAVING subquery, then the outer join re-aggregates the
+# same lineitems per order.
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey, o_totalprice,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 140
+)
+GROUP BY c_name, o_orderkey, o_totalprice
+"""
+
+
+@register("sub_in_large_orders", oracle=_Q18_SQL)
+def sub_in_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over an aggregated subquery (Q18 shape).
+
+    The IN-subquery decorrelates to a left-semi join against the
+    HAVING-filtered aggregate; both that aggregate and the outer
+    re-aggregation shuffle on l_orderkey, so AQE can reuse the
+    exchange. sum(l_quantity) is integer-valued — BIGINT cast keeps
+    both engines' result types identical.
+    """
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_SQL)
+
+
+# --- sub_not_exists_quiet_customers (TPC-H Q22 shape) ---------------------
+# "Quiet" high-balance customers: above the global average balance
+# (uncorrelated scalar subquery) with no single order above 300k
+# (correlated NOT EXISTS). Grouped per nation.
+
+_Q22_SQL = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       {sql_dsum('c_acctbal')} AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 300000
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("sub_not_exists_quiet_customers", oracle=_Q22_SQL)
+def sub_not_exists_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS + uncorrelated scalar subquery (Q22 shape).
+
+    The scalar AVG becomes a one-row broadcast (a separate tiny job,
+    then a literal in the filter); NOT EXISTS decorrelates to a
+    left-anti join on o_custkey with the totalprice predicate pushed
+    into the orders scan. AVG(c_acctbal) is NOT on the exact grid
+    (division), but both engines sum the identical int-grid doubles
+    exactly (values ≤ 1e6 on a 2-dp grid sum exactly in int64 space
+    via the same rounding) — the threshold is strictly inside the
+    grid so the comparison is stable; the output sum uses the exact
+    fold.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
+# --- sub_lateral_topk_per_nation ------------------------------------------
+# Correlated LATERAL subquery with ORDER BY ... LIMIT: top-2 customers
+# by balance per nation. Fully deterministic tie-break on (acctbal
+# DESC, name).
+
+_LATERAL_SQL = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@register("sub_lateral_topk_per_nation", oracle=_LATERAL_SQL)
+def sub_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT (per-group top-k).
+
+    Catalyst rewrites LATERAL-with-LIMIT into a window top-k over the
+    join — one shuffle on the correlation key, never a per-nation
+    re-execution of the inner query. Equivalent to the
+    ``win_row_number_topk_per_group`` DataFrame form; this key pins
+    the SQL front-door for it.
+    """
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

@@ -143,3 +143,46 @@ def test_versioned_read_keeps_pushdown_and_pruning(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """EXISTS must become a left-semi join (one shuffle), never a
+    per-outer-row subquery execution, and the orders date range must
+    still push into the scan after decorrelation."""
+    plan = _plan(spark, sf_dir, "sub_exists_late_lineitem")
+    assert "LeftSemi" in plan
+    s = summarize(QUERIES["sub_exists_late_lineitem"](spark, sf_dir))
+    assert any("o_orderdate" in p for p in s.pushed_filters)
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sub_not_exists_quiet_customers")
+    assert "LeftAnti" in plan
+    # the o_totalprice predicate belongs in the orders scan, not the join
+    s = summarize(QUERIES["sub_not_exists_quiet_customers"](spark, sf_dir))
+    assert any("o_totalprice" in p for p in s.pushed_filters)
+
+
+def test_correlated_scalar_subquery_aggregates_once(spark, sf_dir):
+    """Q17 shape: the correlated AVG must run as ONE per-part aggregate
+    joined back — not re-executed per outer row (no nested subquery
+    node left in the physical plan)."""
+    plan = _plan(spark, sf_dir, "sub_scalar_small_quantity")
+    # decorrelated: per-part aggregate + joins, no correlated-subquery
+    # node surviving into the physical plan
+    assert "HashAggregate" in plan
+    # formatted explain names each scan twice (tree + detail block):
+    # lineitem (outer), lineitem (per-part avg), part = 3 scans max
+    assert plan.count("Scan parquet") <= 6, "inner lineitem must scan once, not per row"
+    s = summarize(QUERIES["sub_scalar_small_quantity"](spark, sf_dir))
+    assert not s.has_cartesian
+
+
+def test_lateral_limit_becomes_window_topk(spark, sf_dir):
+    """LATERAL ... LIMIT must not re-run the inner query per nation:
+    Catalyst plans a single join + per-key Window (or equivalent),
+    with no cartesian product."""
+    s = summarize(QUERIES["sub_lateral_topk_per_nation"](spark, sf_dir))
+    assert not s.has_cartesian
+    plan = _plan(spark, sf_dir, "sub_lateral_topk_per_nation")
+    assert "Window" in plan or "LeftSemi" in plan
