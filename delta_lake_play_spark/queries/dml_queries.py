@@ -471,3 +471,58 @@ def dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_custkey") % 100 == 7)
     )                                                             # v2: DV union
     return t.to_df()
+
+
+# --- dml_optimize_zorder (multi-column clustering for skipping) ------------
+
+_ZORDER_ORACLE = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_partkey BETWEEN 100 AND 400
+"""
+
+
+@register("dml_optimize_zorder", oracle=_ZORDER_ORACLE)
+def dml_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (l_orderkey, l_partkey): range-partition on
+    the interleaved-bit Z-value so per-file min/max bands are tight on
+    BOTH columns, then read back through stats pruning on each. The
+    oracle checks that clustering is a pure physical reorganization —
+    the two-sided range read equals a plain filter. File-count
+    skipping on both dimensions is asserted in
+    ``tests/test_data_skipping.py::test_zorder_prunes_on_both_columns``."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .repartition(16)
+    )
+    t = VersionedTable.create(spark, temp_table_path("zord"), li)
+    t.optimize(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
+    out = t.read_range("l_orderkey", 1000, 2000)
+    return out.filter(F.col("l_partkey").between(100, 400))
+
+
+# --- dml_merge_evolve (automatic schema evolution on MERGE) ----------------
+
+_EVOLVE_ORACLE = """
+SELECT c.*, CASE WHEN c.c_custkey <= 50 THEN 'gold' END AS tier
+FROM customer c
+"""
+
+
+@register("dml_merge_evolve", oracle=_EVOLVE_ORACLE)
+def dml_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta autoMerge semantics): the
+    source carries a new ``tier`` column; matched rows take it,
+    pre-existing rows read back NULL. Only files containing matched
+    keys are rewritten — untouched files are carried forward by
+    reference and serve the new column as NULL at read time
+    (``tests/test_versioned_table.py`` pins the no-rewrite property)."""
+    t = _fresh_from_customer(spark, sf_dir)                        # v0
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .withColumn("tier", F.lit("gold"))
+    )
+    t.merge(src, key="c_custkey", evolve_schema=True)              # v1
+    return t.to_df()
