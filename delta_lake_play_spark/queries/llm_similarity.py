@@ -271,3 +271,69 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("de"), lambda x: F.floor(x * _QUANT_LEVELS / F.col("max_abs")).cast("int")
     )
     return base.select("vec_id", "max_abs", q.alias("q"))
+
+
+# --- llm_kmeans_train (iterative Lloyd on the exact integer grid) ---------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unroll the Lloyd iterations as DuckDB CTEs. Same arithmetic as
+    the Spark side: 1e-3 floor-quantized grid, exact int64 distances
+    via the dot-product identity, argmin tie-broken on centroid id,
+    centroid update re-quantized with the same floor(x+0.5)."""
+
+    def assign(a: str, c: str) -> str:
+        dist = (
+            f"CAST(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, {c}.cv)"
+            f" + list_dot_product({c}.cv, {c}.cv) AS BIGINT)"
+        )
+        return (
+            f"{a} AS (SELECT vec_id, qv, cl, dist FROM ("
+            f"SELECT q.vec_id, q.qv, {c}.cl, {dist} AS dist, "
+            f"row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, {c}.cl) AS rn "
+            f"FROM q, {c}) WHERE rn = 1)"
+        )
+
+    def update(c: str, a: str) -> str:
+        return (
+            f"{c} AS (SELECT cl, list(c ORDER BY d) AS cv FROM ("
+            f"SELECT cl, d, CAST(floor(SUM(val)*1.0/COUNT(*) + 0.5) AS BIGINT) AS c "
+            f"FROM (SELECT cl, unnest(qv) AS val, generate_subscripts(qv, 1) AS d FROM {a}) "
+            f"GROUP BY cl, d) GROUP BY cl)"
+        )
+
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cl, qv AS cv FROM q WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(assign(f"a{i + 1}", f"c{i}"))
+        ctes.append(update(f"c{i + 1}", f"a{i + 1}"))
+    ctes.append(assign("fin", f"c{iters}"))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cl AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(SUM(dist) AS BIGINT) AS wss FROM fin GROUP BY cl"
+    )
+
+
+@register("llm_kmeans_train", oracle=_kmeans_oracle())
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means training (3 Lloyd rounds, k=8) over the
+    embedding corpus — the iterative-algorithm class: per iteration
+    one broadcast of the k-row centroid table, one streaming
+    assignment pass with a map-side-combined argmin, one k×d-cell
+    centroid aggregate; only the centroid matrix is collected
+    (O(k·d), the Lloyd driver loop). Exact-integer grid arithmetic
+    makes every iteration bit-identical to the unrolled DuckDB CTE
+    oracle — a hash-checked iterative algorithm, not rows-only."""
+    from delta_lake_play_spark.operators.kmeans import kmeans_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train(
+        spark, e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
