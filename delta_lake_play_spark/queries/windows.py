@@ -395,3 +395,46 @@ def win_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("c_us").isNotNull()
         & (F.col("us") - F.col("c_us") <= _HOP_US)
     ).select("event_id", "user_id", "ts", F.col("c_us").alias("click_us"))
+
+
+# --- win_gap_islands: consecutive-day activity runs -----------------------
+# Classic gaps-and-islands: one row per maximal run of consecutive
+# active days per user. The (day - row_number) group key turns each
+# run into a constant — two window-free-shuffle-compatible stages
+# (distinct days, then a per-user window + re-group), no self-join.
+
+_ISLANDS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'error'
+), keyed AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS grp
+  FROM days
+)
+SELECT user_id,
+       CAST(MIN(day) AS TIMESTAMP) AS island_start,
+       CAST(MAX(day) AS TIMESTAMP) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM keyed GROUP BY user_id, grp
+"""
+
+
+@register("win_gap_islands", oracle=_ISLANDS_ORACLE)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal consecutive-day runs of per-user error activity. The
+    distinct + window + re-aggregate all hash-partition on user_id, so
+    AQE reuses one exchange; no join appears anywhere. Date arithmetic
+    is integer-exact on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    keyed = days.select(
+        "user_id", "day", F.date_sub(F.col("day"), rn).alias("grp")
+    )
+    return keyed.groupBy("user_id", "grp").agg(
+        F.min("day").cast("timestamp").alias("island_start"),
+        F.max("day").cast("timestamp").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).drop("grp")
