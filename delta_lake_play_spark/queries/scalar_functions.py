@@ -601,3 +601,52 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"),
         F.schema_of_variant(v).alias("variant_schema"),
     )
+
+
+# --- fn_map_hof: map higher-order functions --------------------------------
+# map_filter / transform_values / map_zip_with over a per-row map.
+# DuckDB has no map lambdas, so the oracle rebuilds the same scalars
+# from a list-of-structs pipeline — the key checks semantics, the
+# Spark side exercises the real map HOFs.
+
+_MAP_HOF_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS INTEGER) * 2 AS qty_doubled,
+       COALESCE(array_to_string(list_sort(list_transform(list_filter([
+           {'k': 'qty',      'v': CAST(l_quantity AS INTEGER)},
+           {'k': 'disc_pct', 'v': CAST(floor(l_discount*100 + 0.5) AS INTEGER)},
+           {'k': 'tax_pct',  'v': CAST(floor(l_tax*100 + 0.5) AS INTEGER)}
+         ], x -> x.v >= 5), x -> x.k)), ','), '') AS big_keys,
+       CAST(3 * (CAST(l_quantity AS INTEGER)
+                 + CAST(floor(l_discount*100 + 0.5) AS INTEGER)
+                 + CAST(floor(l_tax*100 + 0.5) AS INTEGER)) AS BIGINT) AS sum_zipped
+FROM lineitem WHERE l_orderkey < 300
+"""
+
+
+@register("fn_map_hof", oracle=_MAP_HOF_ORACLE)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_filter + transform_values + map_zip_with: build a 3-entry
+    int map per row, double it, filter it, zip original+doubled
+    (= 3×), and fold the zipped values. All JVM-side map expressions;
+    the tiny fixed map size keeps the interpreted-HOF cost nil."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    pct = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("int")  # noqa: E731
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("disc_pct"), F.lit("tax_pct")),
+        F.array(F.col("l_quantity").cast("int"), pct("l_discount"), pct("l_tax")),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: v >= 5)
+    zipped = F.map_zip_with(m, doubled, lambda k, a, b: a + b)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(doubled, "qty").alias("qty_doubled"),
+        F.concat_ws(",", F.array_sort(F.map_keys(big))).alias("big_keys"),
+        F.aggregate(
+            F.map_values(zipped),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_zipped"),
+    )
