@@ -445,3 +445,35 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+# --- agg_sketch_hll: mergeable distinct-count sketches ---------------------
+
+
+@register("agg_sketch_hll", oracle=None)
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL: per-segment sketches, then a sketch-merge
+    rollup — the mergeable-partial-aggregate pattern that replaces
+    exact COUNT(DISTINCT) at 100 TB (no key-wide shuffle: each
+    partition emits a fixed-size sketch, merges are associative, and
+    a segment-level sketch can be reused for any segment rollup
+    without touching the data again). Rows-only: sketch binaries are
+    engine-specific; the ±2% estimate-vs-exact bound is asserted in
+    ``tests/test_operators.py::test_hll_estimate_error_bound``."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_distinct"),
+    )
+    per_seg = seg.select(
+        "c_mktsegment",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    total = seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+    ).select(
+        F.lit("__ALL__").alias("c_mktsegment"), "est_distinct", "exact_distinct"
+    )
+    return per_seg.unionByName(total)

@@ -93,3 +93,17 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(nodes, pairs, driver_threshold=0).collect()
     }
     assert got_dist == want
+
+
+def test_hll_estimate_error_bound(spark, sf_dir):
+    """HLL estimates must land within 2% of exact per segment and for
+    the sketch-merged rollup (custkeys are unique across segments, so
+    the exact rollup is the sum)."""
+    from delta_lake_play_spark.registry import all_queries
+
+    rows = all_queries()["agg_sketch_hll"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        exact = r["exact_distinct"]
+        assert exact > 0
+        assert abs(r["est_distinct"] - exact) / exact < 0.02, r
