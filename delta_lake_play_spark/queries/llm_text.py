@@ -14,7 +14,7 @@ DuckDB (see ``text.py`` module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from delta_lake_play_spark.llm import text as tx
@@ -427,4 +427,110 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_count"),
         ratio.alias("rep_ratio"),
         (ratio > _REP_THRESHOLD).alias("flagged"),
+    )
+
+
+# --- llm_pack_sequences ----------------------------------------------------
+# Greedy sequential packing of documents into fixed token budgets —
+# the batch-construction step of a training pipeline. Packing is done
+# PER SOURCE SHARD (window partitioned by source), which is the shape
+# that scales: a global running sum would serialize onto one
+# partition, while per-shard packing is embarrassingly parallel and
+# matches how corpora are sharded on disk.
+
+_PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT source, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY source, bin_id
+"""
+
+
+@register("llm_pack_sequences", oracle=_PACK_ORACLE)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a training-batch bin by the running
+    token count within its source shard (bin = where the doc STARTS
+    in the token stream). One window + one aggregate, both
+    partitioned on source — no global ordering anywhere, so shards
+    pack in parallel at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        * F.lit(1.0)
+        / F.lit(_PACK_BUDGET)
+    ).cast("bigint")
+    return (
+        toks.withColumn("bin_id", bin_id)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# --- llm_context_chunking --------------------------------------------------
+# RAG-style fixed-window chunking with overlap: 500-char windows on a
+# 400-char stride. sequence() + explode is pure Catalyst — chunking
+# 100 TB of text is a narrow map with no shuffle at all until the
+# optional per-doc count.
+
+_CHUNK_LEN = 500
+_CHUNK_STRIDE = 400
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST((pos - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       substr(text, pos, {_CHUNK_LEN}) AS chunk,
+       CAST(length(substr(text, pos, {_CHUNK_LEN})) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text), {_CHUNK_STRIDE})) AS pos
+  FROM documents WHERE doc_id < 120
+)
+"""
+
+
+@register("llm_context_chunking", oracle=_CHUNK_ORACLE)
+def llm_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character windows per document (500 long, 400
+    stride). sequence()/explode/substring are all codegen'd JVM
+    expressions — a pure narrow map over the corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    starts = F.sequence(
+        F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("pos"))
+        .select(
+            "doc_id",
+            ((F.col("pos") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("pos"), F.lit(_CHUNK_LEN)).alias("chunk"),
+            F.length(
+                F.substring(F.col("text"), F.col("pos"), F.lit(_CHUNK_LEN))
+            ).cast("bigint").alias("chunk_len"),
+        )
     )
