@@ -478,7 +478,8 @@ def dml_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZORDER_ORACLE = """
 SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
 FROM lineitem
-WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_partkey BETWEEN 100 AND 400
+WHERE l_orderkey < 30000
+  AND l_orderkey BETWEEN 1000 AND 2000 AND l_partkey BETWEEN 100 AND 400
 """
 
 
@@ -491,13 +492,16 @@ def dml_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-sided range read equals a plain filter. File-count
     skipping on both dimensions is asserted in
     ``tests/test_data_skipping.py::test_zorder_prunes_on_both_columns``."""
+    # A prefix slice keeps the two rewrite passes cheap at bench scale
+    # without changing the clustering demonstration.
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 30000)
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-        .repartition(16)
+        .repartition(8)
     )
     t = VersionedTable.create(spark, temp_table_path("zord"), li)
-    t.optimize(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
+    t.optimize(target_files=8, zorder_by=["l_orderkey", "l_partkey"])
     out = t.read_range("l_orderkey", 1000, 2000)
     return out.filter(F.col("l_partkey").between(100, 400))
 

@@ -241,7 +241,7 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = VersionedTable.create(
         spark,
         temp_table_path(),
-        load_table(spark, sf_dir, "customer").coalesce(4),
+        load_table(spark, sf_dir, "customer").coalesce(2),
     )                                                 # v0
     t.append(_appended_rows(spark, sf_dir).coalesce(1))  # v1
     name = "table_src_" + _uuid.uuid4().hex[:8]
