@@ -238,3 +238,36 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="orc_sink_") + "/supplier"
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# --- scan_schema_merge ----------------------------------------------------
+
+_SCHEMA_MERGE_ORACLE = """
+SELECT c_custkey, c_acctbal, NULL AS c_mktsegment
+FROM customer WHERE c_custkey < 500
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey >= 500 AND c_custkey < 1000
+"""
+
+
+@register("scan_schema_merge", oracle=_SCHEMA_MERGE_ORACLE)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema read over heterogeneous parquet files: an older
+    2-column file and a newer 3-column file in one directory; rows
+    from the old file surface NULL for the added column. mergeSchema
+    costs one footer pass over the file set (not a data pass), which
+    is why production tables record the merged schema in table
+    metadata instead — both paths exist here (see dml_merge_evolve
+    for the metadata-driven one)."""
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="schema_merge_") + "/tbl"
+    c.filter(F.col("c_custkey") < 500).select("c_custkey", "c_acctbal").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out)
+    c.filter((F.col("c_custkey") >= 500) & (F.col("c_custkey") < 1000)).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).coalesce(1).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out)
