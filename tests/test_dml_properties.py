@@ -33,7 +33,7 @@ SCHEMA = T.StructType(
 # (op_code, seed) pairs; params are derived from the model state so
 # every drawn sequence is valid by construction.
 _OPS = st.lists(
-    st.tuples(st.integers(0, 4), st.integers(0, 10**6)), min_size=3, max_size=7
+    st.tuples(st.integers(0, 6), st.integers(0, 10**6)), min_size=3, max_size=7
 )
 
 
@@ -89,10 +89,18 @@ def test_random_dml_sequences(spark, ops):
             table.append(spark.createDataFrame([row], SCHEMA))
             model[row[0]] = row[1:]
             next_id += 1
-        else:  # RESTORE to a random earlier version
+        elif op_code == 4:  # RESTORE to a random earlier version
             v = seed % (table.latest_version() + 1)
             table.restore(v)
             model = dict(states[v])
+        elif op_code == 5 and ids:  # merge-on-read DELETE (deletion vector)
+            from pyspark.sql import functions as F
+
+            pick = ids[seed % len(ids)]
+            table.delete_mor(F.col("id") == pick)
+            del model[pick]
+        else:  # OPTIMIZE: layout-only commit, content must not move
+            table.optimize(target_files=2, cluster_by=["id"])
 
         version = table.latest_version()
         states[version] = dict(model)
