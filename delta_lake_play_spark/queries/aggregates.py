@@ -477,3 +477,26 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__ALL__").alias("c_mktsegment"), "est_distinct", "exact_distinct"
     )
     return per_seg.unionByName(total)
+
+
+# --- fn_bool_agg: boolean aggregates ---------------------------------------
+
+_BOOL_AGG_ORACLE = """
+SELECT c_mktsegment,
+       bool_and(c_acctbal > -500) AS all_above_floor,
+       bool_or(c_acctbal > 9000) AS any_premium,
+       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("fn_bool_agg", oracle=_BOOL_AGG_ORACLE)
+def fn_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / count_if per group — one map-side-combined
+    aggregate; booleans partial-combine to single bytes."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > -500).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_premium"),
+        F.count_if(F.col("c_acctbal") < 0).cast("bigint").alias("n_negative"),
+    )

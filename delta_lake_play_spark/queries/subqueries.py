@@ -203,3 +203,44 @@ def sub_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# --- sub_not_in_null_semantics --------------------------------------------
+# NOT IN over a subquery whose projection contains NULLs is the classic
+# three-valued-logic trap: x NOT IN (S ∪ {NULL}) is FALSE when x ∈ S
+# and NULL (not TRUE!) when x ∉ S, so in WHERE position it filters
+# EVERY row out — a naive anti-join rewrite silently returns wrong
+# rows. The predicates sit in WHERE position deliberately: that is
+# where both engines implement standard null-aware semantics (in a
+# SELECT projection Spark compiles the IN-subquery to an existence
+# join and yields FALSE where the standard says NULL — a documented
+# engine divergence this key stays away from).
+
+_NOT_IN_SQL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT CASE WHEN o_totalprice > 480000 THEN o_custkey END FROM orders
+   )) AS n_not_in_nullable,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT o_custkey FROM orders WHERE o_totalprice > 480000
+   )) AS n_not_in_null_free,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+   WHERE c_custkey IN (
+     SELECT CASE WHEN o_totalprice > 480000 THEN o_custkey END FROM orders
+   )) AS n_in_nullable
+"""
+
+
+@register("sub_not_in_null_semantics", oracle=_NOT_IN_SQL)
+def sub_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued logic in WHERE position: against the
+    NULL-bearing subquery NOT IN keeps zero rows (non-membership is
+    NULL, never TRUE), against the NULL-free set it keeps the true
+    complement, and IN keeps exactly the members. Spark plans the
+    null-aware anti join (a broadcast existence join, not a plain
+    LeftAnti) — the scale-relevant point: null-aware NOT IN cannot
+    use a hash anti join on the key alone."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_NOT_IN_SQL)

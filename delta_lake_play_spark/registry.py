@@ -183,6 +183,8 @@ _PRIORITY: tuple[str, ...] = (
     "dml_optimize_zorder",  # 5.12s sf0.1
     "stream_stateful_count",  # 6.40s sf0.1
     "scan_schema_merge",  # new this session
+    "sub_not_in_null_semantics",  # new this session
+    "fn_bool_agg",  # new this session
     "llm_pack_sequences",  # new this session
     "llm_context_chunking",  # new this session
     "stream_table_source",  # 15.76s sf0.1
