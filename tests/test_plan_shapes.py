@@ -186,3 +186,13 @@ def test_lateral_limit_becomes_window_topk(spark, sf_dir):
     assert not s.has_cartesian
     plan = _plan(spark, sf_dir, "sub_lateral_topk_per_nation")
     assert "Window" in plan or "LeftSemi" in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN against a nullable subquery must plan the null-aware
+    variant of the anti join (the trailing `true` flag on the
+    BroadcastHashJoin), not a plain LeftAnti — plain anti would
+    return rows the standard says to drop."""
+    df = QUERIES["sub_not_in_null_semantics"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan
