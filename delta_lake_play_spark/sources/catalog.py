@@ -36,25 +36,39 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects outright (PARQUET_TYPE_ILLEGAL). We read it via the
-    ``nanosAsLong`` legacy mode and floor to microseconds with exact
-    integer division (``div 1000`` on int64 — double division would
-    round by up to ±0.25µs at epoch-ns magnitudes). DuckDB's reader
-    floors ns→µs the same way, so both engines see identical
-    timestamps. This is a scan-level rewrite: still a plain columnar
-    scan with pushdown on every other column.
+    Timestamp normalization (scan-level, still a plain columnar scan
+    with pushdown on every other column):
+
+    - ``events.ts`` as TIMESTAMP(NANOS) parquet is rejected outright
+      by Spark's reader (PARQUET_TYPE_ILLEGAL); read via the
+      ``nanosAsLong`` legacy mode and floor to microseconds with exact
+      integer division (``div 1000`` on int64 — double division would
+      round by up to ±0.25µs at epoch-ns magnitudes). DuckDB's reader
+      floors ns→µs the same way.
+    - µs-precision parquet timestamps without the UTC flag infer as
+      TIMESTAMP_NTZ in Spark 4, which TIMESTAMP-only functions
+      (``unix_micros`` et al.) reject. Cast NTZ columns to TIMESTAMP
+      with the session timezone pinned to UTC, so the wall-clock value
+      is preserved exactly and epoch arithmetic matches DuckDB's
+      naive-timestamp ``epoch_us`` on any machine timezone.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         if dict(raw.dtypes).get("ts") == "bigint":
-            return raw.withColumn(
+            raw = raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return raw
-    return spark.read.parquet(path)
+    else:
+        raw = spark.read.parquet(path)
+    ntz_cols = [c for c, t in raw.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
+    return raw
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
