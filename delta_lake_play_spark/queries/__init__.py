@@ -16,6 +16,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     sorts_sets,
     streaming_queries,
     subqueries,
+    tpch_extra,
     udfs,
     windows,
 )

@@ -187,6 +187,13 @@ _PRIORITY: tuple[str, ...] = (
     "fn_bool_agg",  # new this session
     "llm_pack_sequences",  # new this session
     "llm_context_chunking",  # new this session
+    "join_volume_shipping",  # TPC-H Q7, new this session
+    "join_market_share",  # TPC-H Q8, new this session
+    "join_returned_topcust",  # TPC-H Q10, new this session
+    "agg_promo_revenue",  # TPC-H Q14, new this session
+    "sub_top_supplier",  # TPC-H Q15, new this session
+    "agg_supplier_part_counts",  # TPC-H Q16 shape, new this session
+    "join_disjunctive_pred",  # TPC-H Q19, new this session
     "stream_table_source",  # 15.76s sf0.1
 )
 

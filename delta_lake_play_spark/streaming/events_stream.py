@@ -43,8 +43,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-glob prefix is the directory satisfies it while matching
     # exactly the events file.
     stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # µs parquet without the UTC flag infers NTZ, which watermarks
+        # reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Same UTC-pinned
+        # cast as the batch reader so batch/stream types stay identical.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

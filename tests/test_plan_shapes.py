@@ -196,3 +196,51 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     df = QUERIES["sub_not_in_null_semantics"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_q19_disjunction_prunes_both_scans(spark, sf_dir):
+    """TPC-H Q19: Catalyst must extract the per-side conjuncts common
+    to every OR branch — the brand/size disjunction reaches the part
+    scan and the quantity disjunction reaches the lineitem scan, so
+    the OR is never evaluated row-by-row over the whole fact table."""
+    s = summarize(QUERIES["join_disjunctive_pred"](spark, sf_dir))
+    assert s.n_broadcast_joins >= 1
+    assert any("l_quantity" in p for p in s.pushed_filters), (
+        "quantity disjunction must prune the lineitem scan pre-join"
+    )
+    assert any("p_brand" in p for p in s.pushed_filters), (
+        "brand disjunction must prune the part scan pre-join"
+    )
+
+
+def test_q10_topk_and_date_pushdown(spark, sf_dir):
+    """TPC-H Q10: the half-year date range reaches the orders scan,
+    the returnflag filter reaches lineitem, nation broadcasts, and the
+    top-20 compiles to TakeOrderedAndProject (no global sort)."""
+    s = assert_scalable(
+        QUERIES["join_returned_topcust"](spark, sf_dir),
+        require_pushdown_on="o_orderdate",
+    )
+    assert s.has_take_ordered
+    assert s.n_broadcast_joins >= 1
+    assert any("l_returnflag" in p for p in s.pushed_filters)
+
+
+def test_q14_promo_pushdown_and_broadcast(spark, sf_dir):
+    """TPC-H Q14: ship-month range prunes the lineitem scan and part
+    broadcasts — the join input is one month of the fact, not all of
+    it."""
+    s = assert_scalable(
+        QUERIES["agg_promo_revenue"](spark, sf_dir),
+        require_pushdown_on="l_shipdate",
+    )
+    assert s.n_broadcast_joins >= 1
+
+
+def test_q15_max_revenue_is_broadcast_equality(spark, sf_dir):
+    """TPC-H Q15: the scalar MAX joins back as a broadcast one-row
+    equi-join; nothing in the plan is a cartesian product or a
+    per-row subquery."""
+    s = summarize(QUERIES["sub_top_supplier"](spark, sf_dir))
+    assert not s.has_cartesian
+    assert s.n_broadcast_joins >= 2  # max-row join + supplier dim join
