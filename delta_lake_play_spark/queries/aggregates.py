@@ -500,3 +500,46 @@ def fn_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("c_acctbal") > 9000).alias("any_premium"),
         F.count_if(F.col("c_acctbal") < 0).cast("bigint").alias("n_negative"),
     )
+
+
+# --- agg_retention_cohort -------------------------------------------------
+
+# Classic cohort retention: users grouped by their first-activity day,
+# distinct active users per (cohort_day, day_offset). Two shuffles —
+# the per-user min (map-side combined, #users rows) and the final
+# distinct-count — both keyed far below event cardinality.
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("agg_retention_cohort", oracle=_RETENTION_ORACLE)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: cohort = each user's first active day;
+    cell = distinct users from that cohort active N days later. The
+    firsts aggregate broadcasts back onto events (users ≪ events), so
+    the fact table is touched once with no wide shuffle before the
+    final low-cardinality distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

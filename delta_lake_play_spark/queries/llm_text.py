@@ -534,3 +534,73 @@ def llm_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("chunk_len"),
         )
     )
+
+
+# --- llm_quality_score_linear ---------------------------------------------
+
+# Fixed linear model over engineered per-doc features — the "model-
+# based quality filter" stage of a training-data pipeline (a learned
+# fastText/logreg scorer at production; weights here are literals).
+# Every feature and the score are single IEEE expressions over exact
+# integers with identical op trees in Spark and DuckDB, so the hash
+# matches without any rounding.
+
+_QSCORE_ORACLE = """
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+       2.0::DOUBLE + 0.01::DOUBLE * n_tokens
+           + 3.0::DOUBLE * (CAST(distinct_tokens AS DOUBLE) / n_tokens)
+           - 0.5::DOUBLE * (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens)
+         AS quality_score,
+       (2.0::DOUBLE + 0.01::DOUBLE * n_tokens
+            + 3.0::DOUBLE * (CAST(distinct_tokens AS DOUBLE) / n_tokens)
+            - 0.5::DOUBLE * (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens))
+         > 2.5 AS keep
+FROM (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+  FROM documents
+) f
+"""
+
+
+@register("llm_quality_score_linear", oracle=_QSCORE_ORACLE)
+def llm_quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality model: score = w·[n_tokens, type-token ratio,
+    avg token length] + b, keep = score > τ. Pure narrow Catalyst
+    map — at 100 TB this is scan-bound with zero shuffle; swapping in
+    learned weights (or a Pandas-UDF model) changes only the
+    expression, not the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    distinct_tokens = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    f = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        distinct_tokens.alias("distinct_tokens"),
+    )
+    ttr = F.col("distinct_tokens").cast("double") / F.col("n_tokens")
+    avg_tok_len = (
+        (F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double")
+        / F.col("n_tokens")
+    )
+    score = (
+        F.lit(2.0)
+        + F.lit(0.01) * F.col("n_tokens")
+        + F.lit(3.0) * ttr
+        - F.lit(0.5) * avg_tok_len
+    )
+    return f.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        ttr.alias("ttr"),
+        avg_tok_len.alias("avg_tok_len"),
+        score.alias("quality_score"),
+        (score > 2.5).alias("keep"),
+    )

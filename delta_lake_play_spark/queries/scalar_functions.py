@@ -650,3 +650,102 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sum_zipped"),
     )
+
+
+# --- fn_date_spine_fill ---------------------------------------------------
+
+# Time-series gap filling: a generated per-user date spine LEFT-joined
+# to actual daily activity, zero-filling silent days. sequence() +
+# explode is the Spark-native date spine (no driver loop, no recursive
+# CTE); at 100 TB the spine is proportional to users x days, not
+# events, and the daily aggregate is map-side combined before its one
+# shuffle.
+
+_SPINE_ORACLE = """
+WITH span AS (
+  SELECT user_id,
+         min(date_trunc('day', ts)) AS d0,
+         max(date_trunc('day', ts)) AS d1
+  FROM events WHERE user_id < 30 GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round((value) * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS v
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+)
+SELECT s.user_id, s.day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(d.v, 0.0) AS DOUBLE) AS value_sum
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@register("fn_date_spine_fill", oracle=_SPINE_ORACLE)
+def fn_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity with zero-filled gaps: generate each
+    user's [first_day, last_day] spine with sequence()/explode, left
+    join the daily aggregate, coalesce missing days to zero. The
+    exact-grid value sum keeps the join's float output hash-stable."""
+    from delta_lake_play_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    day = F.date_trunc("day", F.col("ts"))
+    span = ev.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count("*").alias("n"), dsum("value", 2).alias("v")
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("v", F.lit(0.0)).cast("double").alias("value_sum"),
+    )
+
+
+# --- fn_stack_unpivot -----------------------------------------------------
+
+# Wide->long reshaping (melt): one row per (key, metric) via the
+# stack() generator — the Spark-native unpivot (also surfaced as
+# DataFrame.unpivot/melt in Spark 3.4+). A pure narrow generator: no
+# shuffle, output rows = input rows x metrics.
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, metric, val
+FROM (
+  SELECT o_orderkey,
+         unnest(['totalprice', 'custkey', 'year']) AS metric,
+         unnest([o_totalprice,
+                 CAST(o_custkey AS DOUBLE),
+                 CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE)]) AS val
+  FROM orders WHERE o_orderkey < 500
+) t
+"""
+
+
+@register("fn_stack_unpivot", oracle=_UNPIVOT_ORACLE)
+def fn_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot three per-order measures into (metric, val) rows with
+    the stack() generator — the inverse of agg_pivot. Narrow map,
+    codegen'd, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(3, 'totalprice', o_totalprice,"
+            " 'custkey', CAST(o_custkey AS DOUBLE),"
+            " 'year', CAST(year(o_orderdate) AS DOUBLE)) AS (metric, val)"
+        ),
+    )

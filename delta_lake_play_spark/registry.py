@@ -194,6 +194,10 @@ _PRIORITY: tuple[str, ...] = (
     "sub_top_supplier",  # TPC-H Q15, new this session
     "agg_supplier_part_counts",  # TPC-H Q16 shape, new this session
     "join_disjunctive_pred",  # TPC-H Q19, new this session
+    "llm_quality_score_linear",  # new this session
+    "fn_date_spine_fill",  # new this session
+    "agg_retention_cohort",  # new this session
+    "fn_stack_unpivot",  # new this session
     "stream_table_source",  # 15.76s sf0.1
 )
 
