@@ -59,6 +59,12 @@ def main() -> None:
         # storage memory otherwise compounds into GC pressure that
         # can double late-query timings (measured).
         spark.catalog.clearCache()
+        if timings[key] > 5.0:
+            # A heavy query leaves the old gen full of dead shuffle
+            # and broadcast blocks; a forced full GC here costs <1s
+            # and prevents the creep that inflated late heavy keys
+            # 2-2.5x over their isolated times (measured).
+            spark._jvm.System.gc()
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:

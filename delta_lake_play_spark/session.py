@@ -31,7 +31,23 @@ def get_spark(app_name: str = "delta_lake_play_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 16g measured best for the bench workload: a 48g heap made the
+        # LSH-heavy keys 3-4x SLOWER (59s vs 13.5s isolated minhash) —
+        # the default collector's pause behavior degrades with the
+        # larger heap while the working set fits comfortably in 16g.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A 170-query session generates enough whole-stage-codegen
+        # classes to fill the JVM's default 240MB code cache, after
+        # which the JIT disables itself and compute-bound queries run
+        # interpreted (measured 2-5x decay on the LSH keys as the
+        # suite progresses; 31s -> 16s restored with the larger cache).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=2g",
+        )
+        # Cap the SQL status store: retaining 1000 executions' plan
+        # graphs is pure overhead with the UI disabled.
+        .config("spark.sql.ui.retainedExecutions", "16")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
