@@ -59,3 +59,32 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("long"))
     out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def null_split_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """LEFT equi-join that routes NULL-key left rows around the join.
+
+    Semantically identical to ``left.join(right, left[left_key] ==
+    right[right_key], 'left')`` — a NULL key never matches, so those
+    rows exit with the right columns NULL either way. Physically, in a
+    shuffled join every NULL-key row hashes to the same partition; on
+    fact tables where a foreign key is sparsely populated (10-50%
+    NULLs is common in event data) that single partition becomes the
+    straggler that dominates the stage. Splitting routes the NULL rows
+    through a zero-cost projection and shuffles only the rows that can
+    actually match. (With a broadcast right side the split is a no-op
+    cost-wise; the planner still benefits from the smaller probe.)"""
+    with_key = left.where(F.col(left_key).isNotNull())
+    null_key = left.where(F.col(left_key).isNull())
+    joined = with_key.join(
+        right, with_key[left_key] == right[right_key], "left"
+    )
+    # Align the null branch to the joined schema: right columns NULL.
+    for name, dtype in right.dtypes:
+        null_key = null_key.withColumn(name, F.lit(None).cast(dtype))
+    return joined.unionByName(null_key)

@@ -565,3 +565,45 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_recent"),
         dsum("value").alias("sum_value"),
     )
+
+
+# --- join_null_key_split --------------------------------------------------
+
+# Sparse-foreign-key pattern: a fact column that is NULL for a large
+# fraction of rows (derived deterministically here) LEFT-joined to its
+# dimension. The operator routes NULL keys around the shuffle — at
+# 100 TB the alternative is one straggler partition holding every
+# NULL-key row. Oracle is the plain LEFT JOIN: the split must be
+# invisible in the result.
+
+_NULLSPLIT_ORACLE = """
+SELECT l_orderkey, l_linenumber, lsk, s_name
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_partkey % 3 = 0 THEN NULL ELSE l_suppkey END AS lsk
+  FROM lineitem
+) f
+LEFT JOIN supplier ON f.lsk = s_suppkey
+"""
+
+
+@register("join_null_key_split", oracle=_NULLSPLIT_ORACLE)
+def join_null_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join on a 1/3-NULL foreign key via the null-split operator
+    (``operators/salted_join.py::null_split_left_join``): NULL-key
+    rows bypass the join entirely, so no shuffle partition inherits
+    the full NULL population. Result is bit-identical to the plain
+    LEFT JOIN the oracle runs."""
+    from delta_lake_play_spark.operators.salted_join import null_split_left_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_partkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("l_suppkey")
+        ).alias("lsk"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return null_split_left_join(li, s, "lsk", "s_suppkey").select(
+        "l_orderkey", "l_linenumber", "lsk", "s_name"
+    )

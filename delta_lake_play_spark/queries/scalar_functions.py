@@ -749,3 +749,37 @@ def fn_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'year', CAST(year(o_orderdate) AS DOUBLE)) AS (metric, val)"
         ),
     )
+
+
+# --- fn_levenshtein -------------------------------------------------------
+
+# Edit distance against a broadcast probe — the verify stage of
+# fuzzy entity resolution (candidate pairs come from blocking/LSH at
+# scale, never all-pairs). Both engines implement classic
+# Wagner-Fischer, so the distances agree exactly.
+
+_LEV_PROBE = "Customer#000000042"
+
+_LEV_ORACLE = f"""
+SELECT c_custkey, c_name,
+       CAST(levenshtein(c_name, '{_LEV_PROBE}') AS BIGINT) AS edit_dist
+FROM customer
+WHERE levenshtein(c_name, '{_LEV_PROBE}') <= 3
+"""
+
+
+@register("fn_levenshtein", oracle=_LEV_ORACLE)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose name is within edit distance 3 of a probe
+    string. Narrow map over the dimension — the fuzzy-match primitive
+    used by dedup verify stages; Spark 3.5+'s bounded form
+    (``levenshtein(l, r, threshold)``) can short-circuit the DP when
+    only the cutoff matters."""
+    c = load_table(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("c_name"), F.lit(_LEV_PROBE))
+    return (
+        c.select(
+            "c_custkey", "c_name", dist.cast("bigint").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 3)
+    )

@@ -198,6 +198,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_date_spine_fill",  # new this session
     "agg_retention_cohort",  # new this session
     "fn_stack_unpivot",  # new this session
+    "fn_levenshtein",  # new this session
+    "join_null_key_split",  # new this session
     "stream_table_source",  # 15.76s sf0.1
 )
 

@@ -107,3 +107,25 @@ def test_hll_estimate_error_bound(spark, sf_dir):
         exact = r["exact_distinct"]
         assert exact > 0
         assert abs(r["est_distinct"] - exact) / exact < 0.02, r
+
+
+def test_null_split_left_join_matches_plain_join(spark):
+    """The split must be invisible: same rows as a plain LEFT join,
+    including right rows carrying NULL payload values and duplicate
+    right keys (which fan out in both forms)."""
+    from delta_lake_play_spark.operators.salted_join import null_split_left_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 10)],
+        "lid int, k int",
+    )
+    right = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (30, None)], "rk int, v string"
+    )
+    got = null_split_left_join(left, right, "k", "rk")
+    plain = left.join(right, left["k"] == right["rk"], "left")
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select("lid", "k", "rk", "v").collect()
+    )
+    assert canon(got) == canon(plain)
+    assert len(canon(got)) == 7  # lid 1 and 5 fan out to 2 rows each; 2 and 4 pass through
