@@ -244,3 +244,30 @@ def test_q15_max_revenue_is_broadcast_equality(spark, sf_dir):
     s = summarize(QUERIES["sub_top_supplier"](spark, sf_dir))
     assert not s.has_cartesian
     assert s.n_broadcast_joins >= 2  # max-row join + supplier dim join
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At 100 TB the cheapest rows are the ones never shuffled:
+    Spark's runtime Bloom-filter injection builds a filter from the
+    selective (orders) side and applies it to the fact scan before
+    the join shuffle. The defaults only arm beyond a 10GB fact scan,
+    so this pins the behavior with thresholds scaled to test data —
+    a separate SQLConf via newSession() so the shared session's
+    plans are untouched."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = s2.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = s2.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > 450000
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    assert "might_contain" in plan, "fact side not filtered by the bloom filter"
