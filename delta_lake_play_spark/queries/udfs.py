@@ -165,3 +165,46 @@ def udtf_python_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.pos, s.term, s.start "
         "FROM udtf_docs, LATERAL split_offsets(text) s"
     )
+
+
+# --- udf_arrow_batch: mapInArrow (zero-copy RecordBatch surface) ----------
+
+# The fourth escape hatch: pyarrow RecordBatches straight through
+# Python with no pandas materialization — the right shape when the
+# per-batch work is itself Arrow-native (compute kernels, Arrow IPC
+# to another process, GPU transfer). Logic is mirrored in SQL so the
+# oracle hash-checks the whole path.
+
+_ARROW_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+@register("udf_arrow_batch", oracle=_ARROW_ORACLE)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow stage computing byte and token counts with pyarrow
+    compute kernels on the RecordBatch itself — no pandas conversion,
+    no per-row Python. Same scaling story as mapInPandas (per-batch
+    memory, narrow map), minus the pandas copy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_bytes", "n_tokens"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(batch_stats, schema="doc_id bigint, n_bytes bigint, n_tokens bigint")
