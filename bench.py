@@ -111,6 +111,9 @@ def main() -> None:
 _HEADLINE = [
     "agg_group_sum_avg_count",   # flagship TPC-H Q1 shape
     "join_region_revenue",       # TPC-H Q5 shape, 6-table star
+    "join_volume_shipping",      # TPC-H Q7 shape, nation-pair
+    "join_returned_topcust",     # TPC-H Q10 shape, top-20
+    "join_disjunctive_pred",     # TPC-H Q19 shape, OR-of-ANDs
     "join_multiway_star",
     "join_asof_last_event",
     "join_bucketed_colocated",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from delta_lake_play_spark.functions.exact import sql_dsum
 from delta_lake_play_spark.registry import register
 from delta_lake_play_spark.sources.catalog import load_table
 from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
@@ -530,3 +531,69 @@ def dml_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(src, key="c_custkey", evolve_schema=True)              # v1
     return t.to_df()
+
+
+# --- dml_incremental_gold --------------------------------------------------
+
+# The medallion incremental-maintenance pattern: a silver fact table
+# takes an append; the gold per-nation aggregate is NOT recomputed —
+# the change feed between silver versions is aggregated into deltas
+# and MERGEd into gold. At 100 TB this is the difference between
+# touching the whole fact table per refresh and touching one batch.
+# Gold stores the balance as exact integer cents so incremental
+# addition is associative (double accumulation would drift from the
+# full-recompute oracle); the final SELECT converts once.
+
+_INC_GOLD_ORACLE = f"""
+WITH full_silver AS (SELECT * FROM customer UNION ALL {_APPEND_SQL})
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {sql_dsum('c_acctbal', 2)} AS sum_bal
+FROM full_silver
+GROUP BY c_nationkey
+"""
+
+
+@register("dml_incremental_gold", oracle=_INC_GOLD_ORACLE)
+def dml_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained gold aggregate: silver v0 -> full
+    compute into gold; silver append -> change feed -> per-key deltas
+    -> MERGE into gold. The oracle recomputes from scratch, so the
+    hash proves incremental == full."""
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    silver = _fresh_from_customer(spark, sf_dir)
+
+    gold_rows = (
+        silver.to_df()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents).alias("bal_cents"),
+        )
+    )
+    gold = VersionedTable.create(spark, temp_table_path("gold"), gold_rows)
+
+    silver.append(_appended_rows(spark, sf_dir))
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        silver.changes(0, 1)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * cents).alias("dc"),
+        )
+    )
+    cur = gold.to_df()
+    updated = delta.join(cur, "c_nationkey", "left").select(
+        "c_nationkey",
+        (F.coalesce("n_customers", F.lit(0)) + F.col("dn")).alias("n_customers"),
+        (F.coalesce("bal_cents", F.lit(0)) + F.col("dc")).alias("bal_cents"),
+    )
+    gold.merge(updated, key="c_nationkey")
+
+    return gold.to_df().select(
+        "c_nationkey",
+        "n_customers",
+        (F.col("bal_cents") / F.lit(100.0)).cast("double").alias("sum_bal"),
+    )

@@ -31,8 +31,11 @@ from delta_lake_play_spark.sources.catalog import load_table
 
 # --- join_volume_shipping (TPC-H Q7 shape) --------------------------------
 
-_Q7_N1 = "NATION_1"
-_Q7_N2 = "NATION_2"
+# Pair chosen to ship volume in BOTH directions at every test
+# scale factor (verified sf0.001/0.01/0.1) so the parity check never
+# sees an empty result.
+_Q7_N1 = "NATION_12"
+_Q7_N2 = "NATION_13"
 
 _Q7_ORACLE = f"""
 SELECT supp_nation, cust_nation, l_year,

@@ -201,6 +201,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_levenshtein",  # new this session
     "join_null_key_split",  # new this session
     "udf_arrow_batch",  # new this session
+    "dml_incremental_gold",  # new this session
     "stream_table_source",  # 15.76s sf0.1
 )
 
