@@ -563,6 +563,9 @@ def dml_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
     silver = _fresh_from_customer(spark, sf_dir)
 
+    # The gold aggregate is #nations rows; without the coalesce the
+    # 32-partition groupBy output becomes 25 one-row files that every
+    # later commit re-stats — pure fixed overhead.
     gold_rows = (
         silver.to_df()
         .groupBy("c_nationkey")
@@ -570,6 +573,7 @@ def dml_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.sum(cents).alias("bal_cents"),
         )
+        .coalesce(1)
     )
     gold = VersionedTable.create(spark, temp_table_path("gold"), gold_rows)
 
@@ -585,10 +589,14 @@ def dml_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cur = gold.to_df()
-    updated = delta.join(cur, "c_nationkey", "left").select(
-        "c_nationkey",
-        (F.coalesce("n_customers", F.lit(0)) + F.col("dn")).alias("n_customers"),
-        (F.coalesce("bal_cents", F.lit(0)) + F.col("dc")).alias("bal_cents"),
+    updated = (
+        delta.join(cur, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            (F.coalesce("n_customers", F.lit(0)) + F.col("dn")).alias("n_customers"),
+            (F.coalesce("bal_cents", F.lit(0)) + F.col("dc")).alias("bal_cents"),
+        )
+        .coalesce(1)
     )
     gold.merge(updated, key="c_nationkey")
 
