@@ -1,0 +1,157 @@
+"""Composed LLM-pipeline stages (SURVEY.md §2.12): end-to-end steps
+built from the primitive operators — cluster-then-keep-one dedup and
+a self-evaluating ANN recall harness. These are the queries a real
+training-data pipeline runs; registering them proves the primitives
+compose without driver-side glue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- llm_dedup_keep_best --------------------------------------------------
+
+# The step AFTER cluster assignment: each transitive duplicate family
+# keeps its best member — the standard heuristic keeps the LONGEST
+# document (near-dups are usually truncations/boilerplate variants of
+# the fullest copy), tie-broken by lowest doc_id for determinism.
+
+
+def _keep_best_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_dedup import _clusters_ctes
+
+    return _clusters_ctes() + """
+, members AS (
+  SELECT c.cluster, d.doc_id, d.n_chars
+  FROM clusters c JOIN documents d ON c.vec_id = d.doc_id
+)
+SELECT cluster, doc_id AS keeper_doc_id, n_chars AS keeper_chars,
+       n_members
+FROM (
+  SELECT cluster, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+  FROM members
+) WHERE rn = 1
+"""
+
+
+@register("llm_dedup_keep_best", oracle=_keep_best_oracle())
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-one: connected components over the
+    embedding-cosine pair graph (``llm_dedup_clusters``'s operator),
+    then one window rank per cluster keeps the longest member. The
+    cluster assignment is vectors-only; document metadata joins in by
+    id afterwards, so the wide text column never enters the iterative
+    part."""
+    from delta_lake_play_spark.functions.vectors import cosine_sim
+    from delta_lake_play_spark.operators.dedup import connected_components
+    from delta_lake_play_spark.queries.llm_dedup import _CLUSTER_COS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("b"), "label", F.col("embedding").alias("emb_b"))
+    pairs = (
+        a.join(b, on="label")
+        .where(F.col("a") < F.col("b"))
+        .where(cosine_sim("emb_a", "emb_b") >= _CLUSTER_COS)
+        .select("a", "b")
+    )
+    clusters = connected_components(e.select(F.col("vec_id").alias("node")), pairs)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = clusters.join(d, clusters.node == d.doc_id).select(
+        "cluster", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster")
+    ranked = members.select(
+        "cluster",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("n_chars").alias("keeper_chars"),
+        "n_members",
+    )
+
+
+# --- llm_ann_recall -------------------------------------------------------
+
+# Self-evaluating ANN: recall@k of the IVF cell-restricted search
+# against the brute-force exact top-k, per query. This is the metric
+# that decides whether an ANN index is usable — shipping it as a
+# query means the evaluation runs IN the engine, on the full corpus,
+# instead of in a notebook on a sample.
+
+
+def _ann_recall_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_similarity import (
+        _IVF_ORACLE,
+        _TOPK_ORACLE,
+    )
+
+    return f"""
+WITH exact AS ({_TOPK_ORACLE}),
+approx AS ({_IVF_ORACLE})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("llm_ann_recall", oracle=_ann_recall_oracle())
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVF approximate top-k vs the exact baseline, per
+    query: left-join the exact neighbor set with the approximate one
+    and count hits. Both sides reuse the registered operators, so the
+    recall harness costs one extra broadcast join over the two
+    searches."""
+    from delta_lake_play_spark.queries.llm_similarity import (
+        _CENTROID_STRIDE,
+        _N_QUERIES,
+        _TOP_K,
+    )
+    from delta_lake_play_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") >= _N_QUERIES)
+    queries = e.where(F.col("vec_id") < _N_QUERIES)
+    exact = cosine_topk(
+        corpus=corpus, queries=queries, id_col="vec_id", vec_col="embedding", k=_TOP_K
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        corpus=corpus,
+        queries=queries,
+        centroids=e.where(F.col("vec_id") % _CENTROID_STRIDE == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_TOP_K,
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
+    joined = exact.join(
+        F.broadcast(approx),
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.hit_id),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "hit_id")
+    hit = F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k"),
+        F.sum(hit).alias("n_hit"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("recall"),
+    )

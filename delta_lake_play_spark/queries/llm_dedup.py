@@ -224,7 +224,10 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_COS = 0.3
 
 
-def _clusters_oracle() -> str:
+def _clusters_ctes() -> str:
+    """The recursive-CTE prefix computing transitive duplicate
+    clusters over the embedding-cosine pair graph; shared by the
+    clusters oracle and the keep-best composition oracle."""
     from delta_lake_play_spark.queries.llm_similarity import _sql_cos
 
     cos = _sql_cos("a.de", "b.de")
@@ -241,10 +244,15 @@ walk(node, lab) AS (
   SELECT vec_id, vec_id FROM v
   UNION
   SELECT e.eb, w.lab FROM walk w JOIN edges e ON e.ea = w.node
-)
-SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS cluster
-FROM walk GROUP BY node
-"""
+),
+clusters AS (
+  SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS cluster
+  FROM walk GROUP BY node
+)"""
+
+
+def _clusters_oracle() -> str:
+    return _clusters_ctes() + "\nSELECT vec_id, cluster FROM clusters"
 
 
 @register("llm_dedup_clusters", oracle=_clusters_oracle())

@@ -202,6 +202,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_null_key_split",  # new this session
     "udf_arrow_batch",  # new this session
     "dml_incremental_gold",  # new this session
+    "llm_dedup_keep_best",  # new this session
+    "llm_ann_recall",  # new this session
     "stream_table_source",  # 15.76s sf0.1
 )
 
