@@ -21,7 +21,8 @@ from delta_lake_play_spark.sources.catalog import load_table
 
 
 @F.udf(T.StringType())
-def _normalize_name(name: str) -> str:
+def _normalize_name(name):  # no type hints: pyspark tries (and fails) to infer
+    # an eval type from them, emitting a UserWarning at import
     # Customer#000000042 -> CUST-42
     return "CUST-" + str(int(name.split("#")[1]))
 

@@ -271,3 +271,20 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
     assert "might_contain" in plan, "fact side not filtered by the bloom filter"
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    """TPC-H Q7: supplier and both nation copies broadcast; no
+    cartesian; the only shuffles belong to the fact-side joins and
+    the final aggregate."""
+    s = summarize(QUERIES["join_volume_shipping"](spark, sf_dir))
+    assert not s.has_cartesian
+    assert s.n_broadcast_joins >= 3
+
+
+def test_q8_broadcasts_dims_and_pushes_region(spark, sf_dir):
+    """TPC-H Q8: region/nation/supplier broadcast and the region
+    filter prunes before the fact join."""
+    s = summarize(QUERIES["join_market_share"](spark, sf_dir))
+    assert not s.has_cartesian
+    assert s.n_broadcast_joins >= 3
