@@ -155,3 +155,57 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("n_hit"),
         (F.sum(hit).cast("double") / F.count("*")).alias("recall"),
     )
+
+
+# --- llm_token_rarity -----------------------------------------------------
+
+# Rarity-weighted scoring: each token's inverse corpus frequency,
+# integerized as (corpus_tokens * 1000) div freq so the per-doc sum
+# is exact int64 arithmetic (a double sum would be accumulation-order
+# dependent); the mean is one IEEE division at the end. High mean
+# rarity = gibberish/rare-token soup, low = boilerplate — the cheap
+# statistical LM stand-in a pipeline runs before real perplexity.
+
+
+_RARITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY term
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM((total.n * 1000) // vocab.freq) AS BIGINT) AS rarity_milli_sum,
+       CAST(SUM((total.n * 1000) // vocab.freq) AS DOUBLE) / count(*)
+         AS mean_rarity_milli
+FROM tok JOIN vocab USING (term), total
+GROUP BY doc_id
+"""
+
+
+@register("llm_token_rarity", oracle=_RARITY_ORACLE)
+def llm_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean inverse-corpus-frequency per document on an exact integer
+    grid. The vocabulary (term → corpus frequency) is one
+    map-side-combined aggregate, broadcast back onto the token
+    stream; the per-doc sum is int64 (order-independent). At web
+    scale the vocabulary still fits an executor after min-frequency
+    pruning — the same broadcast shape as the dedup hash dictionary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    total = tok.agg(F.count("*").alias("n"))
+    rarity = F.expr("(n * 1000) div freq")
+    return (
+        tok.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(total))
+        .select("doc_id", rarity.alias("r"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("r").alias("rarity_milli_sum"),
+            (F.sum("r").cast("double") / F.count("*")).alias("mean_rarity_milli"),
+        )
+    )

@@ -204,7 +204,8 @@ _PRIORITY: tuple[str, ...] = (
     "dml_incremental_gold",  # new this session
     "llm_dedup_keep_best",  # new this session
     "llm_ann_recall",  # new this session
-    "stream_table_source",  # 15.76s sf0.1
+    "llm_token_rarity",  # new this session
+    "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
 
