@@ -209,3 +209,104 @@ def llm_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("r").cast("double") / F.count("*")).alias("mean_rarity_milli"),
         )
     )
+
+
+# --- llm_pipeline_end2end -------------------------------------------------
+
+# The whole curation pipeline as ONE declarative query: heuristic
+# quality gate -> exact dedup (keep lowest id per text) -> greedy
+# per-shard sequence packing of the survivors. Because every stage is
+# a DataFrame transformation, Catalyst sees the full pipeline and the
+# corpus is scanned ONCE — the end-to-end proof that the stages
+# compose without materialization barriers between them.
+
+_E2E_BUDGET = 2048
+
+_E2E_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_token_len
+  FROM documents
+),
+gated AS (
+  SELECT * FROM feat
+  WHERE n_tokens >= 40 AND distinct_ratio >= 0.25
+    AND mean_token_len BETWEEN 2 AND 8
+),
+deduped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) * 1.0 / {_E2E_BUDGET}) AS BIGINT) AS bin_id
+  FROM deduped
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM packed GROUP BY source, bin_id
+"""
+
+
+@register("llm_pipeline_end2end", oracle=_E2E_ORACLE)
+def llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → exact dedup → per-shard packing in one logical
+    plan. The gate is a codegen'd filter on the scan, dedup is one
+    window on text, packing one window on source — three stages, two
+    shuffles, one corpus scan. This is the query a reference user
+    runs nightly; registering it end-to-end proves no stage needs a
+    driver-side materialization between stages."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    distinct_ratio = (
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("double")
+        / n_tokens
+    )
+    mean_token_len = (
+        (F.col("n_chars") - (n_tokens - F.lit(1))).cast("double") / n_tokens
+    )
+    gated = d.select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens")
+    ).where(
+        (n_tokens >= 40)
+        & (distinct_ratio >= 0.25)
+        & mean_token_len.between(2, 8)
+    )
+    deduped = (
+        gated.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("text").orderBy("doc_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bin_id = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        * F.lit(1.0)
+        / F.lit(_E2E_BUDGET)
+    ).cast("bigint")
+    return (
+        deduped.withColumn("bin_id", bin_id)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

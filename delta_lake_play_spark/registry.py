@@ -205,6 +205,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_keep_best",  # new this session
     "llm_ann_recall",  # new this session
     "llm_token_rarity",  # new this session
+    "llm_pipeline_end2end",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 

@@ -288,3 +288,15 @@ def test_q8_broadcasts_dims_and_pushes_region(spark, sf_dir):
     s = summarize(QUERIES["join_market_share"](spark, sf_dir))
     assert not s.has_cartesian
     assert s.n_broadcast_joins >= 3
+
+
+def test_pipeline_end2end_scans_corpus_once(spark, sf_dir):
+    """The composed curation pipeline (gate → dedup → pack) must stay
+    one logical plan over ONE scan of documents — a second scan would
+    mean a stage boundary re-reading the corpus."""
+    plan = _plan(spark, sf_dir, "llm_pipeline_end2end")
+    # formatted explain names each scan twice (tree node + detail
+    # block), so one physical scan appears at most twice
+    assert plan.count("Scan parquet") <= 2
+    s = summarize(QUERIES["llm_pipeline_end2end"](spark, sf_dir))
+    assert not s.has_cartesian
