@@ -129,3 +129,29 @@ def test_null_split_left_join_matches_plain_join(spark):
     )
     assert canon(got) == canon(plain)
     assert len(canon(got)) == 7  # lid 1 and 5 fan out to 2 rows each; 2 and 4 pass through
+
+
+def test_dsum_exact_and_order_independent(spark):
+    """dsum must equal the exact decimal sum (computed in integer
+    cents) for any 2-dp grid values, under ANY partitioning — the
+    property the whole oracle-parity scheme rests on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from delta_lake_play_spark.functions.exact import dsum
+
+    cents = st.integers(min_value=-10_000_000, max_value=10_000_000)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(cents, min_size=1, max_size=60), st.integers(1, 16))
+    def check(cent_values, n_parts):
+        rows = [(c / 100.0,) for c in cent_values]
+        df = spark.createDataFrame(rows, "v double").repartition(n_parts)
+        got = df.agg(dsum("v").alias("s")).collect()[0]["s"]
+        assert got == sum(cent_values) / 100.0
+
+    check()
