@@ -38,7 +38,12 @@ def main() -> None:
 
     spark = get_spark("delta_lake_play_spark-bench", cpus=cpus)
     queries = all_queries()
-    keys = only or sorted(queries)
+    # The two LSH-heavy keys run first, right after warmup: even with
+    # the enlarged code cache, ~180 preceding codegen'd queries leave
+    # enough JVM state that their in-suite time varied 8->24s run to
+    # run; measured first they match their isolated times.
+    heavy_first = [k for k in ("llm_dedup_near_minhash", "llm_dedup_simhash") if k in queries]
+    keys = only or heavy_first + sorted(k for k in queries if k not in heavy_first)
 
     # Warm-up: JVM, codegen, parquet footer cache for the big table.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
