@@ -607,3 +607,34 @@ def join_null_key_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return null_split_left_join(li, s, "lsk", "s_suppkey").select(
         "l_orderkey", "l_linenumber", "lsk", "s_name"
     )
+
+
+# --- join_cross_small -----------------------------------------------------
+
+# The one legitimate cartesian: an explicit small-dims cross join
+# building the full (region x nation) evaluation grid, then a LEFT
+# join marks which combinations actually occur — the "report every
+# cell, present or not" reporting pattern. Both inputs are bounded
+# dimensions; the cross product is 125 rows, never fact-sized.
+
+_CROSS_ORACLE = """
+SELECT r.r_name, n.n_name,
+       (n.n_regionkey = r.r_regionkey) AS is_home_region
+FROM region r CROSS JOIN nation n
+"""
+
+
+@register("join_cross_small", oracle=_CROSS_ORACLE)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit crossJoin of two bounded dims (the evaluation-grid
+    pattern). Everywhere else in this engine a CartesianProduct in
+    the plan is a bug (pinned by tests); here it is the declared
+    intent, and the grid size is the product of two dimension
+    cardinalities — independent of fact volume."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home_region"),
+    )

@@ -244,3 +244,40 @@ def sub_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     use a hash anti join on the key alone."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_NOT_IN_SQL)
+
+
+# --- sub_any_all: quantified comparison subqueries -------------------------
+
+_ANYALL_ORACLE = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > ALL (
+        SELECT p_retailprice FROM part WHERE p_partkey < 20)
+  AND p_retailprice < ANY (
+        SELECT p_retailprice FROM part WHERE p_partkey >= 100)
+"""
+
+
+_ANYALL_SPARK_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > (
+        SELECT max(p_retailprice) FROM part WHERE p_partkey < 20)
+  AND p_retailprice < (
+        SELECT max(p_retailprice) FROM part WHERE p_partkey >= 100)
+"""
+
+
+@register("sub_any_all", oracle=_ANYALL_ORACLE)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons ``> ALL (...)`` / ``< ANY (...)``.
+    Spark SQL has no quantified-subquery syntax, so the Spark side
+    states the standard rewrite directly — ``> ALL`` ⇒ ``> (SELECT
+    max ...)``, ``< ANY`` ⇒ ``< (SELECT max ...)`` — as uncorrelated
+    scalar subqueries: each aggregate runs ONCE and joins back as a
+    one-row broadcast, with the brand filters pushed into their part
+    scans. The oracle runs the genuine ALL/ANY forms, proving the
+    rewrite. (Non-null p_retailprice; with NULLs the quantified forms
+    go three-valued and the max-rewrite would need a guard.)"""
+    _views(spark, sf_dir, "part")
+    return spark.sql(_ANYALL_SPARK_SQL)

@@ -206,6 +206,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_ann_recall",  # new this session
     "llm_token_rarity",  # new this session
     "llm_pipeline_end2end",  # new this session
+    "sub_any_all",  # new this session
+    "join_cross_small",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
