@@ -543,3 +543,42 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# --- agg_grouping_id ------------------------------------------------------
+
+# grouping()/grouping_id() distinguish real NULL group keys from
+# subtotal rows — without them a rollup over a nullable column is
+# ambiguous. Both engines implement the SQL-standard bit encoding.
+
+_GROUPING_ID_ORACLE = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("agg_grouping_id", oracle=_GROUPING_ID_ORACLE)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping()/grouping_id() flags marking which NULLs
+    are subtotals. gid is computed from the per-column grouping bits
+    (Spark's grouping_id() and DuckDB's GROUPING_ID() agree on the
+    same encoding, but deriving it keeps the expression visibly
+    portable)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    g = F.grouping  # per-column subtotal bit
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            g("r_name").cast("bigint").alias("g_region"),
+            g("n_name").cast("bigint").alias("g_nation"),
+            (g("r_name").cast("bigint") * 2 + g("n_name").cast("bigint")).alias("gid"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -152,3 +152,40 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("o_custkey")
 
     return year(1995).intersect(year(1996))
+
+
+# --- set_multiset_ops -----------------------------------------------------
+
+# EXCEPT ALL / INTERSECT ALL: bag semantics that preserve duplicate
+# multiplicity (DISTINCT-based set ops collapse it). The multiplicity
+# arithmetic — count(a) - count(b) copies survive EXCEPT ALL,
+# min(count(a), count(b)) survive INTERSECT ALL — is exactly what a
+# change-feed diff needs (a row updated twice must appear twice).
+
+_MULTISET_ORACLE = """
+WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0)
+SELECT 'except_all' AS op, o_orderstatus, o_orderpriority
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'intersect_all', o_orderstatus, o_orderpriority
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+"""
+
+
+@register("set_multiset_ops", oracle=_MULTISET_ORACLE)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll + intersectAll over two overlapping low-cardinality
+    projections, tagged and unioned. Spark plans both as a single
+    count-aggregate + generate (multiplicity replay) — one shuffle
+    each, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
+    b = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
+    ex = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), "o_orderstatus", "o_orderpriority"
+    )
+    inter = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "o_orderstatus", "o_orderpriority"
+    )
+    return ex.unionByName(inter)

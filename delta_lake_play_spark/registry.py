@@ -208,6 +208,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_pipeline_end2end",  # new this session
     "sub_any_all",  # new this session
     "join_cross_small",  # new this session
+    "agg_grouping_id",  # new this session
+    "set_multiset_ops",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
