@@ -783,3 +783,35 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 3)
     )
+
+
+# --- fn_explode_outer -----------------------------------------------------
+
+# Outer generator semantics: a row whose array is empty (or NULL)
+# must SURVIVE the explosion with a NULL element — plain explode
+# silently drops it, which in a tokenize-then-join pipeline loses
+# every empty document. DuckDB has no unnest-outer; the oracle
+# emulates it by substituting [NULL] for empty arrays.
+
+_EXPLODE_OUTER_ORACLE = """
+SELECT doc_id, tok
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END AS toks2
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> len(x) > 6) AS toks
+    FROM documents WHERE doc_id < 200
+  )
+), unnest(toks2) AS u(tok)
+"""
+
+
+@register("fn_explode_outer", oracle=_EXPLODE_OUTER_ORACLE)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a filtered token array: documents with no
+    token longer than 6 chars keep one (doc_id, NULL) row instead of
+    vanishing — the LEFT JOIN LATERAL semantic plain explode lacks."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))

@@ -189,3 +189,31 @@ def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "o_orderstatus", "o_orderpriority"
     )
     return ex.unionByName(inter)
+
+
+# --- sort_within_partitions -----------------------------------------------
+
+# Local (per-partition) sort: no range exchange, no global order —
+# the sort you run BEFORE a write so each parquet file is clustered
+# on the sort key and its pages/row-groups carry tight min/max stats.
+# The result SET is identical to the unsorted projection (ordering is
+# physical layout, not semantics), which is exactly what the
+# order-insensitive oracle hash checks.
+
+_SORT_LOCAL_ORACLE = """
+SELECT l_orderkey, l_shipdate, l_quantity
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+
+@register("sort_within_partitions", oracle=_SORT_LOCAL_ORACLE)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions on the ship date: a mapPartitions-local
+    sort with NO exchange in the plan (pinned in
+    tests/test_plan_shapes.py) — at 100 TB this is how you lay out
+    files for date-range data skipping without paying a global
+    range-partitioned sort."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return li.select("l_orderkey", "l_shipdate", "l_quantity").sortWithinPartitions(
+        "l_shipdate"
+    )

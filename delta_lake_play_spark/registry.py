@@ -210,6 +210,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_cross_small",  # new this session
     "agg_grouping_id",  # new this session
     "set_multiset_ops",  # new this session
+    "fn_explode_outer",  # new this session
+    "sort_within_partitions",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 

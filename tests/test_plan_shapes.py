@@ -300,3 +300,14 @@ def test_pipeline_end2end_scans_corpus_once(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2
     s = summarize(QUERIES["llm_pipeline_end2end"](spark, sf_dir))
     assert not s.has_cartesian
+
+
+def test_sort_within_partitions_has_no_exchange(spark, sf_dir):
+    """The pre-write clustering sort must be partition-local: a Sort
+    node with global=false and NO added exchange — a range shuffle
+    here would be the cost the operator exists to avoid."""
+    df = QUERIES["sort_within_partitions"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Exchange" not in plan
