@@ -582,3 +582,39 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --- agg_string_agg -------------------------------------------------------
+
+# Within-group string concatenation — the report/export staple. Spark
+# 4 has listagg(), but without a WITHIN GROUP ordering its result is
+# partition-order-dependent; the deterministic form is sort-then-join
+# (identical to DuckDB's string_agg ... ORDER BY).
+
+_STRING_AGG_ORACLE = """
+SELECT n_nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+"""
+
+
+@register("agg_string_agg", oracle=_STRING_AGG_ORACLE)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation comma-joined supplier list. array_join ∘ array_sort
+    ∘ collect_list renders the aggregation order-deterministic —
+    bare listagg() (Spark 4) concatenates in partition arrival order
+    and would hash differently run to run."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+    )

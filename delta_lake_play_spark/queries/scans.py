@@ -271,3 +271,30 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_acctbal", "c_mktsegment"
     ).coalesce(1).write.mode("append").parquet(out)
     return spark.read.option("mergeSchema", "true").parquet(out)
+
+
+# --- sink_text_roundtrip --------------------------------------------------
+
+# Plain-text source/sink: one line per row, schema = a single string
+# column — the rawest corpus interchange format (and what a tokenizer
+# pipeline reads). Line-split on write/read must round-trip exactly;
+# the document texts contain no newlines, so rows == lines.
+
+_TEXT_RT_ORACLE = """
+SELECT text AS value FROM documents WHERE doc_id < 150
+"""
+
+
+@register("sink_text_roundtrip", oracle=_TEXT_RT_ORACLE)
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a document slice with the text sink, read it back with
+    the text source. Text files carry no schema and no types — the
+    read side is one `value: string` column — which is exactly why
+    the engine's other sinks are columnar; this key pins the
+    interchange path a raw-corpus drop uses."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    out = tempfile.mkdtemp(prefix="text_rt_")
+    d.select("text").write.mode("overwrite").text(out)
+    return spark.read.text(out)

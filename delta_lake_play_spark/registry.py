@@ -212,6 +212,8 @@ _PRIORITY: tuple[str, ...] = (
     "set_multiset_ops",  # new this session
     "fn_explode_outer",  # new this session
     "sort_within_partitions",  # new this session
+    "agg_string_agg",  # new this session
+    "sink_text_roundtrip",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
