@@ -605,3 +605,35 @@ def dml_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         (F.col("bal_cents") / F.lit(100.0)).cast("double").alias("sum_bal"),
     )
+
+
+# --- dml_convert_in_place -------------------------------------------------
+
+_CONVERT_ORACLE = f"""
+WITH converted AS (SELECT * FROM customer)
+SELECT * FROM converted WHERE c_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+UNION ALL
+{_APPEND_SQL}
+"""
+
+
+@register("dml_convert_in_place", oracle=_CONVERT_ORACLE)
+def dml_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA: a plain-parquet directory becomes a
+    versioned table by footer sweep + one log write — zero data
+    rewritten (version 0 references the original files by absolute
+    path; a test pins that invariant). The converted table then takes
+    real DML: a predicate DELETE (copy-on-write rewrites only touched
+    files, originals untouched) and an APPEND, proving conversion
+    yields a first-class table, not a read-only view."""
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="convert_src_")
+    load_table(spark, sf_dir, "customer").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    t = VersionedTable.convert(spark, temp_table_path("conv"), src_dir)
+    t.delete(F.col("c_acctbal") < 0)
+    t.append(_appended_rows(spark, sf_dir))
+    return t.to_df()

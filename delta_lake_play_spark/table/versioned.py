@@ -173,6 +173,51 @@ class VersionedTable:
         return t
 
     @classmethod
+    def convert(cls, spark: SparkSession, path: str, source_dir: str) -> "VersionedTable":
+        """In-place conversion of an existing plain-parquet directory
+        (Delta ``CONVERT TO DELTA``): version 0 references the
+        existing data files by absolute path — per-file stats come
+        from their parquet footers, ZERO bytes of data are rewritten,
+        so converting a 100 TB directory costs one footer sweep plus
+        one log write. Later DML is copy-on-write under the table's
+        own directory; the source files are never mutated (the same
+        sharing caveat as a shallow CLONE applies to vacuuming the
+        source directory out from under the table)."""
+        t = cls(spark, path)
+        if t.exists():
+            raise FileExistsError(f"versioned table already exists at {path}")
+        schema = spark.read.parquet(source_dir).schema
+        files = t._footer_entries(
+            "", schema, [], base_dir=source_dir, absolute=True
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {source_dir}")
+        os.makedirs(t._log_dir, exist_ok=True)
+        entry = {
+            "version": 0,
+            "timestamp": t._commit_timestamp(0),
+            "operation": "CONVERT",
+            "operationParameters": {
+                "sourceDir": source_dir,
+                "partitionBy": [],
+                "constraints": {},
+            },
+            "num_rows": sum(f["num_rows"] for f in files),
+            "files": files,
+            "schema": json.loads(schema.json()),
+        }
+        tmp = os.path.join(t._log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        try:
+            os.link(tmp, os.path.join(t._log_dir, f"{0:020d}.json"))
+        except FileExistsError:
+            raise VersionConflictError("version 0 committed by another writer") from None
+        finally:
+            os.unlink(tmp)
+        return t
+
+    @classmethod
     def create_if_absent(
         cls, spark: SparkSession, path: str, seed_df: DataFrame
     ) -> "VersionedTable":
@@ -1030,7 +1075,12 @@ class VersionedTable:
         return now.isoformat()
 
     def _footer_entries(
-        self, rel_dir: str, schema: T.StructType, part_cols: list[str]
+        self,
+        rel_dir: str,
+        schema: T.StructType,
+        part_cols: list[str],
+        base_dir: str | None = None,
+        absolute: bool = False,
     ) -> list[dict]:
         """Per-file row counts + min/max stats read from the parquet
         FOOTERS of the files a commit just wrote — no data rescan.
@@ -1044,7 +1094,7 @@ class VersionedTable:
             if isinstance(f.dataType, _STAT_TYPES) and f.name not in part_cols
         }
         entries = []
-        base = os.path.join(self.path, rel_dir)
+        base = base_dir if base_dir is not None else os.path.join(self.path, rel_dir)
         for root, _dirs, fnames in os.walk(base):
             for fn in sorted(fnames):
                 if not fn.endswith(".parquet"):
@@ -1078,7 +1128,7 @@ class VersionedTable:
                 stats = {
                     c: [mins[c], maxs[c]] for c in known if c in mins and c in maxs
                 }
-                rel_file = os.path.relpath(fp, self.path)
+                rel_file = fp if absolute else os.path.relpath(fp, self.path)
                 for c, v in _partition_values(rel_file, part_cols, schema).items():
                     if v is not None:
                         stats[c] = [v, v]

@@ -391,3 +391,41 @@ def test_delete_mor_writes_no_data_and_masks_rows(spark):
     e3 = t._read_log(v3)
     assert all(not f.get("dv") for f in e3["files"])
     assert t.to_df().count() == 996
+
+
+def test_convert_references_source_files_without_rewrite(spark, sf_dir, tmp_path):
+    """CONVERT must be metadata-only: version 0's file list points at
+    the ORIGINAL parquet files (absolute paths into the source dir),
+    and a later DELETE rewrites only touched files while untouched
+    source files stay referenced in place."""
+    import os
+
+    from delta_lake_play_spark.sources.catalog import load_table
+    from delta_lake_play_spark.table.versioned import VersionedTable
+
+    src_dir = str(tmp_path / "plain")
+    load_table(spark, sf_dir, "customer").repartitionByRange(
+        4, "c_custkey"
+    ).write.parquet(src_dir)
+    t = VersionedTable.convert(spark, str(tmp_path / "conv"), src_dir)
+
+    v0 = t._read_log(0)
+    assert v0["operation"] == "CONVERT"
+    assert len(v0["files"]) == 4
+    assert all(f["path"].startswith(src_dir + os.sep) for f in v0["files"])
+    assert t.to_df().count() == spark.read.parquet(src_dir).count()
+
+    # Range-partitioned layout => the low-key predicate touches only
+    # SOME files; the rest must remain the original source files.
+    t.delete(F.col("c_custkey") <= 5)
+    v1 = t._read_log(1)
+    kept_src = [f["path"] for f in v1["files"] if f["path"].startswith(src_dir)]
+    assert kept_src, "untouched source files must carry forward by reference"
+    got = {r["c_custkey"] for r in t.to_df().select("c_custkey").collect()}
+    want = {
+        r["c_custkey"]
+        for r in spark.read.parquet(src_dir)
+        .where(~(F.col("c_custkey") <= 5))
+        .collect()
+    }
+    assert got == want
