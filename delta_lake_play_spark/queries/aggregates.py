@@ -618,3 +618,43 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_suppliers"),
         )
     )
+
+
+# --- agg_table_profile ----------------------------------------------------
+
+# ANALYZE-style column profiling in ONE pass: row count plus per-
+# column null counts, exact distinct counts, and min/max, as a single
+# multi-aggregate — the stats backbone of data-quality monitoring and
+# CBO. One scan, one aggregate; the distinct counts expand internally
+# (Spark's multi-distinct rewrite) but never rescan the table.
+
+_PROFILE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(c_name) AS BIGINT) AS name_nulls,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nation_ndv,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS segment_ndv,
+       MIN(c_acctbal) AS acctbal_min,
+       MAX(c_acctbal) AS acctbal_max,
+       MIN(c_custkey) AS custkey_min,
+       MAX(c_custkey) AS custkey_max
+FROM customer
+"""
+
+
+@register("agg_table_profile", oracle=_PROFILE_ORACLE)
+def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile: cardinalities, null counts, value
+    ranges. At 100 TB you'd swap the exact NDVs for
+    approx_count_distinct partials (see agg_sketch_hll) — the plan
+    shape (one scan, partial+final aggregate) is unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("c_name")).alias("name_nulls"),
+        F.countDistinct("c_nationkey").alias("nation_ndv"),
+        F.countDistinct("c_mktsegment").alias("segment_ndv"),
+        F.min("c_acctbal").alias("acctbal_min"),
+        F.max("c_acctbal").alias("acctbal_max"),
+        F.min("c_custkey").alias("custkey_min"),
+        F.max("c_custkey").alias("custkey_max"),
+    )

@@ -215,6 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_string_agg",  # new this session
     "sink_text_roundtrip",  # new this session
     "dml_convert_in_place",  # new this session
+    "agg_table_profile",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
