@@ -638,3 +638,66 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home_region"),
     )
+
+
+# --- join_asof_next_event -------------------------------------------------
+
+# FORWARD as-of: for each click, the user's NEXT purchase at-or-after
+# it — the "time to conversion" join. Implemented by running the
+# backward as-of operator on NEGATED event time (largest negated ts
+# <= target = smallest real ts >= target), so the single-shuffle
+# union+window machinery is reused unchanged; only the query layer
+# flips the direction. Oracle is a correlated LATERAL top-1, the
+# obviously-correct form.
+
+_ASOF_NEXT_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       nxt.value AS next_purchase_value, nxt.ts AS next_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT p.value, p.ts FROM events p
+  WHERE p.event_type = 'purchase'
+    AND p.user_id = c.user_id AND p.ts >= c.ts
+  ORDER BY p.ts, p.event_id LIMIT 1
+) nxt ON TRUE
+"""
+
+
+@register("join_asof_next_event", oracle=_ASOF_NEXT_ORACLE)
+def join_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of via time negation over ``operators/asof.py``:
+    ties on equal ts resolve to the lowest event_id (negated
+    tiebreak), matching the oracle's ORDER BY ts, event_id LIMIT 1."""
+    from delta_lake_play_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    neg = (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("tneg")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        neg,
+        (-F.col("event_id")).alias("tb"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        neg,
+        (-F.col("event_id")).alias("tb"),
+        F.col("value").alias("next_purchase_value"),
+        F.col("ts").alias("next_purchase_ts"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        ts="tneg",
+        right_values=["next_purchase_value", "next_purchase_ts"],
+        tiebreak="tb",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("asof_next_purchase_value").alias("next_purchase_value"),
+        F.col("asof_next_purchase_ts").alias("next_purchase_ts"),
+    )

@@ -438,3 +438,41 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").cast("timestamp").alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     ).drop("grp")
+
+
+# --- win_interval_range_frame ---------------------------------------------
+
+# Native INTERVAL range frame on timestamp ordering — the trailing
+# one-hour event count/sum per user without converting time to epoch
+# integers (win_range_frame_moving_avg shows the epoch form). RANGE
+# frames include ts-peers on both engines, so the frame contents are
+# deterministic even on duplicate timestamps.
+
+_IVL_FRAME = (
+    "OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+)
+
+_IVL_ORACLE = f"""
+SELECT event_id, user_id, ts,
+       CAST(count(*) {_IVL_FRAME} AS BIGINT) AS n_trailing_1h,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) {_IVL_FRAME} / 100.0
+            AS DOUBLE) AS sum_trailing_1h
+FROM events
+"""
+
+
+@register("win_interval_range_frame", oracle=_IVL_ORACLE)
+def win_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour activity per user via RANGE BETWEEN INTERVAL —
+    the time-native frame (no epoch arithmetic). The cent-grid sum
+    keeps the frame aggregate order-independent inside each frame."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("win_ivl_events")
+    return spark.sql(f"""
+        SELECT event_id, user_id, ts,
+               CAST(count(*) {_IVL_FRAME} AS BIGINT) AS n_trailing_1h,
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) {_IVL_FRAME} / 100.0
+                    AS DOUBLE) AS sum_trailing_1h
+        FROM win_ivl_events
+    """)

@@ -216,6 +216,8 @@ _PRIORITY: tuple[str, ...] = (
     "sink_text_roundtrip",  # new this session
     "dml_convert_in_place",  # new this session
     "agg_table_profile",  # new this session
+    "win_interval_range_frame",  # new this session
+    "join_asof_next_event",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
