@@ -604,3 +604,44 @@ def llm_quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score > 2.5).alias("keep"),
     )
+
+
+# --- llm_langid_confusion -------------------------------------------------
+
+# In-engine evaluation of the language-ID heuristic: the full
+# (actual, predicted) confusion matrix with per-cell counts and the
+# cell's share of its actual-language row — the eval artifact that
+# decides whether a classifier stage is shippable, computed over the
+# whole corpus instead of a notebook sample (same philosophy as
+# llm_ann_recall).
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS (
+  SELECT lang AS actual_lang, {tx.sql_lang_id("text")} AS pred_lang
+  FROM documents
+)
+SELECT actual_lang, pred_lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE)
+         / SUM(count(*)) OVER (PARTITION BY actual_lang) AS row_share
+FROM pred GROUP BY actual_lang, pred_lang
+"""
+
+
+@register("llm_langid_confusion", oracle=_CONFUSION_ORACLE)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-dictionary language-ID against
+    document labels: one narrow classify pass, one tiny-key
+    aggregate, one window for row normalization."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("actual_lang"), tx.lang_id("text").alias("pred_lang")
+    )
+    counts = pred.groupBy("actual_lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("actual_lang")
+    return counts.select(
+        "actual_lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_share"),
+    )

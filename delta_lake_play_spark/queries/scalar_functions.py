@@ -815,3 +815,34 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
     return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+# --- fn_date_trunc_week_quarter -------------------------------------------
+
+# Reporting-calendar truncations: week (both engines start Monday)
+# and quarter, plus the ISO week-of-year / quarter extracts — the
+# buckets fiscal reporting groups by, distinct from the day/hour
+# truncation in fn_date_trunc_extract.
+
+_WQ_ORACLE = """
+SELECT o_orderkey,
+       date_trunc('week', o_orderdate) AS week_start,
+       date_trunc('quarter', o_orderdate) AS quarter_start,
+       CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS iso_week,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS quarter
+FROM orders WHERE o_orderkey < 400
+"""
+
+
+@register("fn_date_trunc_week_quarter", oracle=_WQ_ORACLE)
+def fn_date_trunc_week_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week/quarter truncation and extraction (Monday-start weeks on
+    both engines; weekofyear is ISO-8601 on both)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.quarter("o_orderdate").cast("bigint").alias("quarter"),
+    )

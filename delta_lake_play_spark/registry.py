@@ -218,6 +218,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_table_profile",  # new this session
     "win_interval_range_frame",  # new this session
     "join_asof_next_event",  # new this session
+    "fn_date_trunc_week_quarter",  # new this session
+    "llm_langid_confusion",  # new this session
     "stream_table_source",  # 4.8s sf0.1 (fixed streaming startup)
 )
 
