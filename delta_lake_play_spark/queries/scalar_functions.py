@@ -170,7 +170,9 @@ def fn_timestamp_cast_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MATH_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount), 1) AS net_1dp,
+       CAST((CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) + 500) // 1000
+            AS DOUBLE) / 10.0 AS net_1dp,
        abs(l_quantity - 25) AS qty_dev,
        sqrt(l_quantity) AS qty_sqrt,
        l_quantity * l_quantity AS qty_sq,
@@ -184,12 +186,24 @@ FROM lineitem WHERE l_orderkey < 500
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sqrt is IEEE-exact (safe for hashing); transcendentals
     (ln/exp/pow) are excluded from oracle-checked output because JVM
-    vs libm may differ in the last ulp."""
+    vs libm may differ in the last ulp.
+
+    ``net_1dp`` deliberately avoids ``round(double, 1)``: Spark rounds
+    the exact binary value (BigDecimal HALF_UP) while DuckDB rounds the
+    shortest decimal, so products landing just under an .x5 tie
+    (e.g. 855.94999999999993) diverge. Instead both engines compute the
+    1-dp value on the exact integer grid — price-cents × (100 −
+    discount-hundredths) is an exact BIGINT on a 1e-4 grid; half-up to
+    tenths is pure integer arithmetic ((x + 500) DIV 1000), identical
+    everywhere; the final /10.0 is one deterministic IEEE op."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_h = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    net_e4 = cents * (F.lit(100).cast("bigint") - disc_h)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1).alias("net_1dp"),
+        (F.floor((net_e4 + 500) / 1000).cast("double") / 10.0).alias("net_1dp"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),

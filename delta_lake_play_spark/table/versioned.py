@@ -62,6 +62,7 @@ import os
 import re
 import tempfile
 import uuid
+from shutil import rmtree as _rmtree
 from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 from urllib.parse import unquote
@@ -71,6 +72,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Masked reads broadcast the deletion-vector side of the anti-join only
+# while the table's total masked-position count stays under this bound
+# (~tens of MB of (path, pos) rows); beyond it the join degrades
+# gracefully to a shuffled anti-join instead of OOMing the driver.
+_DV_BROADCAST_MAX = 4_000_000
+
+_REPLACE_WHERE_VIOLATION = "REPLACE_WHERE_SOURCE_OUTSIDE_SLICE"
+
+
+def _dv_sidecars(f: dict) -> list[str]:
+    """Sidecar parquet dirs referenced by a file entry's deletion vector."""
+    dv = f.get("dv")
+    if isinstance(dv, dict):
+        return list(dv.get("sidecars", []))
+    return []
+
+
+def _dv_legacy(f: dict) -> list[int]:
+    """Inline row-index list of a pre-sidecar deletion vector."""
+    dv = f.get("dv")
+    if isinstance(dv, list):
+        return dv
+    if isinstance(dv, dict):
+        return list(dv.get("legacy", []))
+    return []
+
+
+def _dv_count(f: dict) -> int:
+    """Exact number of rows masked out of a file by its deletion vector."""
+    dv = f.get("dv")
+    if not dv:
+        return 0
+    if isinstance(dv, list):
+        return len(dv)
+    return int(dv.get("count", 0))
 
 _STAT_TYPES = (
     T.NumericType,
@@ -479,39 +516,80 @@ class VersionedTable:
         the masked rows away.
 
         The trade: CoW pays at write time, MoR at read time — use
-        ``delete_mor`` for small/selective deletes between OPTIMIZE
-        runs, ``delete`` for bulk deletes. Positions are stored as a
-        plain index list in the log entry (at production scale: a
-        roaring bitmap in a sidecar file, same read shape)."""
+        ``delete_mor`` for selective deletes between OPTIMIZE runs,
+        ``delete`` for bulk deletes. Positions are stored in a
+        **sidecar parquet** per commit (columns ``path``, ``pos`` —
+        the role Delta's roaring-bitmap DV files play): matched
+        positions never touch the driver, the log entry records only
+        sidecar references + per-file counts, so both driver memory
+        and log size are independent of how many rows the predicate
+        matches."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
 
         def attempt() -> int:
             entry = self._read_log(self.latest_version())
             schema = self._entry_schema(entry)
-            # Raw positions of matching rows. Already-masked rows may
-            # match again; the set-union below makes that a no-op.
+            files = entry["files"]
             cur = self._read_paths(
-                [self._abs(f["path"]) for f in entry["files"]],
-                schema,
-                with_meta=True,
+                [self._abs(f["path"]) for f in files], schema, with_meta=True
             )
-            matched = (
-                cur.filter(hit).select("__path", "__row_idx").collect()
+            matched = cur.filter(hit).select("__path", "__row_idx")
+            # Already-masked rows match again on re-delete; exclude them
+            # distributedly so per-file counts stay exact.
+            existing = self._dv_df(files)
+            if existing is not None:
+                matched = matched.join(
+                    existing, ["__path", "__row_idx"], "left_anti"
+                )
+            # Translate scan paths (absolute) back to the logged path
+            # strings — an O(#files) broadcast map, not a collect.
+            map_df = self.spark.createDataFrame(
+                [(self._abs(f["path"]), f["path"]) for f in files],
+                "__path string, path string",
             )
-            by_file: dict[str, set[int]] = {}
-            for r in matched:
-                by_file.setdefault(r["__path"], set()).add(r["__row_idx"])
-            files = []
-            for f in entry["files"]:
-                ap = self._abs(f["path"])
-                if ap in by_file:
-                    dv = sorted(set(f.get("dv", [])) | by_file[ap])
-                    files.append({**f, "dv": dv})
-                else:
-                    files.append(f)
+            new_dv = (
+                matched.join(F.broadcast(map_df), "__path")
+                .select("path", F.col("__row_idx").alias("pos"))
+                # hash-partition by file so a file's positions are
+                # contiguous; AQE coalesces the small partitions.
+                .repartition("path")
+            )
+            rel_sidecar = f"dv-{entry['version'] + 1}-{uuid.uuid4().hex[:8]}"
+            sidecar_dir = os.path.join(self.path, rel_sidecar)
+            new_dv.write.mode("errorifexists").parquet(sidecar_dir)
+            # Per-file counts read back from the sidecar alone —
+            # O(#touched files) on the driver, never O(matched rows).
+            counts = {
+                r["path"]: r["n"]
+                for r in self.spark.read.parquet(sidecar_dir)
+                .groupBy("path")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
             params = {"predicate": str(predicate)}
-            return self._commit_files(None, files, "DELETE_MOR", params, schema)
+            if not counts:  # no-op delete: drop the empty sidecar
+                _rmtree(sidecar_dir)
+                return self._commit_files(
+                    None, list(files), "DELETE_MOR", params, schema
+                )
+            out = []
+            for f in files:
+                n = counts.get(f["path"])
+                if n is None:
+                    out.append(f)
+                else:
+                    out.append(
+                        {
+                            **f,
+                            "dv": {
+                                "sidecars": _dv_sidecars(f) + [rel_sidecar],
+                                "legacy": _dv_legacy(f),
+                                "count": _dv_count(f) + int(n),
+                            },
+                        }
+                    )
+            return self._commit_files(None, out, "DELETE_MOR", params, schema)
 
         return self._retrying(attempt)
 
@@ -523,19 +601,18 @@ class VersionedTable:
 
         Like Delta, incoming rows are validated against the
         predicate (a backfill that writes outside its declared slice
-        is a bug, not an overwrite). File-granular: only files
+        is a bug, not an overwrite) — inline in the write pass, not
+        as a separate pre-scan: the first output column carries a
+        ``raise_error`` guard on out-of-slice rows, so the source
+        plan is evaluated exactly once (one job per replaceWhere
+        commit) and a violation aborts the write job, leaving only an
+        orphan directory for ``vacuum``. File-granular: only files
         physically containing a matching row are rewritten; at scale,
         a predicate aligned with the partition/clustering layout means
         the rewrite set is exactly the slice's files and everything
         else is carried by reference."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
-        bad = df.filter(~hit).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"overwrite_where source row outside predicate slice: "
-                f"{bad[0].asDict()}"
-            )
 
         def attempt() -> int:
             entry = self._read_log(self.latest_version())
@@ -549,8 +626,21 @@ class VersionedTable:
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
             params = {"predicate": str(predicate)}
+            # Guard rides the first output column (an output column is
+            # never pruned away), firing per-row during the write.
+            guard = schema.fields[0]
             aligned = df.select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                F.when(hit, F.col(guard.name).cast(guard.dataType))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(_REPLACE_WHERE_VIOLATION)
+                    ).cast(guard.dataType)
+                )
+                .alias(guard.name),
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in schema.fields[1:]
+                ],
             )
             if touched:
                 kept = self._read_files(hit_files, schema).filter(~hit)
@@ -559,7 +649,15 @@ class VersionedTable:
                 aligned, carried, "REPLACE_WHERE", params, schema
             )
 
-        return self._retrying(attempt)
+        try:
+            return self._retrying(attempt)
+        except Exception as e:  # surface the guard as the API error
+            if _REPLACE_WHERE_VIOLATION in str(e):
+                raise ValueError(
+                    f"overwrite_where source rows outside predicate "
+                    f"slice {predicate!r}"
+                ) from None
+            raise
 
     def restore(self, version: int) -> int:
         """Re-commit an old snapshot as the newest version — pure
@@ -598,7 +696,16 @@ class VersionedTable:
         if clone.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
         os.makedirs(clone._log_dir, exist_ok=True)
-        files = [{**f, "path": self._abs(f["path"])} for f in src["files"]]
+        def clone_entry(f: dict) -> dict:
+            g = {**f, "path": self._abs(f["path"])}
+            if _dv_sidecars(f):  # sidecars live under the SOURCE table
+                g["dv"] = {
+                    **g["dv"],
+                    "sidecars": [self._abs(s) for s in _dv_sidecars(f)],
+                }
+            return g
+
+        files = [clone_entry(f) for f in src["files"]]
         entry = {
             "version": 0,
             "timestamp": clone._commit_timestamp(0),
@@ -684,7 +791,12 @@ class VersionedTable:
         # between versions is a real change (its masked rows were
         # deleted) and must not cancel out of the diff.
         def ident(f: dict) -> tuple:
-            return (self._abs(f["path"]), tuple(f.get("dv", [])))
+            return (
+                self._abs(f["path"]),
+                tuple(_dv_legacy(f)),
+                tuple(_dv_sidecars(f)),
+                _dv_count(f),
+            )
 
         old_ids = {ident(f) for f in e_old["files"]}
         new_ids = {ident(f) for f in e_new["files"]}
@@ -721,11 +833,19 @@ class VersionedTable:
         longer fully readable."""
         versions = sorted(self._versions())
         keep = set(versions[-retain_last:]) if retain_last > 0 else set()
-        referenced = {
-            self._abs(f["path"])
-            for v in keep
-            for f in self._read_log(v)["files"]
-        }
+        referenced: set[str] = set()
+        for v in keep:
+            for f in self._read_log(v)["files"]:
+                referenced.add(self._abs(f["path"]))
+                for s in _dv_sidecars(f):  # keep retained DV sidecars
+                    sp = self._abs(s)
+                    if os.path.isdir(sp):
+                        for root, _d, fns in os.walk(sp):
+                            referenced.update(
+                                os.path.join(root, fn) for fn in fns
+                            )
+                    else:
+                        referenced.add(sp)
         for name in os.listdir(self.path):
             sub = os.path.join(self.path, name)
             if name == "_log" or not os.path.isdir(sub):
@@ -889,32 +1009,62 @@ class VersionedTable:
         keep_path: str | None = None,
     ) -> DataFrame:
         """Read a list of log file entries, applying each file's
-        deletion vector (``dv``: row indices masked out by a
-        merge-on-read DELETE). The DV table is tiny (one row per
-        deleted row index) and broadcast into a left-anti join keyed
-        on (file, row position) — the scan itself is untouched, so
-        pushdown and pruning survive. ``keep_path`` retains the
-        normalized source-file column under that name (for
-        touched-file detection)."""
+        deletion vector (``dv``: positions masked out by a
+        merge-on-read DELETE, stored in sidecar parquet files). The
+        DV side joins left-anti on (file, row position) — broadcast
+        while the masked-position total is under
+        ``_DV_BROADCAST_MAX``, a shuffled anti-join beyond that — so
+        the scan itself is untouched and pushdown/pruning survive.
+        ``keep_path`` retains the normalized source-file column under
+        that name (for touched-file detection)."""
         paths = [self._abs(f["path"]) for f in file_entries]
-        dv_rows = [
-            (self._abs(f["path"]), int(i))
-            for f in file_entries
-            for i in f.get("dv", [])
-        ]
-        if not dv_rows and keep_path is None:
+        dv_df = self._dv_df(file_entries)
+        if dv_df is None and keep_path is None:
             return self._read_paths(paths, schema)
         df = self._read_paths(paths, schema, with_meta=True)
-        if dv_rows:
-            dv_df = self.spark.createDataFrame(
-                dv_rows, "__path string, __row_idx long"
-            )
-            df = df.join(F.broadcast(dv_df), ["__path", "__row_idx"], "left_anti")
+        if dv_df is not None:
+            total = sum(_dv_count(f) for f in file_entries)
+            if total <= _DV_BROADCAST_MAX:
+                dv_df = F.broadcast(dv_df)
+            df = df.join(dv_df, ["__path", "__row_idx"], "left_anti")
         if keep_path is not None:
             df = df.withColumnRenamed("__path", keep_path).drop("__row_idx")
         else:
             df = df.drop("__path", "__row_idx")
         return df
+
+    def _dv_df(self, file_entries: list[dict]) -> DataFrame | None:
+        """All deletion-vector positions for these files as a
+        ``(__path, __row_idx)`` DataFrame (absolute paths), or None
+        when nothing is masked. Sidecars are read distributedly by
+        Spark; only pre-sidecar inline lists (legacy entries) go
+        through ``createDataFrame``. Sidecar rows for files outside
+        ``file_entries`` are filtered out by the path-map join, so
+        partial reads (stats-pruned scans, change feeds) stay exact."""
+        legacy_rows = [
+            (self._abs(f["path"]), int(i))
+            for f in file_entries
+            for i in _dv_legacy(f)
+        ]
+        sidecars = sorted({s for f in file_entries for s in _dv_sidecars(f)})
+        if not legacy_rows and not sidecars:
+            return None
+        out = None
+        if sidecars:
+            map_df = self.spark.createDataFrame(
+                [(f["path"], self._abs(f["path"])) for f in file_entries],
+                "path string, __path string",
+            ).dropDuplicates(["path"])
+            sc = self.spark.read.parquet(*[self._abs(s) for s in sidecars])
+            out = sc.join(F.broadcast(map_df), "path").select(
+                "__path", F.col("pos").alias("__row_idx")
+            )
+        if legacy_rows:
+            ldf = self.spark.createDataFrame(
+                legacy_rows, "__path string, __row_idx long"
+            )
+            out = ldf if out is None else out.unionByName(ldf)
+        return out
 
     def _commit_base(self, p: str) -> str:
         """``basePath`` for a leaf file of a partitioned commit: its
@@ -1032,7 +1182,7 @@ class VersionedTable:
             "timestamp": self._commit_timestamp(version),
             "operation": operation,
             "operationParameters": params,
-            "num_rows": sum(f["num_rows"] - len(f.get("dv", [])) for f in files),
+            "num_rows": sum(f["num_rows"] - _dv_count(f) for f in files),
             "files": files,
             "schema": json.loads(schema.json()),
         }

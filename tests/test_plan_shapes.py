@@ -311,3 +311,43 @@ def test_sort_within_partitions_has_no_exchange(spark, sf_dir):
     assert "Sort" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Exchange" not in plan
+
+
+def test_dv_masked_read_broadcasts_small_dv_only(spark, tmp_path, monkeypatch):
+    """Deletion-vector reads: the (path, pos) anti-join must broadcast
+    the DV side while the masked-position total is under
+    _DV_BROADCAST_MAX, and degrade to a shuffled anti-join (never an
+    attempted broadcast that could OOM) when it is not."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table import versioned as vmod
+    from delta_lake_play_spark.table.versioned import VersionedTable
+
+    df = spark.range(0, 5_000).withColumn("k", F.col("id") % 7)
+    t = VersionedTable.create(
+        spark, str(tmp_path / "dv-plan"), df.repartitionByRange(4, "id")
+    )
+    t.delete_mor(F.col("id") % 10 == 3)  # 500 masked positions
+
+    plan_small = t.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan_small
+    assert "BroadcastHashJoin" in plan_small, "small DV should broadcast"
+
+    # Over the threshold our code must NOT force a broadcast hint; with
+    # auto-broadcast also off (as a size-estimated huge DV would be),
+    # the planner must fall back to a shuffled anti-join.
+    monkeypatch.setattr(vmod, "_DV_BROADCAST_MAX", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_big = t.to_df()._jdf.queryExecution().executedPlan().toString()
+        anti_lines = [ln for ln in plan_big.splitlines() if "LeftAnti" in ln]
+        assert anti_lines
+        # the tiny rel→abs path-map join stays broadcast by design;
+        # only the (path, pos) ANTI-join must degrade to a shuffle
+        assert all("BroadcastHashJoin" not in ln for ln in anti_lines), (
+            "oversized DV must fall back to a shuffled anti-join"
+        )
+        assert t.to_df().count() == 4_500  # mask applied on the fallback path
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

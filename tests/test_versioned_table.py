@@ -10,6 +10,8 @@ from pyspark.sql import types as T
 from delta_lake_play_spark.table.versioned import (
     MergeSourceKeyError,
     VersionedTable,
+    _dv_count as dv_count,
+    _dv_sidecars as dv_sidecars,
     temp_table_path,
 )
 
@@ -368,8 +370,8 @@ def test_delete_mor_writes_no_data_and_masks_rows(spark):
     before = {f["path"] for f in t._read_log(0)["files"]}
     v1 = t.delete_mor(F.col("id").isin(5, 500, 999))
     e1 = t._read_log(v1)
-    assert {f["path"] for f in e1["files"]} == before  # no new files
-    assert sum(len(f.get("dv", [])) for f in e1["files"]) == 3
+    assert {f["path"] for f in e1["files"]} == before  # no new data files
+    assert sum(dv_count(f) for f in e1["files"]) == 3
     assert e1["num_rows"] == 997
     assert t.to_df().count() == 997
     assert t.to_df().filter(F.col("id").isin(5, 500, 999)).count() == 0
@@ -391,6 +393,37 @@ def test_delete_mor_writes_no_data_and_masks_rows(spark):
     e3 = t._read_log(v3)
     assert all(not f.get("dv") for f in e3["files"])
     assert t.to_df().count() == 996
+
+
+def test_delete_mor_wide_delete_stays_off_driver(spark):
+    """A broad MoR delete (~50k matched rows) must keep the log entry
+    O(#files) — positions live in a parquet sidecar, never inline —
+    and repeated deletes must not double-count already-masked rows."""
+    df = spark.range(0, 60_000).withColumn("k", F.col("id") % 100)
+    t = VersionedTable.create(
+        spark, temp_table_path("mor-wide"), df.repartitionByRange(8, "id")
+    )
+    v1 = t.delete_mor(F.col("id") >= 10_000)  # masks 50k rows
+    e1 = t._read_log(v1)
+    assert sum(dv_count(f) for f in e1["files"]) == 50_000
+    assert e1["num_rows"] == 10_000
+    # log entry stays small: positions are sidecar-resident
+    log_bytes = os.path.getsize(
+        os.path.join(t._log_dir, f"{v1:020d}.json")
+    )
+    assert log_bytes < 20_000, f"log entry {log_bytes}B — positions inlined?"
+    sidecars = {s for f in e1["files"] for s in dv_sidecars(f)}
+    assert len(sidecars) == 1
+    assert t.to_df().count() == 10_000
+    # overlapping re-delete: only the 5k NEW rows join the DV
+    v2 = t.delete_mor(F.col("id") >= 5_000)
+    e2 = t._read_log(v2)
+    assert sum(dv_count(f) for f in e2["files"]) == 55_000
+    assert e2["num_rows"] == 5_000
+    assert t.to_df().count() == 5_000
+    # vacuum keeps sidecars referenced by retained versions
+    t.vacuum(retain_last=1)
+    assert t.to_df().count() == 5_000
 
 
 def test_convert_references_source_files_without_rewrite(spark, sf_dir, tmp_path):
