@@ -13,7 +13,9 @@ computation of every output column, zero driver transfer) rather than
 ``toPandas()`` (which measures Arrow transfer, not the engine).
 
 The session is warmed with one throwaway action first so JVM/codegen
-startup is not attributed to the first query.
+startup is not attributed to the first query. Per-key figures are the
+MEDIAN of up to 3 runs (BASELINE.md protocol; heavy keys >10s run
+once); ``bench_full.json`` keeps every sample under ``run_detail``.
 """
 
 from __future__ import annotations
@@ -48,28 +50,54 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer cache for the big table.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # BASELINE.md protocol: median of 3. VM timer noise ran ±2x on
+    # sub-second keys in rounds 1-2 (SURVEY §10), so single-run
+    # round-over-round comparison was polluted. Each key runs up to 3
+    # times — stopping early when one run already cost >10s (heavy
+    # keys are proportionally less noise-sensitive and 3x-ing them
+    # would triple total bench time) or when the whole bench is over
+    # its soft time budget.
+    runs_per_key = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    soft_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    bench_start = time.perf_counter()
+
     timings: dict[str, float] = {}
+    run_detail: dict[str, dict] = {}
     failures: dict[str, str] = {}
     for key in keys:
-        t0 = time.perf_counter()
-        try:
-            df = queries[key](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-        except Exception as exc:  # keep benching; surface at the end
-            failures[key] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[key] = round(time.perf_counter() - t0, 4)
-        # Drop caches persisted inside query builders (LSH signature
-        # stages etc.) — across 100+ queries in one JVM the leaked
-        # storage memory otherwise compounds into GC pressure that
-        # can double late-query timings (measured).
-        spark.catalog.clearCache()
-        if timings[key] > 5.0:
-            # A heavy query leaves the old gen full of dead shuffle
-            # and broadcast blocks; a forced full GC here costs <1s
-            # and prevents the creep that inflated late heavy keys
-            # 2-2.5x over their isolated times (measured).
-            spark._jvm.System.gc()
+        samples: list[float] = []
+        for _ in range(max(1, runs_per_key)):
+            t0 = time.perf_counter()
+            try:
+                df = queries[key](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # keep benching; surface at the end
+                failures[key] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            samples.append(round(time.perf_counter() - t0, 4))
+            # Drop caches persisted inside query builders (LSH
+            # signature stages etc.) — across 100+ queries in one JVM
+            # the leaked storage memory otherwise compounds into GC
+            # pressure that can double late-query timings (measured).
+            spark.catalog.clearCache()
+            if samples[-1] > 5.0:
+                # A heavy query leaves the old gen full of dead shuffle
+                # and broadcast blocks; a forced full GC here costs <1s
+                # and prevents the creep that inflated late heavy keys
+                # 2-2.5x over their isolated times (measured).
+                spark._jvm.System.gc()
+            if sum(samples) > 10.0:
+                break
+            if time.perf_counter() - bench_start > soft_budget_s:
+                break
+        if samples:
+            med = sorted(samples)[len(samples) // 2]
+            timings[key] = med
+            run_detail[key] = {
+                "median_s": med,
+                "runs": len(samples),
+                "all_runs": samples,
+            }
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -87,7 +115,9 @@ def main() -> None:
         "metric": "total_wall_clock_all_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # per-key MEDIAN seconds
+        "protocol": "median_of_up_to_3_runs",
+        "run_detail": run_detail,  # per-key {median_s, runs, all_runs}
         "sf": sf,
         "n_queries": len(timings),
     }

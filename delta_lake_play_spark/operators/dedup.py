@@ -43,11 +43,17 @@ def _vocab_hashes(toks: DataFrame) -> DataFrame:
     )
 
 
+def _hint(df: DataFrame, broadcast_hints: bool) -> DataFrame:
+    """Wrap in a broadcast hint unless the caller disabled hints."""
+    return F.broadcast(df) if broadcast_hints else df
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    broadcast_hints: bool = True,
 ) -> DataFrame:
     """MinHash + banded-LSH candidate pairs, verified by exact set
     Jaccard ≥ ``threshold`` over distinct token-hash sets.
@@ -66,10 +72,18 @@ def minhash_near_dup_pairs(
     ``exact_dedup`` as a pre-pass when the dup ratio warrants.)
 
     Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
+
+    ``broadcast_hints``: the vocabulary, band and signature tables are
+    broadcast by default (right for any corpus whose docs×BANDS rows
+    fit an executor — the planner won't pick this itself because array
+    column size estimates are inflated). Pass ``False`` when the
+    corpus is large enough that those tables outgrow broadcast: every
+    join degrades gracefully to its shuffle form instead of failing
+    the broadcast build.
     """
     # persisted: feeds both the vocabulary branch and the join probe
     toks = _doc_tokens(df, id_col, text_col).persist()
-    rows = toks.join(F.broadcast(_vocab_hashes(toks)), "tok")
+    rows = toks.join(_hint(_vocab_hashes(toks), broadcast_hints), "tok")
     sig = (
         rows.groupBy("doc_id")
         .agg(*mh.sig_min_aggs("h"), F.collect_set("h").alias("hs"))
@@ -84,7 +98,7 @@ def minhash_near_dup_pairs(
         # Broadcast the build side: bands is docs×BANDS skinny rows,
         # so the bucket self-join needs no shuffle at all — pair
         # generation becomes map-side over the probe partitions.
-        a.join(F.broadcast(b), on=["band_id", "band_val"])
+        a.join(_hint(b, broadcast_hints), on=["band_id", "band_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -95,15 +109,15 @@ def minhash_near_dup_pairs(
     # are wildly inflated), leaving a sort-merge join that shuffles
     # every candidate twice — measured 25s -> 3s on the verify stage.
     # At corpus scales where the signature table outgrows broadcast,
-    # drop the hint and the same plan degrades gracefully to the
-    # shuffle join.
+    # pass broadcast_hints=False and the same plan degrades gracefully
+    # to the shuffle join.
     ta = sig.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     tb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = inter.cast("double") / (F.size("hs_a") + F.size("hs_b") - inter)
     return (
-        cand.join(F.broadcast(ta), "doc_a")
-        .join(F.broadcast(tb), "doc_b")
+        cand.join(_hint(ta, broadcast_hints), "doc_a")
+        .join(_hint(tb, broadcast_hints), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -114,6 +128,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    broadcast_hints: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ ``max_hamming`` via
     15-bit-block LSH over a 60-bit signature (perfect recall up to
@@ -125,13 +140,14 @@ def simhash_near_dup_pairs(
     within-bucket join stays linear-ish at 100× data. (A 16-bit
     signature's 4-nibble blocks give 64 total buckets: O(n²/64).)
     Per-bit votes are summed in one codegen'd hash aggregate over
-    ``(doc_id, g_0..g_3)`` token rows; no interpreted lambdas."""
+    ``(doc_id, g_0..g_3)`` token rows; no interpreted lambdas.
+    ``broadcast_hints`` as in :func:`minhash_near_dup_pairs`."""
     toks = _doc_tokens(df, id_col, text_col).persist()
     vocab = _vocab_hashes(toks).select(
         "tok",
         *[g.alias(f"g{k}") for k, g in enumerate(mh.simhash_g_cols(F.col("h")))],
     )
-    rows = toks.join(F.broadcast(vocab), "tok")
+    rows = toks.join(_hint(vocab, broadcast_hints), "tok")
     sims = (
         rows.groupBy("doc_id")
         .agg(*mh.simhash_score_aggs())
@@ -148,7 +164,7 @@ def simhash_near_dup_pairs(
         # Same broadcast rationale as the minhash bucket join: blocks
         # is docs×NBLOCKS skinny rows, so pair generation runs
         # map-side with no shuffle of either side.
-        a.join(F.broadcast(b), on=["blk_id", "blk_val"])
+        a.join(_hint(b, broadcast_hints), on=["blk_id", "blk_val"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -78,7 +78,20 @@ def null_split_left_join(
     straggler that dominates the stage. Splitting routes the NULL rows
     through a zero-cost projection and shuffles only the rows that can
     actually match. (With a broadcast right side the split is a no-op
-    cost-wise; the planner still benefits from the smaller probe.)"""
+    cost-wise; the planner still benefits from the smaller probe.)
+
+    Precondition: ``left`` and ``right`` column names must be disjoint
+    (including the keys). The output carries both sides' columns
+    unprefixed, so a shared name would make the null-branch alignment
+    overwrite a left column and the union ambiguous — rename or alias
+    the right side first."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"null_split_left_join requires disjoint column names; both "
+            f"sides have {sorted(overlap)} — alias/rename the right side "
+            f"(e.g. right.withColumnRenamed) before joining"
+        )
     with_key = left.where(F.col(left_key).isNotNull())
     null_key = left.where(F.col(left_key).isNull())
     joined = with_key.join(

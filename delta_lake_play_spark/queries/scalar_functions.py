@@ -805,13 +805,17 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must SURVIVE the explosion with a NULL element — plain explode
 # silently drops it, which in a tokenize-then-join pipeline loses
 # every empty document. DuckDB has no unnest-outer; the oracle
-# emulates it by substituting [NULL] for empty arrays.
+# emulates it by substituting [NULL] for NULL and empty arrays alike
+# (Spark's explode_outer emits one (doc_id, NULL) row for both, while
+# DuckDB's unnest(NULL) would emit nothing — FIXTURES.md declares the
+# text column nullable, so both cases must agree).
 
 _EXPLODE_OUTER_ORACLE = """
 SELECT doc_id, tok
 FROM (
   SELECT doc_id,
-         CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END AS toks2
+         CASE WHEN toks IS NULL OR len(toks) = 0 THEN [NULL]
+              ELSE toks END AS toks2
   FROM (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> len(x) > 6) AS toks

@@ -255,3 +255,35 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("stream_table_source_jvm", oracle=_TABLE_SRC_ORACLE)
+def stream_table_source_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same CREATE+APPEND drain as ``stream_table_source``, but through
+    the JVM parquet file-stream source over the table's commit-dir
+    glob (``sources/table_stream.py::stream_table_jvm``) — the
+    zero-Python-overhead fast path for append-only tables: file
+    discovery, decoding and offsets all stay JVM-side, which is the
+    production choice for high-frequency append tailing."""
+    import uuid as _uuid
+
+    from delta_lake_play_spark.queries.dml_queries import _appended_rows
+    from delta_lake_play_spark.sources.table_stream import stream_table_jvm
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path(),
+        load_table(spark, sf_dir, "customer").coalesce(2),
+    )                                                 # v0
+    t.append(_appended_rows(spark, sf_dir).coalesce(1))  # v1
+    name = "table_src_jvm_" + _uuid.uuid4().hex[:8]
+    q = (
+        stream_table_jvm(spark, t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

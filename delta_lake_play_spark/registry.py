@@ -185,6 +185,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_date_trunc_week_quarter",
     "llm_langid_confusion",
     "stream_table_source",
+    "stream_table_source_jvm",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.

@@ -47,13 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       floors ns→µs the same way.
     - µs-precision parquet timestamps without the UTC flag infer as
       TIMESTAMP_NTZ in Spark 4, which TIMESTAMP-only functions
-      (``unix_micros`` et al.) reject. Cast NTZ columns to TIMESTAMP
-      with the session timezone pinned to UTC, so the wall-clock value
-      is preserved exactly and epoch arithmetic matches DuckDB's
-      naive-timestamp ``epoch_us`` on any machine timezone.
+      (``unix_micros`` et al.) reject. NTZ columns convert to
+      TIMESTAMP **per-expression** — ``from_utc_timestamp(cast(c),
+      session_tz)`` cancels the session-timezone offset the cast
+      applies, so the NTZ wall clock lands on the identical UTC epoch
+      under ANY session timezone (it reduces to a plain cast when the
+      session is UTC, ``get_spark()``'s pinned default). A loader must
+      not flip ``spark.sql.session.timeZone`` on a shared session: that
+      would silently change the semantics of every subsequent
+      timestamp query in sessions not built via ``get_spark()``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Read-enabling legacy flag, not a semantics flip: without it a
+        # TIMESTAMP(NANOS) scan is a hard PARQUET_TYPE_ILLEGAL error,
+        # so setting it cannot silently alter another query's results.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         if dict(raw.dtypes).get("ts") == "bigint":
@@ -64,9 +72,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(path)
     ntz_cols = [c for c, t in raw.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz = spark.conf.get("spark.sql.session.timeZone")
         raw = raw.withColumns(
-            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+            {
+                c: F.from_utc_timestamp(F.col(c).cast("timestamp"), tz)
+                for c in ntz_cols
+            }
         )
     return raw
 

@@ -37,8 +37,8 @@ from pyspark.sql.datasource import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
-        self.path = path
+    def __init__(self, paths: list[str]):
+        self.paths = paths
 
 
 def _log_entries(path: str) -> dict[int, str]:
@@ -62,6 +62,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignoreChanges", options.get("ignorechanges", "false"))
         ).lower() in ("true", "1")
+        # Files grouped per Python source task: every task carries
+        # fixed interpreter/serialization overhead, so batching >1
+        # file per task amortizes it when a commit adds many small
+        # files. Default 1 keeps per-file parallelism for large files.
+        self.files_per_task = max(
+            1,
+            int(options.get("filesPerTask", options.get("filespertask", 1))),
+        )
         create = _read_entry(self.path, 0)
         if create.get("operationParameters", {}).get("partitionBy"):
             raise NotImplementedError(
@@ -103,16 +111,32 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 )
             new_paths.extend(sorted(set(cur) - set(prev_files)))
             prev_files = cur
-        return [_FilePartition(p) for p in new_paths]
+        k = self.files_per_task
+        return [
+            _FilePartition(new_paths[i : i + k])
+            for i in range(0, len(new_paths), k)
+        ]
 
     def _file_map(self, version: int) -> dict[str, tuple]:
+        from delta_lake_play_spark.table.versioned import (
+            _dv_count,
+            _dv_legacy,
+            _dv_sidecars,
+        )
+
         entry = _read_entry(self.path, version)
         out = {}
         for f in entry["files"]:
             p = f["path"]
             if not p.startswith("/"):
                 p = os.path.join(self.path, p)
-            out[p] = tuple(f.get("dv", []))
+            # DV identity (sidecars + legacy + count): growth between
+            # versions must read as a CHANGE, not an append.
+            out[p] = (
+                tuple(_dv_sidecars(f)),
+                tuple(_dv_legacy(f)),
+                _dv_count(f),
+            )
         return out
 
     # ---- execution (runs in Python workers) --------------------------
@@ -123,19 +147,22 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         from pyspark.sql.pandas.types import to_arrow_type
 
-        tbl = pq.read_table(partition.path)
-        # Align to the table schema: files written before a schema
-        # evolution lack the added columns — fill them with nulls,
-        # and emit columns in schema order.
-        cols = []
-        for f in self._schema.fields:
-            if f.name in tbl.column_names:
-                cols.append(tbl.column(f.name))
-            else:
-                cols.append(pa.nulls(len(tbl), type=to_arrow_type(f.dataType)))
-        yield from pa.table(
-            dict(zip([f.name for f in self._schema.fields], cols))
-        ).to_batches()
+        for path in partition.paths:
+            tbl = pq.read_table(path)
+            # Align to the table schema: files written before a schema
+            # evolution lack the added columns — fill them with nulls,
+            # and emit columns in schema order.
+            cols = []
+            for f in self._schema.fields:
+                if f.name in tbl.column_names:
+                    cols.append(tbl.column(f.name))
+                else:
+                    cols.append(
+                        pa.nulls(len(tbl), type=to_arrow_type(f.dataType))
+                    )
+            yield from pa.table(
+                dict(zip([f.name for f in self._schema.fields], cols))
+            ).to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -154,3 +181,27 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> VersionedTableStreamReader:
         return VersionedTableStreamReader(self.options)
+
+
+def stream_table_jvm(spark, table_path: str):
+    """Append-only streaming read through Spark's built-in (JVM)
+    parquet file-stream source — the zero-Python-overhead fast path.
+
+    The versioned layout writes every commit's data under its own
+    ``c-<version>-<hex>/`` directory, so a glob over ``c-*`` IS the
+    append log as the JVM file source sees it: new commits surface as
+    newly-listed files, discovered entirely by the JVM's file index —
+    no Python DataSource handshake, no Python workers, and the scan
+    keeps vectorized decoding + pushdown. Use when the table is
+    append-only (CREATE + APPENDs): unlike the ``versioned_table``
+    Python source this path cannot detect rewrites or deletion-vector
+    growth (a rewrite surfaces as duplicate rows, not an error), and
+    offsets are file names rather than commit versions. That contract
+    — fast append tailing, full-fidelity source when DML fidelity is
+    needed — is the same split Delta users make between the file
+    stream source and ``format('delta')``."""
+    latest = max(_log_entries(table_path))
+    schema = T.StructType.fromJson(_read_entry(table_path, latest)["schema"])
+    return spark.readStream.schema(schema).parquet(
+        os.path.join(table_path, "c-*")
+    )

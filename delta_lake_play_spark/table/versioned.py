@@ -219,10 +219,27 @@ class VersionedTable:
         one log write. Later DML is copy-on-write under the table's
         own directory; the source files are never mutated (the same
         sharing caveat as a shallow CLONE applies to vacuuming the
-        source directory out from under the table)."""
+        source directory out from under the table).
+
+        Hive-partitioned sources (``key=value`` subdirectories) are
+        rejected: their inferred schema contains partition columns the
+        parquet footers lack, so a conversion would log files missing
+        those columns and fail only at read time. Rewrite through
+        ``create(..., partition_by=...)`` instead."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
+        for root, dirs, _files in os.walk(source_dir):
+            part_dirs = [d for d in dirs if "=" in d]
+            if part_dirs:
+                raise ValueError(
+                    f"convert: {source_dir} is hive-partitioned "
+                    f"(e.g. {os.path.join(root, part_dirs[0])!r}); partition "
+                    f"columns exist only in directory names, not in parquet "
+                    f"footers, so an in-place conversion would produce a "
+                    f"table missing them. Load and rewrite via "
+                    f"VersionedTable.create(..., partition_by=[...])."
+                )
         schema = spark.read.parquet(source_dir).schema
         files = t._footer_entries(
             "", schema, [], base_dir=source_dir, absolute=True

@@ -155,3 +155,28 @@ def test_dsum_exact_and_order_independent(spark):
         assert got == sum(cent_values) / 100.0
 
     check()
+
+
+def test_near_dup_operators_broadcast_hints_off_parity(spark, sf_dir):
+    """broadcast_hints=False must change only the physical plan (no
+    forced broadcast of the corpus-derived tables), never the pairs."""
+    from delta_lake_play_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        "doc_id < 120"
+    ).select("doc_id", "text")
+
+    for fn, kw in (
+        (minhash_near_dup_pairs, {"threshold": 0.8}),
+        (simhash_near_dup_pairs, {"max_hamming": 3}),
+    ):
+        with_hints = fn(docs, "doc_id", "text", broadcast_hints=True, **kw)
+        without = fn(docs, "doc_id", "text", broadcast_hints=False, **kw)
+        canon = lambda df: sorted(  # noqa: E731
+            (r["doc_a"], r["doc_b"]) for r in df.collect()
+        )
+        assert canon(with_hints) == canon(without)

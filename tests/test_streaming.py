@@ -182,3 +182,68 @@ def test_versioned_table_streaming_source(spark):
     drain(df2)
     # the delete rewrote one file: its surviving rows re-emit
     assert seen and 0 not in seen
+
+
+def test_versioned_table_stream_files_per_task_batching(spark):
+    """filesPerTask groups several files into one Python source task
+    without changing the delivered rows."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import (
+        VersionedTableDataSource,
+        VersionedTableStreamReader,
+    )
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("src-batch"),
+        spark.range(0, 120).withColumn("k", F.col("id") % 3).repartition(6),
+    )
+    reader = VersionedTableStreamReader({"path": t.path, "filesPerTask": "4"})
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert len(parts) == 2  # 6 files / 4 per task -> 2 tasks
+    assert sum(len(p.paths) for p in parts) == 6
+
+    import uuid as _uuid
+
+    name = "batch_src_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("filesPerTask", "4")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(name).count() == 120
+
+
+def test_stream_table_jvm_matches_snapshot(spark):
+    """The JVM file-source fast path delivers the full append-only
+    content with no Python source involved."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import stream_table_jvm
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    t = VersionedTable.create(
+        spark, temp_table_path("src-jvm"), spark.range(0, 80).withColumn("k", F.lit("x"))
+    )
+    t.append(spark.range(80, 100).withColumn("k", F.lit("y")))
+    import uuid as _uuid
+
+    name = "jvm_src_" + _uuid.uuid4().hex[:8]
+    q = (
+        stream_table_jvm(spark, t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["id"] for r in spark.table(name).collect())
+    assert got == list(range(100))
