@@ -2,12 +2,17 @@
 
 The reference's ``/sql`` endpoint (``api.py:83-88``) runs arbitrary
 ``spark.sql`` text, so the classic warehouse query shapes are part of
-its effective surface. This module adds the TPC-H shapes expressible
-over the driver's star schema (no partsupp table, no
-commit/receipt-date columns — Q2/Q9/Q11/Q12/Q20/Q21 are not
-expressible): Q7 volume shipping, Q8 market share, Q10 returned-item
-top customers, Q14 promo revenue, Q15 top supplier, a Q16-shaped
-supplier-count rollup, and Q19's disjunctive OR-of-ANDs join.
+its effective surface. This module adds the TPC-H shapes over the
+driver's star schema: Q6 revenue band, Q7 volume shipping, Q8 market
+share, Q9 profit (adapted), Q10 returned-item top customers, Q13
+order-count distribution, Q14 promo revenue, Q15 top supplier, a
+Q16-shaped supplier-count rollup, Q19's disjunctive OR-of-ANDs join,
+and the decorrelation shapes of Q2, Q11 and Q20 (adapted — the schema
+has no partsupp table and no commit/receipt dates, so those three
+keep their SUBQUERY SHAPE with lineitem standing in as the
+part↔supplier relation; Q12/Q21 need the missing date columns and
+remain out of scope). With §2.13's Q4/Q17/Q18/Q22 and the core
+Q1/Q3/Q5 keys, 20 of the 22 TPC-H query shapes are covered.
 
 Every revenue aggregate uses the exact cent-grid sums
 (``functions/exact.py``) so hashes match DuckDB bit-for-bit; every
@@ -397,4 +402,290 @@ def join_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
         F.count("*").alias("n_items"),
+    )
+
+
+# --- agg_revenue_band (TPC-H Q6) ------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+@register("agg_revenue_band", oracle=_Q6_ORACLE)
+def agg_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — a pure scan-side aggregate.
+    Every predicate pushes to the parquet scan (date range + quantity;
+    the discount band compares on the exact hundredths grid so both
+    engines select identical rows); no join, no shuffle beyond the
+    single-row final aggregate. At 100 TB this is THE
+    bandwidth-bound query: its cost is exactly bytes scanned, which
+    file-level stats skipping (read_range) cuts further."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_h = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & disc_h.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- agg_order_count_dist (TPC-H Q13) -------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("agg_order_count_dist", oracle=_Q13_ORACLE)
+def agg_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer distribution by order count, with the
+    filter inside the LEFT JOIN condition (customers with zero
+    qualifying orders must appear with count 0 — pushing the filter
+    into a WHERE would silently drop them). Two hash aggregates: the
+    per-customer count shuffles on c_custkey, the distribution
+    re-shuffles the tiny (count → customers) pairs. COUNT(o_orderkey)
+    not COUNT(*): unmatched left rows carry a NULL key and must not
+    count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- sub_min_cost_supplier (TPC-H Q2 shape) -------------------------------
+
+# The schema has no partsupp/supplycost; the Q2 decorrelation shape —
+# "the row whose value equals its group's correlated MIN" — is kept
+# with lineitem as the part↔supplier relation and the minimum shipped
+# unit price (l_extendedprice / l_quantity) as the cost.
+
+_Q2_ORACLE = """
+SELECT l_partkey AS part_key, s_suppkey AS supp_key, s_name,
+       CAST(min_price AS DOUBLE) AS unit_price
+FROM (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT) / l_quantity)
+           AS min_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+) per_pair
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_partkey < 300
+  AND min_price = (
+    SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT) / l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = per_pair.l_partkey
+  )
+"""
+
+
+@register("sub_min_cost_supplier", oracle=_Q2_ORACLE)
+def sub_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 decorrelation shape: suppliers offering each part at
+    that part's global minimum unit price, via a correlated scalar MIN
+    subquery. Routed through spark.sql so Catalyst decorrelates the
+    per-part MIN into ONE aggregate joined back (lineitem is scanned
+    twice total, never once per part). Unit price is exact-grid cents
+    divided by quantity — one deterministic IEEE divide per row on
+    both engines."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(
+        """
+        SELECT l_partkey AS part_key, s_suppkey AS supp_key, s_name,
+               CAST(min_price AS DOUBLE) AS unit_price
+        FROM (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT) / l_quantity)
+                   AS min_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ) per_pair
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_partkey < 300
+          AND min_price = (
+            SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT)
+                       / l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = per_pair.l_partkey
+          )
+        """
+    )
+
+
+# --- agg_profit_by_nation_year (TPC-H Q9 shape) ---------------------------
+
+# No ps_supplycost in the schema; the Q9 shape (multi-dim star join +
+# profit expression + group by nation x year) keeps part.p_retailprice
+# as the unit-cost stand-in. Both profit terms are exact cent-grid
+# products summed as integers.
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS gross,
+       {sql_dsum('p_retailprice * l_quantity', 2)} AS supply_cost
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+@register("agg_profit_by_nation_year", oracle=_Q9_ORACLE)
+def agg_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit per supplier nation per year
+    over a part-name LIKE filter. part/supplier/nation broadcast; the
+    LIKE prunes part BEFORE the join so the fact join probe shrinks;
+    gross and cost are separate exact-grid sums (2-dp x 2-dp -> 4-dp
+    grid for gross; retailprice x integer quantity stays on the 2-dp
+    grid)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "gross"
+            ),
+            dsum(F.col("p_retailprice") * F.col("l_quantity"), 2).alias(
+                "supply_cost"
+            ),
+        )
+    )
+
+
+# --- sub_important_stock (TPC-H Q11 shape) --------------------------------
+
+_Q11_FRACTION = 0.0007
+
+_Q11_ORACLE = f"""
+SELECT l_partkey AS part_key,
+       CAST(part_value AS DOUBLE) AS part_value
+FROM (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * l_quantity)
+           AS part_value
+  FROM lineitem GROUP BY l_partkey
+) per_part
+WHERE part_value > (
+  SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * l_quantity)
+         * {_Q11_FRACTION}
+  FROM lineitem
+)
+"""
+
+
+@register("sub_important_stock", oracle=_Q11_ORACLE)
+def sub_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction
+    of TOTAL shipped value — a HAVING against an uncorrelated scalar
+    subquery. The global total runs ONCE as a one-row subquery
+    broadcast into the per-part filter (never recomputed per group);
+    both sides accumulate on the exact cents x quantity integer grid,
+    and only the threshold comparison is floating-point."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        f"""
+        SELECT l_partkey AS part_key,
+               CAST(part_value AS DOUBLE) AS part_value
+        FROM (
+          SELECT l_partkey,
+                 SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * l_quantity)
+                   AS part_value
+          FROM lineitem GROUP BY l_partkey
+        ) per_part
+        WHERE part_value > (
+          SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * l_quantity)
+                 * {_Q11_FRACTION}
+          FROM lineitem
+        )
+        """
+    )
+
+
+# --- sub_excess_shippers (TPC-H Q20 shape) --------------------------------
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%gear%'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > (
+    SELECT 0.5 * SUM(l_quantity) / COUNT(DISTINCT l_suppkey)
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%gear%'
+  )
+)
+"""
+
+
+@register("sub_excess_shippers", oracle=_Q20_ORACLE)
+def sub_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half the
+    average per-supplier quantity of a part-name family — IN over a
+    GROUP BY ... HAVING whose threshold is itself an uncorrelated
+    scalar subquery. Decorrelates to: one filtered fact aggregate,
+    one broadcast one-row threshold, one left-semi join into the
+    supplier dim. Quantities are integral doubles, so SUM is exact on
+    both engines without grid scaling."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "part"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%gear%'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > (
+            SELECT 0.5 * SUM(l_quantity) / COUNT(DISTINCT l_suppkey)
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%gear%'
+          )
+        )
+        """
     )

@@ -186,6 +186,13 @@ _PRIORITY: tuple[str, ...] = (
     "llm_langid_confusion",
     "stream_table_source",
     "stream_table_source_jvm",
+    # round-3 additions: the remaining expressible TPC-H shapes
+    "agg_revenue_band",
+    "agg_order_count_dist",
+    "sub_min_cost_supplier",
+    "agg_profit_by_nation_year",
+    "sub_important_stock",
+    "sub_excess_shippers",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.

@@ -313,6 +313,54 @@ def test_sort_within_partitions_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """TPC-H Q6 is THE bandwidth query: date range and quantity must
+    reach the parquet scan as pushed filters, and no join/exchange
+    beyond the single-row final aggregate may appear."""
+    s = assert_scalable(
+        QUERIES["agg_revenue_band"](spark, sf_dir),
+        require_pushdown_on="l_shipdate",
+    )
+    plan = _plan(spark, sf_dir, "agg_revenue_band")
+    assert "Join" not in plan
+
+
+def test_q2_min_cost_decorrelates_to_single_aggregate(spark, sf_dir):
+    """The correlated per-part MIN must run as ONE aggregate joined
+    back — never a per-row re-execution (no nested-loop/cartesian)."""
+    s = summarize(QUERIES["sub_min_cost_supplier"](spark, sf_dir))
+    assert not s.has_cartesian
+    plan = _plan(spark, sf_dir, "sub_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_threshold_is_one_row_subquery(spark, sf_dir):
+    """The global-total threshold must appear as a reusable scalar
+    subquery, not a per-group recomputation: exactly two aggregates
+    over lineitem (per-part + total), no cartesian."""
+    s = summarize(QUERIES["sub_important_stock"](spark, sf_dir))
+    assert not s.has_cartesian
+
+
+def test_q20_semi_join_into_supplier(spark, sf_dir):
+    """IN (GROUP BY ... HAVING scalar-subquery) must plan as a semi
+    join against the aggregated fact, with the threshold broadcast."""
+    plan = _plan(spark, sf_dir, "sub_excess_shippers")
+    assert "LeftSemi" in plan
+    s = summarize(QUERIES["sub_excess_shippers"](spark, sf_dir))
+    assert not s.has_cartesian
+
+
+def test_q9_dims_broadcast_and_like_prunes_part(spark, sf_dir):
+    """part/supplier/nation broadcast; the name LIKE filter must prune
+    the part scan before the fact join."""
+    s = summarize(QUERIES["agg_profit_by_nation_year"](spark, sf_dir))
+    assert not s.has_cartesian
+    assert s.n_broadcast_joins >= 3
+    plan = _plan(spark, sf_dir, "agg_profit_by_nation_year")
+    assert "gear" in plan  # LIKE pushed toward the part scan
+
+
 def test_dv_masked_read_broadcasts_small_dv_only(spark, tmp_path, monkeypatch):
     """Deletion-vector reads: the (path, pos) anti-join must broadcast
     the DV side while the masked-position total is under
