@@ -67,6 +67,28 @@ def kmeans_train(
     within-cluster sum of squared grid distances after the final
     assignment.
     """
+    final = kmeans_assignments(
+        spark, vectors, id_col, vec_col, k=k, iters=iters, grid=grid
+    )
+    return final.groupBy(F.col("cl").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("wss"),
+    )
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    grid: int = 1000,
+) -> DataFrame:
+    """Train quantized k-means and return the FINAL per-vector
+    assignment ``(vid, cl, dist, qv)`` — the building block for
+    cluster-aware curation operators (SemDeDup-style dedup, stratified
+    refresh). Same determinism contract as :func:`kmeans_train`."""
     q = vectors.select(
         F.col(id_col).alias("vid"), _quantize(vec_col, grid).alias("qv")
     ).persist()
@@ -113,9 +135,5 @@ def kmeans_train(
         ]
 
     final = assign(spark.createDataFrame(centroids, _CENTROID_SCHEMA))
-    out = final.groupBy(F.col("cl").alias("centroid_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.sum("dist").cast("bigint").alias("wss"),
-    )
     q.unpersist()
-    return out
+    return final

@@ -658,3 +658,48 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("custkey_min"),
         F.max("c_custkey").alias("custkey_max"),
     )
+
+
+# --- agg_sketch_cms: mergeable frequency sketch ----------------------------
+
+
+@register("agg_sketch_cms", oracle=None)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation: ONE pass builds a
+    fixed-size mergeable frequency sketch over every event's user key
+    (Spark's ``count_min_sketch`` aggregate — partials merge
+    map-side, so at 100 TB the cost is the scan plus a few KB of
+    sketch per partition); per-user estimates are then read from the
+    sketch driver-side (O(#users) lookups against the in-memory
+    sketch, no second data pass) and compared with exact counts.
+
+    Keys hash as STRINGS on both the build and probe side — the
+    sketch hashes by runtime type, so a LongType build probed with
+    Integer boxes would silently miss. No DuckDB oracle (the sketch
+    layout is Spark-specific); rows-only here, the estimate-error
+    bound is asserted in ``tests/test_operators.py``."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "count_min_sketch(CAST(user_id AS STRING), 0.001d, 0.99d, 42)"
+        ).alias("sk")
+    ).head()["sk"]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk)
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .collect()  # O(#distinct users), the probe key list
+    )
+    rows = [
+        (
+            int(r["user_id"]),
+            int(r["exact_count"]),
+            int(jcms.estimateCount(str(r["user_id"]))),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, exact_count bigint, est_count bigint"
+    )

@@ -279,11 +279,13 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
-    """Unroll the Lloyd iterations as DuckDB CTEs. Same arithmetic as
-    the Spark side: 1e-3 floor-quantized grid, exact int64 distances
-    via the dot-product identity, argmin tie-broken on centroid id,
-    centroid update re-quantized with the same floor(x+0.5)."""
+def _kmeans_cte_prefix(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as a DuckDB ``WITH`` prefix ending in
+    CTE ``fin`` = final per-vector assignment (vec_id, qv, cl, dist).
+    Same arithmetic as the Spark side: 1e-3 floor-quantized grid,
+    exact int64 distances via the dot-product identity, argmin
+    tie-broken on centroid id, centroid update re-quantized with the
+    same floor(x+0.5). Shared by the kmeans and semdedup oracles."""
 
     def assign(a: str, c: str) -> str:
         dist = (
@@ -314,9 +316,13 @@ def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
         ctes.append(assign(f"a{i + 1}", f"c{i}"))
         ctes.append(update(f"c{i + 1}", f"a{i + 1}"))
     ctes.append(assign("fin", f"c{iters}"))
+    return "WITH " + ",\n".join(ctes) + "\n"
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
-        "SELECT cl AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        _kmeans_cte_prefix(k, iters)
+        + "SELECT cl AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members, "
         "CAST(SUM(dist) AS BIGINT) AS wss FROM fin GROUP BY cl"
     )
 
@@ -336,4 +342,91 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_train(
         spark, e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+# --- llm_semdedup (cluster-then-drop-near-representative dedup) -----------
+
+# SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster the
+# embedding space, keep one representative per cluster, and drop the
+# members semantically CLOSE to it — cheap O(n·k) clustering replaces
+# the O(n²) pairwise sweep, and the per-cluster compare is against one
+# representative, not all pairs.
+_SEMDEDUP_TAU = 1_600_000  # squared 1e-3-grid distance; see docstring
+
+
+def _semdedup_oracle(
+    k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, tau: int = _SEMDEDUP_TAU
+) -> str:
+    return (
+        _kmeans_cte_prefix(k, iters)
+        + f"""
+, ranked AS (
+  SELECT vec_id, qv, cl, dist,
+         row_number() OVER (PARTITION BY cl ORDER BY dist, vec_id) AS rn
+  FROM fin
+),
+reps AS (
+  SELECT cl, vec_id AS rep_id, qv AS rep_qv FROM ranked WHERE rn = 1
+)
+SELECT r.vec_id, r.cl AS centroid_id, reps.rep_id,
+       CAST(list_dot_product(r.qv, r.qv)
+            - 2*list_dot_product(r.qv, reps.rep_qv)
+            + list_dot_product(reps.rep_qv, reps.rep_qv) AS BIGINT)
+         AS dist_to_rep,
+       (r.rn = 1 OR
+        CAST(list_dot_product(r.qv, r.qv)
+             - 2*list_dot_product(r.qv, reps.rep_qv)
+             + list_dot_product(reps.rep_qv, reps.rep_qv) AS BIGINT)
+          > {tau}) AS kept
+FROM ranked r JOIN reps ON r.cl = reps.cl
+"""
+    )
+
+
+@register("llm_semdedup", oracle=_semdedup_oracle())
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means the embeddings (same
+    deterministic quantized Lloyd as ``llm_kmeans_train``), pick the
+    centroid-closest vector as each cluster's representative
+    (tie-broken on vec_id), and drop every member whose exact-grid
+    squared distance to ITS representative is ≤ tau. Keeps the
+    representative and the far-from-representative members — the
+    "semantic duplicates" near the representative go.
+
+    Scale shape: clustering is O(n·k) streaming passes; the rep
+    compare is one broadcast join of k rows; nothing pairwise. The
+    whole chain stays on the 1e-3 integer grid, so Spark and the
+    unrolled DuckDB CTE oracle are bit-identical — a hash-checked
+    end-to-end curation composite."""
+    from pyspark.sql import Window
+
+    from delta_lake_play_spark.operators.kmeans import (
+        _sq_dist,
+        kmeans_assignments,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fin = kmeans_assignments(
+        spark, e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    w = Window.partitionBy("cl").orderBy("dist", "vid")
+    ranked = fin.select(
+        "vid", "cl", "qv", F.row_number().over(w).alias("rn")
+    )
+    reps = ranked.where(F.col("rn") == 1).select(
+        F.col("cl").alias("rep_cl"),
+        F.col("vid").alias("rep_id"),
+        F.col("qv").alias("rep_qv"),
+    )
+    joined = ranked.join(
+        F.broadcast(reps), ranked.cl == reps.rep_cl
+    ).withColumn("dist_to_rep", _sq_dist("qv", "rep_qv"))
+    return joined.select(
+        F.col("vid").alias("vec_id"),
+        F.col("cl").alias("centroid_id"),
+        "rep_id",
+        "dist_to_rep",
+        ((F.col("rn") == 1) | (F.col("dist_to_rep") > F.lit(_SEMDEDUP_TAU)))
+        .alias("kept"),
     )

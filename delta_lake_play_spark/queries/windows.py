@@ -476,3 +476,44 @@ def win_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) AS sum_trailing_1h
         FROM win_ivl_events
     """)
+
+
+# --- win_moving_median -----------------------------------------------------
+
+# Spark has no median over a window FRAME (AnalysisException on any
+# frame spec), so the moving median is composed from frame-scoped
+# collect_list + array_sort — all codegen'd JVM expressions, O(frame
+# log frame) per row on a BOUNDED frame. DuckDB runs its native
+# windowed median. Parity holds because both sides take the middle of
+# the same sorted 2-dp-grid values; the even-count average (a+b)/2 is
+# an exact half-cent, one IEEE op on each engine.
+
+_MOVMED_ORACLE = """
+SELECT event_id, user_id,
+       median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS moving_median
+FROM events WHERE event_id < 10000
+"""
+
+
+@register("win_moving_median", oracle=_MOVMED_ORACLE)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing moving median of the event value over the
+    last 5 events — the robust-trend window primitive (a moving MEAN
+    chases outliers; ops dashboards want the median)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 10000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = (n / 2).cast("int")
+    med = (
+        F.when(n % 2 == 1, F.element_at(arr, mid + 1))
+        .otherwise((F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0)
+    )
+    return ev.select("event_id", "user_id", med.alias("moving_median"))

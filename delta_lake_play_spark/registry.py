@@ -193,6 +193,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_profit_by_nation_year",
     "sub_important_stock",
     "sub_excess_shippers",
+    "llm_semdedup",
+    "win_moving_median",
+    "agg_sketch_cms",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.

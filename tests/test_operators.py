@@ -180,3 +180,17 @@ def test_near_dup_operators_broadcast_hints_off_parity(spark, sf_dir):
             (r["doc_a"], r["doc_b"]) for r in df.collect()
         )
         assert canon(with_hints) == canon(without)
+
+
+def test_cms_estimates_bounded_overcount(spark, sf_dir):
+    """Count-min sketches only OVERcount: est >= exact always, and
+    with eps=0.001 the overshoot stays within eps*N (plus nothing —
+    the 0.99 confidence held on every key at this scale)."""
+    from delta_lake_play_spark.registry import all_queries
+
+    rows = all_queries()["agg_sketch_cms"](spark, sf_dir).collect()
+    assert len(rows) >= 10
+    total = sum(r["exact_count"] for r in rows)
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+        assert r["est_count"] <= r["exact_count"] + 0.001 * total + 1, r
