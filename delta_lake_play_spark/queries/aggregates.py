@@ -703,3 +703,63 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, exact_count bigint, est_count bigint"
     )
+
+
+# --- agg_regression_exact: deterministic OLS ------------------------------
+
+# regr_slope/regr_intercept accumulate doubles in scan order, so their
+# results are partition-order-dependent and never hash-comparable.
+# Instead the five sufficient statistics (n, Sx, Sy, Sxy, Sxx) are
+# EXACT integer sums on the cent/unit grid, and the OLS closed form is
+# evaluated in one fixed expression-tree over them — every double op
+# happens in the same order on both engines.
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       n,
+       CAST((sxy*1.0/n - (sx*1.0/n)*(sy*1.0/n))
+            / (sxx*1.0/n - (sx*1.0/n)*(sx*1.0/n)) AS DOUBLE) AS slope,
+       CAST((sy*1.0/n)
+            - ((sxy*1.0/n - (sx*1.0/n)*(sy*1.0/n))
+               / (sxx*1.0/n - (sx*1.0/n)*(sx*1.0/n))) * (sx*1.0/n)
+            AS DOUBLE) AS intercept
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+) s
+"""
+
+
+@register("agg_regression_exact", oracle=_REGR_ORACLE)
+def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag OLS of price-cents on quantity via exact integer
+    sufficient statistics — the deterministic form of
+    ``regr_slope``/``regr_intercept`` (whose double accumulators are
+    partition-order-dependent). One map-side-combined aggregate; the
+    closed form is a handful of scalar ops on the k grouped rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    xbar = sx * 1.0 / n
+    ybar = sy * 1.0 / n
+    slope = (sxy * 1.0 / n - xbar * ybar) / (sxx * 1.0 / n - xbar * xbar)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.cast("double").alias("slope"),
+        (ybar - slope * xbar).cast("double").alias("intercept"),
+    )

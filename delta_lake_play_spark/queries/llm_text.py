@@ -645,3 +645,50 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_share"),
     )
+
+
+# --- llm_importance_resample ----------------------------------------------
+
+# Temperature-style importance resampling: each document is accepted
+# with probability proportional to its quality weight, but the coin
+# flip is a DETERMINISTIC hash of the doc id (Knuth multiplicative
+# hash mod 1000 — plain int64 arithmetic both engines share), so the
+# sample is reproducible run-to-run and machine-to-machine. This is
+# how a curation pipeline upsamples high-quality sources without an
+# RNG whose stream depends on partitioning.
+
+_RESAMPLE_ORACLE = """
+SELECT doc_id, source, weight_millis
+FROM (
+  SELECT doc_id, source,
+         CAST(least(900, greatest(100, n_chars // 2)) AS BIGINT)
+           AS weight_millis,
+         (doc_id * 2654435761) % 1000 AS coin
+  FROM documents
+) d
+WHERE coin < weight_millis
+"""
+
+
+@register("llm_importance_resample", oracle=_RESAMPLE_ORACLE)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance resampling by document quality: the
+    acceptance weight rises with document length (clamped to
+    [0.1, 0.9]), the coin is a multiplicative hash of doc_id on the
+    exact integer grid. A narrow map + filter — no shuffle, no RNG,
+    pushdown-friendly; at 100 TB the sample is one streaming pass."""
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.least(
+        F.lit(900), F.greatest(F.lit(100), F.expr("n_chars div 2"))
+    ).cast("bigint")
+    coin = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            weight.alias("weight_millis"),
+            coin.alias("coin"),
+        )
+        .where(F.col("coin") < F.col("weight_millis"))
+        .drop("coin")
+    )

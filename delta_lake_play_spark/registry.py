@@ -196,6 +196,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_semdedup",
     "win_moving_median",
     "agg_sketch_cms",
+    "agg_regression_exact",
+    "llm_importance_resample",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.
