@@ -689,3 +689,140 @@ def sub_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --- agg_shipmode_priority (TPC-H Q12 shape) ------------------------------
+
+# The schema has no l_shipmode / commit / receipt dates
+# (TESTDATA.md), so the Q12 SHAPE is kept with l_linestatus standing
+# in as the mode column and the one available date (l_shipdate)
+# driving the year window: join fact->orders, split the priority
+# column into high/low with identical CASE arms on both engines,
+# conditional-count per mode.
+
+_Q12_ORACLE = """
+SELECT l_linestatus AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY ship_mode
+"""
+
+
+@register("agg_shipmode_priority", oracle=_Q12_ORACLE)
+def agg_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-ship-mode counts of high- vs low-priority
+    orders inside a one-year ship window. The date range pushes to the
+    lineitem scan (a year of the fact, not all of it), the join keys
+    are the orderkeys of just that slice, and the two counts are one
+    conditional aggregate over a 2-value key — map-side combined, so
+    the shuffle carries at most (#modes x #partitions) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# --- sub_waiting_orders (TPC-H Q21 shape) ---------------------------------
+
+# Q21's doubly-correlated EXISTS / NOT EXISTS on the same fact table,
+# with "late" re-expressed on the available column: a supplier "kept
+# the order waiting" when the order is multi-supplier ('F' status) and
+# no OTHER supplier shipped later than this supplier's row. The DuckDB
+# oracle states it with literal correlated subqueries; the Spark side
+# decorrelates by hand into per-(order,supplier) max-shipdate
+# aggregates plus a top-2 trick (max1/cnt1/max2) that yields
+# "max over the other suppliers" without a per-row subquery.
+
+_Q21_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("sub_waiting_orders", oracle=_Q21_ORACLE)
+def sub_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting), decorrelated. max-over-OTHER-suppliers is derived from
+    three per-order scalars — the top per-supplier max (max1), how
+    many suppliers attain it (cnt1), and the runner-up (max2) — so
+    the doubly-nested EXISTS collapses into two reuse-partitioned
+    aggregates on l_orderkey plus joins on the same key: no
+    correlated per-row probe, no fact-x-fact inequality join. At
+    100 TB every shuffle is keyed by l_orderkey and AQE reuses the
+    exchange across the two aggregates; supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    # per-(order, supplier) max shipdate: one map-side-combined shuffle
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
+    )
+    # per-order top-2 summary over the per-supplier maxes
+    per_o1 = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.max("ms").alias("max1")
+    )
+    per_o = (
+        per_os.join(per_o1, "l_orderkey")
+        .groupBy("l_orderkey", "n_supp", "max1")
+        .agg(
+            F.sum(F.when(F.col("ms") == F.col("max1"), 1).otherwise(0)).alias(
+                "cnt1"
+            ),
+            F.max(F.when(F.col("ms") < F.col("max1"), F.col("ms"))).alias("max2"),
+        )
+    )
+    l1 = (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_os, ["l_orderkey", "l_suppkey"])
+        .join(per_o, "l_orderkey")
+    )
+    other_max = F.when(
+        (F.col("ms") == F.col("max1")) & (F.col("cnt1") == 1), F.col("max2")
+    ).otherwise(F.col("max1"))
+    waiting = l1.where(
+        (F.col("n_supp") >= 2) & (F.col("l_shipdate") >= other_max)
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

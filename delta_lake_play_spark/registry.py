@@ -198,6 +198,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_sketch_cms",
     "agg_regression_exact",
     "llm_importance_resample",
+    "agg_shipmode_priority",
+    "sub_waiting_orders",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.

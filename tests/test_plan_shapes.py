@@ -399,3 +399,25 @@ def test_dv_masked_read_broadcasts_small_dv_only(spark, tmp_path, monkeypatch):
         assert t.to_df().count() == 4_500  # mask applied on the fallback path
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q12_date_window_pushes_to_fact_scan(spark, sf_dir):
+    """TPC-H Q12 shape: the one-year ship window must reach the
+    lineitem scan so the join input is a year of the fact, and the
+    conditional counts stay a hash aggregate (no window/sort)."""
+    assert_scalable(
+        QUERIES["agg_shipmode_priority"](spark, sf_dir),
+        require_pushdown_on="l_shipdate",
+    )
+    assert "Window" not in _plan(spark, sf_dir, "agg_shipmode_priority")
+
+
+def test_q21_decorrelation_has_no_cartesian_or_window(spark, sf_dir):
+    """TPC-H Q21 shape: the doubly-correlated EXISTS pair must
+    decorrelate into orderkey-keyed aggregates — no cartesian
+    fact-x-fact probe — and the final top-10 must compile to
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "sub_waiting_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
