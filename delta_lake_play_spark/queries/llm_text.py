@@ -692,3 +692,275 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("coin") < F.col("weight_millis"))
         .drop("coin")
     )
+
+
+# --- llm_train_val_split ---------------------------------------------------
+
+# Deterministic train/val/test split: the bucket is a multiplicative
+# hash of doc_id on the exact integer grid (both engines share int64
+# arithmetic; the multiplier keeps doc_id * m far from overflow at any
+# realistic corpus size), so the split is stable run-to-run,
+# machine-to-machine, and partition-layout-independent — the property
+# a training pipeline needs so val never leaks into train between
+# re-runs. 80/10/10.
+
+_SPLIT_ORACLE = """
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 800 THEN 'train'
+              WHEN (doc_id * 1103515245 + 12345) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) d
+GROUP BY split, lang
+"""
+
+
+@register("llm_train_val_split", oracle=_SPLIT_ORACLE)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 80/10/10 corpus split with per-(split, lang)
+    size accounting. A narrow map plus one tiny-key aggregate: at
+    100 TB this is a single streaming pass, and the assignment never
+    depends on row order or partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- llm_global_shuffle ----------------------------------------------------
+
+# Training-order shuffle + sharding: every document gets a shard and a
+# position within that shard, both derived from a doc-id hash rather
+# than an RNG, so the "shuffled" order is reproducible and resumable
+# (restarting a training job re-derives the same order). The small
+# multiplier keeps the product inside int64 on both engines (DuckDB
+# promotes overflow to HUGEINT, Spark wraps — avoid the divergence by
+# never overflowing).
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         (doc_id * 40503 + 7919) % 65536 AS h,
+         ((doc_id * 40503 + 7919) % 65536) % 16 AS shard
+  FROM documents
+) d
+"""
+
+
+@register("llm_global_shuffle", oracle=_SHUFFLE_ORACLE)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 training shards: shard =
+    hash % 16, position = rank of the hash within the shard (doc_id
+    tiebreak). One hash-partitioned sort per shard — each shard sorts
+    independently (Window keyed by shard), so at 100 TB this is a
+    shuffle + per-partition sort, never a single global order."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(40503) + F.lit(7919)) % 65536
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), (h % 16).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+# --- llm_ngram_lm_score ----------------------------------------------------
+
+# Count-based language-model scoring: train a bigram frequency table
+# over the corpus in one aggregate, then score every document by the
+# average corpus frequency of its bigrams. This is the integer-exact
+# core of perplexity filtering (a real LM replaces "frequency" with a
+# smoothed log-probability; the plan shape — train a model table,
+# join it back to score — is identical), so the whole chain stays
+# hash-checkable: int64 sums plus one IEEE division.
+
+_LM_ORACLE = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+), model AS (
+  SELECT bg, COUNT(*) AS freq FROM ex GROUP BY bg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(freq) AS BIGINT) AS total_freq,
+       CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_freq
+FROM ex JOIN model USING (bg)
+GROUP BY doc_id
+"""
+
+
+@register("llm_ngram_lm_score", oracle=_LM_ORACLE)
+def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-frequency LM scoring: one explode pass builds the
+    training stream, a map-side-combined aggregate builds the model
+    (bigram -> corpus count), a join keyed by bigram scores every
+    document, and a doc-keyed aggregate averages. At 100 TB the model
+    table is vocabulary-sized (<< corpus-sized); both shuffles are on
+    high-cardinality keys with partial aggregation — no broadcast
+    assumption, no driver materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    # Pre-combine to distinct (doc, bigram) pairs BEFORE the model
+    # join: the scored stream shrinks from every occurrence to every
+    # distinct pair, and the model aggregate rides the same exchange.
+    perdoc = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    model = perdoc.groupBy("bg").agg(F.sum("c").alias("freq"))
+    return (
+        perdoc.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("freq")).alias("total_freq"),
+            (
+                F.sum(F.col("c") * F.col("freq")).cast("double") / F.sum("c")
+            ).alias("avg_freq"),
+        )
+    )
+
+
+# --- llm_line_dedup --------------------------------------------------------
+
+# CCNet-style sub-document dedup: documents are cut into fixed
+# 16-token chunks, each distinct chunk text is owned by its smallest
+# doc_id, and every other occurrence is dropped; the per-document
+# report shows how much text survives. (CCNet does this per line /
+# paragraph; this corpus has no newlines, so the fixed token window
+# stands in for the line boundary.)
+
+_LINE_DEDUP_ORACLE = """
+WITH c AS (
+  SELECT doc_id, c AS chunk_idx,
+         array_to_string(list_slice(toks, c * 16 + 1, c * 16 + 16), ' ')
+           AS chunk
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       UNNEST(generate_series(0, CAST((len(toks) + 15) // 16 AS INT) - 1))
+         AS u(c)
+), owners AS (
+  SELECT chunk, MIN(doc_id) AS owner FROM c GROUP BY chunk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN doc_id = owner THEN len(chunk) ELSE 0 END)
+         AS BIGINT) AS kept_chars
+FROM c JOIN owners USING (chunk)
+GROUP BY doc_id
+"""
+
+
+@register("llm_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular dedup with survival accounting: explode 16-token
+    chunks, claim each distinct chunk for its min-doc_id owner (one
+    map-side-combined min aggregate keyed by chunk text), join the
+    ownership back, and re-aggregate per document. Two shuffles, both
+    on high-cardinality keys; chunk texts never collect anywhere. At
+    100 TB swap the chunk string for its xxhash to shrink the shuffle
+    to 8 bytes/chunk — kept as text here so the oracle can see it."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.floor((F.size(toks) + 15) / 16).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.array_join(F.slice(toks, c * 16 + 1, 16), " "),
+    )
+    c = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    owners = c.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    kept = F.col("doc_id") == F.col("owner")
+    return (
+        c.join(owners, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.length("chunk")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+# --- llm_domain_filter -----------------------------------------------------
+
+# Source-level (domain-level) filtering: score every SOURCE by the
+# mean lexical diversity of its documents, then keep only documents
+# from sources clearing the bar — the web-crawl move of dropping whole
+# domains (content farms) rather than individual pages. The mean is
+# an exact-int ratio sum? No — it is a sum of per-doc IEEE ratios, so
+# the aggregate is made order-independent by summing the two integer
+# legs separately and dividing once.
+
+_DOMAIN_ORACLE = """
+WITH perdoc AS (
+  SELECT source,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), persrc AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) AS src_diversity
+  FROM perdoc GROUP BY source
+)
+SELECT source, n_docs, src_diversity
+FROM persrc
+WHERE src_diversity >= 0.31
+"""
+
+
+@register("llm_domain_filter", oracle=_DOMAIN_ORACLE)
+def llm_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate: aggregate token-diversity per source
+    (both legs as exact int64 sums, one division at the end), keep
+    sources above the corpus-level bar. The aggregate is map-side
+    combined on a low-cardinality key; the surviving-source list is
+    dimension-sized, so the follow-on 'filter the corpus' step (shown
+    by llm_doc_quality_filter-style composition) is a broadcast semi
+    join, never a shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    persrc = (
+        d.select(
+            "source",
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_distinct").cast("double") / F.sum("n_tokens")).alias(
+                "src_diversity"
+            ),
+        )
+    )
+    return persrc.where(F.col("src_diversity") >= 0.31)

@@ -200,6 +200,11 @@ _PRIORITY: tuple[str, ...] = (
     "llm_importance_resample",
     "agg_shipmode_priority",
     "sub_waiting_orders",
+    "llm_train_val_split",
+    "llm_global_shuffle",
+    "llm_ngram_lm_score",
+    "llm_line_dedup",
+    "llm_domain_filter",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.
