@@ -637,3 +637,63 @@ def dml_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete(F.col("c_acctbal") < 0)
     t.append(_appended_rows(spark, sf_dir))
     return t.to_df()
+
+
+# --- dml_constraints_enforced ----------------------------------------------
+
+# CHECK constraints gate every commit (Delta ALTER TABLE ADD
+# CONSTRAINT semantics): a valid append lands, an invalid one is
+# refused ATOMICALLY (no partial rows, version unchanged), and the
+# final state is valid-rows-only — which is exactly what the oracle
+# states as a batch query.
+
+_CONSTRAINT_ORACLE = f"""
+SELECT * FROM customer
+UNION ALL {_APPEND_SQL}
+"""
+
+
+@register("dml_constraints_enforced", oracle=_CONSTRAINT_ORACLE)
+def dml_constraints_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_play_spark.table.versioned import ConstraintViolationError
+
+    c = load_table(spark, sf_dir, "customer")
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("ck"),
+        c,
+        constraints={"key_positive": "c_custkey >= 0"},
+    )
+    before = t.latest_version()
+    t.append(_appended_rows(spark, sf_dir))  # valid: keys > 0
+    try:
+        t.append(c.limit(5).withColumn("c_custkey", F.lit(-1).cast("bigint")))
+        raise AssertionError("constraint violation not raised")
+    except ConstraintViolationError:
+        pass
+    assert t.latest_version() == before + 1  # refused commit left no version
+    return t.to_df()
+
+
+# --- dml_partitioned_table -------------------------------------------------
+
+# Hive-partitioned versioned table: files lay out under
+# c_mktsegment=... directories, a partition-aligned DELETE drops whole
+# files without reading them, and the read back re-attaches the
+# partition column from the directory name.
+
+_PART_TABLE_ORACLE = """
+SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'
+"""
+
+
+@register("dml_partitioned_table", oracle=_PART_TABLE_ORACLE)
+def dml_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    t = VersionedTable.create(
+        spark, temp_table_path("pt"), c, partition_by=["c_mktsegment"]
+    )
+    t.delete(F.col("c_mktsegment") == "BUILDING")
+    # column order back to the source layout (partition col moves last
+    # in storage); the oracle states the source order.
+    return t.to_df().select(*c.columns)

@@ -298,3 +298,33 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="text_rt_")
     d.select("text").write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+# --- sink_partitioned_parquet ---------------------------------------------
+
+_PARTSINK_ORACLE = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'de'
+"""
+
+
+@register("sink_partitioned_parquet", oracle=_PARTSINK_ORACLE)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned source: write
+    the corpus laid out by lang (the layout a 100 TB lake actually
+    uses — low-cardinality filter columns become directories), read it
+    back with a lang predicate, and let Catalyst prune to the one
+    matching directory so the scan never opens the other partitions'
+    files. The lang column round-trips through the directory name, so
+    it is re-cast and re-ordered to the declared schema on the way
+    out. A plan test pins the pruning."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="part_sink_") + "/documents"
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).where(F.col("lang") == "de")
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "source", "n_chars"
+    )

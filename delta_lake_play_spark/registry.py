@@ -205,6 +205,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_ngram_lm_score",
     "llm_line_dedup",
     "llm_domain_filter",
+    "dml_constraints_enforced",
+    "dml_partitioned_table",
+    "sink_partitioned_parquet",
     # --- TIER 3: everything already hash-proven by a driver round (r1
     # families whose code is unchanged, and the 47 r2 greens) follows in
     # registration order via _ordered()'s tail.

@@ -421,3 +421,13 @@ def test_q21_decorrelation_has_no_cartesian_or_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """The lang='de' read over the hive-partitioned sink must prune at
+    the directory level (PartitionFilters), not post-filter rows."""
+    plan = _plan(spark, sf_dir, "sink_partitioned_parquet")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
