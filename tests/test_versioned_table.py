@@ -462,3 +462,44 @@ def test_convert_references_source_files_without_rewrite(spark, sf_dir, tmp_path
         .collect()
     }
     assert got == want
+
+
+def test_partitioned_table_full_dml_sequence(spark):
+    """Every DML writes hive-partitioned files on a partitioned table
+    and the partition column survives merge, update, MoR delete, and
+    time travel."""
+    df = spark.range(0, 600).withColumn(
+        "p", (F.col("id") % 3).cast("string")
+    ).withColumn("v", F.col("id") * 10)
+    t = VersionedTable.create(
+        spark, temp_table_path("part-dml"), df, partition_by=["p"]
+    )
+    # merge: update half of p=0, insert new rows into p=3
+    src = (
+        spark.range(0, 100)
+        .withColumn("id", F.col("id") * 6)  # all land in p=0
+        .withColumn("p", F.lit("0"))
+        .withColumn("v", F.lit(-1).cast("long"))
+        .unionByName(
+            spark.range(1000, 1050)
+            .withColumn("p", F.lit("3"))
+            .withColumn("v", F.col("id"))
+        )
+    )
+    t.merge(src, key="id")
+    assert t.to_df().where("p = '3'").count() == 50
+    assert t.to_df().where("v = -1").count() == 100
+    # update within one partition
+    t.update({"v": F.lit(7).cast("long")}, F.col("p") == "1")
+    assert t.to_df().where("p = '1' AND v <> 7").count() == 0
+    # MoR delete across partitions; partition column still readable
+    v_before = t.latest_version()
+    t.delete_mor(F.col("id") % 2 == 1)
+    cur = t.to_df()
+    assert cur.where("id % 2 = 1").count() == 0
+    assert cur.select("p").distinct().count() == 4
+    # new files all live under p=... directories
+    entry_files = t._read_log(t.latest_version())["files"]
+    assert all("p=" in f["path"] or f.get("dv") for f in entry_files)
+    # time travel back across the partitioned commits
+    assert t.read(version=v_before).where("id % 2 = 1").count() > 0
