@@ -769,16 +769,47 @@ FROM (
 def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 16 training shards: shard =
     hash % 16, position = rank of the hash within the shard (doc_id
-    tiebreak). One hash-partitioned sort per shard — each shard sorts
-    independently (Window keyed by shard), so at 100 TB this is a
-    shuffle + per-partition sort, never a single global order."""
+    tiebreak).
+
+    The rank is computed TWO-LEVEL so no single task ever holds a
+    whole shard (a plain Window over shard would): each shard splits
+    into 16 range-aligned subshards (h div 4096 — contiguous in h, so
+    subshard order IS hash order), the window ranks within
+    (shard, subshard), and a broadcast cumulative-count table shifts
+    each subshard by the rows in the subshards below it. At 100 TB
+    the sort granule is shard/256th of the corpus and the offset
+    table stays at shards x subshards rows — the distributed form of
+    zipWithIndex without any global sort or driver pass."""
     d = load_table(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(40503) + F.lit(7919)) % 65536
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    base = d.select(
+        "doc_id",
+        h.alias("h"),
+        (h % 16).alias("shard"),
+        (h / 4096).cast("int").alias("subshard"),
+    )
+    # O(shards x subshards) offset table: rows in lower subshards of
+    # the same shard. Tiny — broadcasts.
+    counts = base.groupBy("shard", "subshard").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("subshard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard",
+        "subshard",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w = Window.partitionBy("shard", "subshard").orderBy("h", "doc_id")
     return (
-        d.select("doc_id", h.alias("h"), (h % 16).alias("shard"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .select("doc_id", "shard", "pos")
+        base.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["shard", "subshard"])
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("offset") + F.col("r")).cast("bigint").alias("pos"),
+        )
     )
 
 
