@@ -763,3 +763,93 @@ def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.cast("double").alias("slope"),
         (ybar - slope * xbar).cast("double").alias("intercept"),
     )
+
+
+# --- agg_sketch_quantile: mergeable histogram quantile ---------------------
+
+# Equi-width-histogram quantile estimation — the mergeable,
+# one-pass-per-stage alternative to an exact percentile's global
+# sort: per-partition bucket counts merge by addition (the same
+# property the HLL and CMS keys demonstrate), and the estimate
+# interpolates inside the bucket that crosses the target rank.
+# Error is bounded by one bucket width; with 128 buckets that is
+# (max-min)/128. Every step is order-independent (min/max/count) or
+# a fixed-shape IEEE expression, so unlike a t-digest the estimate
+# is bit-deterministic and the whole chain oracle-pairs.
+
+_QSKETCH_BUCKETS = 128
+_QSKETCH_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+_QSKETCH_ORACLE = f"""
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+         COUNT(*) AS n_total
+  FROM orders
+), hist AS (
+  SELECT LEAST({_QSKETCH_BUCKETS - 1},
+               CAST(FLOOR((o_totalprice - mn) /
+                          ((mx - mn) / {_QSKETCH_BUCKETS})) AS INT))
+           AS bucket,
+         COUNT(*) AS n
+  FROM orders, mm
+  GROUP BY bucket
+), cum AS (
+  SELECT bucket, n,
+         SUM(n) OVER (ORDER BY bucket) AS cum,
+         SUM(n) OVER (ORDER BY bucket) - n AS cum_prev
+  FROM hist
+)
+SELECT q,
+       CAST(mn + ((mx - mn) / {_QSKETCH_BUCKETS}) *
+            (bucket + (q * n_total - cum_prev) / n) AS DOUBLE) AS est
+FROM (SELECT UNNEST([{", ".join(str(q) for q in _QSKETCH_QS)}]) AS q) qs,
+     cum, mm
+WHERE cum_prev < q * n_total AND q * n_total <= cum
+"""
+
+
+@register("agg_sketch_quantile", oracle=_QSKETCH_ORACLE)
+def agg_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of o_totalprice at five target
+    ranks. Plan: one min/max/count aggregate (broadcast as a 1-row
+    dim), one map-side-combined bucket-count aggregate, a 128-row
+    window for the cumulative, and a 5x128 bounded join to pick the
+    crossing bucket. Nothing global ever sorts; at 100 TB both
+    aggregates are single streaming passes and everything after them
+    is dimension-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count("*").alias("n_total"),
+    )
+    width = (F.col("mx") - F.col("mn")) / _QSKETCH_BUCKETS
+    bucket = F.least(
+        F.lit(_QSKETCH_BUCKETS - 1),
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+    )
+    hist = (
+        o.join(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        (F.sum("n").over(w) - F.col("n")).alias("cum_prev"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QSKETCH_QS], "q double")
+    target = F.col("q") * F.col("n_total")
+    est = F.col("mn") + width * (
+        F.col("bucket") + (target - F.col("cum_prev")) / F.col("n")
+    )
+    return (
+        qs.crossJoin(F.broadcast(cum))
+        .crossJoin(F.broadcast(mm))
+        .where((F.col("cum_prev") < target) & (target <= F.col("cum")))
+        .select("q", est.cast("double").alias("est"))
+    )

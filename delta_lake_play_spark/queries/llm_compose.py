@@ -310,3 +310,119 @@ def llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+# --- llm_curation_shardplan ------------------------------------------------
+
+# Round-3 composite: the NEW curation stages chained as one logical
+# plan — domain-level source gate -> chunk-granular dedup survival
+# gate (docs keeping >= 50% of their 16-token chunks) -> deterministic
+# train/val/test assignment -> per-(split, source) shard plan. Proves
+# the round-3 operators compose without driver glue exactly like the
+# round-2 end-to-end pipeline does for the round-2 stages.
+
+_SHARDPLAN_ORACLE = """
+WITH perdoc AS (
+  SELECT doc_id, source, n_chars,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(string_split(text, ' ')) AS n_tokens,
+         string_split(text, ' ') AS toks
+  FROM documents
+), persrc AS (
+  SELECT source
+  FROM perdoc GROUP BY source
+  HAVING CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_tokens) >= 0.31
+), gated AS (
+  SELECT p.* FROM perdoc p JOIN persrc USING (source)
+), c AS (
+  SELECT doc_id, array_to_string(
+           list_slice(toks, u.c * 16 + 1, u.c * 16 + 16), ' ') AS chunk
+  FROM gated,
+       UNNEST(generate_series(0, CAST((len(toks) + 15) // 16 AS INT) - 1))
+         AS u(c)
+), owners AS (
+  SELECT chunk, MIN(doc_id) AS owner FROM c GROUP BY chunk
+), survival AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS n_kept
+  FROM c JOIN owners USING (chunk)
+  GROUP BY doc_id
+), kept AS (
+  SELECT g.doc_id, g.source, g.n_chars,
+         CASE WHEN (g.doc_id * 1103515245 + 12345) % 1000 < 800 THEN 'train'
+              WHEN (g.doc_id * 1103515245 + 12345) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM gated g JOIN survival s USING (doc_id)
+  WHERE s.n_kept * 2 >= s.n_chunks
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY split, source
+"""
+
+
+@register("llm_curation_shardplan", oracle=_SHARDPLAN_ORACLE)
+def llm_curation_shardplan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain gate → chunk-dedup survival gate → hash split → shard
+    plan, one logical plan. The source gate is an aggregate whose
+    surviving-source list broadcasts back as a semi join; chunk
+    ownership is the llm_line_dedup shape (two chunk-keyed shuffles);
+    the split is a pure map; the plan ends in a tiny-key aggregate.
+    Catalyst sees all four stages at once — the corpus scans once for
+    the chunk branch and once for the gate aggregate, with every
+    inter-stage edge a shuffle or broadcast, never a driver pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    perdoc = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).alias("n_tokens"),
+        toks.alias("toks"),
+    )
+    persrc = (
+        perdoc.groupBy("source")
+        .agg(
+            (F.sum("n_distinct").cast("double") / F.sum("n_tokens")).alias(
+                "src_diversity"
+            )
+        )
+        .where(F.col("src_diversity") >= 0.31)
+        .select("source")
+    )
+    gated = perdoc.join(F.broadcast(persrc), "source", "left_semi")
+    n_chunks = F.floor((F.size("toks") + 15) / 16).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.array_join(F.slice(F.col("toks"), c * 16 + 1, 16), " "),
+    )
+    c = gated.select("doc_id", F.explode(chunks).alias("chunk"))
+    owners = c.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    survival = (
+        c.join(owners, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("owner"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+    bucket = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kept = (
+        gated.join(survival, "doc_id")
+        .where(F.col("n_kept") * 2 >= F.col("n_chunks"))
+        .select("source", "n_chars", split.alias("split"))
+    )
+    return kept.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -205,6 +205,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_ngram_lm_score",
     "llm_line_dedup",
     "llm_domain_filter",
+    "agg_sketch_quantile",
+    "llm_curation_shardplan",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",

@@ -194,3 +194,30 @@ def test_cms_estimates_bounded_overcount(spark, sf_dir):
     for r in rows:
         assert r["est_count"] >= r["exact_count"], r
         assert r["est_count"] <= r["exact_count"] + 0.001 * total + 1, r
+
+
+def test_quantile_sketch_within_one_bucket_width(spark, sf_dir):
+    """Histogram-quantile estimates land within one bucket width of
+    the exact percentile (the sketch's error bound)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.queries.aggregates import _QSKETCH_BUCKETS
+    from delta_lake_play_spark.registry import all_queries
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = (mx - mn) / _QSKETCH_BUCKETS
+    ests = {
+        r["q"]: r["est"]
+        for r in all_queries()["agg_sketch_quantile"](spark, sf_dir).collect()
+    }
+    exact = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(str(q))
+            for q in ests
+        ]
+    ).first()
+    assert len(ests) == 5
+    for q, est in ests.items():
+        assert abs(est - exact[str(q)]) <= width, (q, est, exact[str(q)])
