@@ -166,6 +166,12 @@ _COMMIT_DIR_RE = re.compile(r"^c-\d+-[0-9a-f]{8}$")
 
 
 class VersionedTable:
+    #: Commits whose file list exceeds this spill the manifest to a
+    #: parquet sidecar under ``_log/manifests/`` instead of inlining it
+    #: in the JSON entry (see ``_commit_files``). Class-level so tests
+    #: can lower it to exercise the spill path on small tables.
+    manifest_inline_max: int = 512
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -943,7 +949,69 @@ class VersionedTable:
 
     def _read_log(self, version: int) -> dict:
         with open(os.path.join(self._log_dir, f"{version:020d}.json")) as fh:
-            return json.load(fh)
+            entry = json.load(fh)
+        if "filesManifest" in entry:
+            entry["files"] = self._read_manifest(entry["filesManifest"])
+        return entry
+
+    # ------------------------------------------------- manifest sidecars
+    #
+    # A commit's file list is the only O(#files) payload in the log. For
+    # small tables it inlines in the JSON entry; past
+    # ``manifest_inline_max`` files it spills to a parquet sidecar
+    # (``_log/manifests/<version>-<uid>.parquet``) so the JSON entry
+    # stays O(1) and the manifest is columnar, compressed, and — at
+    # cluster scale — readable as a DataFrame for distributed planning
+    # (the Iceberg manifest-file / Delta parquet-checkpoint shape).
+    # Vacuum never descends into ``_log``, so manifests persist exactly
+    # as long as their log entries do.
+
+    def _write_manifest(self, version: int, files: list[dict]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        man_dir = os.path.join(self._log_dir, "manifests")
+        os.makedirs(man_dir, exist_ok=True)
+        rel = os.path.join("manifests", f"{version:020d}-{uuid.uuid4().hex[:8]}.parquet")
+        table = pa.table(
+            {
+                "path": pa.array([f["path"] for f in files], pa.string()),
+                "num_rows": pa.array(
+                    [int(f.get("num_rows", 0)) for f in files], pa.int64()
+                ),
+                # stats / dv / partitionValues vary per schema — carried
+                # as a JSON column; promote hot stat columns to native
+                # parquet columns if manifest-level pushdown is needed.
+                "meta_json": pa.array(
+                    [
+                        json.dumps(
+                            {k: v for k, v in f.items() if k not in ("path", "num_rows")}
+                        )
+                        for f in files
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        tmp = os.path.join(man_dir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(table, tmp, compression="zstd")
+        os.rename(tmp, os.path.join(self._log_dir, rel))
+        return rel
+
+    def _read_manifest(self, rel: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self._log_dir, rel))
+        files = []
+        for path, num_rows, meta in zip(
+            table["path"].to_pylist(),
+            table["num_rows"].to_pylist(),
+            table["meta_json"].to_pylist(),
+        ):
+            f = {"path": path, "num_rows": num_rows}
+            f.update(json.loads(meta))
+            files.append(f)
+        return files
 
     def _entry_schema(self, entry: dict) -> T.StructType:
         return T.StructType.fromJson(entry["schema"])
@@ -1200,10 +1268,14 @@ class VersionedTable:
             "operation": operation,
             "operationParameters": params,
             "num_rows": sum(f["num_rows"] - _dv_count(f) for f in files),
-            "files": files,
             "schema": json.loads(schema.json()),
         }
         os.makedirs(self._log_dir, exist_ok=True)
+        if len(files) > self.manifest_inline_max:
+            entry["filesManifest"] = self._write_manifest(version, files)
+            entry["num_files"] = len(files)
+        else:
+            entry["files"] = files
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -1211,6 +1283,11 @@ class VersionedTable:
         try:
             os.link(tmp, final)  # atomic create — fails if version taken
         except FileExistsError:
+            if "filesManifest" in entry:  # reclaim the loser's sidecar
+                try:
+                    os.unlink(os.path.join(self._log_dir, entry["filesManifest"]))
+                except OSError:
+                    pass
             raise VersionConflictError(
                 f"version {version} committed by another writer"
             ) from None

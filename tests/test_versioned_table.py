@@ -503,3 +503,49 @@ def test_partitioned_table_full_dml_sequence(spark):
     assert all("p=" in f["path"] or f.get("dv") for f in entry_files)
     # time travel back across the partitioned commits
     assert t.read(version=v_before).where("id % 2 = 1").count() > 0
+
+
+def test_manifest_spill_keeps_log_entry_small(spark, monkeypatch):
+    """Past ``manifest_inline_max`` files, the commit's file list spills
+    to a parquet sidecar under _log/manifests/ and the JSON entry stays
+    O(1) — the 100 TB shape: a million-file snapshot must not serialize
+    a million-entry JSON array per commit."""
+    import json
+
+    monkeypatch.setattr(VersionedTable, "manifest_inline_max", 4)
+    df = spark.range(0, 40).withColumn("v", F.col("id") * 2)
+    t = VersionedTable.create(
+        spark, temp_table_path("manifest-test"), df.repartition(8)
+    )
+    # 8 files > 4 → spilled
+    raw = json.load(open(os.path.join(t.path, "_log", f"{0:020d}.json")))
+    assert "files" not in raw and raw["num_files"] == 8
+    man = os.path.join(t.path, "_log", raw["filesManifest"])
+    assert os.path.exists(man) and raw["filesManifest"].startswith("manifests/")
+    # transparent resolution: reads, stats, DML all work off the manifest
+    assert t.to_df().count() == 40
+    t.delete(F.col("id") < 5)
+    assert t.to_df().count() == 35
+    t.append(spark.range(100, 103).withColumn("v", F.col("id") * 2))
+    assert t.to_df().count() == 38
+    # time travel across spilled entries
+    assert t.read(version=0).count() == 40
+    # restore re-references manifest-backed files
+    t.restore(0)
+    assert t.to_df().count() == 40
+    # history sees every version; vacuum keeps manifests (under _log)
+    assert t.history().count() == 4
+    t.vacuum(retain_last=1)
+    assert t.to_df().count() == 40
+    assert os.path.exists(man)  # log (incl. manifests) survives vacuum
+
+
+def test_manifest_small_commits_stay_inline(spark):
+    import json
+
+    df = spark.range(0, 10).withColumn("v", F.col("id"))
+    t = VersionedTable.create(
+        spark, temp_table_path("manifest-inline"), df.coalesce(1)
+    )
+    raw = json.load(open(os.path.join(t.path, "_log", f"{0:020d}.json")))
+    assert "files" in raw and "filesManifest" not in raw
