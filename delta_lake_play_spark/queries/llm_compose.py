@@ -426,3 +426,106 @@ def llm_curation_shardplan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --- llm_pagerank_sources -------------------------------------------------
+
+# Link analysis over the corpus's source graph — the web-pipeline
+# quality prior (PageRank/harmonic centrality over the domain graph,
+# as in Common Crawl-derived corpora): sources whose documents are
+# mirrored by many other sources earn rank, and that rank feeds
+# source-level quality weighting. With no hyperlink column in the
+# fixture, the edge set is DERIVED: two sources are linked when they
+# carry an identical document (a mirror/syndication signal). All
+# power-iteration arithmetic is exact BIGINT (ranks scaled by 1e12,
+# floor division), so three unrolled iterations hash-match the SQL
+# oracle on any data.
+
+_PR_BASE = 1_000_000_000_000  # rank scale: 1.0 == 1e12
+_PR_TELE = 150_000_000_000  # teleport term: 0.15 * base
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    ctes = """
+WITH dup AS (
+  SELECT DISTINCT text, source FROM documents
+),
+eund AS (
+  SELECT DISTINCT a.source AS sa, b.source AS sb
+  FROM dup a JOIN dup b USING (text) WHERE a.source < b.source
+),
+edges AS (
+  SELECT sa AS src, sb AS dst FROM eund
+  UNION ALL
+  SELECT sb AS src, sa AS dst FROM eund
+),
+nodes AS (SELECT DISTINCT source AS node FROM documents),
+outdeg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        ctes += f""",
+c{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        prev = f"r{i}"
+    return ctes + f"""
+SELECT node AS source, rank AS pagerank FROM {prev}"""
+
+
+@register("llm_pagerank_sources", oracle=_pagerank_oracle())
+def llm_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the source-mirror graph, damping 0.85, three
+    power iterations on an exact integer grid.
+
+    Scale shape: the edge derivation is the exact-dedup shuffle
+    (distinct (text-hash, source), then a per-hash self-join that at
+    100 TB runs on 32-byte digests, never the text column); each
+    iteration is one join + one aggregation shuffled on the node key.
+    The node table (domains) is orders of magnitude smaller than the
+    corpus, so the iteration joins broadcast at cluster scale. Plans
+    are built by loop unrolling — no driver-side data movement, and
+    three iterations keep the lineage shallow enough that no
+    checkpoint is needed (longer runs would ``localCheckpoint``
+    per ~10 iterations like ``operators/dedup.connected_components``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct (digest, source): the only time the wide text column is
+    # touched; everything downstream moves 32-byte digests.
+    dup = docs.select(F.sha2(F.col("text"), 256).alias("h"), "source").distinct()
+    a = dup.select("h", F.col("source").alias("sa"))
+    b = dup.select("h", F.col("source").alias("sb"))
+    eund = a.join(b, "h").where(F.col("sa") < F.col("sb")).select("sa", "sb").distinct()
+    edges = eund.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).unionByName(
+        eund.select(F.col("sb").alias("src"), F.col("sa").alias("dst"))
+    )
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(_PR_BASE).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(_PR_TELE).cast("long")
+                + F.expr("(85 * coalesce(s, 0)) div 100")
+            ).alias("rank"),
+        )
+    return ranks.select(F.col("node").alias("source"), F.col("rank").alias("pagerank"))

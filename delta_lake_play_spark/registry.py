@@ -207,6 +207,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_domain_filter",
     "agg_sketch_quantile",
     "llm_curation_shardplan",
+    "llm_pagerank_sources",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
