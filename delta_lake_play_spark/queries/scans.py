@@ -115,6 +115,35 @@ def scan_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scan_bloom_point -----------------------------------------------------
+
+_BLOOM_POINT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_orderkey = 4242
+"""
+
+
+@register("scan_bloom_point", oracle=_BLOOM_POINT_ORACLE)
+def scan_bloom_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup (SURVEY.md §4): the table is hashed
+    across files so every file spans the full l_orderkey range and
+    min/max stats prune NOTHING — the per-file bloom bitmaps recorded
+    at commit time do the skipping instead. A bloom only
+    over-approximates membership, so the read is exact (the oracle is
+    a plain filtered scan); at 100 TB the lookup opens a handful of
+    false-positive files instead of the snapshot."""
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
+    table = VersionedTable.create(
+        spark, temp_table_path("bloom"), li, bloom_filter_cols=["l_orderkey"]
+    )
+    return table.read_point("l_orderkey", 4242).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
 # --- scan_partition_pruning -----------------------------------------------
 
 _PARTPRUNE_ORACLE = """

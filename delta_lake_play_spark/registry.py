@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- TIER 2 (51+): first in line if the window grows. Flagship LLM
     # composites first, then every remaining never-checked key
     # (cheapest first per BENCH_r02 in case the cutoff is time-based).
+    "scan_bloom_point",
     "llm_dedup_keep_best",
     "llm_ann_recall",
     "llm_pack_sequences",

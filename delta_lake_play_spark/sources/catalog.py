@@ -33,18 +33,43 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def _nanos_columns(path: str) -> list[str]:
+    """TIMESTAMP(NANOS) columns per the parquet footer — the columns
+    Spark's reader can only open through ``nanosAsLong`` legacy mode.
+    One driver-side footer read per load (no data I/O); any table (not
+    just ``events``) may carry ns precision depending on how the
+    fixture was generated."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:  # directory-style parquet: sample one part file
+        try:
+            part = next(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+            schema = pq.read_schema(part)
+        except (StopIteration, OSError):
+            return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table as a DataFrame.
 
     Timestamp normalization (scan-level, still a plain columnar scan
     with pushdown on every other column):
 
-    - ``events.ts`` as TIMESTAMP(NANOS) parquet is rejected outright
-      by Spark's reader (PARQUET_TYPE_ILLEGAL); read via the
-      ``nanosAsLong`` legacy mode and floor to microseconds with exact
-      integer division (``div 1000`` on int64 — double division would
-      round by up to ±0.25µs at epoch-ns magnitudes). DuckDB's reader
-      floors ns→µs the same way.
+    - TIMESTAMP(NANOS) parquet columns (``events.ts`` historically;
+      any timestamp column depending on fixture generation) are
+      rejected outright by Spark's reader (PARQUET_TYPE_ILLEGAL);
+      detected from the footer, read via the ``nanosAsLong`` legacy
+      mode, and floored to microseconds with exact integer division
+      (``div 1000`` on int64 — double division would round by up to
+      ±0.25µs at epoch-ns magnitudes). DuckDB's reader floors ns→µs
+      the same way.
     - µs-precision parquet timestamps without the UTC flag infer as
       TIMESTAMP_NTZ in Spark 4, which TIMESTAMP-only functions
       (``unix_micros`` et al.) reject. NTZ columns convert to
@@ -58,16 +83,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       timestamp query in sessions not built via ``get_spark()``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    ns_cols = _nanos_columns(path)
+    if ns_cols:
         # Read-enabling legacy flag, not a semantics flip: without it a
         # TIMESTAMP(NANOS) scan is a hard PARQUET_TYPE_ILLEGAL error,
         # so setting it cannot silently alter another query's results.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        if dict(raw.dtypes).get("ts") == "bigint":
-            raw = raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        dtypes = dict(raw.dtypes)
+        raw = raw.withColumns(
+            {
+                c: F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                for c in ns_cols
+                if dtypes.get(c) == "bigint"
+            }
+        )
     else:
         raw = spark.read.parquet(path)
     ntz_cols = [c for c, t in raw.dtypes if t == "timestamp_ntz"]

@@ -81,6 +81,13 @@ _DV_BROADCAST_MAX = 4_000_000
 
 _REPLACE_WHERE_VIOLATION = "REPLACE_WHERE_SOURCE_OUTSIDE_SLICE"
 
+# Per-file bloom index geometry (bloom_filter_cols tables): 4096 bits
+# (512 B/file/column in the log) with k=3 hashes holds the
+# false-positive rate under ~5% up to ~700 distinct values per file
+# and degrades gracefully (never incorrectly) beyond.
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 3
+
 
 def _dv_sidecars(f: dict) -> list[str]:
     """Sidecar parquet dirs referenced by a file entry's deletion vector."""
@@ -187,6 +194,7 @@ class VersionedTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         constraints: dict[str, str] | None = None,
+        bloom_filter_cols: list[str] | None = None,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -201,7 +209,14 @@ class VersionedTable:
         is about to WRITE (not the carried files, which were already
         validated at their own commit) and refuses to write rows
         where any expression is false or null — the ingest-time
-        data-quality gate, one distributed filter+limit per commit."""
+        data-quality gate, one distributed filter+limit per commit.
+
+        ``bloom_filter_cols`` (Delta bloom-filter-index shape): every
+        commit records a small per-file bloom bitmap for each listed
+        column; ``read_point`` then skips files whose bloom excludes
+        the probe value — the pruning min/max stats cannot give on
+        high-cardinality keys whose values are scattered so every
+        file spans the full range."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
@@ -210,7 +225,11 @@ class VersionedTable:
             df,
             [],
             "CREATE",
-            {"partitionBy": partition_by or [], "constraints": constraints or {}},
+            {
+                "partitionBy": partition_by or [],
+                "constraints": constraints or {},
+                "bloomFilterCols": bloom_filter_cols or [],
+            },
             df.schema,
         )
         return t
@@ -936,6 +955,115 @@ class VersionedTable:
             selected.append(f)
         return self._read_files(selected, schema).filter(pred)
 
+    def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Equality read with min/max AND bloom-filter file skipping.
+
+        Min/max stats prune nothing on a high-cardinality key whose
+        values are scattered (every file spans the full range); the
+        per-file bloom bitmaps recorded at commit time (for
+        ``bloom_filter_cols`` tables) prune exactly those scans. A
+        bloom can only over-approximate membership, so skipped files
+        provably lack the value and results stay exact; the residual
+        equality filter still applies. At 100 TB this turns a
+        needle-in-haystack lookup from a snapshot scan into opening a
+        handful of (false-positive) files."""
+        if version is None:
+            version = self.latest_version()
+        entry = self._read_log(version)
+        schema = self._entry_schema(entry)
+        selected = self._point_files(entry, schema, col, value)
+        return self._read_files(selected, schema).filter(F.col(col) == F.lit(value))
+
+    def _point_files(self, entry: dict, schema: T.StructType, col: str, value) -> list[dict]:
+        """Files of ``entry`` that may contain ``col == value`` per
+        min/max stats and (when present) per-file bloom bitmaps."""
+        import base64
+
+        key = _stat_key(value)
+        files = entry["files"]
+        probe = None
+        if any(col in f.get("bloom", {}) for f in files):
+            dtype = {f.name: f.dataType for f in schema.fields}[col]
+            probe = self._bloom_positions(value, dtype)
+        selected = []
+        for f in files:
+            stats = f.get("stats", {}).get(col)
+            if stats is not None and key is not None:
+                fmin, fmax = stats
+                if fmin is not None and fmax is not None:
+                    if _stat_key(fmin) > key or _stat_key(fmax) < key:
+                        continue
+            bm64 = f.get("bloom", {}).get(col)
+            if bm64 is not None and probe is not None:
+                bm = base64.b64decode(bm64)
+                if any(not (bm[p // 8] >> (p % 8)) & 1 for p in probe):
+                    continue
+            selected.append(f)
+        return selected
+
+    def _bloom_positions(self, value, dtype: T.DataType) -> list[int]:
+        """Bit positions ``value`` must have set — computed with the
+        SAME JVM xxhash64 used at write time (a one-row Spark job, so
+        write and probe hashing can never drift), with the literal
+        cast to the column's type (xxhash64 is type-sensitive)."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.lit(value).cast(dtype), F.lit(i)),
+                            F.lit(_BLOOM_BITS),
+                        )
+                        for i in range(_BLOOM_HASHES)
+                    ]
+                ).alias("a")
+            )
+            .head()
+        )
+        return [int(p) for p in row["a"]]
+
+    def _attach_blooms(
+        self, entries: list[dict], schema: T.StructType, cols: list[str]
+    ) -> None:
+        """Record a per-file bloom bitmap for each indexed column on
+        the just-written file entries. One distributed pass over the
+        NEW files only (never the carried ones — their entries keep
+        the blooms computed at their own commit): k=3 JVM xxhash64
+        positions per row, deduplicated per file with a map-side
+        combined ``collect_set`` bounded by the bitmap width, so the
+        driver collects O(#new_files × bitmap_bits) ints, never rows."""
+        import base64
+
+        names = {f.name for f in schema.fields}
+        cols = [c for c in cols if c in names]
+        if not entries or not cols:
+            return
+        paths = [self._abs(f["path"]) for f in entries]
+        df = self._read_paths(paths, schema, with_meta=True)
+        for c in cols:
+            arr = F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(_BLOOM_BITS))
+                    for i in range(_BLOOM_HASHES)
+                ]
+            )
+            rows = (
+                df.select(F.col("__path").alias("p"), F.explode(arr).alias("b"))
+                .groupBy("p")
+                .agg(F.collect_set("b").alias("bits"))
+                .collect()
+            )
+            by_path = {r["p"]: r["bits"] for r in rows}
+            for f in entries:
+                bits = by_path.get(self._abs(f["path"]))
+                if bits is None:
+                    continue
+                bm = bytearray(_BLOOM_BITS // 8)
+                for b in bits:
+                    bm[b // 8] |= 1 << (b % 8)
+                f.setdefault("bloom", {})[c] = base64.b64encode(bytes(bm)).decode()
+
     # ----------------------------------------------------------------- internals
 
     def _versions(self) -> set[int]:
@@ -1203,6 +1331,14 @@ class VersionedTable:
             return {}
         return self._read_log(0).get("operationParameters", {}).get("constraints", {})
 
+    def bloom_filter_columns(self) -> list[str]:
+        """Columns with per-file bloom indexes, from the CREATE entry."""
+        if 0 not in self._versions():
+            return []
+        return self._read_log(0).get("operationParameters", {}).get(
+            "bloomFilterCols", []
+        )
+
     def _check_constraints(self, df: DataFrame, checks: dict[str, str]) -> None:
         for name, expr in checks.items():
             bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
@@ -1261,6 +1397,13 @@ class VersionedTable:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(data_dir)
             new_entries = self._footer_entries(rel_dir, schema, part_cols or [])
+            bloom_cols = (
+                params.get("bloomFilterCols")
+                if operation == "CREATE"
+                else self.bloom_filter_columns()
+            )
+            if bloom_cols:
+                self._attach_blooms(new_entries, schema, bloom_cols)
         files = carried + new_entries
         entry = {
             "version": version,

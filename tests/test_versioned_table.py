@@ -549,3 +549,45 @@ def test_manifest_small_commits_stay_inline(spark):
     )
     raw = json.load(open(os.path.join(t.path, "_log", f"{0:020d}.json")))
     assert "files" in raw and "filesManifest" not in raw
+
+
+def test_bloom_index_prunes_point_lookups(spark):
+    """High-cardinality scattered key: min/max stats prune nothing
+    (every file spans the full id range), the per-file bloom does."""
+    # ids shuffled across 8 files → each file's [min,max] covers ~everything
+    df = (
+        spark.range(0, 4000)
+        .withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(8)))
+        .repartition(8, "bucket")
+        .drop("bucket")
+        .withColumn("v", F.col("id") * 3)
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("bloom-test"), df, bloom_filter_cols=["id"]
+    )
+    entry = t._read_log(0)
+    schema = t._entry_schema(entry)
+    assert all("id" in f.get("bloom", {}) for f in entry["files"])
+    n_files = len(entry["files"])
+    assert n_files >= 4
+    # correctness on every probe + pruning on most: a value lives in
+    # exactly one file, so bloom selection must include it and should
+    # exclude most others (fp rate is low at this fill).
+    pruned_counts = []
+    for probe in (0, 17, 991, 2500, 3999):
+        sel = t._point_files(entry, schema, "id", probe)
+        pruned_counts.append(len(sel))
+        got = t.read_point("id", probe).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(probe, probe * 3)]
+    assert sum(pruned_counts) < 5 * n_files  # pruned something overall
+    # min/max alone could not have pruned (scattered ids)
+    for f in entry["files"]:
+        fmin, fmax = f["stats"]["id"]
+        assert fmin < 500 and fmax > 3500
+    # absent value: bloom may fp on some files but result is exact-empty
+    assert t.read_point("id", 999_999).count() == 0
+    # blooms carry through DML on untouched files and recompute on new
+    t.append(spark.range(10_000, 10_004).withColumn("v", F.col("id") * 3))
+    e1 = t._read_log(1)
+    assert all("id" in f.get("bloom", {}) for f in e1["files"])
+    assert t.read_point("id", 10_001).count() == 1
