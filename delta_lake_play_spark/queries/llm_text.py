@@ -995,3 +995,115 @@ def llm_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return persrc.where(F.col("src_diversity") >= 0.31)
+
+
+# --- llm_bm25_search ------------------------------------------------------
+# BM25 keyword retrieval (the lexical-search baseline a RAG/data-
+# curation stack runs next to ANN): k1=1.2, b=0.75, with the
+# ln-free Robertson idf RATIO ((2N-2df+1)/(2df+1)) for the same
+# reason as llm_tfidf_topterms — division is a correctly-rounded
+# IEEE op, libm ln() is not. Each per-term partial score is floored
+# to integer micros BEFORE the per-doc sum, so the aggregate is an
+# exact BIGINT sum (order-independent) and the hash cannot drift.
+
+_BM25_TERMS = ("table", "query", "spark")
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tok
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(
+           ((CAST(2 * s.n_docs - 2 * dfreq.df + 1 AS DOUBLE)
+             / CAST(2 * dfreq.df + 1 AS DOUBLE))
+            * (CAST(tf.tf AS DOUBLE) * 2.2)
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                       / (CAST(s.total_tok AS DOUBLE)
+                                          / CAST(s.n_docs AS DOUBLE))))))
+           * 1000000.0) AS BIGINT) AS s_micro
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id), stats s
+)
+SELECT doc_id, score_micro, n_terms_hit FROM (
+  SELECT doc_id,
+         CAST(sum(s_micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         row_number() OVER (
+           ORDER BY CAST(sum(s_micro) AS BIGINT) DESC, doc_id) AS rn
+  FROM scored GROUP BY doc_id
+) WHERE rn <= 10
+"""
+
+
+@register("llm_bm25_search", oracle=_BM25_ORACLE)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword query.
+
+    Scale shape: the tf aggregation filters to the query's terms AT
+    the explode (predicate on the generator output, so the shuffle
+    carries query-term rows only — a handful per doc, not the
+    corpus's token stream); dl is the familiar per-doc count; df,
+    N, and total-token stats are term- or corpus-cardinality
+    aggregates that broadcast; the final per-doc sum is one shuffle
+    on matched docs only, then a global top-10 TakeOrdered. Scores:
+    every float step is the identical correctly-rounded IEEE
+    expression on both engines, floored to micros per term, summed
+    as BIGINT — order-independent and hash-stable.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tf = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor("
+                "((CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)"
+                "  / CAST(2 * df + 1 AS DOUBLE))"
+                " * (CAST(tf AS DOUBLE) * 2.2)"
+                " / (CAST(tf AS DOUBLE)"
+                "    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+                "                            / (CAST(total_tok AS DOUBLE)"
+                "                               / CAST(n_docs AS DOUBLE))))))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("s_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("s_micro").alias("score_micro"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "score_micro", "n_terms_hit")
+    )

@@ -209,6 +209,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_sketch_quantile",
     "llm_curation_shardplan",
     "llm_pagerank_sources",
+    "llm_bm25_search",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
