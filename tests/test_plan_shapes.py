@@ -477,3 +477,20 @@ def test_quantile_sketch_never_sorts_globally(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan or True  # bounded 5x128 joins are broadcast
     assert "SortAggregate" not in plan
+
+
+def test_pagerank_iterations_never_cartesian(spark, sf_dir):
+    # Three unrolled power iterations: every join is keyed (node/src/
+    # text-hash) — a Cartesian anywhere would mean the rank update
+    # degenerated to all-pairs.
+    plan = _plan(spark, sf_dir, "llm_pagerank_sources")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_takeordered(spark, sf_dir):
+    # df/N/avgdl sides are term- or corpus-cardinality → broadcast;
+    # the global top-10 must be TakeOrdered, not a full sort.
+    plan = _plan(spark, sf_dir, "llm_bm25_search")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
