@@ -345,8 +345,13 @@ class VersionedTable:
 
     def history(self) -> DataFrame:
         """Commit log as a DataFrame (version, timestamp, operation,
-        …) — the ``DeltaTable.history()`` surface (``api.py:63``)."""
-        entries = [self._read_log(v) for v in sorted(self._versions(), reverse=True)]
+        …) — the ``DeltaTable.history()`` surface (``api.py:63``).
+        Reads the raw O(1) JSON entries only: file lists (and any
+        manifest sidecars) are never resolved, so history over a
+        million-file table stays metadata-cheap."""
+        entries = [
+            self._read_log_raw(v) for v in sorted(self._versions(), reverse=True)
+        ]
         return self.spark.createDataFrame(
             [
                 (
@@ -1075,9 +1080,14 @@ class VersionedTable:
             if f.endswith(".json")
         }
 
-    def _read_log(self, version: int) -> dict:
+    def _read_log_raw(self, version: int) -> dict:
+        """The JSON entry as written — no manifest resolution, O(1)
+        even for spilled commits. ``files`` may be absent."""
         with open(os.path.join(self._log_dir, f"{version:020d}.json")) as fh:
-            entry = json.load(fh)
+            return json.load(fh)
+
+    def _read_log(self, version: int) -> dict:
+        entry = self._read_log_raw(version)
         if "filesManifest" in entry:
             entry["files"] = self._read_manifest(entry["filesManifest"])
         return entry
@@ -1307,7 +1317,7 @@ class VersionedTable:
         candidates = [
             v
             for v in self._versions()
-            if datetime.fromisoformat(self._read_log(v)["timestamp"]) <= ts
+            if datetime.fromisoformat(self._read_log_raw(v)["timestamp"]) <= ts
         ]
         if not candidates:
             raise ValueError(f"no version at or before {ts.isoformat()}")
@@ -1321,7 +1331,7 @@ class VersionedTable:
             return cached
         if 0 not in self._versions():
             return []
-        cols = self._read_log(0).get("operationParameters", {}).get("partitionBy", [])
+        cols = self._read_log_raw(0).get("operationParameters", {}).get("partitionBy", [])
         self._part_cols = cols
         return cols
 
@@ -1329,13 +1339,13 @@ class VersionedTable:
         """Table CHECK constraints, from the CREATE entry."""
         if 0 not in self._versions():
             return {}
-        return self._read_log(0).get("operationParameters", {}).get("constraints", {})
+        return self._read_log_raw(0).get("operationParameters", {}).get("constraints", {})
 
     def bloom_filter_columns(self) -> list[str]:
         """Columns with per-file bloom indexes, from the CREATE entry."""
         if 0 not in self._versions():
             return []
-        return self._read_log(0).get("operationParameters", {}).get(
+        return self._read_log_raw(0).get("operationParameters", {}).get(
             "bloomFilterCols", []
         )
 
@@ -1452,7 +1462,7 @@ class VersionedTable:
         if version > 0:
             try:
                 prev = datetime.fromisoformat(
-                    self._read_log(version - 1)["timestamp"]
+                    self._read_log_raw(version - 1)["timestamp"]
                 )
             except FileNotFoundError:
                 return now.isoformat()

@@ -24,8 +24,17 @@ def _canon_cell(v):
         return float(v)
     if isinstance(v, (np.datetime64, pd.Timestamp)):
         ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            # tz-aware (e.g. DuckDB TIMESTAMPTZ from tz-flagged
+            # parquet) vs naive (Spark under a UTC session) are equal
+            # INSTANTS — normalize to naive UTC before hashing.
+            ts = ts.tz_convert("UTC").tz_localize(None)
         return ts.isoformat()
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            from datetime import timezone as _tz
+
+            v = v.astimezone(_tz.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
