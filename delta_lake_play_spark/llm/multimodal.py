@@ -29,7 +29,12 @@ def _np_batch(payloads) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     One ``b"".join`` + ``np.frombuffer`` per Arrow batch — every
     per-row feature below is then sliced out of cumulative sums, so
     the Python interpreter never touches individual bytes (the fake
-    decoder shouldn't cost codec money)."""
+    decoder shouldn't cost codec money).
+
+    NULL payloads (a nullable binary column is the declared contract)
+    are treated as zero-byte assets: length 0, empty slice — features
+    degrade to 0 instead of crashing the worker."""
+    payloads = [b"" if p is None else p for p in payloads]
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
     joined = np.frombuffer(b"".join(payloads), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else lens

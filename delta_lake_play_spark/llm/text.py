@@ -119,11 +119,14 @@ def fingerprint(text: Column | str) -> Column:
 
 def sql_fingerprint(expr: str) -> str:
     """DuckDB twin of :func:`fingerprint` (list_reduce with a
-    prepended 0 as the fold seed)."""
+    prepended 0 as the fold seed). NULL text fingerprints to NULL on
+    both engines (Spark's aggregate over a NULL array is NULL; the
+    list_prepend seed would otherwise fold NULL to 0 here)."""
     codes = f"list_transform(range(1, len({expr})+1), i -> ord(substr({expr}, i, 1)))"
     return (
+        f"CASE WHEN {expr} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
-        f"(acc, x) -> (acc*{FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"
+        f"(acc, x) -> (acc*{FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}) END"
     )
 
 

@@ -97,7 +97,7 @@ def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dml_delete_where (api.py:107, fixed semantics) ---------------------------
 
-_DELETE_ORACLE = "SELECT * FROM customer WHERE NOT (c_acctbal < 0)"
+_DELETE_ORACLE = "SELECT * FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE)"
 
 
 @register("dml_delete_where", oracle=_DELETE_ORACLE)
@@ -139,7 +139,7 @@ def dml_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LATEST_ORACLE = f"""
 WITH v1 AS (SELECT * FROM customer UNION ALL {_APPEND_SQL})
-SELECT * FROM v1 WHERE NOT (c_acctbal < 0)
+SELECT * FROM v1 WHERE NOT COALESCE(c_acctbal < 0, FALSE)
 """
 
 
@@ -216,7 +216,7 @@ def dml_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VACUUM_ORACLE = f"""
 WITH v1 AS (SELECT * FROM customer UNION ALL {_APPEND_SQL})
-SELECT * FROM v1 WHERE NOT (c_acctbal < 0)
+SELECT * FROM v1 WHERE NOT COALESCE(c_acctbal < 0, FALSE)
 """
 
 
@@ -237,7 +237,7 @@ _HISTORY_ORACLE = """
 SELECT 0 AS version, 'CREATE' AS operation,
        (SELECT COUNT(*) FROM customer) AS num_rows
 UNION ALL
-SELECT 1, 'DELETE', (SELECT COUNT(*) FROM customer WHERE NOT (c_acctbal < 0))
+SELECT 1, 'DELETE', (SELECT COUNT(*) FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE))
 UNION ALL
 SELECT 2, 'RESTORE', (SELECT COUNT(*) FROM customer)
 """
@@ -352,7 +352,7 @@ def dml_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dml_clone_shallow -------------------------------------------------------------
 
 _CLONE_ORACLE = """
-SELECT * FROM customer WHERE NOT (c_acctbal < 0)
+SELECT * FROM customer WHERE NOT COALESCE(c_acctbal < 0, FALSE)
 """
 
 
@@ -372,7 +372,7 @@ def dml_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dml_replace_where -------------------------------------------------------------
 
 _RW_ORACLE = """
-SELECT * FROM customer WHERE NOT (c_mktsegment = 'BUILDING')
+SELECT * FROM customer WHERE NOT COALESCE(c_mktsegment = 'BUILDING', FALSE)
 UNION ALL
 SELECT c_custkey, 'RW-' || c_name AS c_name, c_nationkey,
        0.0 AS c_acctbal, c_mktsegment
@@ -415,7 +415,7 @@ WITH src AS (
 )
 SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
 UNION ALL
-SELECT * FROM src WHERE NOT (c_acctbal = -99999.0)
+SELECT * FROM src WHERE NOT COALESCE(c_acctbal = -99999.0, FALSE)
 """
 
 
@@ -455,7 +455,8 @@ def dml_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOR_ORACLE = """
 SELECT * FROM customer
-WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 100 = 7)
+WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+  AND NOT COALESCE(c_mktsegment = 'MACHINERY' AND c_custkey % 100 = 7, FALSE)
 """
 
 
@@ -683,7 +684,8 @@ def dml_constraints_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition column from the directory name.
 
 _PART_TABLE_ORACLE = """
-SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'
+SELECT * FROM customer
+WHERE NOT COALESCE(c_mktsegment = 'BUILDING', FALSE)
 """
 
 

@@ -252,15 +252,19 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_ORACLE = """
 WITH u AS (
   SELECT user_id, ts::TIMESTAMP AS ats, event_id, 1 AS side, value AS purchase_value,
-         NULL::DOUBLE AS cv, NULL::TIMESTAMP AS cts
+         NULL::STRUCT(v DOUBLE, t TIMESTAMP) AS carry
   FROM events WHERE event_type = 'purchase'
   UNION ALL
-  SELECT user_id, ts::TIMESTAMP, event_id, 0, NULL, value, ts::TIMESTAMP
+  SELECT user_id, ts::TIMESTAMP, event_id, 0, NULL,
+         struct_pack(v := value, t := ts::TIMESTAMP)
   FROM events WHERE event_type = 'click'
 ), g AS (
+  -- carry the latest click ROW as a struct (mirrors operators/asof.py):
+  -- a click whose value is NULL is still the latest click, it must not
+  -- leak an older click's value via per-column IGNORE NULLS
   SELECT user_id, ats, event_id, side, purchase_value,
-         last_value(cv IGNORE NULLS) OVER w AS last_click_value,
-         last_value(cts IGNORE NULLS) OVER w AS last_click_ts
+         (last_value(carry IGNORE NULLS) OVER w).v AS last_click_value,
+         (last_value(carry IGNORE NULLS) OVER w).t AS last_click_ts
   FROM u
   WINDOW w AS (PARTITION BY user_id ORDER BY ats, side, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -122,8 +122,11 @@ def _simhash_oracle() -> str:
         f"SELECT doc_id, sim, {k} AS blk_id, (sim >> {mh.BLOCK_BITS * k}) & {_BLK_MASK} AS blk_val FROM sims"
         for k in range(mh.NBLOCKS)
     )
+    # NULL-text docs tokenize to nothing on the Spark side (the
+    # signature aggregate sees no rows) and so join no pairs; the
+    # oracle must exclude them too or they'd all share a constant sim.
     return f"""
-WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents),
+WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents WHERE text IS NOT NULL),
 sims AS (SELECT doc_id, {sim} AS sim FROM toks),
 blks AS ({blk_selects}),
 cand AS (

@@ -337,10 +337,14 @@ FROM events WHERE event_id < 500
 def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     parsed = F.from_json("props", "map<string,int>")
+    # concat_ws never returns NULL (all-null args → ''), but the
+    # oracle's array_to_string(NULL) does — gate on the parsed map so
+    # a NULL props row is NULL on both engines.
+    keys = F.when(parsed.isNotNull(), F.concat_ws(",", F.map_keys(parsed)))
     return ev.select(
         "event_id",
         F.from_json("props", "k INT").getField("k").alias("k"),
-        F.concat_ws(",", F.map_keys(parsed)).alias("prop_keys"),
+        keys.alias("prop_keys"),
     )
 
 
@@ -505,7 +509,8 @@ SELECT o_orderkey,
                    prio := struct_pack(name := o_orderpriority)
                   ).prio.name AS prio_name
 FROM orders
-ORDER BY struct_pack(p := o_totalprice, k := o_orderkey) DESC
+ORDER BY struct_pack(p := COALESCE(o_totalprice, CAST('-infinity' AS DOUBLE)),
+                     k := o_orderkey) DESC
 LIMIT 10
 """
 
@@ -525,8 +530,12 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.struct(F.col("o_orderpriority").alias("name")).alias("prio"),
     )
+    # NULL placement inside a struct comparison differs between the
+    # engines under DESC — pin it by coalescing the nullable field to
+    # -inf (sorts last DESC on both; non-null data unaffected).
     sort_key = F.struct(
-        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+        F.coalesce(F.col("o_totalprice"), F.lit(float("-inf"))).alias("p"),
+        F.col("o_orderkey").alias("k"),
     )
     return (
         o.select(
@@ -596,7 +605,8 @@ _VARIANT_ORACLE = """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INTEGER) AS k,
        CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
-       'OBJECT<k: BIGINT>' AS variant_schema
+       CASE WHEN props IS NULL THEN NULL
+            ELSE 'OBJECT<k: BIGINT>' END AS variant_schema
 FROM events WHERE event_id % 100 = 0
 """
 

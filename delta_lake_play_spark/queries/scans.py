@@ -120,7 +120,7 @@ def scan_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_POINT_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem
-WHERE l_orderkey = 4242
+WHERE l_orderkey = 42
 """
 
 
@@ -139,7 +139,7 @@ def scan_bloom_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = VersionedTable.create(
         spark, temp_table_path("bloom"), li, bloom_filter_cols=["l_orderkey"]
     )
-    return table.read_point("l_orderkey", 4242).select(
+    return table.read_point("l_orderkey", 42).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
 
@@ -310,7 +310,7 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the document texts contain no newlines, so rows == lines.
 
 _TEXT_RT_ORACLE = """
-SELECT text AS value FROM documents WHERE doc_id < 150
+SELECT COALESCE(text, '') AS value FROM documents WHERE doc_id < 150
 """
 
 
@@ -325,7 +325,12 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     out = tempfile.mkdtemp(prefix="text_rt_")
-    d.select("text").write.mode("overwrite").text(out)
+    # A text file has no NULL representation: a null document becomes
+    # an empty line (made explicit here; the oracle mirrors with
+    # COALESCE(text, '')).
+    d.select(F.coalesce("text", F.lit("")).alias("text")).write.mode(
+        "overwrite"
+    ).text(out)
     return spark.read.text(out)
 
 

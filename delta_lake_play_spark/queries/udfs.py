@@ -70,12 +70,17 @@ _UDAF_SCHEMA = "event_type string, n bigint, sum_value double, value_span double
 
 
 def _per_type_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = (pdf["value"] * 100).round().astype("int64")  # exact grid math
+    # exact grid math; NULL values are skipped like SQL aggregates
+    # (an int64 astype would crash on NaN), and an all-NULL group
+    # sums to NULL, not 0
+    cents = (pdf["value"] * 100).round().dropna()
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "sum_value": [cents.sum() / 100.0],
+            "sum_value": [
+                int(cents.sum()) / 100.0 if len(cents) else None
+            ],
             "value_span": [pdf["value"].max() - pdf["value"].min()],
         }
     )

@@ -276,7 +276,8 @@ SELECT o_orderkey, o_custkey,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice NULLS FIRST, o_orderkey)
 """
 
 
@@ -512,8 +513,12 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array_sort(F.collect_list("value").over(w))
     n = F.size(arr)
     mid = (n / 2).cast("int")
+    # collect_list drops NULLs (as DuckDB's median ignores them); an
+    # all-NULL frame leaves an empty array → median NULL, and the
+    # even-count branch must not probe index 0.
     med = (
-        F.when(n % 2 == 1, F.element_at(arr, mid + 1))
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, mid + 1))
         .otherwise((F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0)
     )
     return ev.select("event_id", "user_id", med.alias("moving_median"))
