@@ -699,3 +699,26 @@ def dml_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column order back to the source layout (partition col moves last
     # in storage); the oracle states the source order.
     return t.to_df().select(*c.columns)
+
+
+# --- dml_symlink_manifest -------------------------------------------------
+# Delta `GENERATE symlink_format_manifest`: export a snapshot as a
+# plain file list any parquet-reading engine consumes without knowing
+# the commit log. The key round-trips a post-DML snapshot through the
+# manifest: if the export missed a carried file or leaked a replaced
+# one, the content comparison fails.
+
+_SYMLINK_ORACLE = """
+SELECT * FROM customer
+WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+"""
+
+
+@register("dml_symlink_manifest", oracle=_SYMLINK_ORACLE)
+def dml_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _fresh_from_customer(spark, sf_dir)
+    t.delete(F.col("c_acctbal") < 0)  # copy-on-write: no DVs to refuse
+    manifest = t.export_symlink_manifest()
+    with open(manifest) as fh:
+        paths = [line.strip() for line in fh if line.strip()]
+    return spark.read.parquet(*paths)

@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     # composites first, then every remaining never-checked key
     # (cheapest first per BENCH_r02 in case the cutoff is time-based).
     "scan_bloom_point",
+    "dml_symlink_manifest",
     "llm_dedup_keep_best",
     "llm_ann_recall",
     "llm_pack_sequences",

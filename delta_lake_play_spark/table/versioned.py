@@ -723,6 +723,40 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
+    def export_symlink_manifest(self, version: int | None = None) -> str:
+        """Write a Presto/Trino-style symlink-format manifest for a
+        snapshot (Delta's ``GENERATE symlink_format_manifest``): a
+        plain-text file of absolute data-file paths under
+        ``_symlink_format_manifest/``, which any engine that can read
+        parquet + a file list (Trino, Hive, DuckDB's read_parquet
+        list form) uses to see exactly this snapshot — no knowledge
+        of the commit log needed. Files with deletion vectors are
+        refused (an external engine would resurrect masked rows;
+        compact the DVs away with ``delete`` rewrite or OPTIMIZE
+        first — the same restriction Delta's generate has).
+
+        Returns the manifest file path. Metadata-only: O(#files)
+        driver work, zero data I/O."""
+        if version is None:
+            version = self.latest_version()
+        entry = self._read_log(version)
+        dv_files = [f["path"] for f in entry["files"] if _dv_count(f) > 0]
+        if dv_files:
+            raise ValueError(
+                f"symlink manifest cannot represent deletion vectors "
+                f"({len(dv_files)} masked files, e.g. {dv_files[0]!r}); "
+                f"rewrite them first (OPTIMIZE / copy-on-write delete)"
+            )
+        man_dir = os.path.join(self.path, "_symlink_format_manifest")
+        os.makedirs(man_dir, exist_ok=True)
+        out = os.path.join(man_dir, f"manifest-{version:020d}.txt")
+        tmp = os.path.join(man_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            for f in entry["files"]:
+                fh.write(self._abs(f["path"]) + "\n")
+        os.replace(tmp, out)
+        return out
+
     def clone_to(self, path: str, version: int | None = None) -> "VersionedTable":
         """Shallow clone (Delta ``CLONE``): a new table at ``path``
         whose version-0 entry references this table's data files by
@@ -895,7 +929,9 @@ class VersionedTable:
                         referenced.add(sp)
         for name in os.listdir(self.path):
             sub = os.path.join(self.path, name)
-            if name == "_log" or not os.path.isdir(sub):
+            # "_"-prefixed dirs are table metadata (the commit log,
+            # exported symlink manifests), never vacuumable data.
+            if name.startswith("_") or not os.path.isdir(sub):
                 continue
             for root, _dirs, fnames in os.walk(sub, topdown=False):
                 for fn in fnames:
