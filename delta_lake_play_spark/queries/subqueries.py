@@ -281,3 +281,47 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     go three-valued and the max-rewrite would need a guard.)"""
     _views(spark, sf_dir, "part")
     return spark.sql(_ANYALL_SPARK_SQL)
+
+
+# --- sql_recursive_cte ----------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain traversal of
+# a synthetic hierarchy (parent(k) = k div 7, root 0) computed per
+# customer — depth-to-root plus the exact path sum, all integer
+# arithmetic so the hash cannot drift. The engine executes the
+# recursion as iterative UNION ALL steps over distributed state — the
+# declared form of what connected_components loops by hand — and
+# termination is data-driven (cur > 0), not a fixed unroll.
+
+_RCTE_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur,
+         CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur // 7, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT node AS c_custkey,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(SUM(cur) AS BIGINT) AS path_sum
+FROM anc GROUP BY node
+"""
+
+_RCTE_SPARK_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS cur,
+         CAST(0 AS BIGINT) AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur div 7, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT node AS c_custkey,
+       MAX(depth) AS depth_to_root,
+       SUM(cur) AS path_sum
+FROM anc GROUP BY node
+"""
+
+
+@register("sql_recursive_cte", oracle=_RCTE_ORACLE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_RCTE_SPARK_SQL)

@@ -211,6 +211,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_curation_shardplan",
     "llm_pagerank_sources",
     "llm_bm25_search",
+    "sql_recursive_cte",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
