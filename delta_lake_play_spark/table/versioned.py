@@ -904,14 +904,19 @@ class VersionedTable:
         deleted = old_only.exceptAll(new_only).withColumn("_change_type", F.lit("delete"))
         return inserted.unionByName(deleted)
 
-    def vacuum(self, retain_last: int = 2) -> list[int]:
+    def vacuum(self, retain_last: int = 2, dry_run: bool = False) -> list:
         """Delete data files not referenced by the last
         ``retain_last`` versions; the log is kept so history stays
         queryable. Because versions share files, a file is only
         reclaimed when NO retained version references it (so e.g. a
         RESTORE target's files survive a vacuum that drops the
         intermediate version). Returns the versions that are no
-        longer fully readable."""
+        longer fully readable.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): deletes
+        nothing and returns the file paths that WOULD be removed —
+        the operator's pre-flight check before an irreversible
+        reclaim."""
         versions = sorted(self._versions())
         keep = set(versions[-retain_last:]) if retain_last > 0 else set()
         referenced: set[str] = set()
@@ -927,7 +932,8 @@ class VersionedTable:
                             )
                     else:
                         referenced.add(sp)
-        for name in os.listdir(self.path):
+        would_delete: list[str] = []
+        for name in sorted(os.listdir(self.path)):
             sub = os.path.join(self.path, name)
             # "_"-prefixed dirs are table metadata (the commit log,
             # exported symlink manifests), never vacuumable data.
@@ -937,11 +943,17 @@ class VersionedTable:
                 for fn in fnames:
                     fp = os.path.join(root, fn)
                     if fp not in referenced:
-                        os.remove(fp)
-                try:
-                    os.rmdir(root)  # prune now-empty dirs
-                except OSError:
-                    pass
+                        if dry_run:
+                            would_delete.append(fp)
+                        else:
+                            os.remove(fp)
+                if not dry_run:
+                    try:
+                        os.rmdir(root)  # prune now-empty dirs
+                    except OSError:
+                        pass
+        if dry_run:
+            return sorted(would_delete)
         dropped = []
         for v in versions:
             if v in keep:

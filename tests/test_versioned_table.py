@@ -628,3 +628,15 @@ def test_symlink_manifest_cross_engine_read(spark, names):
     names.delete_mor(F.col("id") == 2)
     with pytest.raises(ValueError, match="deletion vectors"):
         names.export_symlink_manifest()
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, names):
+    src = spark.createDataFrame([(2, "Alice", "Smith")], SEED_SCHEMA)
+    names.merge(src, key="id")  # v1 rewrites the touched file
+    would = names.vacuum(retain_last=1, dry_run=True)
+    assert would, "the superseded v0 file should be reclaimable"
+    assert all(os.path.exists(p) for p in would)  # nothing deleted
+    assert rows(names.read(version=0)) == sorted(SEED)  # v0 still readable
+    # the real vacuum removes exactly the dry-run set
+    names.vacuum(retain_last=1)
+    assert all(not os.path.exists(p) for p in would)
