@@ -315,3 +315,81 @@ def llm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+# --- llm_dedup_url --------------------------------------------------------
+# URL-canonicalization dedup — the first dedup a web-crawl pipeline
+# runs (before any content hashing): strip scheme / www. / fragment /
+# tracking params, lowercase the host, drop a trailing slash, then
+# keep one document per canonical URL. The fixture has no URL column,
+# so each doc synthesizes a crawl-style URL (deterministic casing /
+# tracking noise derived from doc_id) and the operator must collapse
+# the variants. Pure regexp_replace chains — identical PCRE-free
+# patterns evaluate the same in Java and DuckDB.
+
+_URL_CANON_STEPS = [
+    (r"^https?://", ""),          # scheme
+    (r"^[Ww][Ww][Ww]\.", ""),     # www.
+    (r"#.*$", ""),                # fragment
+    (r"[?&]utm_[a-z]+=[^&#]*", ""),  # tracking params
+    (r"\?$", ""),                 # dangling ?
+    (r"/$", ""),                  # trailing slash
+]
+
+_URL_SYNTH_SQL = """
+  CASE WHEN doc_id % 3 = 0 THEN 'https://WWW.' ELSE 'http://' END
+  || 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/'
+  || CAST(doc_id // 4 AS VARCHAR)
+  || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+def _url_oracle() -> str:
+    canon = "lower(u)"
+    for pat, rep in _URL_CANON_STEPS:
+        canon = f"regexp_replace({canon}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_SYNTH_SQL} AS u FROM documents
+),
+canon AS (SELECT doc_id, {canon} AS curl FROM urls)
+SELECT curl, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY curl
+"""
+
+
+@register("llm_dedup_url", oracle=_url_oracle())
+def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One document per canonical URL (min-doc_id keeper).
+
+    Scale shape: canonicalization is per-row codegen (a fixed chain
+    of regexp_replace, no shuffle); the dedup is one map-side-combined
+    aggregation on the canonical string — at 100 TB you'd aggregate on
+    xxhash64(curl) and carry the string only for the keeper rows."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://WWW.")).otherwise(
+            F.lit("http://")
+        ),
+        F.lit("src"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.floor(F.col("doc_id") / 4).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = F.lower(url)
+    for pat, rep in _URL_CANON_STEPS:
+        canon = F.regexp_replace(canon, pat, rep)
+    return (
+        d.select("doc_id", canon.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

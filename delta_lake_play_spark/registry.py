@@ -212,6 +212,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_pagerank_sources",
     "llm_bm25_search",
     "sql_recursive_cte",
+    "llm_dedup_url",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
