@@ -722,3 +722,32 @@ def dml_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(manifest) as fh:
         paths = [line.strip() for line in fh if line.strip()]
     return spark.read.parquet(*paths)
+
+
+# --- dml_generated_columns ------------------------------------------------
+# Delta GENERATED ALWAYS AS: `day` derives from ts at every write and
+# doubles as the hive partition key, so the day-aligned DELETE below
+# is partition-aligned (drops whole files). The oracle recomputes the
+# same expression in SQL.
+
+_GENCOL_ORACLE = """
+SELECT event_id, user_id, value, date_trunc('day', ts) AS day
+FROM events
+WHERE NOT COALESCE(date_trunc('day', ts) = TIMESTAMP '2024-01-05', FALSE)
+"""
+
+
+@register("dml_generated_columns", oracle=_GENCOL_ORACLE)
+def dml_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("gencol"),
+        ev,
+        generated={"day": "date_trunc('day', ts)"},
+        partition_by=["day"],
+    )
+    t.delete(F.expr("day = timestamp'2024-01-05 00:00:00'"))
+    return t.to_df().select("event_id", "user_id", "value", "day")

@@ -213,6 +213,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_bm25_search",
     "sql_recursive_cte",
     "llm_dedup_url",
+    "dml_generated_columns",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",

@@ -195,6 +195,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         constraints: dict[str, str] | None = None,
         bloom_filter_cols: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -216,11 +217,20 @@ class VersionedTable:
         column; ``read_point`` then skips files whose bloom excludes
         the probe value — the pruning min/max stats cannot give on
         high-cardinality keys whose values are scattered so every
-        file spans the full range."""
+        file spans the full range.
+
+        ``generated`` maps column name → SQL expression (Delta
+        ``GENERATED ALWAYS AS``): the column is recomputed from the
+        expression at every write (writers may omit it), so e.g.
+        ``{"day": "date_trunc('day', ts)"}`` plus
+        ``partition_by=["day"]`` gives expression-derived partition
+        pruning without trusting writers to derive the value."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
         os.makedirs(t._log_dir, exist_ok=True)
+        for name, expr in (generated or {}).items():
+            df = df.withColumn(name, F.expr(expr))
         t._commit_files(
             df,
             [],
@@ -229,6 +239,7 @@ class VersionedTable:
                 "partitionBy": partition_by or [],
                 "constraints": constraints or {},
                 "bloomFilterCols": bloom_filter_cols or [],
+                "generated": generated or {},
             },
             df.schema,
         )
@@ -376,14 +387,21 @@ class VersionedTable:
         def attempt() -> int:
             entry = self._read_log(self.latest_version())
             schema = self._entry_schema(entry)
+            gen = set(self.generated_columns())
             have, want = set(df.columns), {f.name for f in schema.fields}
-            if have != want:
+            # generated columns may be omitted — they are recomputed
+            # from their expressions at write time regardless
+            if (have - want) or (want - have) - gen:
                 raise MergeSchemaError(
-                    f"append schema drift: missing={sorted(want - have)} "
+                    f"append schema drift: missing={sorted(want - have - gen)} "
                     f"extra={sorted(have - want)}"
                 )
             aligned = df.select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in schema.fields
+                    if f.name in have
+                ]
             )
             return self._commit_files(aligned, list(entry["files"]), "APPEND", {}, schema)
 
@@ -1397,6 +1415,14 @@ class VersionedTable:
             "bloomFilterCols", []
         )
 
+    def generated_columns(self) -> dict[str, str]:
+        """Generated-column expressions, from the CREATE entry."""
+        if 0 not in self._versions():
+            return {}
+        return self._read_log_raw(0).get("operationParameters", {}).get(
+            "generated", {}
+        )
+
     def _check_constraints(self, df: DataFrame, checks: dict[str, str]) -> None:
         for name, expr in checks.items():
             bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
@@ -1432,6 +1458,16 @@ class VersionedTable:
         between read and commit (the written data directory is left
         orphaned for ``vacuum`` — readers never see it)."""
         version = self._next_version()
+        gen = (
+            params.get("generated") if operation == "CREATE" else self.generated_columns()
+        )
+        if gen and new_df is not None:
+            # Generated columns (Delta GENERATED ALWAYS AS shape) are
+            # recomputed from their expressions at EVERY write — the
+            # invariant holds by construction, a writer-supplied value
+            # can never diverge, and a writer may omit them entirely.
+            for name, expr in gen.items():
+                new_df = new_df.withColumn(name, F.expr(expr))
         checks = (
             params.get("constraints") if operation == "CREATE" else self.constraints()
         )

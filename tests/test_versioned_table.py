@@ -640,3 +640,44 @@ def test_vacuum_dry_run_deletes_nothing(spark, names):
     # the real vacuum removes exactly the dry-run set
     names.vacuum(retain_last=1)
     assert all(not os.path.exists(p) for p in would)
+
+
+def test_generated_columns_recompute_and_partition(spark):
+    """GENERATED ALWAYS AS: the day column derives from ts at every
+    write (writers may omit it or supply garbage — the expression
+    wins), and doubles as the hive partition key."""
+    from pyspark.sql import Row
+    from datetime import datetime
+
+    rows_in = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 0), v=1.0),
+        Row(event_id=2, ts=datetime(2024, 1, 2, 11, 30), v=2.0),
+        Row(event_id=3, ts=datetime(2024, 1, 2, 23, 59), v=3.0),
+    ]
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("gencol"),
+        spark.createDataFrame(rows_in),
+        generated={"day": "date_trunc('day', ts)"},
+        partition_by=["day"],
+    )
+    got = {r["event_id"]: r["day"] for r in t.to_df().collect()}
+    assert got[1].day == 1 and got[2].day == 2 and got[3].day == 2
+    # append WITHOUT the generated column — computed at write
+    t.append(
+        spark.createDataFrame([Row(event_id=4, ts=datetime(2024, 1, 3, 1, 0), v=4.0)])
+    )
+    assert t.to_df().where("event_id = 4").collect()[0]["day"].day == 3
+    # append WITH a wrong value — the expression overrides it
+    bad = spark.createDataFrame(
+        [Row(event_id=5, ts=datetime(2024, 1, 4, 1, 0), v=5.0,
+             day=datetime(1999, 1, 1))]
+    )
+    t.append(bad)
+    assert t.to_df().where("event_id = 5").collect()[0]["day"].year == 2024
+    # DML preserves the invariant (update rewrites recompute too)
+    t.update({"v": F.col("v") * 10}, F.col("event_id") == 1)
+    r1 = t.to_df().where("event_id = 1").collect()[0]
+    assert r1["v"] == 10.0 and r1["day"].day == 1
+    # partition pruning works on the generated key
+    assert t.to_df().where("day = timestamp'2024-01-02 00:00:00'").count() == 2
