@@ -494,3 +494,15 @@ def test_bm25_broadcasts_stats_and_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_bm25_search")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_is_single_aggregation(spark, sf_dir):
+    # canonicalization is per-row codegen; the whole op is one
+    # map-side-combined aggregate — exactly one shuffle.
+    s = summarize(QUERIES["llm_dedup_url"](spark, sf_dir))
+    assert s.n_exchanges <= 1, s.n_exchanges
+
+
+def test_recursive_cte_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_recursive_cte")
+    assert "CartesianProduct" not in plan
