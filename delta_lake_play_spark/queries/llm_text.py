@@ -1107,3 +1107,90 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("doc_id", "score_micro", "n_terms_hit")
     )
+
+
+# --- llm_leakage_report ----------------------------------------------------
+# Cross-split contamination audit: after the deterministic 80/10/10
+# split, how much of val/test is textually reachable from train via
+# shared 16-token chunks? This is the report a data lead signs off on
+# before a training run — decontamination (llm_decontaminate) REMOVES
+# leakage against an external eval set; this MEASURES residual
+# train→heldout leakage inside the corpus itself.
+
+_LEAK_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id * 1103515245 + 12345) % 1000 < 800 THEN 'train'
+              WHEN (doc_id * 1103515245 + 12345) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, split,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT)),
+           i -> array_to_string(tk[i*16 + 1 : i*16 + 16], ' '))) AS chunk
+  FROM d
+),
+train_chunks AS (SELECT DISTINCT chunk FROM c WHERE split = 'train'),
+held AS (
+  SELECT c.split, c.doc_id, c.chunk,
+         c.chunk IN (SELECT chunk FROM train_chunks) AS leaked
+  FROM c WHERE c.split <> 'train'
+)
+SELECT split,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_leaked,
+       CAST(COUNT(DISTINCT CASE WHEN leaked THEN doc_id END) AS BIGINT) AS n_docs_affected
+FROM held GROUP BY split
+"""
+
+
+@register("llm_leakage_report", oracle=_LEAK_ORACLE)
+def llm_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual train→val/test leakage by shared 16-token chunks.
+
+    Scale shape: chunking is a per-doc sequence/slice expression (no
+    Python); the train chunk set and the held-out chunk stream meet
+    in ONE left-semi-style hash join keyed on the chunk (at 100 TB,
+    on xxhash64(chunk) — 8-byte keys); the report is a tiny
+    per-split aggregate. Nothing is ever all-pairs."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tk"),
+        )
+    )
+    bucket = (F.col("doc_id") * F.lit(1103515245) + F.lit(12345)) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_chunks = F.ceil(F.size("tk") / 16.0).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * 16 + 1, 16), " "),
+    )
+    c = d.select(
+        "doc_id", split.alias("split"), F.explode(chunks).alias("chunk")
+    )
+    train_chunks = c.where(F.col("split") == "train").select("chunk").distinct()
+    held = c.where(F.col("split") != "train")
+    leaked = held.join(
+        train_chunks.withColumn("__leak", F.lit(True)), "chunk", "left"
+    ).select(
+        "split", "doc_id", F.coalesce(F.col("__leak"), F.lit(False)).alias("leaked")
+    )
+    return leaked.groupBy("split").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("leaked"), 1).otherwise(0)).alias("n_chunks_leaked"),
+        F.countDistinct(F.when(F.col("leaked"), F.col("doc_id"))).alias(
+            "n_docs_affected"
+        ),
+    )

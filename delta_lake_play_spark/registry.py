@@ -214,6 +214,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     "llm_dedup_url",
     "dml_generated_columns",
+    "llm_leakage_report",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
