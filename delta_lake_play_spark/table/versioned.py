@@ -1026,6 +1026,25 @@ class VersionedTable:
             selected.append(f)
         return self._read_files(selected, schema).filter(pred)
 
+    def read_where_null(self, col: str, version: int | None = None) -> DataFrame:
+        """``WHERE col IS NULL`` with file skipping on the per-file
+        null counts recorded from the parquet footers at commit time
+        (Delta's ``nullCount`` stat): a file whose null count is 0
+        provably has no matching row and is never opened. The typical
+        consumer is a data-quality audit ("show me the rows that
+        failed enrichment") on a mostly-complete 100 TB table, where
+        nearly every file prunes."""
+        if version is None:
+            version = self.latest_version()
+        entry = self._read_log(version)
+        schema = self._entry_schema(entry)
+        selected = [
+            f
+            for f in entry["files"]
+            if f.get("nullCounts", {}).get(col) != 0
+        ]
+        return self._read_files(selected, schema).filter(F.col(col).isNull())
+
     def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
         """Equality read with min/max AND bloom-filter file skipping.
 
@@ -1058,6 +1077,11 @@ class VersionedTable:
             probe = self._bloom_positions(value, dtype)
         selected = []
         for f in files:
+            # an equality probe is null-rejecting: an all-null file
+            # (which has no min/max to prune on) can still be skipped
+            # via its null count
+            if f.get("nullCounts", {}).get(col) == f.get("num_rows"):
+                continue
             stats = f.get("stats", {}).get(col)
             if stats is not None and key is not None:
                 fmin, fmax = stats
@@ -1586,17 +1610,25 @@ class VersionedTable:
                     continue
                 mins: dict[str, object] = {}
                 maxs: dict[str, object] = {}
+                nulls: dict[str, int] = {}
                 known = set(atomic)
+                null_known = set(atomic)
                 for rg in range(md.num_row_groups):
                     group = md.row_group(rg)
                     seen = set()
+                    null_seen = set()
                     for ci in range(group.num_columns):
                         col = group.column(ci)
                         name = col.path_in_schema
-                        if name not in known:
+                        if name not in atomic:
                             continue
                         st = col.statistics
-                        if st is None or not st.has_min_max:
+                        if st is None:
+                            continue
+                        if st.null_count is not None:
+                            null_seen.add(name)
+                            nulls[name] = nulls.get(name, 0) + st.null_count
+                        if name not in known or not st.has_min_max:
                             continue
                         lo, hi = _stat_json(st.min), _stat_json(st.max)
                         if lo is None or hi is None:
@@ -1606,16 +1638,20 @@ class VersionedTable:
                         maxs[name] = hi if name not in maxs else max(maxs[name], hi)
                     # a column must have valid stats in EVERY row group
                     known &= seen
+                    null_known &= null_seen
                 stats = {
                     c: [mins[c], maxs[c]] for c in known if c in mins and c in maxs
                 }
+                null_counts = {c: nulls[c] for c in null_known}
                 rel_file = fp if absolute else os.path.relpath(fp, self.path)
                 for c, v in _partition_values(rel_file, part_cols, schema).items():
                     if v is not None:
                         stats[c] = [v, v]
-                entries.append(
-                    {"path": rel_file, "num_rows": md.num_rows, "stats": stats}
-                )
+                        null_counts[c] = 0
+                entry = {"path": rel_file, "num_rows": md.num_rows, "stats": stats}
+                if null_counts:
+                    entry["nullCounts"] = null_counts
+                entries.append(entry)
         return entries
 
 

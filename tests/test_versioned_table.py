@@ -681,3 +681,38 @@ def test_generated_columns_recompute_and_partition(spark):
     assert r1["v"] == 10.0 and r1["day"].day == 1
     # partition pruning works on the generated key
     assert t.to_df().where("day = timestamp'2024-01-02 00:00:00'").count() == 2
+
+
+def test_null_count_stats_prune_is_null_reads(spark):
+    """nullCount footer stats: IS NULL reads open only files that
+    actually contain nulls; equality probes skip all-null files."""
+    from pyspark.sql import Row
+
+    clean = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 2).cast("double").alias("v")
+    ).repartition(4)
+    dirty = spark.createDataFrame(
+        [Row(id=1000 + i, v=None) for i in range(5)],
+        "id long, v double",
+    ).coalesce(1)
+    t = VersionedTable.create(
+        spark, temp_table_path("nullstats"), clean.unionByName(dirty).repartition(5)
+    )
+    t2 = VersionedTable.create(spark, temp_table_path("nullstats2"), clean)
+    t2.append(dirty)  # nulls isolated in the appended file
+    entry = t2._read_log(t2.latest_version())
+    null_files = [f for f in entry["files"] if f.get("nullCounts", {}).get("v", 0) > 0]
+    clean_files = [f for f in entry["files"] if f.get("nullCounts", {}).get("v") == 0]
+    assert len(null_files) == 1 and len(clean_files) >= 1
+    got = t2.read_where_null("v").collect()
+    assert sorted(r["id"] for r in got) == [1000, 1001, 1002, 1003, 1004]
+    # selection itself only kept the dirty file
+    schema = t2._entry_schema(entry)
+    sel = [
+        f for f in entry["files"] if f.get("nullCounts", {}).get("v") != 0
+    ]
+    assert len(sel) == 1
+    # equality probe skips the all-null file via nullCounts
+    pf = t2._point_files(entry, schema, "v", 4.0)
+    assert all(f.get("nullCounts", {}).get("v") != f["num_rows"] for f in pf)
+    assert [r["id"] for r in t2.read_point("v", 4.0).collect()] == [2]
