@@ -716,3 +716,18 @@ def test_null_count_stats_prune_is_null_reads(spark):
     pf = t2._point_files(entry, schema, "v", 4.0)
     assert all(f.get("nullCounts", {}).get("v") != f["num_rows"] for f in pf)
     assert [r["id"] for r in t2.read_point("v", 4.0).collect()] == [2]
+
+
+def test_optimize_purges_deletion_vectors(spark, names):
+    """OPTIMIZE rewrites through the masked read: MoR-deleted rows do
+    not resurrect, DVs disappear, and the symlink export (which
+    refuses DV-masked snapshots) becomes possible again."""
+    names.delete_mor(F.col("id") == 2)
+    entry = names._read_log(names.latest_version())
+    assert any(dv_count(f) > 0 for f in entry["files"])
+    names.optimize(target_files=1)
+    entry2 = names._read_log(names.latest_version())
+    assert all(dv_count(f) == 0 for f in entry2["files"])
+    assert rows(names.to_df()) == [(1, "James", "Bond"), (3, "Joe", "Bloggs")]
+    manifest = names.export_symlink_manifest()  # no longer refused
+    assert os.path.exists(manifest)
