@@ -287,3 +287,69 @@ def stream_table_source_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- stream_medallion_gold ------------------------------------------------
+# End-to-end streaming medallion with a REAL stream AND a hash oracle:
+# bronze (versioned events table, two commits) → JVM file-stream
+# source → each micro-batch appends its PARTIAL (event_type, count,
+# value-cents) aggregate to a versioned gold table → the final read
+# combines partials. Because the partials live on the exact integer
+# grid and the combine is SUM, the result is identical under ANY
+# micro-batch boundary placement — which is what lets a runtime
+# stream be hash-compared at all (the other runtime-sink key,
+# stream_foreachBatch_upsert, is rows-only by design).
+
+_MEDALLION_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 2)} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_medallion_gold", oracle=_MEDALLION_ORACLE)
+def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.functions import exact
+    from delta_lake_play_spark.sources.table_stream import stream_table_jvm
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    ev = load_table(spark, sf_dir, "events")
+    bronze = VersionedTable.create(
+        spark, temp_table_path("medallion-bronze"),
+        ev.where(F.col("event_id") % 2 == 0).coalesce(2),
+    )
+    bronze.append(ev.where(F.col("event_id") % 2 == 1).coalesce(2))
+
+    gold = VersionedTable.create(
+        spark,
+        temp_table_path("medallion-gold"),
+        spark.createDataFrame([], "event_type string, n bigint, cents bigint"),
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        gold.append(partial)
+
+    checkpoint = tempfile.mkdtemp(prefix="medallion_ckpt_")
+    q = (
+        stream_table_jvm(spark, bronze.path)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return gold.to_df().groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+    )

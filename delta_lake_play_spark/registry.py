@@ -215,6 +215,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_url",
     "dml_generated_columns",
     "llm_leakage_report",
+    "stream_medallion_gold",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
