@@ -741,6 +741,33 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """A snapshot's file inventory as a queryable DataFrame
+        (Iceberg's ``table.files`` metadata-table shape): path, live
+        row count, DV-masked count, and the per-column min/max and
+        null-count stats as JSON — the surface an operator uses to ask
+        "which files would this predicate touch" or "how skewed is the
+        layout" without scanning data. Metadata-only: built from the
+        commit log, zero file I/O."""
+        if version is None:
+            version = self.latest_version()
+        entry = self._read_log(version)
+        rows = [
+            (
+                f["path"],
+                int(f.get("num_rows", 0)),
+                _dv_count(f),
+                json.dumps(f.get("stats", {}), sort_keys=True),
+                json.dumps(f.get("nullCounts", {}), sort_keys=True),
+            )
+            for f in entry["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, num_rows long, dv_masked long, "
+            "stats string, null_counts string",
+        )
+
     def export_symlink_manifest(self, version: int | None = None) -> str:
         """Write a Presto/Trino-style symlink-format manifest for a
         snapshot (Delta's ``GENERATE symlink_format_manifest``): a

@@ -731,3 +731,18 @@ def test_optimize_purges_deletion_vectors(spark, names):
     assert rows(names.to_df()) == [(1, "James", "Bond"), (3, "Joe", "Bloggs")]
     manifest = names.export_symlink_manifest()  # no longer refused
     assert os.path.exists(manifest)
+
+
+def test_files_df_metadata_table(spark, names):
+    names.delete_mor(F.col("id") == 2)
+    fdf = names.files_df()
+    got = fdf.collect()
+    assert sum(r["num_rows"] for r in got) == 3
+    assert sum(r["dv_masked"] for r in got) == 1
+    import json as _json
+
+    stats = _json.loads(got[0]["stats"])
+    assert "id" in stats  # min/max recorded per column
+    # queryable like any DataFrame: which files could hold id=1?
+    hit = fdf.where("get_json_object(stats, '$.id[0]') <= 1").count()
+    assert hit >= 1
