@@ -724,10 +724,18 @@ class VersionedTable:
                 ) from None
             raise
 
-    def restore(self, version: int) -> int:
+    def restore(
+        self, version: int | None = None, timestamp: datetime | str | None = None
+    ) -> int:
         """Re-commit an old snapshot as the newest version — pure
         metadata: the new log entry re-references the old version's
-        files, no data is read or written."""
+        files, no data is read or written. Accepts either a version
+        number or a wall-clock timestamp (Delta ``RESTORE ...
+        TIMESTAMP AS OF``), resolved the same way as ``read``."""
+        if (version is None) == (timestamp is None):
+            raise ValueError("pass exactly one of version or timestamp")
+        if version is None:
+            version = self._resolve_timestamp(timestamp)
 
         def attempt() -> int:
             entry = self._read_log(version)

@@ -746,3 +746,14 @@ def test_files_df_metadata_table(spark, names):
     # queryable like any DataFrame: which files could hold id=1?
     hit = fdf.where("get_json_object(stats, '$.id[0]') <= 1").count()
     assert hit >= 1
+
+
+def test_restore_by_timestamp(spark, names):
+    v0_ts = {r["version"]: r["timestamp"] for r in names.history().collect()}[0]
+    names.delete(F.col("id") == 1)
+    names.restore(timestamp=v0_ts)
+    assert rows(names.to_df()) == sorted(SEED)
+    with pytest.raises(ValueError, match="exactly one"):
+        names.restore()
+    with pytest.raises(ValueError, match="exactly one"):
+        names.restore(version=0, timestamp=v0_ts)
