@@ -149,6 +149,19 @@ def _stat_key(v):
     return _stat_json(v)
 
 
+_INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _widens(src_t: T.DataType, tgt_t: T.DataType) -> bool:
+    """True when ``src_t`` is a STRICTLY wider lossless type than
+    ``tgt_t`` (the Delta type-widening whitelist: integral up-chain
+    and float→double)."""
+    if isinstance(src_t, _INTEGRALS) and isinstance(tgt_t, _INTEGRALS):
+        order = [t.__name__ for t in _INTEGRALS]
+        return order.index(type(src_t).__name__) > order.index(type(tgt_t).__name__)
+    return isinstance(src_t, T.DoubleType) and isinstance(tgt_t, T.FloatType)
+
+
 class MergeSourceKeyError(ValueError):
     """Multiple source rows match a single target key (Delta errors too)."""
 
@@ -466,8 +479,24 @@ class VersionedTable:
                 new_schema = schema
             else:
                 extra = sorted(s_cols - set(t_cols))
+                # Delta type widening: a source column of a strictly
+                # wider type upgrades the TABLE schema (int→long,
+                # float→double) instead of silently narrowing the
+                # source; carried files keep their narrower physical
+                # type and Spark 4's parquet reader promotes them at
+                # scan time — no rewrite.
                 new_schema = T.StructType(
-                    list(schema.fields)
+                    [
+                        T.StructField(
+                            f.name,
+                            src.schema[f.name].dataType
+                            if f.name in s_cols
+                            and _widens(src.schema[f.name].dataType, f.dataType)
+                            else f.dataType,
+                            True,
+                        )
+                        for f in schema.fields
+                    ]
                     + [T.StructField(c, src.schema[c].dataType, True) for c in extra]
                 )
             for f in new_schema.fields:

@@ -757,3 +757,26 @@ def test_restore_by_timestamp(spark, names):
         names.restore()
     with pytest.raises(ValueError, match="exactly one"):
         names.restore(version=0, timestamp=v0_ts)
+
+
+def test_merge_type_widening(spark):
+    """evolve_schema widens int→long / float→double from the source
+    instead of narrowing it; carried (untouched) files keep their
+    int32 parquet and promote at scan time."""
+    base = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id int, n int, x float"
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("widen"), base.repartition(2, "id")
+    )
+    src = spark.createDataFrame(
+        [(2, 5_000_000_000, 3.25), (3, 30, 4.5)], "id int, n long, x double"
+    )
+    t.merge(src, key="id", evolve_schema=True)
+    df = t.to_df()
+    types = dict(df.dtypes)
+    assert types["n"] == "bigint" and types["x"] == "double"
+    got = {r["id"]: (r["n"], r["x"]) for r in df.collect()}
+    assert got[2] == (5_000_000_000, 3.25)  # beyond int range — not truncated
+    assert got[3] == (30, 4.5)
+    assert got[1][0] == 10  # carried narrow file reads under wide schema
