@@ -409,6 +409,16 @@ class VersionedTable:
                     f"append schema drift: missing={sorted(want - have - gen)} "
                     f"extra={sorted(have - want)}"
                 )
+            wide = [
+                f.name
+                for f in schema.fields
+                if f.name in have and _widens(df.schema[f.name].dataType, f.dataType)
+            ]
+            if wide:  # silent downcast would truncate — make it loud
+                raise MergeSchemaError(
+                    f"append would narrow wider source columns {wide}; "
+                    f"widen the table via merge(evolve_schema=True) first"
+                )
             aligned = df.select(
                 *[
                     F.col(f.name).cast(f.dataType)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from delta_lake_play_spark.table.versioned import (
+    MergeSchemaError,
     MergeSourceKeyError,
     VersionedTable,
     _dv_count as dv_count,
@@ -780,3 +781,17 @@ def test_merge_type_widening(spark):
     assert got[2] == (5_000_000_000, 3.25)  # beyond int range — not truncated
     assert got[3] == (30, 4.5)
     assert got[1][0] == 10  # carried narrow file reads under wide schema
+
+
+def test_append_refuses_narrowing(spark):
+    t = VersionedTable.create(
+        spark, temp_table_path("narrow"),
+        spark.createDataFrame([(1, 10)], "id int, n int"),
+    )
+    wide = spark.createDataFrame([(2, 5_000_000_000)], "id int, n long")
+    with pytest.raises(MergeSchemaError, match="narrow"):
+        t.append(wide)
+    # the advertised path works
+    t.merge(wide, key="id", evolve_schema=True)
+    t.append(spark.createDataFrame([(3, 6_000_000_000)], "id int, n long"))
+    assert t.to_df().where("id = 3").collect()[0]["n"] == 6_000_000_000
