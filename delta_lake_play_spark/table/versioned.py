@@ -788,6 +788,50 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
+    def optimize_small(
+        self, min_rows_per_file: int, target_files: int = 1
+    ) -> int | None:
+        """Partial OPTIMIZE — the production compaction shape: bin-pack
+        ONLY files whose live row count (after DV masking) is under
+        ``min_rows_per_file`` into ``target_files`` new files, carrying
+        every already-healthy file by reference. Cost is O(small
+        files), never O(table) — on a 100 TB table the nightly compactor
+        rewrites the day's trickle of small commits, not the snapshot
+        (the full-rewrite ``optimize`` is the re-layout tool, this is
+        the maintenance loop). Small files' deletion vectors are
+        applied during the rewrite, so their DVs disappear too.
+
+        Returns the new version, or ``None`` when fewer than two files
+        qualify (nothing to compact)."""
+
+        def attempt() -> int | None:
+            entry = self._read_log(self.latest_version())
+            schema = self._entry_schema(entry)
+            small = [
+                f
+                for f in entry["files"]
+                if f.get("num_rows", 0) - _dv_count(f) < min_rows_per_file
+            ]
+            if len(small) < 2:
+                return None
+            small_paths = {f["path"] for f in small}
+            carried = [f for f in entry["files"] if f["path"] not in small_paths]
+            packed = self._read_files(small, schema).coalesce(target_files)
+            return self._commit_files(
+                packed,
+                carried,
+                "OPTIMIZE",
+                {
+                    "mode": "small-files",
+                    "minRowsPerFile": min_rows_per_file,
+                    "compacted": len(small),
+                    "targetFiles": target_files,
+                },
+                schema,
+            )
+
+        return self._retrying(attempt)
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """A snapshot's file inventory as a queryable DataFrame
         (Iceberg's ``table.files`` metadata-table shape): path, live

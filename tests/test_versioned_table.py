@@ -795,3 +795,29 @@ def test_append_refuses_narrowing(spark):
     t.merge(wide, key="id", evolve_schema=True)
     t.append(spark.createDataFrame([(3, 6_000_000_000)], "id int, n long"))
     assert t.to_df().where("id = 3").collect()[0]["n"] == 6_000_000_000
+
+
+def test_optimize_small_compacts_only_small_files(spark):
+    """Partial OPTIMIZE: the big files are carried by reference
+    (identical paths), only the append trickle is rewritten."""
+    big = spark.range(0, 2000).withColumn("v", F.col("id"))
+    t = VersionedTable.create(
+        spark, temp_table_path("optsmall"), big.repartitionByRange(2, "id")
+    )
+    for i in range(3):  # the small-commit trickle
+        t.append(
+            spark.range(10_000 + i * 10, 10_000 + i * 10 + 5)
+            .withColumn("v", F.col("id"))
+            .coalesce(1)
+        )
+    before = t._read_log(t.latest_version())["files"]
+    big_paths = {f["path"] for f in before if f["num_rows"] >= 100}
+    assert len(big_paths) == 2 and len(before) == 5
+    v = t.optimize_small(min_rows_per_file=100)
+    assert v is not None
+    after = t._read_log(v)["files"]
+    assert {f["path"] for f in after} >= big_paths  # big files untouched
+    assert len(after) == 3  # 2 big + 1 packed
+    assert t.to_df().count() == 2015
+    # idempotent once healthy: a lone packed file is left alone
+    assert t.optimize_small(min_rows_per_file=100) is None
