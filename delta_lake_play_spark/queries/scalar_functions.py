@@ -874,3 +874,33 @@ def fn_date_trunc_week_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
         F.quarter("o_orderdate").cast("bigint").alias("quarter"),
     )
+
+
+# --- fn_posexplode: array → (position, element) rows ------------------------
+
+_POSEXPLODE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id < 40 AND text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS pos,
+       tk[i] AS token
+FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+"""
+
+
+@register("fn_posexplode", oracle=_POSEXPLODE_ORACLE)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: element position rides the generator output (the
+    order-preserving expansion sequence packing and n-gram windows
+    build on) — zero-based like Spark; the oracle derives it from a
+    1-based range. NULL text is excluded on both sides (explode skips
+    a NULL array; the driver fixtures may carry NULL text)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 40) & F.col("text").isNotNull())
+    )
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

@@ -216,6 +216,7 @@ _PRIORITY: tuple[str, ...] = (
     "dml_generated_columns",
     "llm_leakage_report",
     "stream_medallion_gold",
+    "fn_posexplode",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
