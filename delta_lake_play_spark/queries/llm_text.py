@@ -1194,3 +1194,54 @@ def llm_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_affected"
         ),
     )
+
+
+# --- llm_mad_outlier_filter -------------------------------------------------
+# Robust document-length cleaning: median + MAD instead of mean + σ
+# (one 10M-char page shifts a mean; it cannot shift a median). Both
+# medians run on exact integer n_chars, so parity holds (agg_median
+# proves the engines' medians agree on int64 input); the survivor
+# band is pure integer comparison.
+
+_MAD_K = 1  # tight demo band: median ± 1·MAD (production uses 3-5)
+
+_MAD_ORACLE = f"""
+WITH m AS (SELECT median(n_chars) AS med FROM documents),
+d AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(abs(n_chars - (SELECT med FROM m)) AS BIGINT) AS dev
+  FROM documents
+),
+s AS (SELECT median(dev) AS mad FROM d)
+SELECT doc_id, lang, n_chars
+FROM d, s
+WHERE dev <= {_MAD_K} * GREATEST(s.mad, 1)
+"""
+
+
+@register("llm_mad_outlier_filter", oracle=_MAD_ORACLE)
+def llm_mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs within median ± 1·MAD of character length (tight band so
+    the filter demonstrably removes the length tails; production
+    pipelines run 3-5·MAD).
+
+    Scale shape: two scalar aggregates (median, then MAD of the
+    deviations) broadcast as one-row joins around a single corpus
+    scan each — never a global sort of the corpus. Exact medians
+    need the sorted column; the 100 TB substitute is the mergeable
+    KLL/histogram sketch (``agg_sketch_quantile``) feeding the same
+    band filter."""
+    d = load_table(spark, sf_dir, "documents")
+    med = d.agg(F.median("n_chars").alias("med"))
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.abs(F.col("n_chars") - F.col("med")).cast("long").alias("dev"),
+    )
+    mad = dev.agg(F.median("dev").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where(F.col("dev") <= _MAD_K * F.greatest(F.col("mad"), F.lit(1)))
+        .select("doc_id", "lang", "n_chars")
+    )

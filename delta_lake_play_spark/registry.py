@@ -217,6 +217,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_leakage_report",
     "stream_medallion_gold",
     "fn_posexplode",
+    "llm_mad_outlier_filter",
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
