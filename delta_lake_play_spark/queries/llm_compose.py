@@ -49,19 +49,14 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster assignment is vectors-only; document metadata joins in by
     id afterwards, so the wide text column never enters the iterative
     part."""
-    from delta_lake_play_spark.functions.vectors import cosine_sim
     from delta_lake_play_spark.operators.dedup import connected_components
+    from delta_lake_play_spark.operators.similarity import blocked_pairs
     from delta_lake_play_spark.queries.llm_dedup import _CLUSTER_COS
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("b"), "label", F.col("embedding").alias("emb_b"))
-    pairs = (
-        a.join(b, on="label")
-        .where(F.col("a") < F.col("b"))
-        .where(cosine_sim("emb_a", "emb_b") >= _CLUSTER_COS)
-        .select("a", "b")
-    )
+    pairs = blocked_pairs(
+        e, "vec_id", "embedding", "label", _CLUSTER_COS
+    ).select(F.col("__a").alias("a"), F.col("__b").alias("b"))
     clusters = connected_components(e.select(F.col("vec_id").alias("node")), pairs)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = clusters.join(d, clusters.node == d.doc_id).select(

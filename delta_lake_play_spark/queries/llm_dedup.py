@@ -270,18 +270,12 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Library form: ``operators/dedup.py::connected_components``."""
     from delta_lake_play_spark.operators.dedup import connected_components
+    from delta_lake_play_spark.operators.similarity import blocked_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    from delta_lake_play_spark.functions.vectors import cosine_sim
-
-    a = e.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("b"), "label", F.col("embedding").alias("emb_b"))
-    pairs = (
-        a.join(b, on="label")
-        .where(F.col("a") < F.col("b"))
-        .where(cosine_sim("emb_a", "emb_b") >= _CLUSTER_COS)
-        .select("a", "b")
-    )
+    pairs = blocked_pairs(
+        e, "vec_id", "embedding", "label", _CLUSTER_COS
+    ).select(F.col("__a").alias("a"), F.col("__b").alias("b"))
     out = connected_components(e.select(F.col("vec_id").alias("node")), pairs)
     return out.select(F.col("node").alias("vec_id"), "cluster")
 

@@ -51,15 +51,14 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern). The self-join shuffles on the block key, so pair
     enumeration is quadratic only within a cell, never over n —
     the same shape that keeps this tractable at 10⁹ vectors."""
+    from delta_lake_play_spark.operators.similarity import blocked_pairs
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("embedding").alias("emb_b"))
-    cos = cosine_sim("emb_a", "emb_b")
-    return (
-        a.join(b, on="label")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= _COS_THRESHOLD)
+    return blocked_pairs(e, "vec_id", "embedding", "label", _COS_THRESHOLD).select(
+        F.col("__a").alias("vec_a"),
+        F.col("__b").alias("vec_b"),
+        F.col("__blk").alias("label"),
+        F.col("__cos").alias("cos_sim"),
     )
 
 
