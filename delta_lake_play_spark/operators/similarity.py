@@ -106,30 +106,35 @@ def blocked_pairs(
     ``a < b`` pair sharing ``block_col`` (the IVF-cell / LSH-bucket /
     precomputed-label blocking pattern).
 
-    The left side carries a deterministic salt and the right side is
-    replicated per salt, so each (block, salt) cell scores
-    |block|²/S pairs instead of one task owning a whole block. That
-    matters because the scoring is interpreted HOF CPU, not I/O:
-    AQE coalesces shuffle partitions by BYTES and a low-cardinality
-    block key caps useful tasks at #blocks — measured >10 min on 2
-    tasks vs ~40 s across 32 for a 25 k-vector corpus. Pair set and
-    cosine values are bit-identical to the unsalted join."""
+    The right side is broadcast un-replicated and the left side is
+    repartitioned to the core count when its scan is under-split, so
+    pair scoring runs map-side across every core with NO dependence
+    on block-key cardinality. That matters because the scoring is
+    interpreted HOF CPU, not I/O: left to the planner, a small corpus
+    in one parquet file gets 2 input splits, array-column size
+    inflation pushes the join to sort-merge, and a 10-value block key
+    then caps useful tasks at 10 — measured >7 min for a 25 k-vector
+    corpus vs tens of seconds map-side. At billions of vectors the
+    corpus outgrows the broadcast; there the block key IS
+    high-cardinality (IVF cell / LSH bucket), and the plain shuffled
+    block join this degrades to parallelizes fine — the hint only
+    changes physical strategy, never the pair set."""
     spark = vectors.sparkSession
-    n_salt = spark.sparkContext.defaultParallelism
+    want = spark.sparkContext.defaultParallelism
     a = vectors.select(
         F.col(id_col).alias("__a"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__va"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int").alias("__salt"),
     )
-    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("__salt"))
+    if a.rdd.getNumPartitions() < want:
+        a = a.repartition(want)
     b = vectors.select(
         F.col(id_col).alias("__b"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__vb"),
-    ).crossJoin(F.broadcast(salts))
+    )
     return (
-        a.join(b, on=["__blk", "__salt"])
+        a.join(F.broadcast(b), on="__blk")
         .where(F.col("__a") < F.col("__b"))
         .select(
             "__a",
