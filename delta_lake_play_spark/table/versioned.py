@@ -883,6 +883,16 @@ class VersionedTable:
                 f"({len(dv_files)} masked files, e.g. {dv_files[0]!r}); "
                 f"rewrite them first (OPTIMIZE / copy-on-write delete)"
             )
+        if self.partition_columns():
+            # partition values live in directory names, not parquet
+            # footers — a flat file list would silently drop those
+            # columns for an engine that doesn't hive-infer from paths
+            raise ValueError(
+                "symlink manifest of a hive-partitioned table would lose "
+                f"partition columns {self.partition_columns()} for readers "
+                "that do not infer them from paths; export per-partition "
+                "manifests or rewrite unpartitioned first"
+            )
         man_dir = os.path.join(self.path, "_symlink_format_manifest")
         os.makedirs(man_dir, exist_ok=True)
         out = os.path.join(man_dir, f"manifest-{version:020d}.txt")

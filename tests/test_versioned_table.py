@@ -821,3 +821,14 @@ def test_optimize_small_compacts_only_small_files(spark):
     assert t.to_df().count() == 2015
     # idempotent once healthy: a lone packed file is left alone
     assert t.optimize_small(min_rows_per_file=100) is None
+
+
+def test_symlink_manifest_refuses_partitioned(spark):
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("symlink-part"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, seg string"),
+        partition_by=["seg"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        t.export_symlink_manifest()
