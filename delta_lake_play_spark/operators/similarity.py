@@ -101,24 +101,31 @@ def blocked_pairs(
     vec_col: str,
     block_col: str,
     min_cos: float,
+    broadcast_hints: bool = True,
 ) -> DataFrame:
     """Within-block near-dup pairs: cosine ≥ ``min_cos`` for every
     ``a < b`` pair sharing ``block_col`` (the IVF-cell / LSH-bucket /
     precomputed-label blocking pattern).
 
-    The right side is broadcast un-replicated and the left side is
-    repartitioned to the core count when its scan is under-split, so
-    pair scoring runs map-side across every core with NO dependence
-    on block-key cardinality. That matters because the scoring is
-    interpreted HOF CPU, not I/O: left to the planner, a small corpus
-    in one parquet file gets 2 input splits, array-column size
-    inflation pushes the join to sort-merge, and a 10-value block key
-    then caps useful tasks at 10 — measured >7 min for a 25 k-vector
-    corpus vs tens of seconds map-side. At billions of vectors the
-    corpus outgrows the broadcast; there the block key IS
-    high-cardinality (IVF cell / LSH bucket), and the plain shuffled
-    block join this degrades to parallelizes fine — the hint only
-    changes physical strategy, never the pair set."""
+    With ``broadcast_hints=True`` (default) the right side is
+    broadcast un-replicated and the left side is repartitioned to the
+    core count when its scan is under-split, so pair scoring runs
+    map-side across every core with NO dependence on block-key
+    cardinality. That matters because the scoring is interpreted HOF
+    CPU, not I/O: left to the planner, a small corpus in one parquet
+    file gets 2 input splits, array-column size inflation pushes the
+    join to sort-merge, and a 10-value block key then caps useful
+    tasks at 10 — measured >7 min for a 25 k-vector corpus vs tens of
+    seconds map-side.
+
+    ``F.broadcast`` is a HARD hint, not a heuristic: a corpus past
+    the 8 GB broadcast-relation limit (or past driver memory) FAILS
+    the job rather than degrading. Pass ``broadcast_hints=False``
+    for such corpora: the join runs as a plain shuffle join on the
+    block key — there the block key IS high-cardinality (IVF cell /
+    LSH bucket) so it parallelizes fine. The flag only changes
+    physical strategy, never the pair set (pinned by
+    ``tests/test_operators.py::test_blocked_pairs_hint_off_same_pairs``)."""
     spark = vectors.sparkSession
     want = spark.sparkContext.defaultParallelism
     a = vectors.select(
@@ -134,7 +141,7 @@ def blocked_pairs(
         F.col(vec_col).alias("__vb"),
     )
     return (
-        a.join(F.broadcast(b), on="__blk")
+        a.join(F.broadcast(b) if broadcast_hints else b, on="__blk")
         .where(F.col("__a") < F.col("__b"))
         .select(
             "__a",

@@ -390,9 +390,14 @@ def llm_curation_shardplan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = perdoc.join(F.broadcast(persrc), "source", "left_semi")
     n_chunks = F.floor((F.size("toks") + 15) / 16).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda c: F.array_join(F.slice(F.col("toks"), c * 16 + 1, 16), " "),
+    # Guard zero-token docs: sequence(0, -1) descends in Spark where
+    # generate_series(0, -1) is empty (phantom-chunk hazard).
+    chunks = F.when(
+        F.size("toks") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.array_join(F.slice(F.col("toks"), c * 16 + 1, 16), " "),
+        ),
     )
     c = gated.select("doc_id", F.explode(chunks).alias("chunk"))
     owners = c.groupBy("chunk").agg(F.min("doc_id").alias("owner"))

@@ -203,17 +203,31 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tk"),
     ).persist()
     tk = F.col("tk")
+    # Guard the 1-token doc: sequence(1, 0) descends to [1, 0] in
+    # Spark and element_at(tk, 0) errors; the oracle's range(1, 1)
+    # is empty, so a short doc yields the EMPTY gram set while a
+    # NULL text stays NULL (DuckDB propagates NULL through
+    # string_split → list_transform).
     bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
-        )
+        F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            ),
+        ).when(tk.isNotNull(), F.array().cast("array<string>"))
     )
     g = tok.select("doc_id", bigrams.alias("bg"))
     a = g.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect("bg_a", "bg_b"))
-    jac = inter.cast("double") / (F.size("bg_a") + F.size("bg_b") - inter)
+    # try_divide: two zero-bigram docs give a 0/0 union — DuckDB
+    # yields NULL there, ANSI Spark would raise DIVIDE_BY_ZERO.
+    jac = F.try_divide(
+        inter.cast("double"), F.size("bg_a") + F.size("bg_b") - inter
+    )
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))

@@ -520,8 +520,12 @@ def llm_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride). sequence()/explode/substring are all codegen'd JVM
     expressions — a pure narrow map over the corpus."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    starts = F.sequence(
-        F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE)
+    # Guard the empty doc: Spark's sequence(1, 0, step=400) raises on
+    # illegal boundaries where generate_series(1, 0, 400) is empty;
+    # when-null explodes to no rows, matching the oracle.
+    starts = F.when(
+        F.length("text") >= 1,
+        F.sequence(F.lit(1), F.length("text"), F.lit(_CHUNK_STRIDE)),
     )
     return (
         d.select("doc_id", "text", F.explode(starts).alias("pos"))
@@ -853,10 +857,17 @@ def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumption, no driver materialization."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # Guard the 1-token doc: Spark's sequence(1, 0) DESCENDS to [1, 0]
+    # and element_at(toks, 0) is a runtime error, where DuckDB's
+    # generate_series(1, 0) is empty. when-null explodes to no rows,
+    # matching the oracle.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
         ),
     )
     ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
@@ -921,9 +932,14 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_chunks = F.floor((F.size(toks) + 15) / 16).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda c: F.array_join(F.slice(toks, c * 16 + 1, 16), " "),
+    # Guard zero-token docs: sequence(0, -1) descends to [0, -1] in
+    # Spark (phantom chunks) where generate_series(0, -1) is empty.
+    chunks = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.array_join(F.slice(toks, c * 16 + 1, 16), " "),
+        ),
     )
     c = d.select("doc_id", F.explode(chunks).alias("chunk"))
     owners = c.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
@@ -1172,9 +1188,14 @@ def llm_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     n_chunks = F.ceil(F.size("tk") / 16.0).cast("long")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(F.col("tk"), i * 16 + 1, 16), " "),
+    # Guard zero-token docs: sequence(0, -1) descends to [0, -1] in
+    # Spark (phantom empty chunks) where generate_series is empty.
+    chunks = F.when(
+        F.size("tk") >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("tk"), i * 16 + 1, 16), " "),
+        ),
     )
     c = d.select(
         "doc_id", split.alias("split"), F.explode(chunks).alias("chunk")
@@ -1209,7 +1230,7 @@ _MAD_ORACLE = f"""
 WITH m AS (SELECT median(n_chars) AS med FROM documents),
 d AS (
   SELECT doc_id, lang, n_chars,
-         CAST(abs(n_chars - (SELECT med FROM m)) AS BIGINT) AS dev
+         CAST(FLOOR(abs(n_chars - (SELECT med FROM m))) AS BIGINT) AS dev
   FROM documents
 ),
 s AS (SELECT median(dev) AS mad FROM d)
@@ -1237,7 +1258,12 @@ def llm_mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.abs(F.col("n_chars") - F.col("med")).cast("long").alias("dev"),
+        # Explicit floor on BOTH sides: an even doc count makes the
+        # median fractional and every deviation ends in .5 — DuckDB's
+        # CAST(x AS BIGINT) rounds-to-nearest there while Spark's
+        # cast('long') truncates. floor == truncate for the
+        # non-negative dev, so floor-then-cast agrees everywhere.
+        F.floor(F.abs(F.col("n_chars") - F.col("med"))).cast("long").alias("dev"),
     )
     mad = dev.agg(F.median("dev").alias("mad"))
     return (

@@ -176,7 +176,7 @@ SELECT l_orderkey, l_linenumber,
        abs(l_quantity - 25) AS qty_dev,
        sqrt(l_quantity) AS qty_sqrt,
        l_quantity * l_quantity AS qty_sq,
-       floor(l_extendedprice / 1000) AS price_kbucket,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kbucket,
        CAST(l_orderkey % 7 AS BIGINT) AS key_mod
 FROM lineitem WHERE l_orderkey < 500
 """
@@ -195,7 +195,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-dp value on the exact integer grid — price-cents × (100 −
     discount-hundredths) is an exact BIGINT on a 1e-4 grid; half-up to
     tenths is pure integer arithmetic ((x + 500) DIV 1000), identical
-    everywhere; the final /10.0 is one deterministic IEEE op."""
+    everywhere; the final /10.0 is one deterministic IEEE op.
+
+    ``price_kbucket``: Spark's ``F.floor`` returns BIGINT while
+    DuckDB's ``floor()`` returns DOUBLE, so the oracle casts its floor
+    to BIGINT — a type-faithful value hash sees ``21`` vs ``21.0`` as
+    different even when every value matches (the r2/r3 driver fail)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     disc_h = F.round(F.col("l_discount") * 100, 0).cast("bigint")

@@ -10,9 +10,12 @@ Q16-shaped supplier-count rollup, Q19's disjunctive OR-of-ANDs join,
 and the decorrelation shapes of Q2, Q11 and Q20 (adapted — the schema
 has no partsupp table and no commit/receipt dates, so those three
 keep their SUBQUERY SHAPE with lineitem standing in as the
-part↔supplier relation; Q12/Q21 need the missing date columns and
-remain out of scope). With §2.13's Q4/Q17/Q18/Q22 and the core
-Q1/Q3/Q5 keys, 20 of the 22 TPC-H query shapes are covered.
+part↔supplier relation; Q12/Q21 likewise ship adapted —
+``agg_shipmode_priority`` and ``sub_waiting_orders`` below, with
+the available columns standing in for the missing ship-mode and
+commit/receipt dates). With §2.13's Q4/Q17/Q18/Q22 and the core
+Q1/Q3/Q5 keys, all 22 TPC-H query shapes are covered (exact or
+adapted).
 
 Every revenue aggregate uses the exact cent-grid sums
 (``functions/exact.py``) so hashes match DuckDB bit-for-bit; every

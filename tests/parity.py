@@ -1,6 +1,16 @@
 """Local replica of the driver's t2 check: run a registry query on
 Spark and its oracle SQL on DuckDB, then compare row count + schema
-shape + order-insensitive values (exact, like a value hash would)."""
+shape + order-insensitive values (exact, like a value hash would).
+
+DTYPE-FAITHFUL by design: iteration is column-wise via
+``Series.tolist()`` (never ``iterrows()``, which upcasts every
+mixed-numeric row to float64 and therefore can NEVER see an
+int-vs-float skew — the harness blindness that let fn_math's
+BIGINT-vs-DOUBLE ``price_kbucket`` survive two driver rounds), and
+row comparison keys on ``repr`` so ``21`` and ``21.0`` — equal under
+Python ``==`` — still mismatch, exactly as a type-faithful value hash
+would see them.
+"""
 
 from __future__ import annotations
 
@@ -13,11 +23,15 @@ import pandas as pd
 
 
 def _canon_cell(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return None if math.isnan(f) else f
+        if math.isnan(f):
+            return None
+        return f + 0.0  # normalize -0.0 → 0.0 (equal values, distinct reprs)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
     if isinstance(v, (np.integer, int)):
         return int(v)
     if isinstance(v, Decimal):
@@ -50,13 +64,44 @@ def _canon_cell(v):
 
 
 def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
-    """Columns sorted by name, each cell canonicalized, rows sorted."""
+    """Columns sorted by name, each cell canonicalized, rows sorted.
+
+    Column-wise iteration preserves per-column dtypes: an int64 cell
+    canonicalizes to Python ``int`` and a float64 cell to ``float``,
+    so the repr-based hash distinguishes BIGINT from DOUBLE results.
+    """
     cols = sorted(pdf.columns)
-    rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in pdf[cols].iterrows()
-    ]
+    if len(pdf) == 0:
+        return []
+    col_vals = [[_canon_cell(v) for v in pdf[c].tolist()] for c in cols]
+    rows = [tuple(cells) for cells in zip(*col_vals)]
     return sorted(rows, key=lambda r: tuple(repr(x) for x in r))
+
+
+def _type_name(cv) -> str:
+    # bool before int: Python bool is an int subclass.
+    if isinstance(cv, bool):
+        return "bool"
+    if isinstance(cv, int):
+        return "int"
+    if isinstance(cv, float):
+        return "float"
+    return type(cv).__name__
+
+
+def column_type_kinds(pdf: pd.DataFrame) -> dict[str, set]:
+    """Per column, the set of canonical Python types present (None
+    excluded) — the dtype-kind signature compare() checks so an
+    int/float skew fails loudly even before the value diff."""
+    kinds: dict[str, set] = {}
+    for c in pdf.columns:
+        ks = set()
+        for v in pdf[c].tolist():
+            cv = _canon_cell(v)
+            if cv is not None:
+                ks.add(_type_name(cv))
+        kinds[c] = ks
+    return kinds
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
@@ -68,10 +113,27 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
         f"{key}: row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
     assert len(spark_pdf) > 0, f"{key}: empty result is weak evidence — make the query select rows"
+    s_kinds = column_type_kinds(spark_pdf)
+    d_kinds = column_type_kinds(duck_pdf)
+    kind_skew = {
+        c: (s_kinds[c], d_kinds[c])
+        for c in s_kinds
+        if s_kinds[c] != d_kinds[c]
+    }
+    assert not kind_skew, (
+        f"{key}: column dtype-kind skew (spark vs duck): "
+        + "; ".join(f"{c}: {sorted(s)} vs {sorted(d)}" for c, (s, d) in kind_skew.items())
+    )
     s_rows = canonical_rows(spark_pdf)
     d_rows = canonical_rows(duck_pdf)
+
+    def _key(row):
+        return tuple(repr(x) for x in row)
+
     mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+        (i, a, b)
+        for i, (a, b) in enumerate(zip(s_rows, d_rows))
+        if _key(a) != _key(b)
     ]
     assert not mismatches, (
         f"{key}: {len(mismatches)}/{len(s_rows)} rows differ; first 3: "

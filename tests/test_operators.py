@@ -182,6 +182,41 @@ def test_near_dup_operators_broadcast_hints_off_parity(spark, sf_dir):
         assert canon(with_hints) == canon(without)
 
 
+def test_blocked_pairs_hint_off_same_pairs(spark, sf_dir):
+    """broadcast_hints=False must degrade blocked_pairs to a plain
+    shuffled block join — NO BroadcastExchange in the plan — and emit
+    the identical pair set. (F.broadcast is a hard hint: past the 8 GB
+    broadcast-relation limit a hinted job FAILS rather than degrades,
+    so oversized corpora need this flag.)"""
+    from delta_lake_play_spark.operators.similarity import blocked_pairs
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where("vec_id < 150")
+    hinted = blocked_pairs(e, "vec_id", "embedding", "label", 0.3)
+    # Disable the planner's size-based auto-broadcast (which degrades
+    # correctly at scale) so any BroadcastExchange left in the plan
+    # can only come from a hard F.broadcast hint.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = blocked_pairs(
+            e, "vec_id", "embedding", "label", 0.3, broadcast_hints=False
+        )
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, (
+            "hint-off blocked_pairs still broadcasts:\n" + plan
+        )
+        hinted_plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in hinted_plan
+        canon = lambda df: sorted(  # noqa: E731
+            (r["__a"], r["__b"]) for r in df.collect()
+        )
+        pairs = canon(hinted)
+        assert pairs == canon(plain) and len(pairs) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_cms_estimates_bounded_overcount(spark, sf_dir):
     """Count-min sketches only OVERcount: est >= exact always, and
     with eps=0.001 the overshoot stays within eps*N (plus nothing —
