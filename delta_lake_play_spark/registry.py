@@ -50,131 +50,127 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-3 WINDOW (first 50): keys whose current code has NO
-    # driver row. The table layer (table/versioned.py) was rewritten in
-    # round 2 (file-granular COW + footer stats + retry) AFTER its r1
-    # greens, so every dml_*/time-travel key below runs against code the
-    # driver has never checked; the sub_* family is new in r2 and has
-    # never been checked at all; fn_math leads to re-prove the round-3
-    # integer-grid fix for the r2 hash FAIL.
+    # --- ROUND-4 WINDOW (first 50). Composition (SURVEY §12 records
+    # the rationale): slot 1 re-proves fn_math (r2/r3 hash FAIL,
+    # root-caused to a BIGINT-vs-DOUBLE price_kbucket skew, fixed this
+    # round); slots 2-38 are never-driver-checked keys promoted from
+    # tier 2 — the table-layer scale keys, the flagship LLM-pipeline
+    # composites (including every key whose code changed in the r4
+    # short-doc-guard/MAD-cast fixes), the r3 TPC-H closers, and the
+    # reference-parity /sql entry; slots 39-50 are the cheapest
+    # r1-vintage greens (sub-100 ms each) whose passes are two
+    # fixture generations old — stale-pass hygiene, so no green row
+    # ever outlives two fixture regenerations unchecked.
     "fn_math",
-    # §2.8 table DML over the rewritten versioned layer
-    "dml_merge_upsert",
-    "dml_delete_where",
-    "dml_update_where",
-    "dml_insert_append",
-    "dml_restore",
-    "dml_vacuum",
-    "dml_history",
-    "dml_clone_shallow",
-    "dml_replace_where",
-    "dml_delete_mor",
-    "dml_merge_cdc",
-    "dml_merge_evolve",
-    "dml_optimize_zorder",
-    "dml_optimize_compact",
-    "dml_change_feed",
-    "dml_incremental_gold",
-    "dml_convert_in_place",
-    # time travel / snapshot keys riding the same rewritten layer
-    "scan_latest_snapshot",
-    "time_travel_version",
-    "time_travel_timestamp",
-    "set_except_snapshot_diff",
-    "history_scan",
-    "write_table_create",
-    "create_if_absent",
-    # §2.13 subqueries — registered in r2 below the window, never checked
-    "sub_exists_late_lineitem",
-    "sub_scalar_small_quantity",
-    "sub_in_large_orders",
-    "sub_not_exists_quiet_customers",
-    "sub_lateral_topk_per_nation",
-    "sub_not_in_null_semantics",
-    "sub_top_supplier",
-    "sub_any_all",
-    # scan-optimization keys (file skipping over footer stats / partition
-    # pruning / schema merge) — never checked
-    "scan_data_skipping",
-    "scan_partition_pruning",
-    "scan_schema_merge",
-    # sink roundtrips — never checked
-    "sink_json_roundtrip",
-    "sink_csv_roundtrip",
-    "sink_orc_roundtrip",
-    "sink_text_roundtrip",
-    # TPC-H shapes (Q3/Q5/Q7/Q8/Q10/Q14/Q16/Q19) — never checked
-    "join_shipping_priority",
-    "join_region_revenue",
-    "join_volume_shipping",
-    "join_market_share",
-    "join_returned_topcust",
-    "agg_promo_revenue",
-    "agg_supplier_part_counts",
-    "join_disjunctive_pred",
-    # last 2 window slots: the top LLM-pipeline composites
-    "llm_dedup_clusters",
-    "llm_decontaminate",
-    # --- TIER 2 (51+): first in line if the window grows. Flagship LLM
-    # composites first, then every remaining never-checked key
-    # (cheapest first per BENCH_r02 in case the cutoff is time-based).
+    # table-layer scale keys (bloom skipping, manifests, generated
+    # cols, constraints, hive partitioning) — never checked
     "scan_bloom_point",
     "dml_symlink_manifest",
+    "dml_generated_columns",
+    "dml_constraints_enforced",
+    "dml_partitioned_table",
+    "sink_partitioned_parquet",
+    # flagship LLM-pipeline composites — never checked; the six keys
+    # touched by this round's short-doc guards / MAD cast fix are all
+    # here so the fixes get driver rows immediately
+    "llm_pipeline_end2end",
+    "llm_bm25_search",
+    "llm_semdedup",
+    "llm_pagerank_sources",
+    "llm_line_dedup",
     "llm_dedup_keep_best",
     "llm_ann_recall",
-    "llm_pack_sequences",
-    "llm_pipeline_end2end",
+    "llm_dedup_embedding_cosine",
+    "llm_dedup_ngram_jaccard",
+    "llm_mad_outlier_filter",
+    "llm_leakage_report",
+    "llm_ngram_lm_score",
     "llm_context_chunking",
+    "llm_kmeans_train",
     "llm_similarity_lsh",
+    # r3 TPC-H closers — never checked
+    "agg_shipmode_priority",
+    "sub_waiting_orders",
+    "agg_revenue_band",
+    "sub_min_cost_supplier",
+    "sub_important_stock",
+    "sub_excess_shippers",
+    "agg_order_count_dist",
+    "agg_profit_by_nation_year",
+    # reference-surface + assorted never-checked singles
+    "sql_api_entry",
+    "sql_recursive_cte",
+    "agg_median",
+    "agg_sketch_quantile",
+    "win_gap_islands",
+    "udf_arrow_batch",
+    "stream_medallion_gold",
+    "fn_try_arith",
+    # stale-pass hygiene: cheapest r1-vintage greens, re-proven against
+    # the current fixture generation (slots 39-50)
+    "project_columns",
+    "filter_in_list",
+    "filter_equality",
+    "filter_range",
+    "filter_null_handling",
+    "filter_like",
+    "join_inner_equi",
+    "join_left_semi",
+    "join_left_anti",
+    "agg_max_scalar",
+    "agg_count_distinct",
+    "agg_rollup",
+    # --- TIER 2 (51+): first in line if the window grows — every
+    # remaining never-checked key, high-value first.
+    "llm_pack_sequences",
+    "llm_train_val_split",
+    "llm_global_shuffle",
+    "llm_domain_filter",
+    "llm_curation_shardplan",
+    "llm_importance_resample",
+    "llm_dedup_fingerprint",
+    "llm_dedup_url",
+    "llm_tfidf_topterms",
+    "llm_token_rarity",
+    "llm_text_lang_id",
+    "llm_langid_confusion",
+    "llm_text_fingerprint",
+    "llm_text_token_bpe",
+    "llm_pii_redact",
+    "llm_repetition_filter",
+    "llm_quality_score_linear",
+    "llm_embedding_quantize",
+    "llm_multimodal_resize",
+    "llm_multimodal_framesample",
+    "llm_multimodal_decode",
     "sample_stratified_topn",
     "sample_data_mix",
     "fn_string_pad_translate",
-    "llm_text_token_bpe",
     "fn_bitwise",
     "fn_interval_arith",
     "fn_greatest_least",
     "fn_url_parse",
     "fn_variant_json",
-    "llm_embedding_quantize",
-    "llm_multimodal_resize",
-    "llm_multimodal_framesample",
     "fn_struct_ops",
-    "llm_pii_redact",
-    "fn_try_arith",
-    "llm_text_fingerprint",
     "agg_histogram",
     "stream_stream_join",
-    "win_gap_islands",
-    "sql_api_entry",
     "win_first_last_nth",
-    "llm_text_lang_id",
     "win_percent_rank_cume_dist",
     "win_funnel_pattern",
-    "llm_dedup_fingerprint",
     "udtf_python_offsets",
-    "llm_dedup_ngram_jaccard",
-    "agg_median",
     "win_count_distinct",
-    "llm_tfidf_topterms",
     "agg_mode",
     "join_range_bucketed",
     "agg_sketch_hll",
     "fn_map_hof",
-    "llm_multimodal_decode",
-    "llm_dedup_embedding_cosine",
-    "llm_repetition_filter",
     "join_bucketed_colocated",
-    "llm_kmeans_train",
     "stream_stateful_count",
     "fn_bool_agg",
-    "llm_quality_score_linear",
     "fn_date_spine_fill",
     "agg_retention_cohort",
     "fn_stack_unpivot",
     "fn_levenshtein",
     "join_null_key_split",
-    "udf_arrow_batch",
-    "llm_token_rarity",
     "join_cross_small",
     "agg_grouping_id",
     "set_multiset_ops",
@@ -185,45 +181,14 @@ _PRIORITY: tuple[str, ...] = (
     "win_interval_range_frame",
     "join_asof_next_event",
     "fn_date_trunc_week_quarter",
-    "llm_langid_confusion",
     "stream_table_source",
     "stream_table_source_jvm",
-    # round-3 additions: the remaining expressible TPC-H shapes
-    "agg_revenue_band",
-    "agg_order_count_dist",
-    "sub_min_cost_supplier",
-    "agg_profit_by_nation_year",
-    "sub_important_stock",
-    "sub_excess_shippers",
-    "llm_semdedup",
     "win_moving_median",
     "agg_sketch_cms",
     "agg_regression_exact",
-    "llm_importance_resample",
-    "agg_shipmode_priority",
-    "sub_waiting_orders",
-    "llm_train_val_split",
-    "llm_global_shuffle",
-    "llm_ngram_lm_score",
-    "llm_line_dedup",
-    "llm_domain_filter",
-    "agg_sketch_quantile",
-    "llm_curation_shardplan",
-    "llm_pagerank_sources",
-    "llm_bm25_search",
-    "sql_recursive_cte",
-    "llm_dedup_url",
-    "dml_generated_columns",
-    "llm_leakage_report",
-    "stream_medallion_gold",
     "fn_posexplode",
-    "llm_mad_outlier_filter",
-    "dml_constraints_enforced",
-    "dml_partitioned_table",
-    "sink_partitioned_parquet",
-    # --- TIER 3: everything already hash-proven by a driver round (r1
-    # families whose code is unchanged, and the 47 r2 greens) follows in
-    # registration order via _ordered()'s tail.
+    # --- TIER 3: everything already hash-proven by a driver round
+    # follows in registration order via _ordered()'s tail.
 )
 
 
