@@ -524,6 +524,25 @@ class VersionedTable:
             carried = [
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
+            # Type widening invalidates bloom bitmaps whose hash dtype
+            # was never recorded (legacy entries): probing them with
+            # the widened schema type would falsely exclude the file
+            # (xxhash64(int) != xxhash64(long)). Strip those; absence
+            # safely degrades to no pruning. Entries WITH a recorded
+            # bloomTypes keep their bitmaps — _point_files probes them
+            # under the recorded type.
+            widened = [
+                f.name
+                for f in schema.fields
+                if new_schema[f.name].dataType != f.dataType
+            ]
+            if widened:
+                for fe in carried:
+                    for c in widened:
+                        if c in fe.get("bloom", {}) and c not in fe.get(
+                            "bloomTypes", {}
+                        ):
+                            del fe["bloom"][c]
             touched_df = self._read_files(hit_files, schema)
             for f in new_schema.fields:
                 if f.name not in touched_df.columns:
@@ -1194,15 +1213,32 @@ class VersionedTable:
 
     def _point_files(self, entry: dict, schema: T.StructType, col: str, value) -> list[dict]:
         """Files of ``entry`` that may contain ``col == value`` per
-        min/max stats and (when present) per-file bloom bitmaps."""
+        min/max stats and (when present) per-file bloom bitmaps.
+
+        xxhash64 is TYPE-sensitive (int and long hash differently),
+        so each bitmap is probed with the dtype it was HASHED under —
+        recorded per file entry at commit time (``bloomTypes``). After
+        ``merge(evolve_schema=True)`` widens a bloom-indexed column,
+        carried pre-widening files keep bitmaps hashed under the old
+        narrow type; probing them with the new schema type would
+        falsely exclude every such file and silently drop matching
+        rows. Legacy entries without a recorded type fall back to the
+        current schema type (only correct pre-widening; the merge
+        widening path strips such bitmaps, see ``merge``)."""
         import base64
 
         key = _stat_key(value)
         files = entry["files"]
-        probe = None
-        if any(col in f.get("bloom", {}) for f in files):
-            dtype = {f.name: f.dataType for f in schema.fields}[col]
-            probe = self._bloom_positions(value, dtype)
+        cur_dtype = {f.name: f.dataType for f in schema.fields}[col]
+        probe_cache: dict[str, list[int] | None] = {}
+
+        def probe_for(hash_type: str) -> list[int] | None:
+            if hash_type not in probe_cache:
+                probe_cache[hash_type] = self._bloom_positions(
+                    value, hash_type, cur_dtype
+                )
+            return probe_cache[hash_type]
+
         selected = []
         for f in files:
             # an equality probe is null-rejecting: an all-null file
@@ -1217,33 +1253,50 @@ class VersionedTable:
                     if _stat_key(fmin) > key or _stat_key(fmax) < key:
                         continue
             bm64 = f.get("bloom", {}).get(col)
-            if bm64 is not None and probe is not None:
+            if bm64 is not None and value is not None:
+                hash_type = (
+                    f.get("bloomTypes", {}).get(col) or cur_dtype.simpleString()
+                )
+                probe = probe_for(hash_type)
+                if probe is None:
+                    # the probe value is not representable in the
+                    # file's physical type (e.g. probing a
+                    # post-widening long beyond int range) — the file
+                    # provably cannot contain it
+                    continue
                 bm = base64.b64decode(bm64)
                 if any(not (bm[p // 8] >> (p % 8)) & 1 for p in probe):
                     continue
             selected.append(f)
         return selected
 
-    def _bloom_positions(self, value, dtype: T.DataType) -> list[int]:
-        """Bit positions ``value`` must have set — computed with the
-        SAME JVM xxhash64 used at write time (a one-row Spark job, so
-        write and probe hashing can never drift), with the literal
-        cast to the column's type (xxhash64 is type-sensitive)."""
+    def _bloom_positions(
+        self, value, hash_type: str, cur_dtype: T.DataType
+    ) -> list[int] | None:
+        """Bit positions ``value`` must have set in a bitmap hashed
+        under ``hash_type`` — computed with the SAME JVM xxhash64 used
+        at write time (a one-row Spark job, so write and probe hashing
+        can never drift), with the literal cast to the HASHED type.
+        Returns None when the value does not round-trip through
+        ``hash_type`` (overflow / precision loss): a file physically
+        written with that type provably cannot contain the value."""
+        hv = F.lit(value).cast(cur_dtype).try_cast(hash_type)
+        ok = hv.isNotNull() & (hv.cast(cur_dtype) == F.lit(value).cast(cur_dtype))
         row = (
             self.spark.range(1)
             .select(
+                ok.alias("ok"),
                 F.array(
                     *[
-                        F.pmod(
-                            F.xxhash64(F.lit(value).cast(dtype), F.lit(i)),
-                            F.lit(_BLOOM_BITS),
-                        )
+                        F.pmod(F.xxhash64(hv, F.lit(i)), F.lit(_BLOOM_BITS))
                         for i in range(_BLOOM_HASHES)
                     ]
-                ).alias("a")
+                ).alias("a"),
             )
             .head()
         )
+        if not row["ok"]:
+            return None
         return [int(p) for p in row["a"]]
 
     def _attach_blooms(
@@ -1286,6 +1339,10 @@ class VersionedTable:
                 for b in bits:
                     bm[b // 8] |= 1 << (b % 8)
                 f.setdefault("bloom", {})[c] = base64.b64encode(bytes(bm)).decode()
+                # record the dtype the bitmap was hashed under —
+                # xxhash64 is type-sensitive, and after type widening
+                # this file's probe must hash with the ORIGINAL type
+                f.setdefault("bloomTypes", {})[c] = schema[c].dataType.simpleString()
 
     # ----------------------------------------------------------------- internals
 

@@ -594,6 +594,46 @@ def test_bloom_index_prunes_point_lookups(spark):
     assert t.read_point("id", 10_001).count() == 1
 
 
+def test_bloom_survives_type_widening(spark):
+    """ADVICE r3 (high): merge(evolve_schema=True) widening a
+    bloom-indexed column must not poison the carried files' bitmaps.
+    xxhash64 is type-sensitive — probing an int-hashed bitmap with the
+    widened long would falsely exclude every pre-widening file and
+    read_point would silently return missing rows."""
+    base = (
+        spark.range(0, 2000)
+        .withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(4)))
+        .repartition(4, "bucket")
+        .drop("bucket")
+        .select(F.col("id").cast("int").alias("id"), (F.col("id") * 3).alias("v"))
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("bloom-widen"), base, bloom_filter_cols=["id"]
+    )
+    # widen id int→long via an evolving merge touching ONE key: every
+    # other file carries forward with its int-hashed bitmap
+    src = spark.createDataFrame([(5_000_000_000, 999)], "id long, v long")
+    t.merge(src, key="id", evolve_schema=True)
+    assert dict(t.to_df().dtypes)["id"] == "bigint"
+    entry = t._read_log(t.latest_version())
+    carried_with_bloom = [
+        f for f in entry["files"] if "id" in f.get("bloom", {})
+    ]
+    assert carried_with_bloom, "carried files lost their blooms entirely"
+    # every pre-widening value must still be found (files hashed as int)
+    for probe in (0, 17, 991, 1999):
+        got = t.read_point("id", probe).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(probe, probe * 3)], probe
+    # the post-widening value lives in the new long-hashed file
+    assert t.read_point("id", 5_000_000_000).collect()[0]["v"] == 999
+    # a long probe beyond int range can skip every int-hashed file
+    assert t.read_point("id", 6_000_000_001).count() == 0
+    # pruning still works post-widening (not degraded to scan-all)
+    schema = t._entry_schema(entry)
+    sel = t._point_files(entry, schema, "id", 17)
+    assert len(sel) < len(entry["files"])
+
+
 def test_symlink_manifest_cross_engine_read(spark, names):
     """The exported manifest is consumable by a FOREIGN engine: DuckDB
     reads the listed parquet files and sees exactly the snapshot."""
