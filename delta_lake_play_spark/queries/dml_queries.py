@@ -151,6 +151,33 @@ def scan_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df()
 
 
+# --- dml_delta_export (open Delta protocol interop) ---------------------------
+
+
+@register("dml_delta_export", oracle=_LATEST_ORACLE)
+def dml_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Delta protocol interop: the same create → append →
+    delete lifecycle as ``scan_latest_snapshot``, on a table that
+    mirrors every commit into a REAL ``_delta_log`` (JSON actions +
+    parquet checkpoints per the open Delta protocol — the exact
+    on-disk format delta-spark writes under the reference's tables,
+    ``spark_project.py:36``). The result is read back through the
+    log-replay protocol READER (``table/delta_log.py``), never the
+    private log — so a wrong add/remove action, bad schemaString, or
+    broken path encoding diverges from the oracle."""
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path(),
+        load_table(spark, sf_dir, "customer"),
+        delta_mirror=True,
+    )
+    t.append(_appended_rows(spark, sf_dir))
+    t.delete(F.col("c_acctbal") < 0)
+    return read_delta_snapshot(spark, t.path)
+
+
 # --- time_travel_version (api.py:77) ---------------------------------------------
 
 _TTV_ORACLE = f"SELECT * FROM customer UNION ALL {_APPEND_SQL}"

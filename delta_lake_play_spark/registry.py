@@ -56,8 +56,9 @@ _PRIORITY: tuple[str, ...] = (
     # round); slots 2-38 are never-driver-checked keys promoted from
     # tier 2 — the table-layer scale keys, the flagship LLM-pipeline
     # composites (including every key whose code changed in the r4
-    # short-doc-guard/MAD-cast fixes), the r3 TPC-H closers, and the
-    # reference-parity /sql entry; slots 39-50 are the cheapest
+    # short-doc-guard/MAD-cast fixes), the r3 TPC-H closers, the new
+    # dml_delta_export open-protocol interop key, and the
+    # reference-parity /sql entry; the last 11 slots are the cheapest
     # r1-vintage greens (sub-100 ms each) whose passes are two
     # fixture generations old — stale-pass hygiene, so no green row
     # ever outlives two fixture regenerations unchecked.
@@ -70,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "dml_constraints_enforced",
     "dml_partitioned_table",
     "sink_partitioned_parquet",
+    "dml_delta_export",
     # flagship LLM-pipeline composites — never checked; the six keys
     # touched by this round's short-doc guards / MAD cast fix are all
     # here so the fixes get driver rows immediately
@@ -107,7 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_medallion_gold",
     "fn_try_arith",
     # stale-pass hygiene: cheapest r1-vintage greens, re-proven against
-    # the current fixture generation (slots 39-50)
+    # the current fixture generation (last 11 slots)
     "project_columns",
     "filter_in_list",
     "filter_equality",
@@ -119,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_anti",
     "agg_max_scalar",
     "agg_count_distinct",
-    "agg_rollup",
     # --- TIER 2 (51+): first in line if the window grows — every
     # remaining never-checked key, high-value first.
     "llm_pack_sequences",

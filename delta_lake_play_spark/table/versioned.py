@@ -209,6 +209,7 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         bloom_filter_cols: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        delta_mirror: bool = False,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -237,7 +238,15 @@ class VersionedTable:
         expression at every write (writers may omit it), so e.g.
         ``{"day": "date_trunc('day', ts)"}`` plus
         ``partition_by=["day"]`` gives expression-derived partition
-        pruning without trusting writers to derive the value."""
+        pruning without trusting writers to derive the value.
+
+        ``delta_mirror=True`` additionally maintains a REAL Delta
+        transaction log (``_delta_log/N.json`` + parquet checkpoints
+        per the open Delta protocol, see ``table/delta_log.py``) next
+        to the private log on every commit, sharing the same data
+        files — external Delta readers can then read any snapshot.
+        MoR ``delete_mor`` is refused on mirrored tables (protocol
+        (1, 2) has no deletion-vector representation)."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
@@ -253,6 +262,7 @@ class VersionedTable:
                 "constraints": constraints or {},
                 "bloomFilterCols": bloom_filter_cols or [],
                 "generated": generated or {},
+                "deltaMirror": bool(delta_mirror),
             },
             df.schema,
         )
@@ -1632,6 +1642,17 @@ class VersionedTable:
             "generated", {}
         )
 
+    def delta_mirror_enabled(self) -> bool:
+        """Whether every commit also maintains the open-protocol
+        Delta log (``_delta_log``), from the CREATE entry."""
+        if 0 not in self._versions():
+            return False
+        return bool(
+            self._read_log_raw(0).get("operationParameters", {}).get(
+                "deltaMirror", False
+            )
+        )
+
     def _check_constraints(self, df: DataFrame, checks: dict[str, str]) -> None:
         for name, expr in checks.items():
             bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
@@ -1667,6 +1688,19 @@ class VersionedTable:
         between read and commit (the written data directory is left
         orphaned for ``vacuum`` — readers never see it)."""
         version = self._next_version()
+        mirror = (
+            params.get("deltaMirror")
+            if operation == "CREATE"
+            else self.delta_mirror_enabled()
+        )
+        if mirror and any(f.get("dv") for f in carried):
+            from .delta_log import DeltaMirrorError
+
+            raise DeltaMirrorError(
+                "delta-mirrored tables cannot commit deletion-vector "
+                "(MoR) file entries — protocol (1, 2) has no DV "
+                "representation; use copy-on-write delete() instead"
+            )
         gen = (
             params.get("generated") if operation == "CREATE" else self.generated_columns()
         )
@@ -1739,6 +1773,14 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        if mirror:
+            # After the private commit won the version race: mirror it
+            # into the open-protocol Delta log. sync() is idempotent
+            # and self-healing, so a crash right here is repaired by
+            # the next commit's sync.
+            from .delta_log import sync as _delta_sync
+
+            _delta_sync(self)
         return version
 
     def _next_version(self) -> int:

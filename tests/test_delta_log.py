@@ -1,0 +1,172 @@
+"""Open Delta protocol mirror (`table/delta_log.py`).
+
+No external Delta reader is installable in this environment (DuckDB's
+delta extension needs a download; delta-spark is env-blocked — SURVEY
+§7), so these tests validate the emitted log two independent ways:
+(1) structural validation of every action against the protocol's
+required fields, and (2) snapshot round-trips through the module's
+own protocol READER, which replays checkpoint + JSON actions and
+never touches the private log.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.table.delta_log import (
+    DeltaMirrorError,
+    read_delta_snapshot,
+    sync,
+)
+from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+
+def _mk(spark, prefix, **kw):
+    df = spark.range(0, 200).withColumn("v", (F.col("id") * 3).cast("long"))
+    return VersionedTable.create(
+        spark, temp_table_path(prefix), df.repartition(4), delta_mirror=True, **kw
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _actions(t, version):
+    with open(
+        os.path.join(t.path, "_delta_log", f"{version:020d}.json")
+    ) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_v0_actions_are_protocol_shaped(spark):
+    t = _mk(spark, "dl-shape")
+    acts = _actions(t, 0)
+    kinds = [next(iter(a)) for a in acts]
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    # required metaData fields per PROTOCOL.md
+    for k in ("id", "format", "schemaString", "partitionColumns", "configuration"):
+        assert k in meta, k
+    assert meta["format"]["provider"] == "parquet"
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    assert [f.name for f in schema.fields] == ["id", "v"]
+    for a in acts:
+        if "add" not in a:
+            continue
+        add = a["add"]
+        for k in ("path", "partitionValues", "size", "modificationTime", "dataChange"):
+            assert k in add, k
+        assert add["size"] > 0 and add["dataChange"] is True
+        st = json.loads(add["stats"])
+        assert st["numRecords"] > 0
+        # the referenced file exists and is the table's own parquet
+        assert os.path.exists(os.path.join(t.path, add["path"]))
+
+
+def test_snapshot_roundtrip_through_protocol_reader(spark):
+    t = _mk(spark, "dl-rt")
+    t.append(spark.range(200, 230).withColumn("v", (F.col("id") * 3).cast("long")))
+    t.delete(F.col("id") % 7 == 0)
+    t.update({"v": F.lit(-5).cast("long")}, F.col("id") == 11)
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    # delete emitted remove actions for the rewritten files
+    kinds = [next(iter(a)) for a in _actions(t, 2)]
+    assert "remove" in kinds and "add" in kinds
+    # time travel: every historical version reconstructs exactly
+    for v in range(t.latest_version() + 1):
+        assert _canon(read_delta_snapshot(spark, t.path, version=v)) == _canon(
+            t.read(version=v)
+        )
+
+
+def test_checkpoint_written_and_used(spark):
+    t = _mk(spark, "dl-cp")
+    for i in range(12):
+        t.append(
+            spark.range(1000 + i, 1001 + i).withColumn("v", F.lit(0).cast("long"))
+        )
+    ddir = os.path.join(t.path, "_delta_log")
+    assert os.path.exists(os.path.join(ddir, f"{10:020d}.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(ddir, "_last_checkpoint")))
+    assert lc["version"] == 10 and lc["size"] > 2
+    # reader must reconstruct FROM the checkpoint: remove the JSON
+    # prefix it should no longer need
+    for v in range(0, 10):
+        os.unlink(os.path.join(ddir, f"{v:020d}.json"))
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_partitioned_partition_values(spark):
+    df = spark.range(0, 300).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-part"),
+        df,
+        partition_by=["bucket"],
+        delta_mirror=True,
+    )
+    t.delete(F.col("bucket") == 1)
+    acts = _actions(t, 0)
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["partitionColumns"] == ["bucket"]
+    for a in acts:
+        if "add" in a:
+            assert set(a["add"]["partitionValues"]) == {"bucket"}
+            assert a["add"]["partitionValues"]["bucket"] in {"0", "1", "2"}
+    got = read_delta_snapshot(spark, t.path)
+    assert dict(got.dtypes)["bucket"] == "int"  # reconstructed + cast
+    assert _canon(got.select("id", "bucket", "v")) == _canon(
+        t.to_df().select("id", "bucket", "v")
+    )
+
+
+def test_sync_is_self_healing_and_deterministic(spark):
+    t = _mk(spark, "dl-heal")
+    t.append(spark.range(200, 210).withColumn("v", F.lit(1).cast("long")))
+    p = os.path.join(t.path, "_delta_log", f"{1:020d}.json")
+    original = open(p).read()
+    os.unlink(p)  # simulate a crash between commit and mirror write
+    sync(t)
+    assert open(p).read() == original  # byte-identical backfill
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_mor_delete_refused_on_mirrored_table(spark):
+    t = _mk(spark, "dl-mor")
+    with pytest.raises(DeltaMirrorError, match="deletion-vector"):
+        t.delete_mor(F.col("id") == 3)
+    # table unharmed, mirror still consistent
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    # un-mirrored tables keep MoR
+    t2 = VersionedTable.create(
+        spark, temp_table_path("dl-mor2"), spark.range(10).withColumn("v", F.col("id"))
+    )
+    t2.delete_mor(F.col("id") == 3)
+    assert t2.to_df().count() == 9
+
+
+def test_schema_evolution_emits_metadata_action(spark):
+    t = _mk(spark, "dl-evolve")
+    src = spark.createDataFrame([(1, 7, "x")], "id long, v long, tag string")
+    t.merge(src, key="id", evolve_schema=True)
+    acts = _actions(t, 1)
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert metas, "widening/evolving merge must re-emit metaData"
+    cols = [
+        f["name"] for f in json.loads(metas[0]["schemaString"])["fields"]
+    ]
+    assert cols == ["id", "v", "tag"]
+    got = read_delta_snapshot(spark, t.path)
+    assert _canon(got) == _canon(t.to_df())
+    assert got.where("tag = 'x'").count() == 1
