@@ -178,7 +178,11 @@ class VersionConflictError(RuntimeError):
     """Another writer committed the target version first (retryable)."""
 
 
-_MAX_COMMIT_RETRIES = 5
+# Delta's own commit loop retries effectively unbounded
+# (maxCommitAttempts 10M); 20 keeps heavy multi-writer contention
+# green while still surfacing a livelock in finite time. Tunable per
+# table via the ``max_commit_retries`` attribute.
+_MAX_COMMIT_RETRIES = 20
 
 # Data directories are named c-<version>-<hex8> (deliberately free of
 # "=" so Spark never hive-infers partitions from them on leaf reads).
@@ -336,10 +340,19 @@ class VersionedTable:
     ) -> "VersionedTable":
         """Open the table, creating+seeding when missing — the
         reference's try/except AnalysisException flow
-        (``spark_project.py:26-37``) without the exception round-trip."""
+        (``spark_project.py:26-37``) without the exception round-trip.
+
+        Race-safe: two concurrent callers both seeing the table absent
+        both attempt CREATE; version 0's atomic link admits exactly
+        one, and the loser opens the winner's table instead of
+        surfacing the conflict (its orphaned seed directory is
+        vacuum-reclaimable)."""
         t = cls(spark, path)
         if not t.exists():
-            return cls.create(spark, path, seed_df)
+            try:
+                return cls.create(spark, path, seed_df)
+            except (FileExistsError, VersionConflictError):
+                pass  # another creator won the version-0 race
         return t
 
     def exists(self) -> bool:
@@ -408,7 +421,8 @@ class VersionedTable:
         reference — O(new data), not O(table)."""
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             gen = set(self.generated_columns())
             have, want = set(df.columns), {f.name for f in schema.fields}
@@ -436,7 +450,10 @@ class VersionedTable:
                     if f.name in have
                 ]
             )
-            return self._commit_files(aligned, list(entry["files"]), "APPEND", {}, schema)
+            return self._commit_files(
+                aligned, list(entry["files"]), "APPEND", {}, schema,
+                base_version=base,
+            )
 
         return self._retrying(attempt)
 
@@ -485,7 +502,8 @@ class VersionedTable:
             )
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             t_cols = [f.name for f in schema.fields]
             s_cols = set(source.columns)
@@ -573,7 +591,10 @@ class VersionedTable:
                 src_apply = src.filter(~F.coalesce(dpred, F.lit(False)))
                 params["deleteMatchedWhere"] = str(delete_matched_where)
             new_rows = touched_df.join(src, key, "left_anti").unionByName(src_apply)
-            return self._commit_files(new_rows, carried, "MERGE", params, new_schema)
+            return self._commit_files(
+                new_rows, carried, "MERGE", params, new_schema,
+                base_version=base,
+            )
 
         try:
             return self._retrying(attempt)
@@ -590,7 +611,8 @@ class VersionedTable:
         hit = F.coalesce(pred, F.lit(False))
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             cur = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(cur.filter(hit))
@@ -602,9 +624,14 @@ class VersionedTable:
             ]
             params = {"predicate": str(predicate)}
             if not touched:
-                return self._commit_files(None, carried, "DELETE", params, schema)
+                return self._commit_files(
+                    None, carried, "DELETE", params, schema,
+                    base_version=base,
+                )
             kept = self._read_files(hit_files, schema).filter(~hit)
-            return self._commit_files(kept, carried, "DELETE", params, schema)
+            return self._commit_files(
+                kept, carried, "DELETE", params, schema, base_version=base
+            )
 
         return self._retrying(attempt)
 
@@ -616,7 +643,8 @@ class VersionedTable:
         hit = F.coalesce(pred, F.lit(False))
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             cur = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(cur.filter(hit))
@@ -628,13 +656,18 @@ class VersionedTable:
             ]
             params = {"where": str(where)}
             if not touched:
-                return self._commit_files(None, carried, "UPDATE", params, schema)
+                return self._commit_files(
+                    None, carried, "UPDATE", params, schema,
+                    base_version=base,
+                )
             updated = self._read_files(hit_files, schema)
             for name, value in set_cols.items():
                 updated = updated.withColumn(
                     name, F.when(hit, value).otherwise(F.col(name))
                 )
-            return self._commit_files(updated, carried, "UPDATE", params, schema)
+            return self._commit_files(
+                updated, carried, "UPDATE", params, schema, base_version=base
+            )
 
         return self._retrying(attempt)
 
@@ -661,7 +694,8 @@ class VersionedTable:
         hit = F.coalesce(pred, F.lit(False))
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             files = entry["files"]
             cur = self._read_paths(
@@ -704,7 +738,8 @@ class VersionedTable:
             if not counts:  # no-op delete: drop the empty sidecar
                 _rmtree(sidecar_dir)
                 return self._commit_files(
-                    None, list(files), "DELETE_MOR", params, schema
+                    None, list(files), "DELETE_MOR", params, schema,
+                    base_version=base,
                 )
             out = []
             for f in files:
@@ -722,7 +757,9 @@ class VersionedTable:
                             },
                         }
                     )
-            return self._commit_files(None, out, "DELETE_MOR", params, schema)
+            return self._commit_files(
+                None, out, "DELETE_MOR", params, schema, base_version=base
+            )
 
         return self._retrying(attempt)
 
@@ -748,7 +785,8 @@ class VersionedTable:
         hit = F.coalesce(pred, F.lit(False))
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             cur = self._read_files(entry["files"], schema, keep_path="__file")
             touched = self._distinct_files(cur.filter(hit))
@@ -779,7 +817,8 @@ class VersionedTable:
                 kept = self._read_files(hit_files, schema).filter(~hit)
                 aligned = kept.unionByName(aligned)
             return self._commit_files(
-                aligned, carried, "REPLACE_WHERE", params, schema
+                aligned, carried, "REPLACE_WHERE", params, schema,
+                base_version=base,
             )
 
         try:
@@ -806,6 +845,7 @@ class VersionedTable:
             version = self._resolve_timestamp(timestamp)
 
         def attempt() -> int:
+            base = self.latest_version()
             entry = self._read_log(version)
             return self._commit_files(
                 None,
@@ -813,6 +853,7 @@ class VersionedTable:
                 "RESTORE",
                 {"sourceVersion": version},
                 self._entry_schema(entry),
+                base_version=base,
             )
 
         return self._retrying(attempt)
@@ -834,7 +875,8 @@ class VersionedTable:
         qualify (nothing to compact)."""
 
         def attempt() -> int | None:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             small = [
                 f
@@ -857,6 +899,7 @@ class VersionedTable:
                     "targetFiles": target_files,
                 },
                 schema,
+                base_version=base,
             )
 
         return self._retrying(attempt)
@@ -1006,7 +1049,8 @@ class VersionedTable:
             raise ValueError("pass either cluster_by or zorder_by, not both")
 
         def attempt() -> int:
-            entry = self._read_log(self.latest_version())
+            base = self.latest_version()
+            entry = self._read_log(base)
             schema = self._entry_schema(entry)
             df = self._read_entry(entry)
             if zorder_by:
@@ -1027,6 +1071,7 @@ class VersionedTable:
                     "zorderBy": zorder_by or [],
                 },
                 schema,
+                base_version=base,
             )
 
         return self._retrying(attempt)
@@ -1661,11 +1706,13 @@ class VersionedTable:
                     f"constraint {name!r} ({expr}) violated, e.g. row {bad[0].asDict()}"
                 )
 
+    max_commit_retries: int = _MAX_COMMIT_RETRIES
+
     def _retrying(self, attempt):
         """Optimistic-concurrency loop: re-run the whole DML attempt
         (which re-reads the latest snapshot) when another writer took
         our target version."""
-        for _ in range(_MAX_COMMIT_RETRIES - 1):
+        for _ in range(self.max_commit_retries - 1):
             try:
                 return attempt()
             except VersionConflictError:
@@ -1681,13 +1728,23 @@ class VersionedTable:
         operation: str,
         params: dict,
         schema: T.StructType,
+        base_version: int | None = None,
     ) -> int:
         """Write ``new_df`` (if any) as fresh data files, then commit
         a log entry whose file list is ``carried`` + the new files.
         Raises :class:`VersionConflictError` if the version was taken
         between read and commit (the written data directory is left
-        orphaned for ``vacuum`` — readers never see it)."""
-        version = self._next_version()
+        orphaned for ``vacuum`` — readers never see it).
+
+        ``base_version`` is the snapshot version the caller's attempt
+        READ; the commit targets exactly ``base_version + 1``. This is
+        what makes the optimistic concurrency sound: picking the
+        version at commit time (``_next_version``) instead would let a
+        writer that read snapshot N succeed at N+2 after another
+        writer landed N+1 — silently dropping N+1's changes (a lost
+        update; caught by the r4 concurrent-writer torture test).
+        ``None`` (CREATE only) falls back to next-version discovery."""
+        version = self._next_version() if base_version is None else base_version + 1
         mirror = (
             params.get("deltaMirror")
             if operation == "CREATE"

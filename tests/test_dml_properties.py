@@ -110,3 +110,146 @@ def test_random_dml_sequences(spark, ops):
     for v, expected in states.items():
         assert _snapshot(table, version=v) == expected, f"version {v} mutated"
     assert table.history().count() == table.latest_version() + 1
+
+
+def test_concurrent_writers_linearizable(spark):
+    """VERDICT r3 #5: N concurrent writers doing mixed
+    append/merge/delete/update against ONE table (each through its
+    own table handle, racing on the atomic-link commit). Invariants:
+    no writer fails, the history is linearizable (contiguous versions,
+    one op per version), no commit is lost (every writer's marker
+    rows all land), and replaying the log at each version equals the
+    state the committed operation sequence implies for its prefix."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 20).select(
+        F.col("id").cast("long").alias("id"), F.lit(0).cast("long").alias("v")
+    )
+    t0 = VersionedTable.create(spark, temp_table_path("torture"), base)
+    n_writers, ops_each = 6, 3
+    errs: list = []
+
+    def worker(wid: int) -> None:
+        # own handle — nothing shared but the directory
+        t = VersionedTable(spark, t0.path)
+        try:
+            for i in range(ops_each):
+                op = (wid + i) % 4
+                if op == 0:  # append a unique marker row
+                    t.append(
+                        spark.createDataFrame(
+                            [(10_000 + wid * 100 + i, wid)], "id long, v long"
+                        )
+                    )
+                elif op == 1:  # merge-upsert a unique marker key
+                    t.merge(
+                        spark.createDataFrame(
+                            [(20_000 + wid * 100 + i, wid)], "id long, v long"
+                        ),
+                        key="id",
+                    )
+                elif op == 2:  # update this writer's base row
+                    t.update(
+                        {"v": F.lit(wid + 1).cast("long")},
+                        F.col("id") == wid,
+                    )
+                else:  # delete a row only this writer touches
+                    t.delete(F.col("id") == 14 + wid)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((wid, e))
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    # linearizable history: contiguous versions, one commit each
+    n_commits = 1 + n_writers * ops_each
+    assert t0._versions() == set(range(n_commits))
+    assert t0.history().count() == n_commits
+
+    final = {r["id"]: r["v"] for r in t0.to_df().collect()}
+    # no lost appends/merges: every marker landed exactly once
+    for wid in range(n_writers):
+        for i in range(ops_each):
+            op = (wid + i) % 4
+            if op == 0:
+                assert final.get(10_000 + wid * 100 + i) == wid, (wid, i)
+            elif op == 1:
+                assert final.get(20_000 + wid * 100 + i) == wid, (wid, i)
+            elif op == 2:
+                assert final.get(wid) == wid + 1, wid
+            else:
+                assert (14 + wid) not in final, wid
+    # log-entry row counts agree with a real read at every version
+    for v in range(n_commits):
+        entry = t0._read_log(v)
+        assert t0.read(version=v).count() == entry["num_rows"], v
+
+
+def test_concurrent_processes_linearizable(tmp_path):
+    """Cross-PROCESS writer race: each writer is a separate Python
+    process with its own SparkSession (own JVM), all appending to one
+    table — the atomic os.link commit and retry loop must hold across
+    process boundaries, not just threads."""
+    import subprocess
+    import sys
+    import textwrap
+
+    path = str(tmp_path / "table")
+    n_procs, ops_each = 3, 3
+    script = textwrap.dedent(
+        """
+        import sys
+        from pyspark.sql import SparkSession, functions as F
+        from delta_lake_play_spark.table.versioned import VersionedTable
+        wid, path, ops = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("torture-" + str(wid))
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "1g")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        VersionedTable.create_if_absent(
+            spark, path,
+            spark.range(0, 5).select(
+                F.col("id").cast("long").alias("id"),
+                F.lit(-1).cast("long").alias("v")),
+        )
+        t = VersionedTable(spark, path)
+        for i in range(ops):
+            t.append(spark.createDataFrame(
+                [(1000 + wid * 100 + i, wid)], "id long, v long"))
+        print("OK", wid)
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(w), path, str(ops_each)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd="/root/repo",
+        )
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    from delta_lake_play_spark.session import get_spark
+
+    spark = get_spark("delta_lake_play_spark-tests", cpus=8)
+    t = VersionedTable(spark, path)
+    # create_if_absent races resolve to ONE create; every append landed
+    assert t._versions() == set(range(1 + n_procs * ops_each))
+    final = {r["id"]: r["v"] for r in t.to_df().collect()}
+    for w in range(n_procs):
+        for i in range(ops_each):
+            assert final.get(1000 + w * 100 + i) == w, (w, i)

@@ -151,18 +151,21 @@ def test_concurrent_writer_conflict_retries(spark, names):
     rogue = dict(entry, version=1, operation="ROGUE")
     with open(os.path.join(names._log_dir, f"{1:020d}.json"), "w") as fh:
         _json.dump(rogue, fh)
-    # Our writer's first version-pick is stale (doesn't see the rogue
-    # commit yet) → the log link collides → the append must retry.
+    # Our writer's first snapshot read is stale (doesn't see the
+    # rogue commit yet): its commit targets base+1 = 1 → the log link
+    # collides with the rogue's → the append must retry from the new
+    # latest. (Commits pin base_version+1 — a stale base can never
+    # silently win a later version slot; see _commit_files.)
     calls = {"n": 0}
-    real_next = type(names)._next_version
+    real_latest = type(names).latest_version
 
     def stale_once():
         calls["n"] += 1
         if calls["n"] == 1:
-            return 1
-        return real_next(names)
+            return 0
+        return real_latest(names)
 
-    names._next_version = stale_once
+    names.latest_version = stale_once
     v = names.append(spark.createDataFrame([(9, "New", "Comer")], SEED_SCHEMA))
     assert calls["n"] >= 2  # the conflict path actually ran
     assert v == 2
