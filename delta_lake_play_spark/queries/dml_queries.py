@@ -254,7 +254,7 @@ def dml_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fresh_from_customer(spark, sf_dir)           # v0
     t.append(_appended_rows(spark, sf_dir))           # v1
     t.delete(F.col("c_acctbal") < 0)                  # v2
-    t.vacuum(retain_last=1)
+    t.vacuum(retain_last=1, min_age_seconds=0)
     return t.to_df()
 
 

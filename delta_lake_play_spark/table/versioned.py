@@ -1124,7 +1124,12 @@ class VersionedTable:
         deleted = old_only.exceptAll(new_only).withColumn("_change_type", F.lit("delete"))
         return inserted.unionByName(deleted)
 
-    def vacuum(self, retain_last: int = 2, dry_run: bool = False) -> list:
+    def vacuum(
+        self,
+        retain_last: int = 2,
+        dry_run: bool = False,
+        min_age_seconds: float = 3600.0,
+    ) -> list:
         """Delete data files not referenced by the last
         ``retain_last`` versions; the log is kept so history stays
         queryable. Because versions share files, a file is only
@@ -1133,10 +1138,24 @@ class VersionedTable:
         intermediate version). Returns the versions that are no
         longer fully readable.
 
+        ``min_age_seconds`` is the same safety Delta's VACUUM
+        retention duration provides: a CONCURRENT writer mid-commit
+        has already written its parquet under a fresh ``c-<v>-…``
+        directory but not yet linked its log entry — to this vacuum
+        those files are indistinguishable from orphans, and deleting
+        them would corrupt the commit that lands a moment later.
+        Files younger than the threshold are therefore never
+        reclaimed. Pass ``0`` only when no other writer can be active
+        (Delta likewise requires disabling a safety check to go below
+        its retention floor).
+
         ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): deletes
         nothing and returns the file paths that WOULD be removed —
         the operator's pre-flight check before an irreversible
         reclaim."""
+        import time as _time
+
+        age_floor = _time.time() - min_age_seconds
         versions = sorted(self._versions())
         keep = set(versions[-retain_last:]) if retain_last > 0 else set()
         referenced: set[str] = set()
@@ -1163,6 +1182,11 @@ class VersionedTable:
                 for fn in fnames:
                     fp = os.path.join(root, fn)
                     if fp not in referenced:
+                        try:
+                            if os.path.getmtime(fp) > age_floor:
+                                continue  # too young: possibly an in-flight commit
+                        except OSError:
+                            continue
                         if dry_run:
                             would_delete.append(fp)
                         else:

@@ -84,7 +84,7 @@ def test_restore_and_vacuum(spark, names):
     names.append(spark.createDataFrame([(4, "Eve", "Adams")], SEED_SCHEMA))  # v1
     names.restore(0)  # v2 — metadata-only, re-references v0's files
     assert rows(names.to_df()) == sorted(SEED)
-    dropped = names.vacuum(retain_last=1)
+    dropped = names.vacuum(retain_last=1, min_age_seconds=0)
     # v2 references v0's files, so vacuum may only reclaim v1's
     # private appended file — v0 stays readable through shared files.
     assert dropped == [1]
@@ -306,7 +306,7 @@ def test_shallow_clone_shares_files_and_diverges(spark):
 
     # clone's own vacuum never reclaims the shared source files
     clone.append(spark.createDataFrame([(5000, 1)], "id long, k long"))
-    clone.vacuum(retain_last=1)
+    clone.vacuum(retain_last=1, min_age_seconds=0)
     assert all(os.path.exists(p) for p in src_files)
     assert t.to_df().count() == 900
 
@@ -426,7 +426,7 @@ def test_delete_mor_wide_delete_stays_off_driver(spark):
     assert e2["num_rows"] == 5_000
     assert t.to_df().count() == 5_000
     # vacuum keeps sidecars referenced by retained versions
-    t.vacuum(retain_last=1)
+    t.vacuum(retain_last=1, min_age_seconds=0)
     assert t.to_df().count() == 5_000
 
 
@@ -539,7 +539,7 @@ def test_manifest_spill_keeps_log_entry_small(spark, monkeypatch):
     assert t.to_df().count() == 40
     # history sees every version; vacuum keeps manifests (under _log)
     assert t.history().count() == 4
-    t.vacuum(retain_last=1)
+    t.vacuum(retain_last=1, min_age_seconds=0)
     assert t.to_df().count() == 40
     assert os.path.exists(man)  # log (incl. manifests) survives vacuum
 
@@ -667,7 +667,7 @@ def test_symlink_manifest_cross_engine_read(spark, names):
     assert got0 == 3
     # manifests survive vacuum (metadata dir), and DV-masked
     # snapshots are refused rather than exported wrong
-    names.vacuum(retain_last=1)
+    names.vacuum(retain_last=1, min_age_seconds=0)
     assert os.path.exists(manifest)
     names.delete_mor(F.col("id") == 2)
     with pytest.raises(ValueError, match="deletion vectors"):
@@ -677,12 +677,12 @@ def test_symlink_manifest_cross_engine_read(spark, names):
 def test_vacuum_dry_run_deletes_nothing(spark, names):
     src = spark.createDataFrame([(2, "Alice", "Smith")], SEED_SCHEMA)
     names.merge(src, key="id")  # v1 rewrites the touched file
-    would = names.vacuum(retain_last=1, dry_run=True)
+    would = names.vacuum(retain_last=1, dry_run=True, min_age_seconds=0)
     assert would, "the superseded v0 file should be reclaimable"
     assert all(os.path.exists(p) for p in would)  # nothing deleted
     assert rows(names.read(version=0)) == sorted(SEED)  # v0 still readable
     # the real vacuum removes exactly the dry-run set
-    names.vacuum(retain_last=1)
+    names.vacuum(retain_last=1, min_age_seconds=0)
     assert all(not os.path.exists(p) for p in would)
 
 
@@ -875,3 +875,29 @@ def test_symlink_manifest_refuses_partitioned(spark):
     )
     with pytest.raises(ValueError, match="partition"):
         t.export_symlink_manifest()
+
+
+def test_vacuum_age_guard_protects_inflight_commits(spark, names):
+    """A concurrent writer mid-commit has written parquet but not yet
+    linked its log entry; vacuum must not reclaim files younger than
+    min_age_seconds (Delta's retention-duration safety). Orphans and
+    dropped-version files alike wait out the retention window."""
+    names.append(spark.createDataFrame([(4, "Eve", "Adams")], SEED_SCHEMA))
+    names.delete(F.col("id") == 4)
+    # simulate an in-flight commit: a fresh data dir with no log entry
+    import os as _os
+
+    inflight = _os.path.join(names.path, "c-99-deadbeef")
+    _os.makedirs(inflight)
+    with open(_os.path.join(inflight, "part-0.parquet"), "wb") as fh:
+        fh.write(b"PAR1fake")
+    # default retention: nothing this young is reclaimed, even as a
+    # dry run candidate
+    assert names.vacuum(retain_last=1, dry_run=True) == []
+    names.vacuum(retain_last=1)
+    assert _os.path.exists(_os.path.join(inflight, "part-0.parquet"))
+    # explicit opt-out reclaims it (single-writer maintenance)
+    would = names.vacuum(retain_last=1, dry_run=True, min_age_seconds=0)
+    assert any("c-99-deadbeef" in p for p in would)
+    names.vacuum(retain_last=1, min_age_seconds=0)
+    assert not _os.path.exists(inflight)
