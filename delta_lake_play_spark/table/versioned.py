@@ -931,6 +931,19 @@ class VersionedTable:
             "stats string, null_counts string",
         )
 
+    def export_delta_log(self) -> int:
+        """One-shot export of the full commit history as a REAL Delta
+        transaction log (``_delta_log/`` JSON actions + checkpoints,
+        ``table/delta_log.py``) for a table that was NOT created with
+        ``delta_mirror=True`` — e.g. before handing the directory to
+        an external Delta reader. Idempotent; re-run after further
+        commits to extend the log. Refuses MoR deletion-vector
+        snapshots (no protocol representation). Returns the latest
+        exported version."""
+        from .delta_log import sync as _delta_sync
+
+        return _delta_sync(self)
+
     def export_symlink_manifest(self, version: int | None = None) -> str:
         """Write a Presto/Trino-style symlink-format manifest for a
         snapshot (Delta's ``GENERATE symlink_format_manifest``): a

@@ -170,3 +170,19 @@ def test_schema_evolution_emits_metadata_action(spark):
     got = read_delta_snapshot(spark, t.path)
     assert _canon(got) == _canon(t.to_df())
     assert got.where("tag = 'x'").count() == 1
+
+
+def test_export_delta_log_on_unmirrored_table(spark):
+    """A table created WITHOUT delta_mirror can still be exported
+    wholesale afterwards, and extended incrementally."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-export"),
+        spark.range(0, 50).withColumn("v", F.col("id") * 2),
+    )
+    t.delete(F.col("id") < 5)
+    assert t.export_delta_log() == 1
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    t.append(spark.range(100, 110).withColumn("v", F.col("id") * 2))
+    assert t.export_delta_log() == 2  # extends, does not rewrite
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
