@@ -186,3 +186,94 @@ def test_export_delta_log_on_unmirrored_table(spark):
     t.append(spark.range(100, 110).withColumn("v", F.col("id") * 2))
     assert t.export_delta_log() == 2  # extends, does not rewrite
     assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_mirror_with_manifest_spilled_commits(spark):
+    """Commits past manifest_inline_max spill their file list to a
+    parquet sidecar; the mirror must resolve the manifest and emit
+    one add per file all the same (the 100 TB commit shape)."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-manifest"),
+        spark.range(0, 400).withColumn("v", F.col("id") * 2).repartition(6),
+        delta_mirror=True,
+    )
+    t.manifest_inline_max = 8
+    t.append(
+        spark.range(400, 1000).withColumn("v", F.col("id") * 2).repartition(12)
+    )
+    raw = json.load(
+        open(os.path.join(t.path, "_log", f"{1:020d}.json"))
+    )
+    assert "filesManifest" in raw and "files" not in raw  # genuinely spilled
+    adds = [a for a in _actions(t, 1) if "add" in a]
+    assert len(adds) == 12
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_random_mirrored_sequences_replay_exactly(spark):
+    """Property-style: a random-ish MERGE/DELETE/UPDATE/APPEND/RESTORE/
+    OPTIMIZE sequence on a mirrored table; after EVERY commit the
+    protocol reader must reproduce the model, and at the end every
+    historical version must replay exactly."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("firstname", T.StringType(), False),
+            T.StructField("lastname", T.StringType(), False),
+        ]
+    )
+    model = {1: ("James", "Bond"), 2: ("Alice", "Rogers")}
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-prop"),
+        spark.createDataFrame([(k, *v) for k, v in model.items()], schema),
+        delta_mirror=True,
+    )
+    states = {0: dict(model)}
+    next_id = 100
+    seq = [(0, 7), (3, 1), (1, 2), (0, 9), (2, 5), (4, 1), (6, 0), (3, 4), (1, 0)]
+    for op_code, seed in seq:
+        ids = sorted(model)
+        if op_code == 0:
+            rows = [(next_id, f"n{seed}", "New")]
+            if ids:
+                rows.append((ids[seed % len(ids)], f"u{seed}", "Merged"))
+            t.merge(spark.createDataFrame(rows, schema), key="id")
+            for rid, fn, ln in rows:
+                model[rid] = (fn, ln)
+            next_id += 1
+        elif op_code == 1 and ids:
+            victims = ids[: (seed % len(ids)) + 1]
+            t.delete(F.col("id").isin(victims))
+            for v in victims:
+                del model[v]
+        elif op_code == 2 and ids:
+            pick = ids[seed % len(ids)]
+            t.update({"lastname": F.lit(f"upd{seed}")}, F.col("id") == pick)
+            model[pick] = (model[pick][0], f"upd{seed}")
+        elif op_code == 3:
+            row = (next_id, f"a{seed}", "Appended")
+            t.append(spark.createDataFrame([row], schema))
+            model[row[0]] = row[1:]
+            next_id += 1
+        elif op_code == 4:
+            v = seed % (t.latest_version() + 1)
+            t.restore(v)
+            model = dict(states[v])
+        else:
+            t.optimize(target_files=2, cluster_by=["id"])
+        states[t.latest_version()] = dict(model)
+        got = {
+            r.id: (r.firstname, r.lastname)
+            for r in read_delta_snapshot(spark, t.path).collect()
+        }
+        assert got == model, f"mirror diverged after op {op_code}"
+    for v, expected in states.items():
+        got = {
+            r.id: (r.firstname, r.lastname)
+            for r in read_delta_snapshot(spark, t.path, version=v).collect()
+        }
+        assert got == expected, f"mirrored version {v} replays wrong"
