@@ -125,8 +125,13 @@ def _simhash_oracle() -> str:
     # NULL-text docs tokenize to nothing on the Spark side (the
     # signature aggregate sees no rows) and so join no pairs; the
     # oracle must exclude them too or they'd all share a constant sim.
+    # len(tk) > 0: a zero-token doc (empty/whitespace-only text) has
+    # no signature on the Spark side (its per-token rows are empty, so
+    # the signature aggregate emits nothing); without the guard every
+    # such doc would share the constant sim=0 and pair up.
     return f"""
-WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents WHERE text IS NOT NULL),
+WITH toks AS (SELECT doc_id, {tk} AS tk FROM documents
+              WHERE text IS NOT NULL AND len({tk}) > 0),
 sims AS (SELECT doc_id, {sim} AS sim FROM toks),
 blks AS ({blk_selects}),
 cand AS (

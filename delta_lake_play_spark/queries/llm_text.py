@@ -165,7 +165,9 @@ def llm_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe).alias("n_bpe_tokens"),
         tx.token_count("text").alias("n_ws_tokens"),
-        F.element_at(bpe, 1).alias("first_bpe_token"),
+        # try_element_at: DuckDB's list[1] on an empty list is NULL;
+        # ANSI element_at raises on the empty/whitespace-only doc
+        F.try_element_at(bpe, F.lit(1)).alias("first_bpe_token"),
     )
 
 

@@ -117,10 +117,14 @@ def udtf_explode_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram expansion as transform(sequence)+explode — the UDTF
     shape without leaving codegen."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
-    toks = F.split("text", " ")
+    # Guard the 1-token doc: sequence(1, 0) DESCENDS in Spark and
+    # element_at(toks, 0) errors; DuckDB's range(1, 1) is empty.
+    # when-null explodes to no rows, matching the oracle.
     bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
         "i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"
+        " END"
     )
     return d.select("doc_id", F.explode(bigrams).alias("bigram"))
 

@@ -19,15 +19,23 @@ from delta_lake_play_spark.registry import all_oracles, all_queries
 
 from .parity import compare
 
-# Every registry key whose Spark side generates per-token/char
-# sequences (bigrams / 16-token chunks / char windows).
+# Every oracle-paired registry key that reads ONLY the documents
+# table (discovered by source scan) — the full surface a degenerate
+# fixture regeneration could break.
 SEQ_KEYS = [
-    "llm_ngram_lm_score",
-    "llm_line_dedup",
-    "llm_leakage_report",
-    "llm_context_chunking",
-    "llm_pipeline_end2end",
-    "llm_dedup_ngram_jaccard",
+    "sink_partitioned_parquet", "llm_pipeline_end2end", "llm_bm25_search",
+    "llm_line_dedup", "llm_dedup_ngram_jaccard", "llm_mad_outlier_filter",
+    "llm_leakage_report", "llm_ngram_lm_score", "llm_context_chunking",
+    "udf_arrow_batch", "llm_pack_sequences", "llm_train_val_split",
+    "llm_global_shuffle", "llm_domain_filter", "llm_curation_shardplan",
+    "llm_importance_resample", "llm_dedup_fingerprint", "llm_dedup_url",
+    "llm_tfidf_topterms", "llm_token_rarity", "llm_text_fingerprint",
+    "llm_text_token_bpe", "llm_pii_redact", "llm_repetition_filter",
+    "llm_quality_score_linear", "sample_data_mix", "udtf_python_offsets",
+    "fn_explode_outer", "fn_posexplode", "llm_dedup_exact",
+    "llm_dedup_near_minhash", "llm_dedup_simhash", "llm_text_stats",
+    "llm_doc_quality_filter", "llm_decontaminate", "fn_string_split_tokens",
+    "fn_explode", "sink_text_roundtrip", "udtf_explode_ngrams",
 ]
 
 _EDGE_DOCS = [
