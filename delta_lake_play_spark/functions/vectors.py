@@ -38,5 +38,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array columns (double precision)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array columns (double precision).
+
+    ``try_divide``: cosine is undefined for a zero-norm vector —
+    DuckDB's ``x / 0`` yields NULL while ANSI Spark raises
+    DIVIDE_BY_ZERO, so a single all-zero embedding would crash every
+    similarity scan. NULL propagates through ``>= threshold`` /
+    ranking predicates as "no match" on both engines, which is the
+    right semantics for a degenerate vector."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

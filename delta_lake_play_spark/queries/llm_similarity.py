@@ -246,7 +246,7 @@ m AS (
   FROM v
 )
 SELECT vec_id, max_abs,
-       list_transform(de, x -> CAST(floor(x * {_QUANT_LEVELS} / max_abs) AS INT)) AS q
+       list_transform(de, x -> CAST(floor(x * {_QUANT_LEVELS} / max_abs) AS DOUBLE)) AS q
 FROM m
 """
 
@@ -266,8 +266,17 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.greatest(acc, x),
     )
     base = e.select("vec_id", de.alias("de"), max_abs.alias("max_abs"))
+    # try_divide: a zero vector has max_abs = 0; DuckDB's x/0 is NULL
+    # (→ all-NULL codes) while ANSI Spark would raise DIVIDE_BY_ZERO.
+    # Codes are typed DOUBLE (not INT) on both sides: a NULL code
+    # (zero-norm vector) inside an INT list makes pandas materialize
+    # DuckDB's child array as float64 while Spark keeps ints — a
+    # value-hash skew at the list level. DOUBLE is stable everywhere.
     q = F.transform(
-        F.col("de"), lambda x: F.floor(x * _QUANT_LEVELS / F.col("max_abs")).cast("int")
+        F.col("de"),
+        lambda x: F.floor(
+            F.try_divide(x * _QUANT_LEVELS, F.col("max_abs"))
+        ).cast("double"),
     )
     return base.select("vec_id", "max_abs", q.alias("q"))
 
@@ -409,7 +418,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = kmeans_assignments(
         spark, e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
     )
-    w = Window.partitionBy("cl").orderBy("dist", "vid")
+    # asc_nulls_last: a NULL-embedding vector has NULL dist; Spark's
+    # ascending default is NULLS FIRST (it would become the cluster
+    # REPRESENTATIVE) while DuckDB's ORDER BY default is NULLS LAST.
+    w = Window.partitionBy("cl").orderBy(F.col("dist").asc_nulls_last(), "vid")
     ranked = fin.select(
         "vid", "cl", "qv", F.row_number().over(w).alias("rn")
     )

@@ -52,6 +52,8 @@ def _canon_cell(v):
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, np.ndarray) and v.ndim == 0:
+        return _canon_cell(v.item())  # 0-d scalar wrapper (e.g. a NULL list cell)
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_canon_cell(x) for x in v)
     if isinstance(v, dict):
