@@ -665,43 +665,46 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_sketch_cms", oracle=None)
 def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch heavy-hitter estimation: ONE pass builds a
-    fixed-size mergeable frequency sketch over every event's user key
-    (Spark's ``count_min_sketch`` aggregate — partials merge
-    map-side, so at 100 TB the cost is the scan plus a few KB of
-    sketch per partition); per-user estimates are then read from the
-    sketch driver-side (O(#users) lookups against the in-memory
-    sketch, no second data pass) and compared with exact counts.
+    """Count-min sketch heavy-hitter estimation, fully distributed:
+    ONE pass builds a fixed-size mergeable frequency sketch over every
+    event's user key (Spark's ``count_min_sketch`` aggregate —
+    partials merge map-side, so at 100 TB the cost is the scan plus a
+    few KB of sketch per partition). The only driver traffic is the
+    sketch itself (~100 KB at eps=0.001), which is broadcast back out;
+    per-user estimates are then computed EXECUTOR-side inside an
+    Arrow-batched ``mapInPandas`` — the sketch bytes deserialize once
+    per partition and a whole key column is probed per batch with
+    vectorized int64 arithmetic (operators/sketches.py reimplements
+    ``CountMinSketchImpl``'s long-hash read path bit-for-bit; parity
+    with the JVM ``estimateCount`` is pinned in
+    tests/test_operators.py::test_cms_python_probe_matches_jvm).
+    No O(#distinct users) collect anywhere — the exact-count side
+    stays a distributed groupBy joined against nothing.
 
-    Keys hash as STRINGS on both the build and probe side — the
-    sketch hashes by runtime type, so a LongType build probed with
-    Integer boxes would silently miss. No DuckDB oracle (the sketch
-    layout is Spark-specific); rows-only here, the estimate-error
-    bound is asserted in ``tests/test_operators.py``."""
+    No DuckDB oracle (the sketch layout is Spark-specific); rows-only
+    key, the estimate-error bound is asserted in
+    ``tests/test_operators.py``."""
     ev = load_table(spark, sf_dir, "events")
     sk = ev.agg(
-        F.expr(
-            "count_min_sketch(CAST(user_id AS STRING), 0.001d, 0.99d, 42)"
-        ).alias("sk")
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
     ).head()["sk"]
-    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk)
+    bc = spark.sparkContext.broadcast(bytes(sk))
+
+    def probe(batches):
+        from delta_lake_play_spark.operators.sketches import CountMinSketchView
+
+        view = CountMinSketchView.from_bytes(bc.value)  # once per partition
+        for pdf in batches:
+            pdf["est_count"] = view.estimate_longs(
+                pdf["user_id"].to_numpy(dtype="int64")
+            )
+            yield pdf
+
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .collect()  # O(#distinct users), the probe key list
-    )
-    rows = [
-        (
-            int(r["user_id"]),
-            int(r["exact_count"]),
-            int(jcms.estimateCount(str(r["user_id"]))),
-        )
-        for r in exact
-    ]
-    return spark.createDataFrame(
-        rows, "user_id bigint, exact_count bigint, est_count bigint"
+    return exact.mapInPandas(
+        probe, "user_id bigint, exact_count bigint, est_count bigint"
     )
 
 

@@ -278,17 +278,40 @@ def dml_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.history().select("version", "operation", "num_rows")
 
 
-# --- history_scan: full history incl. wall-clock timestamps (rows-only) -------------
+# --- history_scan: deterministic history projection (api.py:60-67) -----------------
+
+# The history table is fully determined by the commit script (create →
+# append → delete), so everything EXCEPT the wall-clock timestamp
+# hash-checks against a VALUES-style oracle built from the same script.
+# The serving layer (serving/handlers.py) still surfaces the timestamp
+# column; it is projected out here purely for determinism.
+
+_HISTORY_SCAN_ORACLE = """
+WITH appended AS (
+  SELECT c_acctbal FROM customer WHERE c_custkey % 25 = 7
+), full_t AS (
+  SELECT c_acctbal FROM customer UNION ALL SELECT c_acctbal FROM appended
+)
+SELECT 0 AS version, 'CREATE' AS operation,
+       (SELECT COUNT(*) FROM customer) AS num_rows
+UNION ALL
+SELECT 1, 'APPEND', (SELECT COUNT(*) FROM full_t)
+UNION ALL
+SELECT 2, 'DELETE',
+       (SELECT COUNT(*) FROM full_t WHERE NOT COALESCE(c_acctbal < 0, FALSE))
+"""
 
 
-@register("history_scan", oracle=None)
+@register("history_scan", oracle=_HISTORY_SCAN_ORACLE)
 def history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The api.py:60-67 shape — version, timestamp string, operation,
-    parameters. Timestamps are wall-clock → rows-only check."""
+    """The api.py:60-67 endpoint shape — scan the commit log after a
+    create → append → delete script. Timestamps are wall-clock and are
+    excluded from the deterministic projection (the serving layer
+    returns them); version/operation/num_rows hash-check."""
     t = _fresh_from_customer(spark, sf_dir)
     t.append(_appended_rows(spark, sf_dir))
-    t.delete(F.col("c_acctbal") < 0)
-    return t.history()
+    t.delete("c_acctbal < 0")
+    return t.history().select("version", "operation", "num_rows")
 
 
 # --- write_table_create + create_if_absent (spark_project.py:26-37) -----------------

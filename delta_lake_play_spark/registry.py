@@ -50,144 +50,103 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-4 WINDOW (first 50). Composition (SURVEY §12 records
-    # the rationale): slot 1 re-proves fn_math (r2/r3 hash FAIL,
-    # root-caused to a BIGINT-vs-DOUBLE price_kbucket skew, fixed this
-    # round); slots 2-38 are never-driver-checked keys promoted from
-    # tier 2 — the table-layer scale keys, the flagship LLM-pipeline
-    # composites (including every key whose code changed in the r4
-    # short-doc-guard/MAD-cast fixes), the r3 TPC-H closers, the new
-    # dml_delta_export open-protocol interop key, and the
-    # reference-parity /sql entry; the last 11 slots are the cheapest
-    # r1-vintage greens (sub-100 ms each) whose passes are two
-    # fixture generations old — stale-pass hygiene, so no green row
-    # ever outlives two fixture regenerations unchecked.
-    "fn_math",
-    # table-layer scale keys (bloom skipping, manifests, generated
-    # cols, constraints, hive partitioning) — never checked
-    "scan_bloom_point",
-    "dml_symlink_manifest",
-    "dml_generated_columns",
-    "dml_constraints_enforced",
-    "dml_partitioned_table",
-    "sink_partitioned_parquet",
-    "dml_delta_export",
-    # flagship LLM-pipeline composites — never checked; the six keys
-    # touched by this round's short-doc guards / MAD cast fix are all
-    # here so the fixes get driver rows immediately
-    "llm_pipeline_end2end",
-    "llm_bm25_search",
-    "llm_semdedup",
-    "llm_pagerank_sources",
-    "llm_line_dedup",
-    "llm_dedup_keep_best",
-    "llm_ann_recall",
-    "llm_dedup_embedding_cosine",
-    "llm_dedup_ngram_jaccard",
-    "llm_mad_outlier_filter",
-    "llm_leakage_report",
-    "llm_ngram_lm_score",
-    "llm_context_chunking",
-    "llm_kmeans_train",
-    "llm_similarity_lsh",
-    # r3 TPC-H closers — never checked
-    "agg_shipmode_priority",
-    "sub_waiting_orders",
-    "agg_revenue_band",
-    "sub_min_cost_supplier",
-    "sub_important_stock",
-    "sub_excess_shippers",
-    "agg_order_count_dist",
-    "agg_profit_by_nation_year",
-    # reference-surface + assorted never-checked singles
-    "sql_api_entry",
-    "sql_recursive_cte",
-    "agg_median",
-    "agg_sketch_quantile",
-    "win_gap_islands",
-    "udf_arrow_batch",
-    "stream_medallion_gold",
-    "fn_try_arith",
-    # stale-pass hygiene: cheapest r1-vintage greens, re-proven against
-    # the current fixture generation (last 11 slots)
-    "project_columns",
-    "filter_in_list",
-    "filter_equality",
-    "filter_range",
-    "filter_null_handling",
-    "filter_like",
-    "join_inner_equi",
-    "join_left_semi",
-    "join_left_anti",
-    "agg_max_scalar",
-    "agg_count_distinct",
-    # --- TIER 2 (51+): first in line if the window grows — every
-    # remaining never-checked key, high-value first.
-    "llm_pack_sequences",
-    "llm_train_val_split",
-    "llm_global_shuffle",
-    "llm_domain_filter",
-    "llm_curation_shardplan",
-    "llm_importance_resample",
-    "llm_dedup_fingerprint",
-    "llm_dedup_url",
+    # --- ROUND-5 WINDOW (first 50). Composition (SURVEY §12 records
+    # the rationale): r4 came back 50/50 green, so this window is
+    # pure verification-debt retirement — 50 of the 65 keys that have
+    # NEVER had a driver CORRECTNESS row (VERDICT r4 ask #1),
+    # highest-risk first: all 21 remaining LLM keys (incl. the three
+    # rows-only multimodal keys), the sketch aggregates (agg_sketch_cms
+    # after this round's executor-side probe rewrite, ask #2), the
+    # never-checked join/window/stream batteries, and history_scan —
+    # newly oracle-paired this round (ask #7) so its first hash row
+    # lands here. The 16 deferred never-checked keys are all trivial
+    # single-construct scalar/agg/window demos (fn_bitwise,
+    # fn_greatest_least, agg_mode, win_first_last_nth, ...) — lowest
+    # divergence risk, locally five-fixture green — and head tier 2
+    # so they close the debt in r6 alongside the stale-green
+    # rotation (ask #8, deliberately deferred one round in favor of
+    # retiring never-checked debt fastest).
+    # LLM-pipeline keys — never checked (19 SQL + 3 rows-only)
+    "llm_pii_redact",
     "llm_tfidf_topterms",
-    "llm_token_rarity",
+    "llm_text_token_bpe",
     "llm_text_lang_id",
     "llm_langid_confusion",
     "llm_text_fingerprint",
-    "llm_text_token_bpe",
-    "llm_pii_redact",
     "llm_repetition_filter",
     "llm_quality_score_linear",
+    "llm_global_shuffle",
+    "llm_train_val_split",
+    "llm_pack_sequences",
+    "llm_importance_resample",
+    "llm_domain_filter",
+    "llm_curation_shardplan",
+    "llm_dedup_fingerprint",
+    "llm_dedup_url",
+    "llm_token_rarity",
     "llm_embedding_quantize",
-    "llm_multimodal_resize",
-    "llm_multimodal_framesample",
     "llm_multimodal_decode",
+    "llm_multimodal_framesample",
+    "llm_multimodal_resize",
+    # sampling / data-mix keys — never checked
     "sample_stratified_topn",
     "sample_data_mix",
-    "fn_string_pad_translate",
-    "fn_bitwise",
-    "fn_interval_arith",
-    "fn_greatest_least",
-    "fn_url_parse",
-    "fn_variant_json",
-    "fn_struct_ops",
-    "agg_histogram",
-    "stream_stream_join",
-    "win_first_last_nth",
-    "win_percent_rank_cume_dist",
-    "win_funnel_pattern",
-    "udtf_python_offsets",
-    "win_count_distinct",
-    "agg_mode",
-    "join_range_bucketed",
+    # sketch + analytics aggregates — never checked; agg_sketch_cms
+    # re-written this round (executor-side probe, VERDICT ask #2)
+    "agg_sketch_cms",
     "agg_sketch_hll",
-    "fn_map_hof",
-    "join_bucketed_colocated",
-    "stream_stateful_count",
-    "fn_bool_agg",
-    "fn_date_spine_fill",
+    "agg_histogram",
     "agg_retention_cohort",
-    "fn_stack_unpivot",
-    "fn_levenshtein",
-    "join_null_key_split",
-    "join_cross_small",
-    "agg_grouping_id",
-    "set_multiset_ops",
-    "fn_explode_outer",
-    "sort_within_partitions",
-    "agg_string_agg",
+    "agg_regression_exact",
     "agg_table_profile",
-    "win_interval_range_frame",
+    # join battery — never checked
+    "join_bucketed_colocated",
+    "join_range_bucketed",
+    "join_null_key_split",
     "join_asof_next_event",
-    "fn_date_trunc_week_quarter",
+    # window battery — never checked
+    "win_funnel_pattern",
+    "win_moving_median",
+    "win_interval_range_frame",
+    "win_count_distinct",
+    # streaming — never checked
+    "stream_stream_join",
+    "stream_stateful_count",
     "stream_table_source",
     "stream_table_source_jvm",
-    "win_moving_median",
-    "agg_sketch_cms",
-    "agg_regression_exact",
+    # scalar-fn singles — never checked (the structured/semi-structured
+    # ones; trivial built-in demos deferred to tier 2)
+    "fn_variant_json",
+    "fn_url_parse",
+    "fn_struct_ops",
+    "fn_stack_unpivot",
+    "fn_interval_arith",
+    "fn_date_spine_fill",
+    # misc — never checked
+    "udtf_python_offsets",
+    "set_multiset_ops",
+    # newly oracle-paired this round (was rows-only r1-r4): first
+    # hash-checked driver row (VERDICT ask #7)
+    "history_scan",
+    # --- TIER 2 (51+): the 16 remaining never-checked keys (all
+    # trivial single-construct demos, five-fixture green locally) —
+    # they retire the debt in the r6 window.
+    "fn_string_pad_translate",
+    "fn_bitwise",
+    "fn_greatest_least",
+    "fn_map_hof",
+    "fn_bool_agg",
+    "fn_levenshtein",
+    "fn_explode_outer",
     "fn_posexplode",
+    "fn_date_trunc_week_quarter",
+    "join_cross_small",
+    "agg_mode",
+    "agg_grouping_id",
+    "agg_string_agg",
+    "sort_within_partitions",
+    "win_first_last_nth",
+    "win_percent_rank_cume_dist",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )

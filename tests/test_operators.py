@@ -217,6 +217,36 @@ def test_blocked_pairs_hint_off_same_pairs(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_cms_python_probe_matches_jvm(spark):
+    """The numpy read-path in operators/sketches.py must reproduce
+    ``CountMinSketchImpl.estimateCount`` bit-for-bit — same wire
+    parse, same long-hash, same min-reduce — including negative and
+    never-seen keys."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.operators.sketches import CountMinSketchView
+
+    df = spark.createDataFrame(
+        [(i % 17,) for i in range(1000)]
+        + [(12345678901,)] * 5
+        + [(-42,)] * 3,
+        "user_id bigint",
+    )
+    raw = bytes(
+        df.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("s")
+        ).head()["s"]
+    )
+    view = CountMinSketchView.from_bytes(raw)
+    assert view.total_count == 1008
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(raw)
+    keys = list(range(17)) + [12345678901, -42, 999999, -(2**62)]
+    ours = view.estimate_longs(np.array(keys, dtype=np.int64))
+    theirs = [int(jcms.estimateCount(k)) for k in keys]
+    assert list(map(int, ours)) == theirs
+
+
 def test_cms_estimates_bounded_overcount(spark, sf_dir):
     """Count-min sketches only OVERcount: est >= exact always, and
     with eps=0.001 the overshoot stays within eps*N (plus nothing —
