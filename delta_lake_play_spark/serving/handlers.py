@@ -58,10 +58,19 @@ class NamesTableService:
     """One table handle + session shared across requests, as the
     reference builds once at app start (``api.py:51-53``)."""
 
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(
+        self, spark: SparkSession, table_dir: str, delta_mirror: bool = False
+    ):
+        """``delta_mirror=True`` serves over a table that also
+        maintains the open-protocol ``_delta_log`` on every commit
+        (``table/delta_log.py``) — the same composition as the
+        reference, whose delta-spark writes the Delta log under every
+        endpoint DML (``spark_project.py:36`` + ``api.py:91-107``)."""
         self.spark = spark
         seed = spark.createDataFrame(SEED_ROWS, NAMES_SCHEMA)
-        self.table = VersionedTable.create_if_absent(spark, table_dir, seed)
+        self.table = VersionedTable.create_if_absent(
+            spark, table_dir, seed, delta_mirror=delta_mirror
+        )
 
     # ------------------------------------------------ GET /hello_world
 

@@ -22,9 +22,26 @@ Sync model: :func:`sync` is idempotent and self-healing — it diffs
 the private log (``_log``) against the Delta log and (re)writes every
 missing version atomically (tmp + ``os.link``, first writer wins), so
 a crash between a private commit and its mirror write heals on the
-next commit or explicit sync. MoR deletion-vector snapshots are
-refused: this writer targets protocol (1, 2), which has no DV
-representation — materialize with copy-on-write ``delete`` instead.
+next commit or explicit sync. Two hard cases are handled explicitly:
+
+- **Vacuumed history**: versions whose data files were reclaimed by
+  ``vacuum`` cannot be backfilled (and a partial backfill would leave
+  a stale-latest log that external readers would silently trust).
+  ``sync`` scans file presence up front, skips the unexportable
+  prefix, and re-bases the log with a FULL snapshot commit + parquet
+  checkpoint at the oldest fully-present version — exactly the
+  "JSON prefix cleaned up past a checkpoint" state the protocol
+  allows. If the LATEST snapshot itself is missing files, it raises
+  :class:`DeltaMirrorError` before writing anything.
+- **Merge-on-read deletion vectors**: protocol (1, 2) has no DV
+  representation, so DV-carrying snapshots are refused by default.
+  With ``materialize_dvs=True`` (always on for the per-commit sync of
+  ``delta_mirror=True`` tables) each masked file is materialized once
+  per DV state into ``_dv_materialized/<fingerprint>/`` — survivors
+  rewritten by a distributed anti-join job, never the driver — and
+  the mirror's add/remove actions reference the materialized files.
+  External readers see plain protocol-(1, 2) copy-on-write; the
+  private table keeps its zero-rewrite MoR semantics.
 
 The module also contains an independent protocol READER
 (:func:`read_delta_snapshot`): checkpoint + JSON-commit replay →
@@ -37,6 +54,7 @@ require.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -50,6 +68,15 @@ from pyspark.sql import types as T
 _CHECKPOINT_EVERY = 10
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_MATERIALIZED_DIR = "_dv_materialized"
+# PROTOCOL.md: remove tombstones persist in checkpoints until
+# delta.deletedFileRetentionDuration (default 1 week) so external
+# VACUUM / incremental readers can track recently removed files.
+_TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+# Operations that rearrange data without changing it: the protocol
+# requires dataChange=false on their add/remove actions so streaming /
+# CDF consumers do not re-process compacted files as new data.
+_DATA_NEUTRAL_OPS = {"OPTIMIZE"}
 
 
 class DeltaMirrorError(RuntimeError):
@@ -103,7 +130,13 @@ def _stats_string(entry: dict) -> str:
     )
 
 
-def _add_action(table_path: str, f: dict, part_cols: list[str], ts: int) -> dict:
+def _add_action(
+    table_path: str,
+    f: dict,
+    part_cols: list[str],
+    ts: int,
+    data_change: bool = True,
+) -> dict:
     rel = f["path"].replace(os.sep, "/")
     abs_path = rel if rel.startswith("/") else os.path.join(table_path, rel)
     return {
@@ -112,7 +145,7 @@ def _add_action(table_path: str, f: dict, part_cols: list[str], ts: int) -> dict
             "partitionValues": _partition_values_raw(rel, part_cols),
             "size": os.path.getsize(abs_path),
             "modificationTime": ts,
-            "dataChange": True,
+            "dataChange": data_change,
             "stats": _stats_string(f),
         }
     }
@@ -139,13 +172,192 @@ def _op_params_strings(params: dict) -> dict:
     }
 
 
-def sync(table) -> int:
+# --------------------------------------------------- DV materialization
+
+# A MoR file entry (parquet file + deletion-vector mask) has no
+# protocol-(1, 2) form, so the mirror materializes it: survivors are
+# rewritten ONCE per (file, DV-state) into
+# ``_dv_materialized/<fingerprint>/`` and the mirror's actions
+# reference the rewrite. The fingerprint keys idempotency — a file
+# whose DV did not change between versions maps to the same artifact,
+# so version diffs stay minimal and re-syncs never re-rewrite.
+# ``vacuum`` never reclaims "_"-prefixed directories, so materialized
+# artifacts survive as long as the log references them.
+
+
+def _dv_fingerprint(f: dict) -> str:
+    dv = f.get("dv")
+    legacy = dv if isinstance(dv, list) else (dv or {}).get("legacy", [])
+    sidecars = [] if isinstance(dv, list) else (dv or {}).get("sidecars", [])
+    count = len(dv) if isinstance(dv, list) else (dv or {}).get("count", 0)
+    key = json.dumps(
+        [f["path"], sorted(int(i) for i in legacy), sorted(sidecars), int(count)]
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _has_dv(f: dict) -> bool:
+    dv = f.get("dv")
+    return bool(dv)
+
+
+def _unit_key(f: dict) -> str:
+    """Mirror identity of a private file entry: the path alone for a
+    plain file, path@dv-fingerprint for a masked one (so a DV change
+    reads as remove-old-rewrite / add-new-rewrite)."""
+    return f["path"] if not _has_dv(f) else f"{f['path']}@{_dv_fingerprint(f)}"
+
+
+def _materialized_rel(fp: str) -> str:
+    return f"{_MATERIALIZED_DIR}/{fp}"
+
+
+def _materialized_files(table, fp: str) -> list[str]:
+    """Relative paths of the parquet files materialized for ``fp``
+    (empty list = the whole source file was masked out)."""
+    d = os.path.join(table.path, _MATERIALIZED_DIR, fp)
+    return [
+        f"{_materialized_rel(fp)}/{fn}"
+        for fn in sorted(os.listdir(d))
+        if fn.endswith(".parquet")
+    ]
+
+
+def _ensure_materialized(table, entry: dict) -> None:
+    """Materialize every DV-carrying file of ``entry`` whose
+    fingerprint directory does not exist yet, in ONE distributed job:
+    scan the masked files with row positions, anti-join the DV
+    positions, and write survivors partitioned by fingerprint — no
+    per-row or per-file driver work, and output directories are
+    atomically renamed into place so concurrent syncs race benignly."""
+    dv_files = [f for f in entry["files"] if _has_dv(f)]
+    pending = {
+        _dv_fingerprint(f): f
+        for f in dv_files
+        if not os.path.isdir(os.path.join(table.path, _MATERIALIZED_DIR, _dv_fingerprint(f)))
+    }
+    if not pending:
+        return
+    schema = table._entry_schema(entry)
+    part_cols = table.partition_columns()
+    files = list(pending.values())
+    src = table._read_paths(
+        [table._abs(f["path"]) for f in files], schema, with_meta=True
+    )
+    dv_df = table._dv_df(files)
+    kept = src.join(dv_df, ["__path", "__row_idx"], "left_anti")
+    fp_map = table.spark.createDataFrame(
+        [(table._abs(f["path"]), fp) for fp, f in pending.items()],
+        "__path string, __fp string",
+    )
+    kept = (
+        kept.join(F.broadcast(fp_map), "__path")
+        .drop("__path", "__row_idx", *part_cols)
+        .repartition("__fp")
+    )
+    base = os.path.join(table.path, _MATERIALIZED_DIR)
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f".tmp-{uuid.uuid4().hex}")
+    kept.write.partitionBy("__fp").parquet(tmp)
+    try:
+        for fp in pending:
+            src_dir = os.path.join(tmp, f"__fp={fp}")
+            dst_dir = os.path.join(base, fp)
+            if os.path.isdir(dst_dir):
+                continue  # concurrent syncer (or earlier run) won
+            if os.path.isdir(src_dir):
+                try:
+                    os.rename(src_dir, dst_dir)
+                except OSError:
+                    pass  # lost the rename race — winner's content is identical
+            else:
+                # every surviving row of this file was masked: an empty
+                # fingerprint dir records "materializes to nothing"
+                os.makedirs(dst_dir, exist_ok=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _unit_adds(
+    table, f: dict, part_cols: list[str], ts: int, data_change: bool
+) -> list[dict]:
+    """The add action(s) mirroring one private file entry: the file
+    itself, or its materialized survivors (with the SOURCE file's
+    partition values — materialized artifacts live outside the hive
+    layout)."""
+    if not _has_dv(f):
+        return [_add_action(table.path, f, part_cols, ts, data_change)]
+    import pyarrow.parquet as pq
+
+    pvals = _partition_values_raw(f["path"].replace(os.sep, "/"), part_cols)
+    out = []
+    for rel in _materialized_files(table, _dv_fingerprint(f)):
+        abs_path = os.path.join(table.path, rel)
+        out.append(
+            {
+                "add": {
+                    "path": _add_path(rel),
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(abs_path),
+                    "modificationTime": ts,
+                    "dataChange": data_change,
+                    "stats": json.dumps(
+                        {"numRecords": pq.ParquetFile(abs_path).metadata.num_rows}
+                    ),
+                }
+            }
+        )
+    return out
+
+
+def _unit_remove_paths(table, f: dict) -> list[str]:
+    """The delta ``add.path`` strings a unit previously contributed —
+    what a remove action must name when the unit leaves the snapshot."""
+    if not _has_dv(f):
+        return [_add_path(f["path"].replace(os.sep, "/"))]
+    return [_add_path(rel) for rel in _materialized_files(table, _dv_fingerprint(f))]
+
+
+def _files_present(table, entry: dict) -> bool:
+    """All data files AND deletion-vector sidecars of this version
+    still exist on disk (vacuum reclaims both for dropped versions)."""
+    for f in entry["files"]:
+        if not os.path.exists(table._abs(f["path"])):
+            return False
+        dv = f.get("dv")
+        sidecars = [] if not isinstance(dv, dict) else dv.get("sidecars", [])
+        for s in sidecars:
+            if not os.path.exists(table._abs(s)):
+                return False
+    return True
+
+
+# ----------------------------------------------------------------- sync
+
+
+def sync(table, materialize_dvs: bool = False) -> int:
     """Bring ``_delta_log`` up to the private log's latest version.
 
     Idempotent: every already-mirrored version is skipped; every
     missing one (crash between commit and mirror) is backfilled in
     order by diffing consecutive private entries. Concurrent syncers
     race benignly — identical content, first ``os.link`` wins.
+
+    Versions whose files were vacuumed are skipped and the log is
+    re-based with a full-snapshot commit + checkpoint at the oldest
+    fully-present version (raising :class:`DeltaMirrorError` up front
+    if the LATEST version itself is missing files — a mirror that
+    cannot represent the current table must not be written at all).
+
+    ``materialize_dvs=False`` refuses MoR deletion-vector snapshots
+    (protocol (1, 2) has no DV representation); ``True`` rewrites each
+    masked file's survivors once per DV state (see the
+    DV-materialization section above). The per-commit sync of
+    ``delta_mirror=True`` tables passes ``True`` so the mirror stays
+    consistent across ``delete_mor``.
+
     Returns the latest mirrored version."""
     ddir = _delta_dir(table.path)
     os.makedirs(ddir, exist_ok=True)
@@ -155,66 +367,118 @@ def sync(table) -> int:
         if fn.endswith(".json") and not fn.startswith(("_", "."))
     }
     latest = table.latest_version()
-    prev_entry: dict | None = None
-    for v in range(0, latest + 1):
-        if v in have:
-            prev_entry = None  # lazily re-read only when needed
-            continue
-        entry = table._read_log(v)
-        for f in entry["files"]:
-            if f.get("dv"):
+    missing = [v for v in range(0, latest + 1) if v not in have]
+    if not missing:
+        return latest
+
+    entries = {v: table._read_log(v) for v in missing}
+    for v in missing:
+        for f in entries[v]["files"]:
+            if _has_dv(f) and not materialize_dvs:
                 raise DeltaMirrorError(
                     f"version {v} carries a deletion vector on "
                     f"{f['path']!r}; protocol (1, 2) cannot represent "
-                    "MoR sidecars — use copy-on-write delete() on "
-                    "delta-mirrored tables"
+                    "MoR sidecars — pass materialize_dvs=True to "
+                    "rewrite survivors at sync time, or use "
+                    "copy-on-write delete()"
                 )
-        if prev_entry is None and v > 0:
-            prev_entry = table._read_log(v - 1)
-        actions = _actions_for(table, v, prev_entry, entry)
+    # Presence scan BEFORE writing anything: a backfill that crashed on
+    # a vacuumed file mid-loop would leave a stale-latest log that
+    # external readers silently trust.
+    bad = [v for v in missing if not _files_present(table, entries[v])]
+    if bad and max(bad) == latest:
+        raise DeltaMirrorError(
+            f"cannot mirror: current version {latest} is missing data "
+            "files (vacuumed or corrupted) — the table itself is no "
+            "longer fully readable at HEAD"
+        )
+    mirrored = set(have)
+    for v in missing:
+        if v in bad:
+            continue  # unexportable history: superseded by the re-base below
+        entry = entries[v]
+        if any(_has_dv(f) for f in entry["files"]):
+            _ensure_materialized(table, entry)
+        if v == 0:
+            actions = _actions_for(table, v, None, entry)
+        elif (v - 1) in mirrored:
+            prev = entries.get(v - 1) or table._read_log(v - 1)
+            if any(_has_dv(f) for f in prev["files"]):
+                _ensure_materialized(table, prev)
+            actions = _actions_for(table, v, prev, entry)
+        else:
+            # predecessor unexportable: re-base with a full snapshot
+            # commit + checkpoint (the protocol's cleaned-JSON-prefix
+            # state; readers start at the checkpoint).
+            actions = _full_snapshot_actions(table, entry)
+            _write_atomic(
+                ddir, f"{v:020d}.json", "\n".join(json.dumps(a) for a in actions)
+            )
+            _write_checkpoint(table, ddir, v, entry)
+            mirrored.add(v)
+            continue
         _write_atomic(ddir, f"{v:020d}.json", "\n".join(json.dumps(a) for a in actions))
         if v > 0 and v % _CHECKPOINT_EVERY == 0:
             _write_checkpoint(table, ddir, v, entry)
-        prev_entry = entry
+        mirrored.add(v)
     return latest
+
+
+def _commit_info(entry: dict, ts: int) -> dict:
+    return {
+        "commitInfo": {
+            "timestamp": ts,
+            "operation": entry.get("operation", "WRITE"),
+            "operationParameters": _op_params_strings(
+                entry.get("operationParameters", {})
+            ),
+        }
+    }
+
+
+def _full_snapshot_actions(table, entry: dict) -> list[dict]:
+    """protocol + metaData + every live add — a self-contained re-base
+    commit for a version whose predecessors cannot be exported."""
+    ts = _ts_ms(entry["timestamp"])
+    part_cols = table.partition_columns()
+    actions = [
+        _commit_info(entry, ts),
+        {"protocol": dict(_PROTOCOL)},
+        _meta_action(table, entry),
+    ]
+    for f in entry["files"]:
+        actions.extend(_unit_adds(table, f, part_cols, ts, True))
+    return actions
 
 
 def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[dict]:
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": entry.get("operation", "WRITE"),
-                "operationParameters": _op_params_strings(
-                    entry.get("operationParameters", {})
-                ),
-            }
-        }
-    ]
+    data_change = entry.get("operation") not in _DATA_NEUTRAL_OPS
+    actions: list[dict] = [_commit_info(entry, ts)]
     if version == 0:
         actions.append({"protocol": dict(_PROTOCOL)})
         actions.append(_meta_action(table, entry))
-        prev_files: dict[str, dict] = {}
+        prev_units: dict[str, dict] = {}
     else:
         assert prev is not None
         if entry["schema"] != prev["schema"]:
             actions.append(_meta_action(table, entry))
-        prev_files = {f["path"]: f for f in prev["files"]}
-    cur_files = {f["path"]: f for f in entry["files"]}
-    for path in sorted(prev_files.keys() - cur_files.keys()):
-        actions.append(
-            {
-                "remove": {
-                    "path": _add_path(path.replace(os.sep, "/")),
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
+        prev_units = {_unit_key(f): f for f in prev["files"]}
+    cur_units = {_unit_key(f): f for f in entry["files"]}
+    for key in sorted(prev_units.keys() - cur_units.keys()):
+        for path in _unit_remove_paths(table, prev_units[key]):
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": ts,
+                        "dataChange": data_change,
+                    }
                 }
-            }
-        )
-    for path in sorted(cur_files.keys() - prev_files.keys()):
-        actions.append(_add_action(table.path, cur_files[path], part_cols, ts))
+            )
+    for key in sorted(cur_units.keys() - prev_units.keys()):
+        actions.extend(_unit_adds(table, cur_units[key], part_cols, ts, data_change))
     return actions
 
 
@@ -308,11 +572,39 @@ def _checkpoint_schema():
     )
 
 
+def _recent_tombstones(ddir: str, version: int, as_of_ms: int) -> list[dict]:
+    """Remove actions from mirrored commits ≤ ``version`` whose
+    deletionTimestamp is within the retention window — PROTOCOL.md
+    requires checkpoints to carry them until
+    delta.deletedFileRetentionDuration so external VACUUM /
+    incremental readers can still see recently removed files."""
+    floor = as_of_ms - _TOMBSTONE_RETENTION_MS
+    out: list[dict] = []
+    for fn in sorted(os.listdir(ddir)):
+        if not fn.endswith(".json") or fn.startswith(("_", ".")):
+            continue
+        if int(fn.split(".")[0]) > version:
+            continue
+        with open(os.path.join(ddir, fn)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                rm = action.get("remove")
+                if rm and rm.get("deletionTimestamp", 0) >= floor:
+                    out.append(rm)
+    # keep only tombstones for files NOT re-added later (paths are
+    # uuid'd and never reused, so "latest action wins" = set difference)
+    return out
+
+
 def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
     """Classic single-file checkpoint: the reconciled snapshot at
     ``version`` (one protocol row, one metaData row, one add row per
-    live file), plus ``_last_checkpoint`` so readers can skip the
-    JSON prefix."""
+    live file, plus retained remove tombstones), and
+    ``_last_checkpoint`` so readers can skip — or survive the cleanup
+    of — the JSON prefix. Checkpoint rows are reconciliations, not
+    new data: adds are written with dataChange=false per the spec."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -325,8 +617,22 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
         {"protocol": dict(_PROTOCOL)},
         {"metaData": meta},
     ]
+    live_paths: set[str] = set()
     for f in entry["files"]:
-        rows.append(_add_action(table.path, f, part_cols, ts))
+        for action in _unit_adds(table, f, part_cols, ts, False):
+            rows.append(action)
+            live_paths.add(action["add"]["path"])
+    for rm in _recent_tombstones(ddir, version, ts):
+        if rm["path"] not in live_paths:
+            rows.append(
+                {
+                    "remove": {
+                        "path": rm["path"],
+                        "deletionTimestamp": rm.get("deletionTimestamp"),
+                        "dataChange": False,
+                    }
+                }
+            )
     tbl = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
     tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex}")
     pq.write_table(tbl, tmp)
@@ -369,16 +675,32 @@ def read_delta_snapshot(
     stand-in for delta-rs / DuckDB-delta, which this environment
     cannot install. Partition columns are reconstructed from each
     add-file's ``partitionValues`` exactly as the protocol requires
-    (they are absent from the data files)."""
+    (they are absent from the data files).
+
+    Handles logs whose JSON prefix was cleaned up (or never written —
+    a vacuum-hole re-base) past a checkpoint: the latest version is
+    the max over JSON commits AND checkpoints, and replay starts at
+    the newest usable checkpoint. Requesting a version below every
+    checkpoint with its JSON missing raises a descriptive error."""
     ddir = _delta_dir(table_path)
     versions = sorted(
         int(fn.split(".")[0])
         for fn in os.listdir(ddir)
         if fn.endswith(".json") and not fn.startswith(("_", "."))
     )
+    cp_versions = sorted(
+        int(fn.split(".")[0])
+        for fn in os.listdir(ddir)
+        if fn.endswith(".checkpoint.parquet") and not fn.startswith(".")
+    )
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        if not versions and not cp_versions:
+            raise FileNotFoundError(
+                f"no delta log at {ddir!r}: neither JSON commits nor "
+                "checkpoints found"
+            )
+        version = max(versions + cp_versions)
+    if version not in versions and version not in cp_versions:
         raise FileNotFoundError(f"delta version {version} not in log")
 
     adds: dict[str, dict] = {}
@@ -386,11 +708,6 @@ def read_delta_snapshot(
     part_cols: list[str] = []
     start = 0
 
-    cp_versions = sorted(
-        int(fn.split(".")[0])
-        for fn in os.listdir(ddir)
-        if fn.endswith(".checkpoint.parquet") and not fn.startswith(".")
-    )
     usable = [v for v in cp_versions if v <= version]
     if usable:
         import pyarrow.parquet as pq
@@ -409,7 +726,19 @@ def read_delta_snapshot(
         start = cp + 1
 
     for v in range(start, version + 1):
-        with open(os.path.join(ddir, f"{v:020d}.json")) as fh:
+        commit = os.path.join(ddir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            if v in versions or usable:
+                raise FileNotFoundError(
+                    f"delta log is missing commit {v} needed to replay "
+                    f"version {version} from checkpoint "
+                    f"{usable[-1] if usable else '(none)'}"
+                )
+            raise FileNotFoundError(
+                f"delta version {version} predates every checkpoint and "
+                f"its JSON commits were cleaned up — not reconstructible"
+            )
+        with open(commit) as fh:
             for line in fh:
                 if not line.strip():
                     continue

@@ -249,8 +249,11 @@ class VersionedTable:
         per the open Delta protocol, see ``table/delta_log.py``) next
         to the private log on every commit, sharing the same data
         files — external Delta readers can then read any snapshot.
-        MoR ``delete_mor`` is refused on mirrored tables (protocol
-        (1, 2) has no deletion-vector representation)."""
+        MoR ``delete_mor`` on a mirrored table auto-materializes the
+        deletion vectors on the mirror side (survivors rewritten once
+        per DV state, ``delta_log.py``) since protocol (1, 2) has no
+        DV representation; the private table keeps zero-rewrite MoR
+        reads."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
@@ -336,7 +339,7 @@ class VersionedTable:
 
     @classmethod
     def create_if_absent(
-        cls, spark: SparkSession, path: str, seed_df: DataFrame
+        cls, spark: SparkSession, path: str, seed_df: DataFrame, **create_kwargs
     ) -> "VersionedTable":
         """Open the table, creating+seeding when missing — the
         reference's try/except AnalysisException flow
@@ -350,7 +353,7 @@ class VersionedTable:
         t = cls(spark, path)
         if not t.exists():
             try:
-                return cls.create(spark, path, seed_df)
+                return cls.create(spark, path, seed_df, **create_kwargs)
             except (FileExistsError, VersionConflictError):
                 pass  # another creator won the version-0 race
         return t
@@ -931,18 +934,21 @@ class VersionedTable:
             "stats string, null_counts string",
         )
 
-    def export_delta_log(self) -> int:
+    def export_delta_log(self, materialize_dvs: bool = False) -> int:
         """One-shot export of the full commit history as a REAL Delta
         transaction log (``_delta_log/`` JSON actions + checkpoints,
         ``table/delta_log.py``) for a table that was NOT created with
         ``delta_mirror=True`` — e.g. before handing the directory to
         an external Delta reader. Idempotent; re-run after further
-        commits to extend the log. Refuses MoR deletion-vector
-        snapshots (no protocol representation). Returns the latest
-        exported version."""
+        commits to extend the log. Vacuumed history is skipped behind
+        a full-snapshot re-base + checkpoint at the oldest
+        fully-present version. MoR deletion-vector snapshots are
+        refused unless ``materialize_dvs=True``, which rewrites each
+        masked file's survivors once per DV state so the exported log
+        stays protocol (1, 2). Returns the latest exported version."""
         from .delta_log import sync as _delta_sync
 
-        return _delta_sync(self)
+        return _delta_sync(self, materialize_dvs=materialize_dvs)
 
     def export_symlink_manifest(self, version: int | None = None) -> str:
         """Write a Presto/Trino-style symlink-format manifest for a
@@ -1787,14 +1793,6 @@ class VersionedTable:
             if operation == "CREATE"
             else self.delta_mirror_enabled()
         )
-        if mirror and any(f.get("dv") for f in carried):
-            from .delta_log import DeltaMirrorError
-
-            raise DeltaMirrorError(
-                "delta-mirrored tables cannot commit deletion-vector "
-                "(MoR) file entries — protocol (1, 2) has no DV "
-                "representation; use copy-on-write delete() instead"
-            )
         gen = (
             params.get("generated") if operation == "CREATE" else self.generated_columns()
         )
@@ -1871,10 +1869,13 @@ class VersionedTable:
             # After the private commit won the version race: mirror it
             # into the open-protocol Delta log. sync() is idempotent
             # and self-healing, so a crash right here is repaired by
-            # the next commit's sync.
+            # the next commit's sync. A delta_mirror=True table has
+            # declared "the open log tracks every commit", so MoR
+            # deletion vectors are auto-materialized rather than
+            # refused (delta_log.py DV-materialization section).
             from .delta_log import sync as _delta_sync
 
-            _delta_sync(self)
+            _delta_sync(self, materialize_dvs=True)
         return version
 
     def _next_version(self) -> int:

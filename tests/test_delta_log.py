@@ -142,18 +142,155 @@ def test_sync_is_self_healing_and_deterministic(spark):
     assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
 
 
-def test_mor_delete_refused_on_mirrored_table(spark):
+def test_mirrored_mor_materializes_and_replays(spark):
+    """delete_mor on a mirrored table auto-materializes deletion
+    vectors on the mirror side: every version — across delete_mor →
+    growing DVs → optimize → restore — replays exactly through the
+    protocol reader, and the mirror references only real protocol
+    (1, 2) parquet (no sidecars)."""
     t = _mk(spark, "dl-mor")
-    with pytest.raises(DeltaMirrorError, match="deletion-vector"):
-        t.delete_mor(F.col("id") == 3)
-    # table unharmed, mirror still consistent
+    t.delete_mor(F.col("id") % 7 == 0)  # v1: masks rows in every file
     assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
-    # un-mirrored tables keep MoR
+    t.delete_mor(F.col("id") % 5 == 0)  # v2: DVs grow on the same files
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    t.append(spark.range(500, 520).withColumn("v", F.lit(9).cast("long")))  # v3
+    t.optimize()  # v4: hardens DVs into plain files
+    t.restore(2)  # v5: back to the masked state
+    for v in range(t.latest_version() + 1):
+        assert _canon(read_delta_snapshot(spark, t.path, version=v)) == _canon(
+            t.read(version=v)
+        ), f"version {v}"
+    # mirror adds reference existing parquet, never DV sidecars
+    for v in range(t.latest_version() + 1):
+        for a in _actions(t, v):
+            if "add" in a:
+                p = os.path.join(t.path, a["add"]["path"])
+                assert os.path.exists(p), p
+                assert "dv-" not in a["add"]["path"]
+    # materialized artifacts are shared across versions with the same
+    # DV state (fingerprint-keyed, rewritten once)
+    mat = os.path.join(t.path, "_dv_materialized")
+    assert os.path.isdir(mat) and len(os.listdir(mat)) > 0
+
+
+def test_unmirrored_mor_export_needs_opt_in(spark):
+    """One-shot export refuses DV snapshots unless materialize_dvs."""
     t2 = VersionedTable.create(
         spark, temp_table_path("dl-mor2"), spark.range(10).withColumn("v", F.col("id"))
     )
     t2.delete_mor(F.col("id") == 3)
     assert t2.to_df().count() == 9
+    with pytest.raises(DeltaMirrorError, match="materialize_dvs"):
+        t2.export_delta_log()
+    t2.export_delta_log(materialize_dvs=True)
+    assert _canon(read_delta_snapshot(spark, t2.path)) == _canon(t2.to_df())
+
+
+def test_vacuumed_history_export_rebases_with_checkpoint(spark):
+    """Exporting a table whose old versions were vacuumed must not
+    crash on missing files OR leave a stale-latest log: the
+    unexportable prefix is skipped behind a full-snapshot re-base +
+    checkpoint at the oldest fully-present version."""
+    df = spark.range(0, 200).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(spark, temp_table_path("dl-vac"), df.repartition(4))
+    t.delete(F.col("id") % 2 == 0)  # rewrites every file
+    t.append(spark.range(1000, 1010).withColumn("v", F.lit(1).cast("long")))
+    t.vacuum(retain_last=2, min_age_seconds=0)  # v0's files reclaimed
+    latest = t.export_delta_log()
+    assert latest == 2
+    ddir = os.path.join(t.path, "_delta_log")
+    assert not os.path.exists(os.path.join(ddir, f"{0:020d}.json"))
+    assert os.path.exists(os.path.join(ddir, f"{1:020d}.json"))
+    assert os.path.exists(os.path.join(ddir, f"{1:020d}.checkpoint.parquet"))
+    # latest reads exactly; the vacuumed version raises, not stale data
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    assert _canon(read_delta_snapshot(spark, t.path, version=1)) == _canon(
+        t.read(version=1)
+    )
+    with pytest.raises(FileNotFoundError):
+        read_delta_snapshot(spark, t.path, version=0)
+
+
+def test_vacuumed_head_refused_before_writing(spark):
+    """If the LATEST snapshot itself is missing files the export must
+    refuse up front — a mirror of an unreadable HEAD is a lie."""
+    df = spark.range(0, 50).withColumn("v", F.col("id"))
+    t = VersionedTable.create(spark, temp_table_path("dl-vachead"), df)
+    victim = t._abs(t._read_log(0)["files"][0]["path"])
+    os.remove(victim)
+    with pytest.raises(DeltaMirrorError, match="version 0 is missing"):
+        t.export_delta_log()
+    assert not os.listdir(os.path.join(t.path, "_delta_log"))
+
+
+def test_optimize_mirrors_with_datachange_false(spark):
+    """OPTIMIZE rearranges data without changing it: the protocol
+    requires dataChange=false so external streaming/CDF consumers do
+    not re-process compacted files as new rows."""
+    t = _mk(spark, "dl-opt")
+    for i in range(3):
+        t.append(
+            spark.range(300 + i, 301 + i).withColumn("v", F.lit(0).cast("long"))
+        )
+    t.optimize()
+    acts = _actions(t, t.latest_version())
+    adds = [a["add"] for a in acts if "add" in a]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert adds and removes
+    assert all(a["dataChange"] is False for a in adds)
+    assert all(r["dataChange"] is False for r in removes)
+    # ...while a real DELETE keeps dataChange=true
+    t.delete(F.col("id") == 0)
+    acts = _actions(t, t.latest_version())
+    assert all(
+        a[k]["dataChange"] is True
+        for a in acts
+        for k in ("add", "remove")
+        if k in a
+    )
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_checkpoint_carries_remove_tombstones(spark):
+    """PROTOCOL.md: un-expired remove tombstones persist in
+    checkpoints (until deletedFileRetentionDuration) so external
+    VACUUM / incremental readers can track recently removed files."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, "dl-tomb")
+    t.delete(F.col("id") % 3 == 0)  # v1: removes + rewrites
+    for i in range(9):  # v2..v10 — checkpoint lands at v10
+        t.append(
+            spark.range(700 + i, 701 + i).withColumn("v", F.lit(0).cast("long"))
+        )
+    cp = os.path.join(t.path, "_delta_log", f"{10:020d}.checkpoint.parquet")
+    rows = pq.read_table(cp).to_pylist()
+    tombs = [r["remove"] for r in rows if r.get("remove")]
+    assert tombs, "fresh removes must be checkpointed as tombstones"
+    assert all(r["dataChange"] is False for r in tombs)
+    live = {r["add"]["path"] for r in rows if r.get("add")}
+    assert not live & {r["path"] for r in tombs}
+    # tombstones don't confuse the reader
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_reader_survives_fully_cleaned_json_prefix(spark):
+    """A log whose JSON commits were ALL cleaned up past a checkpoint
+    is still readable (version=None falls back to the checkpoint
+    instead of IndexError)."""
+    t = _mk(spark, "dl-clean")
+    for i in range(10):
+        t.append(
+            spark.range(800 + i, 801 + i).withColumn("v", F.lit(0).cast("long"))
+        )
+    ddir = os.path.join(t.path, "_delta_log")
+    expected = _canon(t.read(version=10))
+    for v in range(0, 11):
+        os.unlink(os.path.join(ddir, f"{v:020d}.json"))
+    assert _canon(read_delta_snapshot(spark, t.path)) == expected
+    assert _canon(read_delta_snapshot(spark, t.path, version=10)) == expected
+    with pytest.raises(FileNotFoundError, match="not in log"):
+        read_delta_snapshot(spark, t.path, version=3)
 
 
 def test_schema_evolution_emits_metadata_action(spark):

@@ -70,6 +70,46 @@ def test_bad_version_raises(service):
         service.get_table(version=99)
 
 
+def test_endpoints_over_delta_mirror(spark):
+    """Compose the two reference-parity layers the way the reference
+    itself does (``api.py:91-107`` over delta-spark's ``_delta_log``,
+    ``spark_project.py:36``): every HTTP-surface DML on a
+    ``delta_mirror=True`` service also lands in the open Delta log,
+    and the protocol reader replays the table exactly after each
+    endpoint call."""
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    svc = NamesTableService(
+        spark, temp_table_path("serving-mirror"), delta_mirror=True
+    )
+
+    def mirror_matches():
+        got = sorted(
+            tuple(r) for r in read_delta_snapshot(spark, svc.table.path).collect()
+        )
+        want = sorted(tuple(r) for r in svc.table.to_df().collect())
+        assert got == want
+
+    mirror_matches()  # seed commit mirrored by create
+    svc.merge_to_table([TableRow(1, "Jim", "Bond"), TableRow(9, "Q", "Branch")])
+    mirror_matches()
+    svc.delete_from_table([2, 9])
+    mirror_matches()
+    svc.merge_to_table([TableRow(4, "Eve", "Moneypenny")])
+    mirror_matches()
+    # history + time travel still serve, and every historical version
+    # replays through the protocol reader too
+    hist = svc.get_table_history()
+    assert set(hist["operation"].keys()) == {"0", "1", "2", "3"}
+    for v in range(svc.table.latest_version() + 1):
+        got = sorted(
+            tuple(r)
+            for r in read_delta_snapshot(spark, svc.table.path, version=v).collect()
+        )
+        want = sorted(tuple(r) for r in svc.table.read(version=v).collect())
+        assert got == want, f"version {v}"
+
+
 # --------------------------- real HTTP round-trip ---------------------------
 
 
