@@ -801,3 +801,77 @@ def dml_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.delete(F.expr("day = timestamp'2024-01-05 00:00:00'"))
     return t.to_df().select("event_id", "user_id", "value", "day")
+
+
+# --- dml_cdf_capture (row-level Change Data Feed) --------------------------
+# enable_cdf=True tables capture the changed rows AT COMMIT TIME
+# (update pre/post images, deletes, merge inserts) into _change_data/
+# parquet — table_changes() then serves CDC without snapshot diffing,
+# which is what Delta's delta.enableChangeDataFeed provides on top of
+# the file-diff feed of dml_change_feed. The oracle recomputes every
+# intermediate table state with CTEs and stacks the per-commit feeds.
+
+_CDF_ORACLE = f"""
+WITH s0 AS (SELECT * FROM customer),
+s1 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN COALESCE(c_mktsegment = 'BUILDING', FALSE)
+              THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM s0
+),
+s2 AS (SELECT * FROM s1 WHERE NOT COALESCE(c_acctbal < 0, FALSE)),
+src AS ({_SRC_SQL})
+SELECT *, 'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM s0 WHERE COALESCE(c_mktsegment = 'BUILDING', FALSE)
+UNION ALL
+SELECT *, 'update_postimage', 1 FROM s1 WHERE COALESCE(c_mktsegment = 'BUILDING', FALSE)
+UNION ALL
+SELECT *, 'delete', 2 FROM s1 WHERE COALESCE(c_acctbal < 0, FALSE)
+UNION ALL
+SELECT *, 'update_preimage', 3 FROM s2
+WHERE c_custkey IN (SELECT c_custkey FROM src)
+UNION ALL
+SELECT *, 'update_postimage', 3 FROM src
+WHERE c_custkey IN (SELECT c_custkey FROM s2)
+UNION ALL
+SELECT *, 'insert', 3 FROM src
+WHERE c_custkey NOT IN (SELECT c_custkey FROM s2)
+"""
+
+
+def _cdf_script(spark: SparkSession, sf_dir: str, **create_kwargs) -> VersionedTable:
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("cdf"),
+        load_table(spark, sf_dir, "customer"),
+        enable_cdf=True,
+        **create_kwargs,
+    )                                                            # v0
+    t.update({"c_acctbal": F.col("c_acctbal") + 50},
+             F.col("c_mktsegment") == "BUILDING")                # v1
+    t.delete(F.col("c_acctbal") < 0)                             # v2
+    t.merge(_merge_source(spark, sf_dir), key="c_custkey")       # v3
+    return t
+
+
+@register("dml_cdf_capture", oracle=_CDF_ORACLE)
+def dml_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE → DELETE → MERGE on a CDF-enabled table, read back via
+    table_changes(1, 3): exact pre/post images per commit, each read
+    from change-sized capture files (never a snapshot diff)."""
+    t = _cdf_script(spark, sf_dir)
+    return t.table_changes(1, 3).drop("_commit_timestamp")
+
+
+@register("dml_cdf_mirror_replay", oracle=_CDF_ORACLE)
+def dml_cdf_mirror_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDF script on a delta_mirror=True table, read back
+    EXCLUSIVELY through the protocol ``cdc`` actions in _delta_log
+    (table/delta_log.py::read_delta_changes) — hash-matching the same
+    oracle proves the open-format change feed carries the exact same
+    rows an external Delta CDF client would read."""
+    from delta_lake_play_spark.table.delta_log import read_delta_changes
+
+    t = _cdf_script(spark, sf_dir, delta_mirror=True)
+    return read_delta_changes(spark, t.path, 1, 3).drop("_commit_timestamp")

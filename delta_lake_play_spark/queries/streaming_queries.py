@@ -353,3 +353,76 @@ def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (F.sum("cents") / F.lit(100.0)).alias("total_value"),
     )
+
+
+# --- stream_cdf_feed: the Change Data Feed as a streaming source ----------
+# Delta's `readChangeFeed` streaming option rebuilt on the Python
+# DataSource source: each commit's captured change files (or derived
+# inserts for appends) become one micro-batch carrying _change_type +
+# _commit_version. The oracle stacks the same three commits' feeds.
+
+_CDF_STREAM_ORACLE = """
+WITH s0 AS (SELECT * FROM customer WHERE c_custkey % 5 = 0),
+s1 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN COALESCE(c_nationkey < 5, FALSE)
+              THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM s0
+)
+SELECT *, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM s0
+UNION ALL
+SELECT *, 'update_preimage', 1 FROM s0 WHERE COALESCE(c_nationkey < 5, FALSE)
+UNION ALL
+SELECT *, 'update_postimage', 1 FROM s1 WHERE COALESCE(c_nationkey < 5, FALSE)
+UNION ALL
+SELECT c_custkey + 3000000, 'CDC-' || c_name, c_nationkey, c_acctbal,
+       c_mktsegment, 'insert', 2
+FROM customer WHERE c_custkey % 50 = 1
+"""
+
+
+@register("stream_cdf_feed", oracle=_CDF_STREAM_ORACLE)
+def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE → UPDATE → APPEND on an enable_cdf=True table, drained
+    through readStream.format('versioned_table')
+    .option('readChangeFeed', 'true'): offsets are commit versions,
+    one input partition per change file, pre/post images read verbatim
+    from the capture files and appends derived as inserts — the
+    streaming CDC-consumer surface (sources/table_stream.py)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    c = load_table(spark, sf_dir, "customer")
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("cdf-stream"),
+        c.filter(F.col("c_custkey") % 5 == 0).coalesce(2),
+        enable_cdf=True,
+    )                                                            # v0
+    t.update({"c_acctbal": F.col("c_acctbal") + 10},
+             F.col("c_nationkey") < 5)                           # v1
+    t.append(
+        c.filter(F.col("c_custkey") % 50 == 1).select(
+            (F.col("c_custkey") + 3000000).alias("c_custkey"),
+            F.concat(F.lit("CDC-"), F.col("c_name")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        ).coalesce(1)
+    )                                                            # v2
+    name = "cdf_feed_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("readChangeFeed", "true")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

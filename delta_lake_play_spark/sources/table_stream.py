@@ -37,8 +37,18 @@ from pyspark.sql.datasource import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, paths: list[str]):
+    def __init__(
+        self,
+        paths: list[str],
+        version: int | None = None,
+        synth_change_type: str | None = None,
+    ):
         self.paths = paths
+        # CDF mode only: the commit version these files belong to, and
+        # the _change_type to synthesize for derived-insert batches
+        # (None = the change files carry their own _change_type column).
+        self.version = version
+        self.synth_change_type = synth_change_type
 
 
 def _log_entries(path: str) -> dict[int, str]:
@@ -70,6 +80,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             1,
             int(options.get("filesPerTask", options.get("filespertask", 1))),
         )
+        # Delta's option of the same name: stream the row-level Change
+        # Data Feed instead of the snapshot-append feed. Batches are
+        # the change files each commit captured (enable_cdf=True
+        # tables), plus derived inserts for pure-append commits; each
+        # row carries _change_type and _commit_version.
+        self.read_change_feed = str(
+            options.get("readChangeFeed", options.get("readchangefeed", "false"))
+        ).lower() in ("true", "1")
         create = _read_entry(self.path, 0)
         if create.get("operationParameters", {}).get("partitionBy"):
             raise NotImplementedError(
@@ -93,6 +111,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     # ---- planning ----------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if self.read_change_feed:
+            return self._cdf_partitions(start, end)
         new_paths: list[str] = []
         prev_files: dict[str, tuple] = {}
         if start["version"] >= 0:
@@ -116,6 +136,51 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             _FilePartition(new_paths[i : i + k])
             for i in range(0, len(new_paths), k)
         ]
+
+    def _cdf_partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """One micro-batch = the CDF rows of the commits in
+        ``(start, end]``: captured change files verbatim, pure-append
+        commits as derived inserts, OPTIMIZE skipped. A rewrite with
+        no captured change data fails the stream — there is no row
+        feed to derive (create the table with ``enable_cdf=True``)."""
+        parts: list[_FilePartition] = []
+        prev_files: dict[str, tuple] = {}
+        if start["version"] >= 0:
+            prev_files = self._file_map(start["version"])
+        k = self.files_per_task
+        for v in range(start["version"] + 1, end["version"] + 1):
+            entry = _read_entry(self.path, v)
+            cur = self._file_map(v)
+            if entry.get("cdcFiles"):
+                paths = sorted(
+                    os.path.join(self.path, f["path"])
+                    for f in entry["cdcFiles"]
+                )
+                parts.extend(
+                    _FilePartition(paths[i : i + k], v, None)
+                    for i in range(0, len(paths), k)
+                )
+            elif entry.get("operation") != "OPTIMIZE":
+                removed = set(prev_files) - set(cur)
+                dv_grew = [
+                    p
+                    for p in set(cur) & set(prev_files)
+                    if cur[p] != prev_files[p]
+                ]
+                if removed or dv_grew:
+                    raise ValueError(
+                        f"version {v} ({entry.get('operation')}) rewrote "
+                        "files but captured no change data — create the "
+                        "table with enable_cdf=True to stream its change "
+                        "feed"
+                    )
+                added = sorted(set(cur) - set(prev_files))
+                parts.extend(
+                    _FilePartition(added[i : i + k], v, "insert")
+                    for i in range(0, len(added), k)
+                )
+            prev_files = cur
+        return parts
 
     def _file_map(self, version: int) -> dict[str, tuple]:
         from delta_lake_play_spark.table.versioned import (
@@ -152,6 +217,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             # Align to the table schema: files written before a schema
             # evolution lack the added columns — fill them with nulls,
             # and emit columns in schema order.
+            names = [f.name for f in self._schema.fields]
             cols = []
             for f in self._schema.fields:
                 if f.name in tbl.column_names:
@@ -160,9 +226,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     cols.append(
                         pa.nulls(len(tbl), type=to_arrow_type(f.dataType))
                     )
-            yield from pa.table(
-                dict(zip([f.name for f in self._schema.fields], cols))
-            ).to_batches()
+            if self.read_change_feed:
+                names = names + ["_change_type", "_commit_version"]
+                if partition.synth_change_type is not None:
+                    cols.append(
+                        pa.array(
+                            [partition.synth_change_type] * len(tbl),
+                            type=pa.string(),
+                        )
+                    )
+                else:
+                    cols.append(tbl.column("_change_type"))
+                cols.append(
+                    pa.array([partition.version] * len(tbl), type=pa.int64())
+                )
+            yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
         pass
@@ -177,7 +255,20 @@ class VersionedTableDataSource(DataSource):
         # latest schema wins (evolution only adds nullable columns)
         latest = max(_log_entries(self.options["path"]))
         entry = _read_entry(self.options["path"], latest)
-        return T.StructType.fromJson(entry["schema"])
+        schema = T.StructType.fromJson(entry["schema"])
+        if str(
+            self.options.get(
+                "readChangeFeed", self.options.get("readchangefeed", "false")
+            )
+        ).lower() in ("true", "1"):
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), True),
+                    T.StructField("_commit_version", T.LongType(), True),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema: T.StructType) -> VersionedTableStreamReader:
         return VersionedTableStreamReader(self.options)

@@ -152,14 +152,44 @@ def _add_action(
 
 
 def _meta_action(table, entry: dict) -> dict:
+    config = {}
+    if table.cdf_enabled():
+        config["delta.enableChangeDataFeed"] = "true"
     return {
         "metaData": {
             "id": _table_id(table.path),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(entry["schema"]),
             "partitionColumns": table.partition_columns(),
-            "configuration": {},
+            "configuration": config,
             "createdTime": _ts_ms(table._read_log_raw(0)["timestamp"]),
+        }
+    }
+
+
+def _protocol_action(table) -> dict:
+    """Protocol (1, 2) normally; CDF tables require writer version 4
+    (the protocol gates ``delta.enableChangeDataFeed`` + ``cdc``
+    actions behind it). Reader version stays 1 — snapshot readers
+    ignore cdc actions entirely."""
+    if table.cdf_enabled():
+        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+    return {"protocol": dict(_PROTOCOL)}
+
+
+def _cdc_action(table_path: str, f: dict, part_cols: list[str]) -> dict:
+    """Protocol ``cdc`` (AddCDCFile) action for a captured change
+    file. ``dataChange`` is always false: when a commit carries cdc
+    actions, CDF readers use them EXCLUSIVELY and ignore the commit's
+    add/remove files for change purposes."""
+    rel = f["path"].replace(os.sep, "/")
+    abs_path = rel if rel.startswith("/") else os.path.join(table_path, rel)
+    return {
+        "cdc": {
+            "path": _add_path(rel),
+            "partitionValues": _partition_values_raw(rel, part_cols),
+            "size": os.path.getsize(abs_path),
+            "dataChange": False,
         }
     }
 
@@ -443,7 +473,7 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
     part_cols = table.partition_columns()
     actions = [
         _commit_info(entry, ts),
-        {"protocol": dict(_PROTOCOL)},
+        _protocol_action(table),
         _meta_action(table, entry),
     ]
     for f in entry["files"]:
@@ -457,7 +487,7 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
     data_change = entry.get("operation") not in _DATA_NEUTRAL_OPS
     actions: list[dict] = [_commit_info(entry, ts)]
     if version == 0:
-        actions.append({"protocol": dict(_PROTOCOL)})
+        actions.append(_protocol_action(table))
         actions.append(_meta_action(table, entry))
         prev_units: dict[str, dict] = {}
     else:
@@ -479,6 +509,8 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
             )
     for key in sorted(cur_units.keys() - prev_units.keys()):
         actions.extend(_unit_adds(table, cur_units[key], part_cols, ts, data_change))
+    for f in entry.get("cdcFiles", []):
+        actions.append(_cdc_action(table.path, f, part_cols))
     return actions
 
 
@@ -777,3 +809,159 @@ def read_delta_snapshot(
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read through ``_delta_log`` ONLY — the
+    protocol-reader stand-in for an external client's
+    ``spark.read.format("delta").option("readChangeFeed", "true")``.
+
+    Per the protocol's CDF rules, a commit that carries ``cdc``
+    actions is read EXCLUSIVELY from its change files; a commit with
+    only ``dataChange=true`` add actions derives ``insert`` rows from
+    the added files; a commit with ``dataChange=true`` removes but no
+    cdc actions is not CDF-readable and raises. Partition columns are
+    reconstructed from each file's ``partitionValues``. Returns the
+    table columns + ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp``."""
+    ddir = _delta_dir(table_path)
+    versions = sorted(
+        int(fn.split(".")[0])
+        for fn in os.listdir(ddir)
+        if fn.endswith(".json") and not fn.startswith(("_", "."))
+    )
+    if ending_version is None:
+        if not versions:
+            raise FileNotFoundError(f"no delta JSON commits at {ddir!r}")
+        ending_version = max(versions)
+
+    schema_string: str | None = None
+    part_cols: list[str] = []
+    # metaData as of the range start: replay any JSON commits before
+    # it; when the prefix was cleaned up past a checkpoint, take the
+    # newest usable checkpoint's metaData first.
+    cp_versions = sorted(
+        int(fn.split(".")[0])
+        for fn in os.listdir(ddir)
+        if fn.endswith(".checkpoint.parquet") and not fn.startswith(".")
+    )
+    usable_cp = [v for v in cp_versions if v < starting_version]
+    if usable_cp and 0 not in versions:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(ddir, f"{usable_cp[-1]:020d}.checkpoint.parquet"),
+            columns=["metaData"],
+        )
+        for row in tbl.to_pylist():
+            if row.get("metaData"):
+                schema_string = row["metaData"]["schemaString"]
+                part_cols = list(row["metaData"]["partitionColumns"] or [])
+    for v in (x for x in versions if x < starting_version):
+        with open(os.path.join(ddir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                    part_cols = list(action["metaData"]["partitionColumns"])
+
+    out: DataFrame | None = None
+    for v in range(starting_version, ending_version + 1):
+        commit = os.path.join(ddir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(
+                f"delta log is missing commit {v} in CDF range "
+                f"[{starting_version}, {ending_version}]"
+            )
+        ts_ms = 0
+        cdc_files: list[dict] = []
+        add_files: list[dict] = []
+        removed = 0
+        with open(commit) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                    part_cols = list(action["metaData"]["partitionColumns"])
+                elif "commitInfo" in action:
+                    ts_ms = action["commitInfo"].get("timestamp", 0)
+                elif "cdc" in action:
+                    cdc_files.append(action["cdc"])
+                elif "add" in action and action["add"].get("dataChange", True):
+                    add_files.append(action["add"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removed += 1
+        if schema_string is None:
+            raise ValueError("no metaData action found — not a valid delta log")
+        schema = T.StructType.fromJson(json.loads(schema_string))
+        types = {f.name: f.dataType for f in schema.fields}
+        if cdc_files:
+            files, extra = cdc_files, []
+        elif removed:
+            raise ValueError(
+                f"version {v} removed files with dataChange=true but has "
+                "no cdc actions — not CDF-readable (table written "
+                "without delta.enableChangeDataFeed)"
+            )
+        elif add_files:
+            files, extra = add_files, [F.lit("insert").alias("_change_type")]
+        else:
+            continue
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        data_schema = T.StructType(
+            data_fields
+            + (
+                [T.StructField("_change_type", T.StringType(), True)]
+                if not extra
+                else []
+            )
+        )
+        by_part: dict[tuple, list[str]] = {}
+        for a in files:
+            key = tuple((a.get("partitionValues") or {}).get(c) for c in part_cols)
+            by_part.setdefault(key, []).append(_decode_path(table_path, a["path"]))
+        batch: DataFrame | None = None
+        for key, paths in sorted(by_part.items(), key=lambda kv: repr(kv[0])):
+            df = spark.read.schema(data_schema).parquet(*paths)
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(c, F.lit(raw).cast(types[c]))
+            change_col = extra if extra else [F.col("_change_type")]
+            df = df.select(*[f.name for f in schema.fields], *change_col)
+            batch = df if batch is None else batch.unionByName(df)
+        batch = batch.select(
+            "*",
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
+        )
+        out = (
+            batch
+            if out is None
+            else out.unionByName(batch, allowMissingColumns=True)
+        )
+    if out is not None:
+        return out
+    if schema_string is None:
+        raise ValueError("no metaData action found — not a valid delta log")
+    end_schema = T.StructType.fromJson(json.loads(schema_string))
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            list(end_schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+                T.StructField("_commit_timestamp", T.TimestampType(), True),
+            ]
+        ),
+    )

@@ -214,6 +214,7 @@ class VersionedTable:
         bloom_filter_cols: list[str] | None = None,
         generated: dict[str, str] | None = None,
         delta_mirror: bool = False,
+        enable_cdf: bool = False,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -253,7 +254,20 @@ class VersionedTable:
         deletion vectors on the mirror side (survivors rewritten once
         per DV state, ``delta_log.py``) since protocol (1, 2) has no
         DV representation; the private table keeps zero-rewrite MoR
-        reads."""
+        reads.
+
+        ``enable_cdf=True`` turns on the Change Data Feed (Delta
+        ``delta.enableChangeDataFeed``): every row-changing commit
+        additionally records the changed rows themselves — with a
+        ``_change_type`` of ``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage`` — as parquet under
+        ``_change_data/``, sized to the CHANGE, not the table.
+        ``table_changes(from, to)`` then serves row-level CDC without
+        diffing snapshots, and a ``delta_mirror=True`` table emits the
+        corresponding protocol ``cdc`` actions so external Delta CDF
+        readers see the same feed. Pure appends write no change files
+        (readers derive inserts from the added files, exactly the
+        Delta protocol's CDF fallback rule)."""
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
@@ -270,6 +284,7 @@ class VersionedTable:
                 "bloomFilterCols": bloom_filter_cols or [],
                 "generated": generated or {},
                 "deltaMirror": bool(delta_mirror),
+                "enableCdf": bool(enable_cdf),
             },
             df.schema,
         )
@@ -594,9 +609,43 @@ class VersionedTable:
                 src_apply = src.filter(~F.coalesce(dpred, F.lit(False)))
                 params["deleteMatchedWhere"] = str(delete_matched_where)
             new_rows = touched_df.join(src, key, "left_anti").unionByName(src_apply)
+            cdc = None
+            if self.cdf_enabled():
+                # Matched target rows: pre-image (or delete, for
+                # delete_matched_where hits); matched source rows:
+                # post-image; unmatched source rows: insert. All four
+                # legs are semi/anti joins on the key against
+                # change-sized inputs — touched files and the source.
+                matched_pre = touched_df.join(src.select(key), key, "left_semi")
+                tgt_keys = touched_df.select(key)
+                if delete_matched_where is not None:
+                    del_keys = src.filter(
+                        F.coalesce(dpred, F.lit(False))
+                    ).select(key)
+                    pre = (
+                        matched_pre.join(del_keys, key, "left_semi")
+                        .withColumn("_change_type", F.lit("delete"))
+                        .unionByName(
+                            matched_pre.join(del_keys, key, "left_anti")
+                            .withColumn(
+                                "_change_type", F.lit("update_preimage")
+                            )
+                        )
+                    )
+                else:
+                    pre = matched_pre.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                post = src_apply.join(tgt_keys, key, "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = src_apply.join(tgt_keys, key, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                cdc = pre.unionByName(post).unionByName(ins)
             return self._commit_files(
                 new_rows, carried, "MERGE", params, new_schema,
-                base_version=base,
+                base_version=base, cdc_df=cdc,
             )
 
         try:
@@ -632,8 +681,16 @@ class VersionedTable:
                     base_version=base,
                 )
             kept = self._read_files(hit_files, schema).filter(~hit)
+            cdc = None
+            if self.cdf_enabled():
+                cdc = (
+                    self._read_files(hit_files, schema)
+                    .filter(hit)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
             return self._commit_files(
-                kept, carried, "DELETE", params, schema, base_version=base
+                kept, carried, "DELETE", params, schema, base_version=base,
+                cdc_df=cdc,
             )
 
         return self._retrying(attempt)
@@ -668,8 +725,24 @@ class VersionedTable:
                 updated = updated.withColumn(
                     name, F.when(hit, value).otherwise(F.col(name))
                 )
+            cdc = None
+            if self.cdf_enabled():
+                # Post-images are the PRE rows with SET applied
+                # unconditionally — filtering `updated` on the
+                # predicate again would mis-evaluate it over the new
+                # values when SET touches a predicate column.
+                pre_rows = self._read_files(hit_files, schema).filter(hit)
+                post = pre_rows
+                for name, value in set_cols.items():
+                    post = post.withColumn(name, value)
+                cdc = pre_rows.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                )
             return self._commit_files(
-                updated, carried, "UPDATE", params, schema, base_version=base
+                updated, carried, "UPDATE", params, schema, base_version=base,
+                cdc_df=cdc,
             )
 
         return self._retrying(attempt)
@@ -760,8 +833,19 @@ class VersionedTable:
                             },
                         }
                     )
+            cdc = None
+            if self.cdf_enabled():
+                # The newly masked rows, rematerialized by position —
+                # change-sized (reads only rows whose positions landed
+                # in this commit's sidecar).
+                cdc = (
+                    cur.join(matched, ["__path", "__row_idx"], "left_semi")
+                    .drop("__path", "__row_idx")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
             return self._commit_files(
-                None, out, "DELETE_MOR", params, schema, base_version=base
+                None, out, "DELETE_MOR", params, schema, base_version=base,
+                cdc_df=cdc,
             )
 
         return self._retrying(attempt)
@@ -819,9 +903,28 @@ class VersionedTable:
             if touched:
                 kept = self._read_files(hit_files, schema).filter(~hit)
                 aligned = kept.unionByName(aligned)
+            cdc = None
+            if self.cdf_enabled():
+                # Replaced slice rows out as deletes, incoming rows as
+                # inserts (the raw source, not the guard-wrapped plan —
+                # the guarded main write runs first and aborts the
+                # commit before any change file exists).
+                cdc = (
+                    self._read_files(hit_files, schema)
+                    .filter(hit)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        df.select(
+                            *[
+                                F.col(f.name).cast(f.dataType)
+                                for f in schema.fields
+                            ]
+                        ).withColumn("_change_type", F.lit("insert"))
+                    )
+                )
             return self._commit_files(
                 aligned, carried, "REPLACE_WHERE", params, schema,
-                base_version=base,
+                base_version=base, cdc_df=cdc,
             )
 
         try:
@@ -850,6 +953,13 @@ class VersionedTable:
         def attempt() -> int:
             base = self.latest_version()
             entry = self._read_log(version)
+            cdc = None
+            if self.cdf_enabled():
+                # RESTORE's change feed is the row diff current→target
+                # (Delta emits the same shape). Shared files cancel by
+                # identity, so the diff reads only files present in
+                # exactly one of the two snapshots.
+                cdc = self._snapshot_diff(self._read_log(base), entry)
             return self._commit_files(
                 None,
                 list(entry["files"]),
@@ -857,6 +967,7 @@ class VersionedTable:
                 {"sourceVersion": version},
                 self._entry_schema(entry),
                 base_version=base,
+                cdc_df=cdc,
             )
 
         return self._retrying(attempt)
@@ -1105,19 +1216,14 @@ class VersionedTable:
         so a 1-file change on a 10k-file table diffs 2 files."""
         if to_version is None:
             to_version = self.latest_version()
-        e_old, e_new = self._read_log(from_version), self._read_log(to_version)
+        return self._snapshot_diff(
+            self._read_log(from_version), self._read_log(to_version)
+        )
 
-        # Identity includes the deletion vector: a file whose DV grew
-        # between versions is a real change (its masked rows were
-        # deleted) and must not cancel out of the diff.
-        def ident(f: dict) -> tuple:
-            return (
-                self._abs(f["path"]),
-                tuple(_dv_legacy(f)),
-                tuple(_dv_sidecars(f)),
-                _dv_count(f),
-            )
-
+    def _snapshot_diff(self, e_old: dict, e_new: dict) -> DataFrame:
+        """Row-level diff between two log entries' snapshots (the body
+        of :meth:`changes`, also the RESTORE change-feed capture)."""
+        ident = self._file_ident
         old_ids = {ident(f) for f in e_old["files"]}
         new_ids = {ident(f) for f in e_new["files"]}
         schema = self._entry_schema(e_new)
@@ -1142,6 +1248,110 @@ class VersionedTable:
         inserted = new_only.exceptAll(old_only).withColumn("_change_type", F.lit("insert"))
         deleted = old_only.exceptAll(new_only).withColumn("_change_type", F.lit("delete"))
         return inserted.unionByName(deleted)
+
+    def _file_ident(self, f: dict) -> tuple:
+        """File identity for snapshot diffs. Includes the deletion
+        vector: a file whose DV grew between versions is a real change
+        (its masked rows were deleted) and must not cancel out."""
+        return (
+            self._abs(f["path"]),
+            tuple(_dv_legacy(f)),
+            tuple(_dv_sidecars(f)),
+            _dv_count(f),
+        )
+
+    def table_changes(
+        self, starting_version: int, ending_version: int | None = None
+    ) -> DataFrame:
+        """Delta ``table_changes``: the row-level Change Data Feed of
+        commits ``starting_version .. ending_version`` (both
+        inclusive), with ``_change_type`` (``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage``), ``_commit_version``
+        and ``_commit_timestamp`` columns.
+
+        Per commit, the feed comes from the change files the commit
+        captured (``enable_cdf=True`` tables — exact pre/post images,
+        change-sized reads); pure file ADDITIONS are derived as
+        ``insert`` straight from the added data files (the protocol's
+        CDF fallback — no change file is ever written for appends);
+        data-neutral OPTIMIZE commits contribute nothing. A commit
+        that removed or DV-masked files WITHOUT captured change files
+        (a rewrite on a table created without ``enable_cdf``) raises —
+        use :meth:`changes` for the snapshot-diff approximation there.
+
+        Scale: the driver walks log metadata only; every row is read
+        distributedly from change files or added files, all sized to
+        the change, never the table."""
+        end = self.latest_version() if ending_version is None else ending_version
+        if starting_version < 0 or end < starting_version:
+            raise ValueError(
+                f"bad CDF range [{starting_version}, {end}]"
+            )
+        ident = self._file_ident
+        prev_entry = (
+            self._read_log(starting_version - 1) if starting_version > 0 else None
+        )
+        batches: list[tuple[int, str, DataFrame, T.StructType]] = []
+        for v in range(starting_version, end + 1):
+            entry = self._read_log(v)
+            schema = self._entry_schema(entry)
+            op = entry.get("operation")
+            df = None
+            if entry.get("cdcFiles"):
+                cdc_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField("_change_type", T.StringType(), True)]
+                )
+                df = self._read_files(entry["cdcFiles"], cdc_schema)
+            elif op != "OPTIMIZE":
+                prev_ids = (
+                    {ident(f) for f in prev_entry["files"]} if prev_entry else set()
+                )
+                removed = prev_ids - {ident(f) for f in entry["files"]}
+                added = [f for f in entry["files"] if ident(f) not in prev_ids]
+                if removed:
+                    raise ValueError(
+                        f"version {v} ({op}) removed or rewrote files but "
+                        "captured no change data — create the table with "
+                        "enable_cdf=True, or diff snapshots via changes()"
+                    )
+                if added:
+                    df = self._read_files(added, schema).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+            if df is not None:
+                batches.append((v, entry["timestamp"], df, schema))
+            prev_entry = entry
+        # Align every batch to the union of schemas in the range
+        # (schema evolution adds columns mid-range; RESTORE can narrow).
+        union_fields: dict[str, T.DataType] = {}
+        for _v, _ts, _df, schema in batches:
+            for f in schema.fields:
+                union_fields[f.name] = f.dataType
+        out = None
+        for v, ts, df, _schema in batches:
+            for name, dtype in union_fields.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(dtype))
+            df = df.select(
+                *union_fields.keys(),
+                "_change_type",
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.lit(ts).cast("timestamp").alias("_commit_timestamp"),
+            )
+            out = df if out is None else out.unionByName(df)
+        if out is not None:
+            return out
+        end_schema = self._entry_schema(self._read_log(end))
+        empty_schema = T.StructType(
+            list(end_schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+                T.StructField("_commit_timestamp", T.TimestampType(), True),
+            ]
+        )
+        return self.spark.createDataFrame([], empty_schema)
 
     def vacuum(
         self,
@@ -1213,6 +1423,37 @@ class VersionedTable:
                 if not dry_run:
                     try:
                         os.rmdir(root)  # prune now-empty dirs
+                    except OSError:
+                        pass
+        # Change-data sweep: "_change_data" is metadata-adjacent (the
+        # main sweep skips "_"-prefixed dirs) but a commit attempt that
+        # LOST the version race leaves its change files orphaned there.
+        # Reclaim files referenced by NO logged version's cdcFiles —
+        # every live version keeps its feed readable, dropped-version
+        # feeds included (history stays queryable after vacuum).
+        cdc_dir = os.path.join(self.path, "_change_data")
+        if os.path.isdir(cdc_dir):
+            cdc_referenced: set[str] = set()
+            for v in versions:
+                for f in self._read_log(v).get("cdcFiles", []):
+                    cdc_referenced.add(self._abs(f["path"]))
+            for root, _dirs, fnames in os.walk(cdc_dir, topdown=False):
+                for fn in fnames:
+                    fp = os.path.join(root, fn)
+                    if fp in cdc_referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(fp) > age_floor:
+                            continue  # possibly an in-flight commit
+                    except OSError:
+                        continue
+                    if dry_run:
+                        would_delete.append(fp)
+                    else:
+                        os.remove(fp)
+                if not dry_run and root != cdc_dir:
+                    try:
+                        os.rmdir(root)
                     except OSError:
                         pass
         if dry_run:
@@ -1741,6 +1982,17 @@ class VersionedTable:
             )
         )
 
+    def cdf_enabled(self) -> bool:
+        """Whether commits capture the Change Data Feed (Delta
+        ``delta.enableChangeDataFeed``), from the CREATE entry."""
+        if 0 not in self._versions():
+            return False
+        return bool(
+            self._read_log_raw(0).get("operationParameters", {}).get(
+                "enableCdf", False
+            )
+        )
+
     def _check_constraints(self, df: DataFrame, checks: dict[str, str]) -> None:
         for name, expr in checks.items():
             bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
@@ -1772,6 +2024,7 @@ class VersionedTable:
         params: dict,
         schema: T.StructType,
         base_version: int | None = None,
+        cdc_df: DataFrame | None = None,
     ) -> int:
         """Write ``new_df`` (if any) as fresh data files, then commit
         a log entry whose file list is ``carried`` + the new files.
@@ -1833,6 +2086,37 @@ class VersionedTable:
             )
             if bloom_cols:
                 self._attach_blooms(new_entries, schema, bloom_cols)
+        cdc_entries: list[dict] = []
+        if cdc_df is not None:
+            # Change Data Feed capture: the changed rows themselves,
+            # written under "_change_data/" (a "_"-prefixed dir, so
+            # vacuum's data sweep never touches it) and laid out with
+            # the table's own partitioning so the mirror's protocol
+            # ``cdc`` actions carry true partitionValues. The write is
+            # CHANGE-sized — DML callers pass exactly the touched
+            # rows, never the table. Generated columns are recomputed
+            # the same way as for data files (post-image rows must
+            # show the stored values; pre-image/delete rows recompute
+            # to their already-stored values, a no-op).
+            if gen:
+                for name, expr in gen.items():
+                    cdc_df = cdc_df.withColumn(name, F.expr(expr))
+            cdc_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_change_type", T.StringType(), True)]
+            )
+            cdc_df = cdc_df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+                F.col("_change_type").cast("string"),
+            )
+            rel_cdc = os.path.join(
+                "_change_data", f"c-{version}-{uuid.uuid4().hex[:8]}"
+            )
+            cdc_writer = cdc_df.write.mode("errorifexists")
+            if part_cols:
+                cdc_writer = cdc_writer.partitionBy(*part_cols)
+            cdc_writer.parquet(os.path.join(self.path, rel_cdc))
+            cdc_entries = self._footer_entries(rel_cdc, cdc_schema, part_cols or [])
         files = carried + new_entries
         entry = {
             "version": version,
@@ -1842,6 +2126,8 @@ class VersionedTable:
             "num_rows": sum(f["num_rows"] - _dv_count(f) for f in files),
             "schema": json.loads(schema.json()),
         }
+        if cdc_entries:
+            entry["cdcFiles"] = cdc_entries
         os.makedirs(self._log_dir, exist_ok=True)
         if len(files) > self.manifest_inline_max:
             entry["filesManifest"] = self._write_manifest(version, files)
