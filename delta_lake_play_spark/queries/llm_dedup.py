@@ -406,3 +406,105 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# --- llm_substring_dedup ---------------------------------------------------
+# Corpus-level duplicated-PASSAGE detection (the ExactSubstr shape of
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better"): a k-token window that occurs more than once ANYWHERE in
+# the corpus marks every position it covers as duplicated text. The
+# suffix-array formulation is inherently single-machine; the
+# distributed re-expression is shingle-anchored:
+#
+#   1. every doc emits its k-token shingles at every position (one
+#      narrow explode — corpus-linear, no driver state);
+#   2. one map-side-combined groupBy counts global occurrences; a
+#      shingle with count >= 2 is a duplicated anchor (within-doc
+#      repeats count, exactly like a suffix array's self-matches);
+#   3. join the counts back (keyed by the same shingle) and aggregate
+#      per doc: duplicated-anchor fraction >= threshold flags the doc
+#      for removal / span-trimming downstream.
+#
+# Two keyed shuffles total, both on the shingle; nothing is ever
+# all-pairs and the driver never sees row data. At 100 TB the shuffle
+# key should be a 128-bit shingle hash (8-byte keys vs ~50-byte
+# strings); the string key here keeps the DuckDB oracle exact.
+
+_SUBSTR_K = 8
+
+
+def _substring_oracle() -> str:
+    k = _SUBSTR_K
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(tk[i:i+{k - 1}], ' ') AS shingle
+  FROM t, UNNEST(range(1, len(tk) - {k} + 2)) AS u(i)
+),
+counts AS (
+  SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle
+),
+per AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_anchors
+  FROM sh s JOIN counts c USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(per.n_shingles, 0) AS n_shingles,
+       COALESCE(per.dup_anchors, 0) AS dup_anchors,
+       per.dup_anchors / NULLIF(per.n_shingles, 0) AS dup_frac
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("llm_substring_dedup", oracle=_substring_oracle())
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-substring fraction over the WHOLE corpus:
+    the fraction of k-token windows that occur >= 2 times anywhere
+    (see module comment — the distributed ExactSubstr re-expression).
+    Docs too short for one window (and NULL docs) report 0 shingles
+    and a NULL fraction."""
+    k = _SUBSTR_K
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tk"),
+    )
+    tk = F.col("tk")
+    # size(NULL array) = -1, so NULL-text docs fall to the empty
+    # branch and explode() drops them — same as the oracle's
+    # UNNEST(range(NULL)) producing no rows.
+    shingles = F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = tok.select("doc_id", F.explode(shingles).alias("shingle"))
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("dup_anchors"),
+        )
+    )
+    return (
+        tok.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("dup_anchors", F.lit(0)).alias("dup_anchors"),
+            F.try_divide(
+                F.col("dup_anchors"), F.col("n_shingles")
+            ).alias("dup_frac"),
+        )
+    )
