@@ -426,3 +426,67 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- stream_exactly_once: idempotent sink via SetTransaction ---------------
+# Delta's `txn` action (SetTransaction) is what makes foreachBatch
+# sinks exactly-once: the sink tags each append with (appId,
+# batch_id) and the table refuses re-application of any batch it has
+# already recorded — so Structured Streaming's at-least-once batch
+# replay (crash between sink write and checkpoint commit) cannot
+# duplicate rows. The key replays EVERY batch inside the sink itself
+# and the oracle proves single application.
+
+_EXACTLY_ONCE_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE user_id % 4 = 1
+GROUP BY event_type
+"""
+
+
+@register("stream_exactly_once", oracle=_EXACTLY_ONCE_ORACLE)
+def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow drain of a bronze table into a gold aggregate
+    through an idempotent foreachBatch sink: every micro-batch is
+    applied TWICE with the same (txn_app_id, batch_id) — the second
+    application is the simulated at-least-once replay and lands as a
+    SetTransaction no-op. The oracle's exact per-type counts only
+    hash-match if each batch contributed exactly once."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import stream_table_jvm
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 4 == 1)
+    bronze = VersionedTable.create(
+        spark, temp_table_path("eo-bronze"), ev.coalesce(2)
+    )
+    gold = VersionedTable.create(
+        spark,
+        temp_table_path("eo-gold"),
+        spark.createDataFrame([], "event_type string, n bigint"),
+    )
+    app_id = "gold-sink-" + _uuid.uuid4().hex[:8]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        gold.append(partial, txn_app_id=app_id, txn_version=batch_id)
+        # simulated replay of the same micro-batch: must be a no-op
+        gold.append(partial, txn_app_id=app_id, txn_version=batch_id)
+
+    q = (
+        stream_table_jvm(spark, bronze.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix="eo_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return gold.to_df().groupBy("event_type").agg(
+        F.sum("n").alias("n_events")
+    )

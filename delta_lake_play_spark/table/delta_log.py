@@ -476,6 +476,21 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
         _protocol_action(table),
         _meta_action(table, entry),
     ]
+    # carry forward the latest SetTransaction per appId from the
+    # private log — idempotent writers must survive a re-base
+    latest_txn: dict[str, dict] = {}
+    for v in sorted(table._versions()):
+        if v > entry["version"]:
+            continue
+        txn = table._read_log_raw(v).get("txn")
+        if txn:
+            latest_txn[txn["appId"]] = {
+                "appId": txn["appId"],
+                "version": int(txn["version"]),
+                "lastUpdated": ts,
+            }
+    for t in latest_txn.values():
+        actions.append({"txn": t})
     for f in entry["files"]:
         actions.extend(_unit_adds(table, f, part_cols, ts, True))
     return actions
@@ -511,6 +526,16 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         actions.extend(_unit_adds(table, cur_units[key], part_cols, ts, data_change))
     for f in entry.get("cdcFiles", []):
         actions.append(_cdc_action(table.path, f, part_cols))
+    if entry.get("txn"):
+        actions.append(
+            {
+                "txn": {
+                    "appId": entry["txn"]["appId"],
+                    "version": int(entry["txn"]["version"]),
+                    "lastUpdated": ts,
+                }
+            }
+        )
     return actions
 
 
@@ -646,9 +671,28 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
     meta.setdefault("name", None)
     meta.setdefault("description", None)
     rows: list[dict] = [
-        {"protocol": dict(_PROTOCOL)},
+        _protocol_action(table),
         {"metaData": meta},
     ]
+    # SetTransaction reconciliation: the checkpoint must carry the
+    # LATEST txn version per appId so idempotent writers can resume
+    # after the JSON prefix is cleaned up (PROTOCOL.md checkpoint
+    # contents).
+    latest_txn: dict[str, dict] = {}
+    for fn in sorted(os.listdir(ddir)):
+        if not fn.endswith(".json") or fn.startswith(("_", ".")):
+            continue
+        if int(fn.split(".")[0]) > version:
+            continue
+        with open(os.path.join(ddir, fn)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "txn" in action:
+                    latest_txn[action["txn"]["appId"]] = action["txn"]
+    for t in latest_txn.values():
+        rows.append({"txn": t})
     live_paths: set[str] = set()
     for f in entry["files"]:
         for action in _unit_adds(table, f, part_cols, ts, False):

@@ -433,13 +433,34 @@ class VersionedTable:
 
     # ----------------------------------------------------------------- DML
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """INSERT-append (Delta DML surface, ``README.md:11``): writes
         ONLY the new rows; every existing file is carried by
-        reference — O(new data), not O(table)."""
+        reference — O(new data), not O(table).
+
+        ``txn_app_id`` + ``txn_version`` make the append IDEMPOTENT
+        (Delta's SetTransaction / ``txn`` action — the exactly-once
+        primitive streaming sinks rely on): if the table has already
+        recorded a version >= ``txn_version`` for this app id, the
+        append is a no-op returning the current table version. The
+        check runs INSIDE the optimistic-commit attempt, so a retry
+        after a version conflict re-validates against whatever the
+        concurrent writer landed — a replayed micro-batch can never
+        double-append even under writer races."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("pass both txn_app_id and txn_version, or neither")
 
         def attempt() -> int:
             base = self.latest_version()
+            if txn_app_id is not None:
+                last = self.last_txn_version(txn_app_id)
+                if last is not None and txn_version <= last:
+                    return base  # already applied: idempotent no-op
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
             gen = set(self.generated_columns())
@@ -471,9 +492,24 @@ class VersionedTable:
             return self._commit_files(
                 aligned, list(entry["files"]), "APPEND", {}, schema,
                 base_version=base,
+                txn=(
+                    {"appId": txn_app_id, "version": int(txn_version)}
+                    if txn_app_id is not None
+                    else None
+                ),
             )
 
         return self._retrying(attempt)
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Latest SetTransaction version recorded for ``app_id``
+        (Delta ``txn`` action), or None. Metadata-only: scans log
+        entries newest-first and stops at the first hit."""
+        for v in sorted(self._versions(), reverse=True):
+            txn = self._read_log_raw(v).get("txn")
+            if txn and txn.get("appId") == app_id:
+                return int(txn["version"])
+        return None
 
     def merge(
         self,
@@ -2025,6 +2061,7 @@ class VersionedTable:
         schema: T.StructType,
         base_version: int | None = None,
         cdc_df: DataFrame | None = None,
+        txn: dict | None = None,
     ) -> int:
         """Write ``new_df`` (if any) as fresh data files, then commit
         a log entry whose file list is ``carried`` + the new files.
@@ -2128,6 +2165,8 @@ class VersionedTable:
         }
         if cdc_entries:
             entry["cdcFiles"] = cdc_entries
+        if txn is not None:
+            entry["txn"] = txn
         os.makedirs(self._log_dir, exist_ok=True)
         if len(files) > self.manifest_inline_max:
             entry["filesManifest"] = self._write_manifest(version, files)
