@@ -418,16 +418,21 @@ def llm_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 #   1. every doc emits its k-token shingles at every position (one
 #      narrow explode — corpus-linear, no driver state);
-#   2. one map-side-combined groupBy counts global occurrences; a
-#      shingle with count >= 2 is a duplicated anchor (within-doc
-#      repeats count, exactly like a suffix array's self-matches);
-#   3. join the counts back (keyed by the same shingle) and aggregate
-#      per doc: duplicated-anchor fraction >= threshold flags the doc
-#      for removal / span-trimming downstream.
+#   2. one map-side-combined groupBy reduces positions to DISTINCT
+#      (doc, shingle) pairs with their in-doc occurrence count k —
+#      within-doc repeats collapse before anything shuffles;
+#   3. a window SUM(k) OVER (PARTITION BY shingle) over that reduced
+#      set gives each pair its global occurrence count (>= 2 =
+#      duplicated anchor, within-doc repeats counting exactly like a
+#      suffix array's self-matches) without a second corpus scan or
+#      a join-back at full position volume;
+#   4. aggregate per doc: duplicated-anchor fraction >= threshold
+#      flags the doc for removal / span-trimming downstream.
 #
-# Two keyed shuffles total, both on the shingle; nothing is ever
-# all-pairs and the driver never sees row data. At 100 TB the shuffle
-# key should be a 128-bit shingle hash (8-byte keys vs ~50-byte
+# One corpus explode, then three keyed shuffles whose volume is the
+# distinct-pair set, not the position set; nothing is ever all-pairs
+# and the driver never sees row data. At 100 TB the shuffle key
+# should be a 128-bit shingle hash (8-byte keys vs ~50-byte
 # strings); the string key here keeps the DuckDB oracle exact.
 
 _SUBSTR_K = 8
@@ -486,14 +491,20 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window
+
     sh = tok.select("doc_id", F.explode(shingles).alias("shingle"))
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = sh.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    cnt = F.sum("k").over(Window.partitionBy("shingle"))
     per = (
-        sh.join(counts, "shingle")
+        pairs.withColumn("cnt", cnt)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("cnt") >= 2).cast("long")).alias("dup_anchors"),
+            F.sum("k").alias("n_shingles"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("k")).otherwise(F.lit(0)))
+            .alias("dup_anchors"),
         )
     )
     return (

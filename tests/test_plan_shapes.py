@@ -506,3 +506,13 @@ def test_url_dedup_is_single_aggregation(spark, sf_dir):
 def test_recursive_cte_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_recursive_cte")
     assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_single_corpus_explode(spark, sf_dir):
+    # ExactSubstr shape: the corpus must be shingled ONCE — the
+    # global occurrence count comes from a window over the reduced
+    # (doc, shingle) pair set, never a second scan+explode+join-back.
+    plan = _plan(spark, sf_dir, "llm_substring_dedup")
+    assert plan.count(") Generate") == 1, plan  # one detail header = one explode
+    s = summarize(QUERIES["llm_substring_dedup"](spark, sf_dir))
+    assert s.n_exchanges <= 3, s.n_exchanges
