@@ -875,3 +875,29 @@ def dml_cdf_mirror_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _cdf_script(spark, sf_dir, delta_mirror=True)
     return read_delta_changes(spark, t.path, 1, 3).drop("_commit_timestamp")
+
+
+# --- dml_rename_drop_column (column mapping: metadata-only ALTER) ----------
+
+_RENAME_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN COALESCE(c_nationkey < 5, FALSE)
+            THEN c_acctbal + 10 ELSE c_acctbal END AS balance
+FROM customer
+"""
+
+
+@register("dml_rename_drop_column", oracle=_RENAME_ORACLE)
+def dml_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME/DROP COLUMN as metadata-only commits (Delta
+    column-mapping semantics, table/versioned.py): physical parquet
+    names are stable, the logical schema moves, zero data bytes
+    rewritten at any table size — then an UPDATE runs against the NEW
+    name to prove DML reads through the map. The oracle recomputes
+    the surviving columns under their final names."""
+    t = _fresh_from_customer(spark, sf_dir)
+    t.rename_column("c_acctbal", "balance")                      # v1 meta-only
+    t.update({"balance": F.col("balance") + 10},
+             F.col("c_nationkey") < 5)                           # v2 via map
+    t.drop_column("c_mktsegment")                                # v3 meta-only
+    return t.to_df()

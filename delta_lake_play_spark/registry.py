@@ -59,7 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     # after this round's executor-side probe rewrite, ask #2), the
     # never-checked join/window/stream batteries, and history_scan —
     # newly oracle-paired this round (ask #7) so its first hash row
-    # lands here. The 16 deferred never-checked keys are all trivial
+    # lands here. The 18 deferred never-checked keys are all trivial
     # single-construct scalar/agg/window demos (fn_bitwise,
     # fn_greatest_least, agg_mode, win_first_last_nth, ...) — lowest
     # divergence risk, locally five-fixture green — and head tier 2
@@ -118,19 +118,26 @@ _PRIORITY: tuple[str, ...] = (
     # ones; trivial built-in demos deferred to tier 2)
     "fn_variant_json",
     "fn_url_parse",
-    "fn_struct_ops",
     "fn_stack_unpivot",
-    "fn_interval_arith",
     "fn_date_spine_fill",
     # misc — never checked
     "udtf_python_offsets",
     "set_multiset_ops",
+    # brand-new this round — first driver row for each: column-mapping
+    # ALTER (metadata-only rename/drop) and SetTransaction-backed
+    # exactly-once streaming sink. Two single-construct scalar demos
+    # (fn_struct_ops, fn_interval_arith) moved down to tier 2 to make
+    # room — lowest divergence risk of the never-checked set.
+    "dml_rename_drop_column",
+    "stream_exactly_once",
     # newly oracle-paired this round (was rows-only r1-r4): first
     # hash-checked driver row (VERDICT ask #7)
     "history_scan",
     # --- TIER 2 (51+): the 16 remaining never-checked keys (all
     # trivial single-construct demos, five-fixture green locally) —
     # they retire the debt in the r6 window.
+    "fn_struct_ops",
+    "fn_interval_arith",
     "fn_string_pad_translate",
     "fn_bitwise",
     "fn_greatest_least",

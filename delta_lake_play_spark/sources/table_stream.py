@@ -97,6 +97,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             )
         latest = _read_entry(self.path, max(_log_entries(self.path)))
         self._schema = T.StructType.fromJson(latest["schema"])
+        # column mapping: files carry PHYSICAL names; resolve logical
+        # fields through the latest entry's map (stable physicals make
+        # this correct for every file generation)
+        self._cmap = {
+            k: v
+            for k, v in (latest.get("columnMap") or {}).items()
+            if k != v
+        }
 
     # ---- offsets: commit versions ------------------------------------
 
@@ -220,8 +228,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             names = [f.name for f in self._schema.fields]
             cols = []
             for f in self._schema.fields:
-                if f.name in tbl.column_names:
-                    cols.append(tbl.column(f.name))
+                physical = self._cmap.get(f.name, f.name)
+                if physical in tbl.column_names:
+                    cols.append(tbl.column(physical))
                 else:
                     cols.append(
                         pa.nulls(len(tbl), type=to_arrow_type(f.dataType))
@@ -291,8 +300,14 @@ def stream_table_jvm(spark, table_path: str):
     — fast append tailing, full-fidelity source when DML fidelity is
     needed — is the same split Delta users make between the file
     stream source and ``format('delta')``."""
-    latest = max(_log_entries(table_path))
-    schema = T.StructType.fromJson(_read_entry(table_path, latest)["schema"])
+    latest = _read_entry(table_path, max(_log_entries(table_path)))
+    if any(k != v for k, v in (latest.get("columnMap") or {}).items()):
+        raise NotImplementedError(
+            "JVM fast-path streaming over a column-mapped table: the "
+            "glob scan reads logical names against physical files; use "
+            "the versioned_table Python source, which resolves the map"
+        )
+    schema = T.StructType.fromJson(latest["schema"])
     return spark.readStream.schema(schema).parquet(
         os.path.join(table_path, "c-*")
     )

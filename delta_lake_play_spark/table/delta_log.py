@@ -118,14 +118,20 @@ def _partition_values_raw(rel_path: str, part_cols: list[str]) -> dict:
     return {c: out.get(c) for c in part_cols}
 
 
-def _stats_string(entry: dict) -> str:
+def _stats_string(entry: dict, cmap: dict | None = None) -> str:
+    # Under column mapping, add-action stats are keyed by PHYSICAL
+    # column names (the names inside the parquet files), per the spec.
+    m = {k: v for k, v in (cmap or {}).items() if k != v}
     stats = entry.get("stats", {})
     return json.dumps(
         {
             "numRecords": entry["num_rows"],
-            "minValues": {c: v[0] for c, v in stats.items()},
-            "maxValues": {c: v[1] for c, v in stats.items()},
-            "nullCount": entry.get("nullCounts", {}),
+            "minValues": {m.get(c, c): v[0] for c, v in stats.items()},
+            "maxValues": {m.get(c, c): v[1] for c, v in stats.items()},
+            "nullCount": {
+                m.get(c, c): v
+                for c, v in entry.get("nullCounts", {}).items()
+            },
         }
     )
 
@@ -136,6 +142,7 @@ def _add_action(
     part_cols: list[str],
     ts: int,
     data_change: bool = True,
+    cmap: dict | None = None,
 ) -> dict:
     rel = f["path"].replace(os.sep, "/")
     abs_path = rel if rel.startswith("/") else os.path.join(table_path, rel)
@@ -146,20 +153,68 @@ def _add_action(
             "size": os.path.getsize(abs_path),
             "modificationTime": ts,
             "dataChange": data_change,
-            "stats": _stats_string(f),
+            "stats": _stats_string(f, cmap),
         }
     }
+
+
+def _is_mapped(entry: dict) -> bool:
+    """True once the table has ever renamed/dropped a column — the
+    mirror then declares column mapping mode ``name``."""
+    return bool(entry.get("columnMap") or entry.get("retiredPhysical"))
+
+
+def _column_ids(table, entry: dict) -> dict[str, int]:
+    """Stable Delta column ids, keyed by PHYSICAL name: first
+    appearance order across the private log up to this version.
+    Deterministic re-derivation — no extra state to thread through
+    the commit path."""
+    ids: dict[str, int] = {}
+    for v in sorted(table._versions()):
+        if v > entry["version"]:
+            break
+        raw = table._read_log_raw(v)
+        cmap = raw.get("columnMap") or {}
+        for f in raw["schema"]["fields"]:
+            phys = cmap.get(f["name"], f["name"])
+            if phys not in ids:
+                ids[phys] = len(ids) + 1
+    return ids
 
 
 def _meta_action(table, entry: dict) -> dict:
     config = {}
     if table.cdf_enabled():
         config["delta.enableChangeDataFeed"] = "true"
+    schema_dict = entry["schema"]
+    if _is_mapped(entry):
+        # Column mapping mode "name": every field advertises its
+        # stable physical parquet column name + id (PROTOCOL.md).
+        ids = _column_ids(table, entry)
+        cmap = entry.get("columnMap") or {}
+        fields = []
+        for f in schema_dict["fields"]:
+            phys = cmap.get(f["name"], f["name"])
+            fields.append(
+                {
+                    **f,
+                    "metadata": {
+                        **f.get("metadata", {}),
+                        "delta.columnMapping.id": ids[phys],
+                        "delta.columnMapping.physicalName": phys,
+                    },
+                }
+            )
+        schema_dict = {**schema_dict, "fields": fields}
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(
+            max(ids.values(), default=0)
+        )
     return {
         "metaData": {
             "id": _table_id(table.path),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(entry["schema"]),
+            "schemaString": json.dumps(schema_dict),
             "partitionColumns": table.partition_columns(),
             "configuration": config,
             "createdTime": _ts_ms(table._read_log_raw(0)["timestamp"]),
@@ -167,11 +222,12 @@ def _meta_action(table, entry: dict) -> dict:
     }
 
 
-def _protocol_action(table) -> dict:
-    """Protocol (1, 2) normally; CDF tables require writer version 4
-    (the protocol gates ``delta.enableChangeDataFeed`` + ``cdc``
-    actions behind it). Reader version stays 1 — snapshot readers
-    ignore cdc actions entirely."""
+def _protocol_action(table, entry: dict) -> dict:
+    """Protocol (1, 2) normally; CDF needs writer 4; column mapping
+    needs reader 2 / writer 5 (versions are cumulative, so (2, 5)
+    also covers CDF)."""
+    if _is_mapped(entry):
+        return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
     if table.cdf_enabled():
         return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
     return {"protocol": dict(_PROTOCOL)}
@@ -271,8 +327,14 @@ def _ensure_materialized(table, entry: dict) -> None:
     schema = table._entry_schema(entry)
     part_cols = table.partition_columns()
     files = list(pending.values())
+    cmap = {
+        k: v
+        for k, v in (entry.get("columnMap") or {}).items()
+        if k != v
+    }
     src = table._read_paths(
-        [table._abs(f["path"]) for f in files], schema, with_meta=True
+        [table._abs(f["path"]) for f in files], schema, with_meta=True,
+        column_map=cmap,
     )
     dv_df = table._dv_df(files)
     kept = src.join(dv_df, ["__path", "__row_idx"], "left_anti")
@@ -285,6 +347,18 @@ def _ensure_materialized(table, entry: dict) -> None:
         .drop("__path", "__row_idx", *part_cols)
         .repartition("__fp")
     )
+    if cmap:
+        # materialized artifacts carry PHYSICAL names like every
+        # other data file (the fingerprint dir is shared across
+        # versions whose logical names may differ)
+        kept = kept.select(
+            *[
+                F.col(f.name).alias(cmap.get(f.name, f.name))
+                for f in schema.fields
+                if f.name not in part_cols
+            ],
+            "__fp",
+        )
     base = os.path.join(table.path, _MATERIALIZED_DIR)
     os.makedirs(base, exist_ok=True)
     tmp = os.path.join(base, f".tmp-{uuid.uuid4().hex}")
@@ -311,14 +385,19 @@ def _ensure_materialized(table, entry: dict) -> None:
 
 
 def _unit_adds(
-    table, f: dict, part_cols: list[str], ts: int, data_change: bool
+    table,
+    f: dict,
+    part_cols: list[str],
+    ts: int,
+    data_change: bool,
+    cmap: dict | None = None,
 ) -> list[dict]:
     """The add action(s) mirroring one private file entry: the file
     itself, or its materialized survivors (with the SOURCE file's
     partition values — materialized artifacts live outside the hive
     layout)."""
     if not _has_dv(f):
-        return [_add_action(table.path, f, part_cols, ts, data_change)]
+        return [_add_action(table.path, f, part_cols, ts, data_change, cmap)]
     import pyarrow.parquet as pq
 
     pvals = _partition_values_raw(f["path"].replace(os.sep, "/"), part_cols)
@@ -473,7 +552,7 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
     part_cols = table.partition_columns()
     actions = [
         _commit_info(entry, ts),
-        _protocol_action(table),
+        _protocol_action(table, entry),
         _meta_action(table, entry),
     ]
     # carry forward the latest SetTransaction per appId from the
@@ -492,7 +571,9 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
     for t in latest_txn.values():
         actions.append({"txn": t})
     for f in entry["files"]:
-        actions.extend(_unit_adds(table, f, part_cols, ts, True))
+        actions.extend(
+            _unit_adds(table, f, part_cols, ts, True, entry.get("columnMap"))
+        )
     return actions
 
 
@@ -502,12 +583,18 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
     data_change = entry.get("operation") not in _DATA_NEUTRAL_OPS
     actions: list[dict] = [_commit_info(entry, ts)]
     if version == 0:
-        actions.append(_protocol_action(table))
+        actions.append(_protocol_action(table, entry))
         actions.append(_meta_action(table, entry))
         prev_units: dict[str, dict] = {}
     else:
         assert prev is not None
-        if entry["schema"] != prev["schema"]:
+        if _is_mapped(entry) and not _is_mapped(prev):
+            # column mapping first enabled here: upgrade the protocol
+            # in the same commit (legal mid-log per the spec)
+            actions.append(_protocol_action(table, entry))
+        if entry["schema"] != prev["schema"] or entry.get(
+            "columnMap"
+        ) != prev.get("columnMap"):
             actions.append(_meta_action(table, entry))
         prev_units = {_unit_key(f): f for f in prev["files"]}
     cur_units = {_unit_key(f): f for f in entry["files"]}
@@ -522,8 +609,11 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
                     }
                 }
             )
+    cmap = entry.get("columnMap")
     for key in sorted(cur_units.keys() - prev_units.keys()):
-        actions.extend(_unit_adds(table, cur_units[key], part_cols, ts, data_change))
+        actions.extend(
+            _unit_adds(table, cur_units[key], part_cols, ts, data_change, cmap)
+        )
     for f in entry.get("cdcFiles", []):
         actions.append(_cdc_action(table.path, f, part_cols))
     if entry.get("txn"):
@@ -671,7 +761,7 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
     meta.setdefault("name", None)
     meta.setdefault("description", None)
     rows: list[dict] = [
-        _protocol_action(table),
+        _protocol_action(table, entry),
         {"metaData": meta},
     ]
     # SetTransaction reconciliation: the checkpoint must carry the
@@ -695,7 +785,9 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
         rows.append({"txn": t})
     live_paths: set[str] = set()
     for f in entry["files"]:
-        for action in _unit_adds(table, f, part_cols, ts, False):
+        for action in _unit_adds(
+            table, f, part_cols, ts, False, entry.get("columnMap")
+        ):
             rows.append(action)
             live_paths.add(action["add"]["path"])
     for rm in _recent_tombstones(ddir, version, ts):
@@ -830,15 +922,34 @@ def read_delta_snapshot(
     if schema_string is None:
         raise ValueError("no metaData action found — not a valid delta log")
     schema = T.StructType.fromJson(json.loads(schema_string))
+    # Column mapping mode "name": fields advertise the PHYSICAL
+    # parquet column name in their metadata — read physical, alias
+    # back to the logical field name.
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [T.StructField(phys[f.name], f.dataType, True) for f in data_fields]
     )
 
+    def _logical(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        )
+
+    # strip mapping metadata from the returned schema
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
     if not adds:
         return spark.createDataFrame([], schema)
     if not part_cols:
         paths = [_decode_path(table_path, p) for p in adds]
-        return spark.read.schema(data_schema).parquet(*paths)
+        return _logical(spark.read.schema(data_schema).parquet(*paths))
 
     by_part: dict[tuple, list[str]] = {}
     for p, a in adds.items():
@@ -847,7 +958,7 @@ def read_delta_snapshot(
     types = {f.name: f.dataType for f in schema.fields}
     out: DataFrame | None = None
     for key, paths in sorted(by_part.items(), key=lambda kv: repr(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = _logical(spark.read.schema(data_schema).parquet(*paths))
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, F.lit(raw).cast(types[c]))
         df = df.select(*[f.name for f in schema.fields])
@@ -949,6 +1060,12 @@ def read_delta_changes(
         if schema_string is None:
             raise ValueError("no metaData action found — not a valid delta log")
         schema = T.StructType.fromJson(json.loads(schema_string))
+        phys = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in schema.fields
+        }
         types = {f.name: f.dataType for f in schema.fields}
         if cdc_files:
             files, extra = cdc_files, []
@@ -964,7 +1081,10 @@ def read_delta_changes(
             continue
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         data_schema = T.StructType(
-            data_fields
+            [
+                T.StructField(phys[f.name], f.dataType, True)
+                for f in data_fields
+            ]
             + (
                 [T.StructField("_change_type", T.StringType(), True)]
                 if not extra
@@ -978,6 +1098,13 @@ def read_delta_changes(
         batch: DataFrame | None = None
         for key, paths in sorted(by_part.items(), key=lambda kv: repr(kv[0])):
             df = spark.read.schema(data_schema).parquet(*paths)
+            df = df.select(
+                *[
+                    F.col(phys[f.name]).alias(f.name)
+                    for f in data_fields
+                ],
+                *([] if extra else [F.col("_change_type")]),
+            )
             for c, raw in zip(part_cols, key):
                 df = df.withColumn(c, F.lit(raw).cast(types[c]))
             change_col = extra if extra else [F.col("_change_type")]

@@ -126,6 +126,24 @@ _STAT_TYPES = (
 )
 
 
+def _rekey_file(
+    f: dict, rename: dict | None = None, drop: set | None = None
+) -> dict:
+    """Copy of a log file entry with per-column metadata keys
+    (stats / null counts / bloom bitmaps) renamed or dropped —
+    RENAME/DROP COLUMN are metadata-only, so the data-skipping
+    metadata follows the logical name."""
+    out = dict(f)
+    for key in ("stats", "nullCounts", "bloom", "bloomTypes"):
+        if key in out:
+            out[key] = {
+                (rename or {}).get(c, c): v
+                for c, v in out[key].items()
+                if not (drop and c in drop)
+            }
+    return out
+
+
 def _stat_json(v):
     """JSON-serializable form of a per-file min/max stat, chosen so
     that serialized order matches value order (ISO strings for
@@ -497,6 +515,8 @@ class VersionedTable:
                     if txn_app_id is not None
                     else None
                 ),
+                column_map=entry.get("columnMap"),
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
@@ -595,8 +615,25 @@ class VersionedTable:
                 if f.name not in src.columns:
                     src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
             src = src.select(*[f.name for f in new_schema.fields])
+            # Column mapping: evolution may re-add a name whose
+            # PHYSICAL column still exists in old files (dropped
+            # earlier) — give it a fresh physical name so stale bytes
+            # can never resurface (Delta's never-reuse-physical rule).
+            merge_map = dict(entry.get("columnMap") or {})
+            retired = set(entry.get("retiredPhysical") or [])
+            old_names = {f.name for f in schema.fields}
+            for f in new_schema.fields:
+                if (
+                    f.name not in old_names
+                    and f.name not in merge_map
+                    and f.name in retired
+                ):
+                    merge_map[f.name] = f"{f.name}-{uuid.uuid4().hex[:8]}"
 
-            target = self._read_files(entry["files"], schema, keep_path="__file")
+            cmap = entry.get("columnMap")
+            target = self._read_files(
+                entry["files"], schema, keep_path="__file", column_map=cmap
+            )
             touched = self._distinct_files(
                 target.join(src_keys.select(key), key, "left_semi")
             )
@@ -625,7 +662,7 @@ class VersionedTable:
                             "bloomTypes", {}
                         ):
                             del fe["bloom"][c]
-            touched_df = self._read_files(hit_files, schema)
+            touched_df = self._read_files(hit_files, schema, column_map=cmap)
             for f in new_schema.fields:
                 if f.name not in touched_df.columns:
                     touched_df = touched_df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -681,7 +718,8 @@ class VersionedTable:
                 cdc = pre.unionByName(post).unionByName(ins)
             return self._commit_files(
                 new_rows, carried, "MERGE", params, new_schema,
-                base_version=base, cdc_df=cdc,
+                base_version=base, cdc_df=cdc, column_map=merge_map,
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         try:
@@ -702,7 +740,10 @@ class VersionedTable:
             base = self.latest_version()
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
-            cur = self._read_files(entry["files"], schema, keep_path="__file")
+            cmap = entry.get("columnMap")
+            cur = self._read_files(
+                entry["files"], schema, keep_path="__file", column_map=cmap
+            )
             touched = self._distinct_files(cur.filter(hit))
             hit_files = [
                 f for f in entry["files"] if self._abs(f["path"]) in touched
@@ -714,19 +755,21 @@ class VersionedTable:
             if not touched:
                 return self._commit_files(
                     None, carried, "DELETE", params, schema,
-                    base_version=base,
+                    base_version=base, column_map=cmap,
+                    retired_physical=entry.get("retiredPhysical"),
                 )
-            kept = self._read_files(hit_files, schema).filter(~hit)
+            kept = self._read_files(hit_files, schema, column_map=cmap).filter(~hit)
             cdc = None
             if self.cdf_enabled():
                 cdc = (
-                    self._read_files(hit_files, schema)
+                    self._read_files(hit_files, schema, column_map=cmap)
                     .filter(hit)
                     .withColumn("_change_type", F.lit("delete"))
                 )
             return self._commit_files(
                 kept, carried, "DELETE", params, schema, base_version=base,
-                cdc_df=cdc,
+                cdc_df=cdc, column_map=cmap,
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
@@ -742,7 +785,10 @@ class VersionedTable:
             base = self.latest_version()
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
-            cur = self._read_files(entry["files"], schema, keep_path="__file")
+            cmap = entry.get("columnMap")
+            cur = self._read_files(
+                entry["files"], schema, keep_path="__file", column_map=cmap
+            )
             touched = self._distinct_files(cur.filter(hit))
             hit_files = [
                 f for f in entry["files"] if self._abs(f["path"]) in touched
@@ -754,9 +800,10 @@ class VersionedTable:
             if not touched:
                 return self._commit_files(
                     None, carried, "UPDATE", params, schema,
-                    base_version=base,
+                    base_version=base, column_map=cmap,
+                    retired_physical=entry.get("retiredPhysical"),
                 )
-            updated = self._read_files(hit_files, schema)
+            updated = self._read_files(hit_files, schema, column_map=cmap)
             for name, value in set_cols.items():
                 updated = updated.withColumn(
                     name, F.when(hit, value).otherwise(F.col(name))
@@ -767,7 +814,9 @@ class VersionedTable:
                 # unconditionally — filtering `updated` on the
                 # predicate again would mis-evaluate it over the new
                 # values when SET touches a predicate column.
-                pre_rows = self._read_files(hit_files, schema).filter(hit)
+                pre_rows = self._read_files(
+                    hit_files, schema, column_map=cmap
+                ).filter(hit)
                 post = pre_rows
                 for name, value in set_cols.items():
                     post = post.withColumn(name, value)
@@ -778,7 +827,8 @@ class VersionedTable:
                 )
             return self._commit_files(
                 updated, carried, "UPDATE", params, schema, base_version=base,
-                cdc_df=cdc,
+                cdc_df=cdc, column_map=cmap,
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
@@ -810,8 +860,10 @@ class VersionedTable:
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
             files = entry["files"]
+            cmap = entry.get("columnMap")
             cur = self._read_paths(
-                [self._abs(f["path"]) for f in files], schema, with_meta=True
+                [self._abs(f["path"]) for f in files], schema, with_meta=True,
+                column_map=cmap,
             )
             matched = cur.filter(hit).select("__path", "__row_idx")
             # Already-masked rows match again on re-delete; exclude them
@@ -851,7 +903,8 @@ class VersionedTable:
                 _rmtree(sidecar_dir)
                 return self._commit_files(
                     None, list(files), "DELETE_MOR", params, schema,
-                    base_version=base,
+                    base_version=base, column_map=cmap,
+                    retired_physical=entry.get("retiredPhysical"),
                 )
             out = []
             for f in files:
@@ -881,7 +934,8 @@ class VersionedTable:
                 )
             return self._commit_files(
                 None, out, "DELETE_MOR", params, schema, base_version=base,
-                cdc_df=cdc,
+                cdc_df=cdc, column_map=cmap,
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
@@ -911,7 +965,10 @@ class VersionedTable:
             base = self.latest_version()
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
-            cur = self._read_files(entry["files"], schema, keep_path="__file")
+            cmap = entry.get("columnMap")
+            cur = self._read_files(
+                entry["files"], schema, keep_path="__file", column_map=cmap
+            )
             touched = self._distinct_files(cur.filter(hit))
             hit_files = [
                 f for f in entry["files"] if self._abs(f["path"]) in touched
@@ -937,7 +994,9 @@ class VersionedTable:
                 ],
             )
             if touched:
-                kept = self._read_files(hit_files, schema).filter(~hit)
+                kept = self._read_files(
+                    hit_files, schema, column_map=cmap
+                ).filter(~hit)
                 aligned = kept.unionByName(aligned)
             cdc = None
             if self.cdf_enabled():
@@ -946,7 +1005,7 @@ class VersionedTable:
                 # the guarded main write runs first and aborts the
                 # commit before any change file exists).
                 cdc = (
-                    self._read_files(hit_files, schema)
+                    self._read_files(hit_files, schema, column_map=cmap)
                     .filter(hit)
                     .withColumn("_change_type", F.lit("delete"))
                     .unionByName(
@@ -960,7 +1019,8 @@ class VersionedTable:
                 )
             return self._commit_files(
                 aligned, carried, "REPLACE_WHERE", params, schema,
-                base_version=base, cdc_df=cdc,
+                base_version=base, cdc_df=cdc, column_map=cmap,
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         try:
@@ -1004,9 +1064,121 @@ class VersionedTable:
                 self._entry_schema(entry),
                 base_version=base,
                 cdc_df=cdc,
+                column_map=entry.get("columnMap"),
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only (Delta column
+        mapping): the PHYSICAL parquet column name is stable since
+        creation, so a rename touches zero data bytes at any table
+        size. The commit rewrites the logical schema, records
+        logical→physical in the entry's ``columnMap``, and re-keys
+        carried files' stats/bloom metadata so skipping keeps working
+        under the new name. Partition, generated, constraint- and
+        bloom-indexed columns are structural and refuse to rename
+        (same restriction class as Delta's)."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            entry = self._read_log(base)
+            schema = self._entry_schema(entry)
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no such column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            self._guard_structural(old, "rename")
+            cmap = dict(entry.get("columnMap") or {})
+            physical = cmap.pop(old, old)
+            if physical != new:
+                cmap[new] = physical
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        new if f.name == old else f.name, f.dataType, True
+                    )
+                    for f in schema.fields
+                ]
+            )
+            files = [_rekey_file(f, rename={old: new}) for f in entry["files"]]
+            return self._commit_files(
+                None,
+                files,
+                "RENAME_COLUMN",
+                {"oldName": old, "newName": new},
+                new_schema,
+                base_version=base,
+                column_map=cmap,
+                retired_physical=entry.get("retiredPhysical"),
+            )
+
+        return self._retrying(attempt)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only (Delta column
+        mapping): the physical column stays in existing files but is
+        never read again. Its physical name is recorded as RETIRED so
+        a later schema evolution re-adding the same logical name gets
+        a FRESH physical name — stale bytes can never resurface.
+        Structural columns refuse to drop (see rename_column)."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            entry = self._read_log(base)
+            schema = self._entry_schema(entry)
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"no such column {name!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the only column")
+            self._guard_structural(name, "drop")
+            cmap = dict(entry.get("columnMap") or {})
+            physical = cmap.pop(name, name)
+            retired = set(entry.get("retiredPhysical") or []) | {physical}
+            new_schema = T.StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            files = [_rekey_file(f, drop={name}) for f in entry["files"]]
+            return self._commit_files(
+                None,
+                files,
+                "DROP_COLUMN",
+                {"name": name},
+                new_schema,
+                base_version=base,
+                column_map=cmap,
+                retired_physical=sorted(retired),
+            )
+
+        return self._retrying(attempt)
+
+    def _guard_structural(self, col: str, op: str) -> None:
+        """Refuse rename/drop of columns other table machinery is
+        built on — partitioning (hive paths bake the name in),
+        generated columns (target or expression source), CHECK
+        constraints, bloom indexes."""
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(col)}\b")
+        if col in self.partition_columns():
+            raise ValueError(f"cannot {op} partition column {col!r}")
+        for gname, expr in self.generated_columns().items():
+            if col == gname or word.search(expr):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: referenced by generated "
+                    f"column {gname!r} ({expr})"
+                )
+        for cname, expr in self.constraints().items():
+            if word.search(expr):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: referenced by constraint "
+                    f"{cname!r} ({expr})"
+                )
+        if col in self.bloom_filter_columns():
+            raise ValueError(f"cannot {op} bloom-indexed column {col!r}")
 
     def optimize_small(
         self, min_rows_per_file: int, target_files: int = 1
@@ -1037,7 +1209,9 @@ class VersionedTable:
                 return None
             small_paths = {f["path"] for f in small}
             carried = [f for f in entry["files"] if f["path"] not in small_paths]
-            packed = self._read_files(small, schema).coalesce(target_files)
+            packed = self._read_files(
+                small, schema, column_map=entry.get("columnMap")
+            ).coalesce(target_files)
             return self._commit_files(
                 packed,
                 carried,
@@ -1050,6 +1224,8 @@ class VersionedTable:
                 },
                 schema,
                 base_version=base,
+                column_map=entry.get("columnMap"),
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
@@ -1185,6 +1361,13 @@ class VersionedTable:
             "files": files,
             "schema": src["schema"],
         }
+        # a renamed/dropped-column source reads through its map; the
+        # clone inherits it (and the retired set, so later evolution
+        # on the clone can't resurface dropped bytes)
+        if src.get("columnMap"):
+            entry["columnMap"] = src["columnMap"]
+        if src.get("retiredPhysical"):
+            entry["retiredPhysical"] = src["retiredPhysical"]
         with open(os.path.join(clone._log_dir, f"{0:020d}.json"), "w") as fh:
             json.dump(entry, fh)
         return clone
@@ -1238,6 +1421,8 @@ class VersionedTable:
                 },
                 schema,
                 base_version=base,
+                column_map=entry.get("columnMap"),
+                retired_physical=entry.get("retiredPhysical"),
             )
 
         return self._retrying(attempt)
@@ -1263,12 +1448,17 @@ class VersionedTable:
         old_ids = {ident(f) for f in e_old["files"]}
         new_ids = {ident(f) for f in e_new["files"]}
         schema = self._entry_schema(e_new)
+        # Both sides read under the NEW entry's schema + column map:
+        # physical names are stable across renames, so a renamed
+        # column's values carry through instead of null-diffing.
+        cmap = e_new.get("columnMap")
         old_only = self._read_files(
             sorted(
                 (f for f in e_old["files"] if ident(f) not in new_ids),
                 key=lambda f: f["path"],
             ),
-            self._entry_schema(e_old),
+            schema,
+            column_map=cmap,
         )
         new_only = self._read_files(
             sorted(
@@ -1276,6 +1466,7 @@ class VersionedTable:
                 key=lambda f: f["path"],
             ),
             schema,
+            column_map=cmap,
         )
         for f in schema.fields:
             if f.name not in old_only.columns:
@@ -1327,18 +1518,27 @@ class VersionedTable:
         prev_entry = (
             self._read_log(starting_version - 1) if starting_version > 0 else None
         )
-        batches: list[tuple[int, str, DataFrame, T.StructType]] = []
+        # Every batch reads under the END version's schema + column
+        # map (Delta's CDF contract): physical names are stable, so a
+        # column renamed mid-range carries its values through under
+        # its final name; columns added mid-range read as null before
+        # they existed; dropped columns are absent.
+        end_entry = self._read_log(end)
+        schema = self._entry_schema(end_entry)
+        end_map = end_entry.get("columnMap")
+        cdc_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType(), True)]
+        )
+        out = None
         for v in range(starting_version, end + 1):
             entry = self._read_log(v)
-            schema = self._entry_schema(entry)
             op = entry.get("operation")
             df = None
             if entry.get("cdcFiles"):
-                cdc_schema = T.StructType(
-                    list(schema.fields)
-                    + [T.StructField("_change_type", T.StringType(), True)]
+                df = self._read_files(
+                    entry["cdcFiles"], cdc_schema, column_map=end_map
                 )
-                df = self._read_files(entry["cdcFiles"], cdc_schema)
             elif op != "OPTIMIZE":
                 prev_ids = (
                     {ident(f) for f in prev_entry["files"]} if prev_entry else set()
@@ -1352,33 +1552,24 @@ class VersionedTable:
                         "enable_cdf=True, or diff snapshots via changes()"
                     )
                 if added:
-                    df = self._read_files(added, schema).withColumn(
-                        "_change_type", F.lit("insert")
-                    )
-            if df is not None:
-                batches.append((v, entry["timestamp"], df, schema))
+                    df = self._read_files(
+                        added, schema, column_map=end_map
+                    ).withColumn("_change_type", F.lit("insert"))
             prev_entry = entry
-        # Align every batch to the union of schemas in the range
-        # (schema evolution adds columns mid-range; RESTORE can narrow).
-        union_fields: dict[str, T.DataType] = {}
-        for _v, _ts, _df, schema in batches:
-            for f in schema.fields:
-                union_fields[f.name] = f.dataType
-        out = None
-        for v, ts, df, _schema in batches:
-            for name, dtype in union_fields.items():
-                if name not in df.columns:
-                    df = df.withColumn(name, F.lit(None).cast(dtype))
+            if df is None:
+                continue
             df = df.select(
-                *union_fields.keys(),
+                *[f.name for f in schema.fields],
                 "_change_type",
                 F.lit(v).cast("long").alias("_commit_version"),
-                F.lit(ts).cast("timestamp").alias("_commit_timestamp"),
+                F.lit(entry["timestamp"])
+                .cast("timestamp")
+                .alias("_commit_timestamp"),
             )
             out = df if out is None else out.unionByName(df)
         if out is not None:
             return out
-        end_schema = self._entry_schema(self._read_log(end))
+        end_schema = schema
         empty_schema = T.StructType(
             list(end_schema.fields)
             + [
@@ -1546,7 +1737,9 @@ class VersionedTable:
                     if up_key is not None and _stat_key(fmin) > up_key:
                         continue
             selected.append(f)
-        return self._read_files(selected, schema).filter(pred)
+        return self._read_files(
+            selected, schema, column_map=entry.get("columnMap")
+        ).filter(pred)
 
     def read_where_null(self, col: str, version: int | None = None) -> DataFrame:
         """``WHERE col IS NULL`` with file skipping on the per-file
@@ -1565,7 +1758,9 @@ class VersionedTable:
             for f in entry["files"]
             if f.get("nullCounts", {}).get(col) != 0
         ]
-        return self._read_files(selected, schema).filter(F.col(col).isNull())
+        return self._read_files(
+            selected, schema, column_map=entry.get("columnMap")
+        ).filter(F.col(col).isNull())
 
     def read_point(self, col: str, value, version: int | None = None) -> DataFrame:
         """Equality read with min/max AND bloom-filter file skipping.
@@ -1584,7 +1779,9 @@ class VersionedTable:
         entry = self._read_log(version)
         schema = self._entry_schema(entry)
         selected = self._point_files(entry, schema, col, value)
-        return self._read_files(selected, schema).filter(F.col(col) == F.lit(value))
+        return self._read_files(
+            selected, schema, column_map=entry.get("columnMap")
+        ).filter(F.col(col) == F.lit(value))
 
     def _point_files(self, entry: dict, schema: T.StructType, col: str, value) -> list[dict]:
         """Files of ``entry`` that may contain ``col == value`` per
@@ -1829,7 +2026,11 @@ class VersionedTable:
         }
 
     def _read_paths(
-        self, paths: list[str], schema: T.StructType, with_meta: bool = False
+        self,
+        paths: list[str],
+        schema: T.StructType,
+        with_meta: bool = False,
+        column_map: dict | None = None,
     ) -> DataFrame:
         """Assemble a DataFrame from an explicit file list under the
         logged schema. Files written by partitioned commits live under
@@ -1851,6 +2052,23 @@ class VersionedTable:
                 )
             return out
 
+        # Column mapping: data files carry PHYSICAL names (stable
+        # since column creation); read under the physical schema and
+        # alias back to the logical names the caller asked for.
+        # Partition columns are rename-guarded, so hive directory
+        # names are always logical==physical.
+        cmap = {k: v for k, v in (column_map or {}).items() if k != v}
+        read_schema = (
+            T.StructType(
+                [
+                    T.StructField(cmap.get(f.name, f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            if cmap
+            else schema
+        )
+
         meta_cols = [
             F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
                 "__path"
@@ -1859,18 +2077,26 @@ class VersionedTable:
         ]
 
         def _finish(df: DataFrame) -> DataFrame:
+            if cmap:
+                logical = [
+                    F.col(cmap.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+                return df.select(*logical, *meta_cols) if with_meta else df.select(*logical)
             return df.select("*", *meta_cols) if with_meta else df
 
         part_cols = self.partition_columns()
         if not part_cols:
-            return _finish(self.spark.read.schema(schema).parquet(*paths))
+            return _finish(self.spark.read.schema(read_schema).parquet(*paths))
         groups: dict[str, list[str]] = {}
         for p in paths:
             groups.setdefault(self._commit_base(p), []).append(p)
         out = None
         for base, grp in sorted(groups.items()):
             df = _finish(
-                self.spark.read.option("basePath", base).schema(schema).parquet(*grp)
+                self.spark.read.option("basePath", base)
+                .schema(read_schema)
+                .parquet(*grp)
             )
             out = df if out is None else out.unionByName(df)
         return out
@@ -1880,6 +2106,7 @@ class VersionedTable:
         file_entries: list[dict],
         schema: T.StructType,
         keep_path: str | None = None,
+        column_map: dict | None = None,
     ) -> DataFrame:
         """Read a list of log file entries, applying each file's
         deletion vector (``dv``: positions masked out by a
@@ -1893,8 +2120,8 @@ class VersionedTable:
         paths = [self._abs(f["path"]) for f in file_entries]
         dv_df = self._dv_df(file_entries)
         if dv_df is None and keep_path is None:
-            return self._read_paths(paths, schema)
-        df = self._read_paths(paths, schema, with_meta=True)
+            return self._read_paths(paths, schema, column_map=column_map)
+        df = self._read_paths(paths, schema, with_meta=True, column_map=column_map)
         if dv_df is not None:
             total = sum(_dv_count(f) for f in file_entries)
             if total <= _DV_BROADCAST_MAX:
@@ -1954,7 +2181,11 @@ class VersionedTable:
         return os.path.join(self.path, rel.split(os.sep)[0])
 
     def _read_entry(self, entry: dict) -> DataFrame:
-        return self._read_files(entry["files"], self._entry_schema(entry))
+        return self._read_files(
+            entry["files"],
+            self._entry_schema(entry),
+            column_map=entry.get("columnMap"),
+        )
 
     def _resolve_timestamp(self, ts: datetime | str) -> int:
         """Max version with commit timestamp ≤ ts (``api.py:80``).
@@ -2062,6 +2293,8 @@ class VersionedTable:
         base_version: int | None = None,
         cdc_df: DataFrame | None = None,
         txn: dict | None = None,
+        column_map: dict | None = None,
+        retired_physical: list | None = None,
     ) -> int:
         """Write ``new_df`` (if any) as fresh data files, then commit
         a log entry whose file list is ``carried`` + the new files.
@@ -2101,6 +2334,31 @@ class VersionedTable:
         part_cols = (
             params.get("partitionBy") if operation == "CREATE" else self.partition_columns()
         )
+        # Column mapping (rename/drop support): logical names may
+        # differ from the PHYSICAL parquet column names (stable since
+        # column creation). Data/change files are always written with
+        # physical names; footer stats are re-keyed back to logical so
+        # every stats consumer (skipping, blooms, pruning) stays in
+        # logical space. Identity map = zero-cost no-op path.
+        cmap = {k: v for k, v in (column_map or {}).items() if k != v}
+        inv_cmap = {v: k for k, v in cmap.items()}
+
+        def _phys_schema(s: T.StructType) -> T.StructType:
+            return T.StructType(
+                [
+                    T.StructField(cmap.get(f.name, f.name), f.dataType, True)
+                    for f in s.fields
+                ]
+            )
+
+        def _logical_keys(entries: list[dict]) -> None:
+            for e in entries:
+                for key in ("stats", "nullCounts", "bloom", "bloomTypes"):
+                    if key in e:
+                        e[key] = {
+                            inv_cmap.get(c, c): v for c, v in e[key].items()
+                        }
+
         new_entries: list[dict] = []
         if new_df is not None:
             # Schema enforcement (Delta writer behavior): everything
@@ -2109,13 +2367,24 @@ class VersionedTable:
             new_df = new_df.select(
                 *[F.col(f.name).cast(f.dataType) for f in schema.fields]
             )
+            if cmap:
+                new_df = new_df.select(
+                    *[
+                        F.col(f.name).alias(cmap.get(f.name, f.name))
+                        for f in schema.fields
+                    ]
+                )
             rel_dir = f"c-{version}-{uuid.uuid4().hex[:8]}"
             data_dir = os.path.join(self.path, rel_dir)
             writer = new_df.write.mode("errorifexists")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(data_dir)
-            new_entries = self._footer_entries(rel_dir, schema, part_cols or [])
+            new_entries = self._footer_entries(
+                rel_dir, _phys_schema(schema) if cmap else schema, part_cols or []
+            )
+            if cmap:
+                _logical_keys(new_entries)
             bloom_cols = (
                 params.get("bloomFilterCols")
                 if operation == "CREATE"
@@ -2143,7 +2412,12 @@ class VersionedTable:
                 + [T.StructField("_change_type", T.StringType(), True)]
             )
             cdc_df = cdc_df.select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+                *[
+                    F.col(f.name)
+                    .cast(f.dataType)
+                    .alias(cmap.get(f.name, f.name))
+                    for f in schema.fields
+                ],
                 F.col("_change_type").cast("string"),
             )
             rel_cdc = os.path.join(
@@ -2153,7 +2427,13 @@ class VersionedTable:
             if part_cols:
                 cdc_writer = cdc_writer.partitionBy(*part_cols)
             cdc_writer.parquet(os.path.join(self.path, rel_cdc))
-            cdc_entries = self._footer_entries(rel_cdc, cdc_schema, part_cols or [])
+            cdc_entries = self._footer_entries(
+                rel_cdc,
+                _phys_schema(cdc_schema) if cmap else cdc_schema,
+                part_cols or [],
+            )
+            if cmap:
+                _logical_keys(cdc_entries)
         files = carried + new_entries
         entry = {
             "version": version,
@@ -2167,6 +2447,10 @@ class VersionedTable:
             entry["cdcFiles"] = cdc_entries
         if txn is not None:
             entry["txn"] = txn
+        if cmap:
+            entry["columnMap"] = cmap
+        if retired_physical:
+            entry["retiredPhysical"] = sorted(set(retired_physical))
         os.makedirs(self._log_dir, exist_ok=True)
         if len(files) > self.manifest_inline_max:
             entry["filesManifest"] = self._write_manifest(version, files)
