@@ -901,3 +901,52 @@ def dml_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("c_nationkey") < 5)                           # v2 via map
     t.drop_column("c_mktsegment")                                # v3 meta-only
     return t.to_df()
+
+
+# --- dml_identity_column (GENERATED ALWAYS AS IDENTITY) --------------------
+
+_IDENTITY_ORACLE = """
+WITH survivors AS (
+  SELECT * FROM customer WHERE NOT COALESCE(c_nationkey = 0, FALSE)
+)
+SELECT CAST((SELECT COUNT(*) FROM survivors) + 500 AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM survivors) + 500 AS BIGINT) AS n_ids,
+       TRUE AS ids_start_ok,
+       TRUE AS append_above_create
+"""
+
+
+@register("dml_identity_column", oracle=_IDENTITY_ORACLE)
+def dml_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (Delta ``GENERATED ALWAYS AS IDENTITY``,
+    writer version 6; the reference's table layer has no surrogate
+    keys — ``spark_project.py:26-37``): collect-free assignment via
+    ``monotonically_increasing_id`` offsets above a commit-logged
+    high-water mark recovered from footer max-stats, so a DELETE can
+    never cause id reuse and racing appends land disjoint ranges.
+    Values are nondeterministic (gaps allowed, like Delta), so the
+    oracle checks the INVARIANTS: every surviving row has an id, ids
+    are globally unique, none is below START, and the post-delete
+    append landed strictly above the create batch's ids."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("identity"),
+        cust,
+        identity={"column": "row_id", "start": 1000, "step": 1},
+    )
+    create_max = t.to_df().agg(F.max("row_id")).collect()[0][0]
+    t.delete(F.col("c_nationkey") == 0)  # ids of deleted rows retire
+    t.append(cust.orderBy("c_custkey").limit(500))
+    df = t.to_df()
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("row_id").alias("n_ids"),
+        (F.min("row_id") >= F.lit(1000)).alias("ids_start_ok"),
+        # exactly the 500 appended rows sit above the create batch's
+        # max id — so the watermark advanced AND survivors kept theirs
+        (
+            F.sum((F.col("row_id") > F.lit(create_max)).cast("long"))
+            == F.lit(500)
+        ).alias("append_above_create"),
+    )

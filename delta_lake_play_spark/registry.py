@@ -119,17 +119,18 @@ _PRIORITY: tuple[str, ...] = (
     "fn_variant_json",
     "fn_url_parse",
     "fn_stack_unpivot",
-    "fn_date_spine_fill",
     # misc — never checked
     "udtf_python_offsets",
     "set_multiset_ops",
     # brand-new this round — first driver row for each: column-mapping
-    # ALTER (metadata-only rename/drop) and SetTransaction-backed
-    # exactly-once streaming sink. Two single-construct scalar demos
-    # (fn_struct_ops, fn_interval_arith) moved down to tier 2 to make
-    # room — lowest divergence risk of the never-checked set.
+    # ALTER (metadata-only rename/drop), SetTransaction-backed
+    # exactly-once streaming sink, and GENERATED ALWAYS AS IDENTITY.
+    # Three single-construct scalar demos (fn_struct_ops,
+    # fn_interval_arith, fn_date_spine_fill) moved down to tier 2 to
+    # make room — lowest divergence risk of the never-checked set.
     "dml_rename_drop_column",
     "stream_exactly_once",
+    "dml_identity_column",
     # newly oracle-paired this round (was rows-only r1-r4): first
     # hash-checked driver row (VERDICT ask #7)
     "history_scan",
@@ -138,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     # they retire the debt in the r6 window.
     "fn_struct_ops",
     "fn_interval_arith",
+    "fn_date_spine_fill",
     "fn_string_pad_translate",
     "fn_bitwise",
     "fn_greatest_least",

@@ -210,6 +210,26 @@ def _meta_action(table, entry: dict) -> dict:
         config["delta.columnMapping.maxColumnId"] = str(
             max(ids.values(), default=0)
         )
+    idcfg = table.identity_info()
+    if idcfg:
+        # Identity columns (PROTOCOL.md): the field carries
+        # delta.identity.* metadata; the high-water mark is advertised
+        # so external writers continue above it.
+        hwm = entry.get("identityHighWaterMark")
+        fields = []
+        for f in schema_dict["fields"]:
+            if f["name"] == idcfg["column"]:
+                meta = {
+                    **f.get("metadata", {}),
+                    "delta.identity.start": int(idcfg["start"]),
+                    "delta.identity.step": int(idcfg["step"]),
+                    "delta.identity.allowExplicitInsert": False,
+                }
+                if hwm is not None:
+                    meta["delta.identity.highWaterMark"] = int(hwm)
+                f = {**f, "metadata": meta}
+            fields.append(f)
+        schema_dict = {**schema_dict, "fields": fields}
     return {
         "metaData": {
             "id": _table_id(table.path),
@@ -225,12 +245,15 @@ def _meta_action(table, entry: dict) -> dict:
 def _protocol_action(table, entry: dict) -> dict:
     """Protocol (1, 2) normally; CDF needs writer 4; column mapping
     needs reader 2 / writer 5 (versions are cumulative, so (2, 5)
-    also covers CDF)."""
-    if _is_mapped(entry):
-        return {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    also covers CDF); identity columns need writer 6."""
+    reader, writer = _PROTOCOL["minReaderVersion"], _PROTOCOL["minWriterVersion"]
     if table.cdf_enabled():
-        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
-    return {"protocol": dict(_PROTOCOL)}
+        writer = max(writer, 4)
+    if _is_mapped(entry):
+        reader, writer = max(reader, 2), max(writer, 5)
+    if table.identity_info():
+        writer = max(writer, 6)
+    return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
 
 
 def _cdc_action(table_path: str, f: dict, part_cols: list[str]) -> dict:

@@ -180,6 +180,28 @@ def _widens(src_t: T.DataType, tgt_t: T.DataType) -> bool:
     return isinstance(src_t, T.DoubleType) and isinstance(tgt_t, T.FloatType)
 
 
+def _identity_expr(idcfg: dict, hwm: int):
+    """Identity-value assignment for one write (Delta ``GENERATED
+    ALWAYS AS IDENTITY``): ``hwm + step * (1 + partition-unique id)``.
+    ``monotonically_increasing_id`` is unique within the job with NO
+    cross-task coordination — exactly how Delta's writer assigns
+    identity values — at the cost of gaps (the partition index rides
+    the high bits), which the Delta identity contract explicitly
+    allows. The new high-water mark is recovered for free from the
+    written files' footer max-stats (``_commit_files``), so
+    assignment is collect-free and single-pass at any scale."""
+    step = int(idcfg.get("step", 1))
+    return (
+        F.lit(int(hwm) + step)
+        + F.lit(step) * F.monotonically_increasing_id()
+    ).cast("long")
+
+
+class IdentityColumnError(ValueError):
+    """Explicit write / ALTER against a GENERATED ALWAYS AS IDENTITY
+    column."""
+
+
 class MergeSourceKeyError(ValueError):
     """Multiple source rows match a single target key (Delta errors too)."""
 
@@ -233,6 +255,7 @@ class VersionedTable:
         generated: dict[str, str] | None = None,
         delta_mirror: bool = False,
         enable_cdf: bool = False,
+        identity: dict | None = None,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -289,9 +312,33 @@ class VersionedTable:
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
+        if identity:
+            identity = {
+                "column": identity["column"],
+                "start": int(identity.get("start", 1)),
+                "step": int(identity.get("step", 1)),
+            }
+            if identity["step"] < 1:
+                raise ValueError("identity step must be >= 1")
+            ic = identity["column"]
+            if ic in df.columns:
+                raise IdentityColumnError(
+                    f"column {ic!r} is GENERATED ALWAYS AS IDENTITY; "
+                    f"explicit values are refused — omit it from the input"
+                )
+            if ic in (generated or {}) or ic in (partition_by or []):
+                raise ValueError(
+                    f"identity column {ic!r} collides with a generated/"
+                    f"partition column"
+                )
         os.makedirs(t._log_dir, exist_ok=True)
         for name, expr in (generated or {}).items():
             df = df.withColumn(name, F.expr(expr))
+        if identity:
+            df = df.withColumn(
+                identity["column"],
+                _identity_expr(identity, identity["start"] - identity["step"]),
+            )
         t._commit_files(
             df,
             [],
@@ -303,6 +350,7 @@ class VersionedTable:
                 "generated": generated or {},
                 "deltaMirror": bool(delta_mirror),
                 "enableCdf": bool(enable_cdf),
+                "identity": identity or {},
             },
             df.schema,
         )
@@ -482,12 +530,20 @@ class VersionedTable:
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
             gen = set(self.generated_columns())
+            idcfg = self.identity_info()
+            idcols = {idcfg["column"]} if idcfg else set()
             have, want = set(df.columns), {f.name for f in schema.fields}
-            # generated columns may be omitted — they are recomputed
-            # from their expressions at write time regardless
-            if (have - want) or (want - have) - gen:
+            if idcfg and idcfg["column"] in have:
+                raise IdentityColumnError(
+                    f"column {idcfg['column']!r} is GENERATED ALWAYS AS "
+                    f"IDENTITY; explicit values are refused — omit it"
+                )
+            # generated and identity columns may be omitted — they are
+            # recomputed / assigned at write time regardless
+            if (have - want) or (want - have) - gen - idcols:
                 raise MergeSchemaError(
-                    f"append schema drift: missing={sorted(want - have - gen)} "
+                    f"append schema drift: "
+                    f"missing={sorted(want - have - gen - idcols)} "
                     f"extra={sorted(have - want)}"
                 )
             wide = [
@@ -500,7 +556,17 @@ class VersionedTable:
                     f"append would narrow wider source columns {wide}; "
                     f"widen the table via merge(evolve_schema=True) first"
                 )
-            aligned = df.select(
+            adf = df
+            if idcfg:
+                # assign above the CURRENT high-water mark; a conflict
+                # retry re-reads the entry, so racing appends can
+                # never hand out overlapping ids
+                adf = adf.withColumn(
+                    idcfg["column"],
+                    _identity_expr(idcfg, self._identity_hwm(entry, idcfg)),
+                )
+                have = have | idcols
+            aligned = adf.select(
                 *[
                     F.col(f.name).cast(f.dataType)
                     for f in schema.fields
@@ -582,8 +648,16 @@ class VersionedTable:
             t_cols = [f.name for f in schema.fields]
             s_cols = set(source.columns)
             src = source
+            idcfg = self.identity_info()
+            idcols = {idcfg["column"]} if idcfg else set()
+            if idcfg and idcfg["column"] in s_cols:
+                raise IdentityColumnError(
+                    f"column {idcfg['column']!r} is GENERATED ALWAYS AS "
+                    f"IDENTITY; merge sources must omit it (matched rows "
+                    f"keep the target's value, inserts are assigned)"
+                )
             if not evolve_schema:
-                if set(t_cols) != s_cols:
+                if set(t_cols) - idcols != s_cols:
                     raise MergeSchemaError(
                         f"source schema drift: missing={sorted(set(t_cols) - s_cols)} "
                         f"extra={sorted(s_cols - set(t_cols))}; pass evolve_schema=True to merge anyway"
@@ -681,6 +755,35 @@ class VersionedTable:
                 # every source key from the target side.
                 src_apply = src.filter(~F.coalesce(dpred, F.lit(False)))
                 params["deleteMatchedWhere"] = str(delete_matched_where)
+            if idcfg:
+                # GENERATED ALWAYS AS IDENTITY under MERGE: matched
+                # rows keep the target's id (one keyed join against
+                # the touched files — change-sized), unmatched inserts
+                # are assigned above the high-water mark.
+                # Tentative ids are computed BELOW the join (on the
+                # deterministic source scan), not after it: a
+                # post-shuffle monotonically_increasing_id could
+                # differ between the data-write job and the CDC-write
+                # job re-evaluating the same plan.
+                ic = idcfg["column"]
+                tgt_ids = touched_df.groupBy(key).agg(
+                    F.min(ic).alias("__tgt_id")
+                )
+                src_apply = (
+                    src_apply.drop(ic)
+                    .withColumn(
+                        "__new_id",
+                        _identity_expr(
+                            idcfg, self._identity_hwm(entry, idcfg)
+                        ),
+                    )
+                    .join(tgt_ids, key, "left")
+                    .withColumn(
+                        ic, F.coalesce(F.col("__tgt_id"), F.col("__new_id"))
+                    )
+                    .drop("__tgt_id", "__new_id")
+                    .select(*[f.name for f in new_schema.fields])
+                )
             new_rows = touched_df.join(src, key, "left_anti").unionByName(src_apply)
             cdc = None
             if self.cdf_enabled():
@@ -778,6 +881,12 @@ class VersionedTable:
         """UPDATE … SET … WHERE (Delta DML surface, ``README.md:11``).
         Rewrites only the files containing a row where the predicate
         is TRUE (NULL ⇒ row unchanged, SQL semantics)."""
+        idcfg = self.identity_info()
+        if idcfg and idcfg["column"] in set_cols:
+            raise IdentityColumnError(
+                f"cannot UPDATE identity column {idcfg['column']!r} "
+                f"(GENERATED ALWAYS AS IDENTITY)"
+            )
         pred = F.expr(where) if isinstance(where, str) else where
         hit = F.coalesce(pred, F.lit(False))
 
@@ -960,6 +1069,12 @@ class VersionedTable:
         else is carried by reference."""
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
+        idcfg = self.identity_info()
+        if idcfg and idcfg["column"] in df.columns:
+            raise IdentityColumnError(
+                f"column {idcfg['column']!r} is GENERATED ALWAYS AS "
+                f"IDENTITY; explicit values are refused — omit it"
+            )
 
         def attempt() -> int:
             base = self.latest_version()
@@ -977,10 +1092,18 @@ class VersionedTable:
                 f for f in entry["files"] if self._abs(f["path"]) not in touched
             ]
             params = {"predicate": str(predicate)}
+            src_df = df
+            if idcfg:
+                # incoming replacement rows are NEW rows — assigned
+                # fresh ids above the high-water mark
+                src_df = src_df.withColumn(
+                    idcfg["column"],
+                    _identity_expr(idcfg, self._identity_hwm(entry, idcfg)),
+                )
             # Guard rides the first output column (an output column is
             # never pruned away), firing per-row during the write.
             guard = schema.fields[0]
-            aligned = df.select(
+            aligned = src_df.select(
                 F.when(hit, F.col(guard.name).cast(guard.dataType))
                 .otherwise(
                     F.raise_error(
@@ -1009,7 +1132,7 @@ class VersionedTable:
                     .filter(hit)
                     .withColumn("_change_type", F.lit("delete"))
                     .unionByName(
-                        df.select(
+                        src_df.select(
                             *[
                                 F.col(f.name).cast(f.dataType)
                                 for f in schema.fields
@@ -1179,6 +1302,12 @@ class VersionedTable:
                 )
         if col in self.bloom_filter_columns():
             raise ValueError(f"cannot {op} bloom-indexed column {col!r}")
+        idcfg = self.identity_info()
+        if idcfg and col == idcfg["column"]:
+            raise IdentityColumnError(
+                f"cannot {op} identity column {col!r} (GENERATED ALWAYS "
+                f"AS IDENTITY)"
+            )
 
     def optimize_small(
         self, min_rows_per_file: int, target_files: int = 1
@@ -2238,6 +2367,28 @@ class VersionedTable:
             "generated", {}
         )
 
+    def identity_info(self) -> dict | None:
+        """Identity-column config (Delta ``GENERATED ALWAYS AS
+        IDENTITY``) from the CREATE entry — ``{"column", "start",
+        "step"}`` — or None. The running high-water mark lives in
+        each commit entry (``identityHighWaterMark``), never here."""
+        if 0 not in self._versions():
+            return None
+        return (
+            self._read_log_raw(0)
+            .get("operationParameters", {})
+            .get("identity")
+            or None
+        )
+
+    def _identity_hwm(self, entry: dict, idcfg: dict) -> int:
+        return int(
+            entry.get(
+                "identityHighWaterMark",
+                int(idcfg.get("start", 1)) - int(idcfg.get("step", 1)),
+            )
+        )
+
     def delta_mirror_enabled(self) -> bool:
         """Whether every commit also maintains the open-protocol
         Delta log (``_delta_log``), from the CREATE entry."""
@@ -2443,6 +2594,27 @@ class VersionedTable:
             "num_rows": sum(f["num_rows"] - _dv_count(f) for f in files),
             "schema": json.loads(schema.json()),
         }
+        idcfg = (
+            params.get("identity") if operation == "CREATE" else self.identity_info()
+        )
+        if idcfg:
+            # High-water mark advance costs nothing: the max assigned
+            # id comes from the written files' footer stats, and it is
+            # monotone across EVERY commit (delete/restore/optimize
+            # carry the previous mark forward) so ids are never reused.
+            prev = int(idcfg["start"]) - int(idcfg["step"])
+            if base_version is not None:
+                prev = int(
+                    self._read_log_raw(base_version).get(
+                        "identityHighWaterMark", prev
+                    )
+                )
+            cand = [prev]
+            for e in new_entries:
+                s = e.get("stats", {}).get(idcfg["column"])
+                if s and s[1] is not None:
+                    cand.append(int(s[1]))
+            entry["identityHighWaterMark"] = max(cand)
         if cdc_entries:
             entry["cdcFiles"] = cdc_entries
         if txn is not None:
