@@ -490,3 +490,64 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.to_df().groupBy("event_type").agg(
         F.sum("n").alias("n_events")
     )
+
+
+# --- stream_starting_version: bounded backfill entry point -----------------
+# Delta's `startingVersion` option on the versioned_table source: the
+# stream begins AT a commit version — increments only, no initial
+# snapshot — which is how a 100 TB table's consumer avoids replaying
+# the full history it already has. Pairs with maxVersionsPerTrigger
+# (commit-granular admission control) for burst pacing; that option's
+# batch-boundary behavior is pinned by
+# tests/test_streaming.py::test_max_versions_per_trigger_paces_steady_state
+# (batch layout is trigger-timing-dependent, so only the final content
+# is oracle-checkable here).
+
+_STARTING_VERSION_ORACLE = """
+SELECT c_custkey + 2000000 AS c_custkey, 'APPEND-' || c_name AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 25 = 7
+UNION ALL
+SELECT c_custkey + 4000000, 'LATE-' || c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 25 = 12
+"""
+
+
+@register("stream_starting_version", oracle=_STARTING_VERSION_ORACLE)
+def stream_starting_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE + two APPENDs, drained with startingVersion=1: the v0
+    snapshot never enters the stream; exactly the two appended
+    batches do (sources/table_stream.py)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    c = load_table(spark, sf_dir, "customer")
+
+    def tagged(mod: int, offset: int, prefix: str) -> DataFrame:
+        return c.filter(F.col("c_custkey") % 25 == mod).select(
+            (F.col("c_custkey") + offset).alias("c_custkey"),
+            F.concat(F.lit(prefix), F.col("c_name")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        ).coalesce(1)
+
+    t = VersionedTable.create(spark, temp_table_path("sv"), c.coalesce(2))  # v0
+    t.append(tagged(7, 2000000, "APPEND-"))                                 # v1
+    t.append(tagged(12, 4000000, "LATE-"))                                  # v2
+    name = "sv_src_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("startingVersion", "1")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

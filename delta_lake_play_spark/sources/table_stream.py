@@ -88,6 +88,35 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self.read_change_feed = str(
             options.get("readChangeFeed", options.get("readchangefeed", "false"))
         ).lower() in ("true", "1")
+        # Rate limiting (Delta's maxFilesPerTrigger shape, in this
+        # source's natural admission unit — COMMITS, the atomic offset
+        # step): each trigger advances at most N versions, so a burst
+        # of upstream commits drains as bounded micro-batches instead
+        # of one giant batch that must fit the cluster at once.
+        #
+        # Scope (an honest limit of the Python DataSource API, which
+        # exposes no admission control — latestOffset never sees the
+        # committed offset): the FIRST trigger after a cold start or
+        # restart is unthrottled, because capping it below a
+        # checkpoint this reader cannot see would regress the offset
+        # log and re-deliver data. Every later trigger is paced from
+        # the engine-acknowledged anchor. To bound the initial
+        # backfill itself, pair with ``startingVersion``.
+        self.max_versions = (
+            int(
+                options.get(
+                    "maxVersionsPerTrigger",
+                    options.get("maxversionspertrigger", 0),
+                )
+            )
+            or None
+        )
+        # Delta's option: begin the stream AT a commit version —
+        # commits >= startingVersion arrive as increments and no
+        # initial snapshot is delivered (offset = startingVersion-1).
+        sv = options.get("startingVersion", options.get("startingversion"))
+        self.starting_version = int(sv) if sv is not None else None
+        self._progress: int | None = None
         create = _read_entry(self.path, 0)
         if create.get("operationParameters", {}).get("partitionBy"):
             raise NotImplementedError(
@@ -110,15 +139,33 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         # -1 = before the CREATE commit, so the first micro-batch
-        # delivers the initial snapshot (Delta's default behavior).
-        return {"version": -1}
+        # delivers the initial snapshot (Delta's default behavior);
+        # startingVersion-1 skips the snapshot and starts the
+        # increment feed AT that commit (Delta's startingVersion).
+        first = (
+            -1 if self.starting_version is None else self.starting_version - 1
+        )
+        if self._progress is None or first > self._progress:
+            self._progress = first
+        return {"version": first}
 
     def latestOffset(self) -> dict:
-        return {"version": max(_log_entries(self.path))}
+        latest = max(_log_entries(self.path))
+        if self.max_versions is not None and self._progress is not None:
+            # pace from the engine-acknowledged anchor; never below it
+            # (the log only grows), so offsets cannot regress
+            latest = min(latest, self._progress + self.max_versions)
+        self._progress = latest
+        return {"version": latest}
 
     # ---- planning ----------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # learn real progress from the engine: covers checkpoint
+        # replay of an uncommitted batch, where neither initialOffset
+        # nor a prior latestOffset anchored this reader instance
+        if self._progress is None or end["version"] > self._progress:
+            self._progress = end["version"]
         if self.read_change_feed:
             return self._cdf_partitions(start, end)
         new_paths: list[str] = []
@@ -252,7 +299,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        if self._progress is None or end["version"] > self._progress:
+            self._progress = end["version"]
 
 
 class VersionedTableDataSource(DataSource):

@@ -247,3 +247,90 @@ def test_stream_table_jvm_matches_snapshot(spark):
     q.awaitTermination()
     got = sorted(r["id"] for r in spark.table(name).collect())
     assert got == list(range(100))
+
+
+def test_starting_version_skips_snapshot(spark):
+    """Delta's startingVersion: the stream begins AT the given commit
+    — no initial snapshot, increments only."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = VersionedTable.create(
+        spark, temp_table_path("sv"), spark.range(0, 50).withColumn("k", F.col("id") % 3)
+    )
+    t.append(spark.range(50, 70).withColumn("k", F.col("id") % 3))   # v1
+    t.append(spark.range(70, 80).withColumn("k", F.col("id") % 3))   # v2
+    name = "sv_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("startingVersion", "1")
+        .load(t.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["id"] for r in spark.table(name).collect())
+    assert got == list(range(50, 80))  # v0 snapshot excluded
+
+
+def test_max_versions_per_trigger_paces_steady_state(spark):
+    """maxVersionsPerTrigger: after the anchor batch, a burst of
+    upstream commits drains as bounded micro-batches — each batch
+    carries at most one commit's rows (pacing=1). Timing-independent
+    assertion: no post-anchor batch mixes two commits' id-ranges."""
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = VersionedTable.create(
+        spark, temp_table_path("pace"), spark.range(0, 10).withColumn("k", F.lit(0)).coalesce(1)
+    )
+    batches: list[list[int]] = []
+
+    def sink(bdf, _bid):
+        ids = [r["id"] for r in bdf.select("id").collect()]
+        if ids:
+            batches.append(sorted(ids))
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("maxVersionsPerTrigger", "1")
+        .load(t.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix="pace_ckpt_"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not batches:
+            _time.sleep(0.5)
+        assert batches, "snapshot batch never arrived"
+        # burst: 3 commits land while the stream is running
+        for i in range(1, 4):
+            t.append(
+                spark.range(100 * i, 100 * i + 5)
+                .withColumn("k", F.lit(0))
+                .coalesce(1)
+            )
+        while _time.time() < deadline and sum(len(b) for b in batches) < 25:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sum(len(b) for b in batches) == 25
+    # every post-snapshot batch spans exactly one commit's id-range
+    for b in batches[1:]:
+        assert len({i // 100 for i in b}) == 1, f"batch mixed commits: {b}"
+    assert len(batches) == 4  # snapshot + one batch per burst commit
