@@ -123,6 +123,129 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_hints: bool = True,
+) -> DataFrame:
+    """``(doc_id, sig array<long>)`` — the persisted signature-store
+    row: K int64s per document (~128 B), computed by the same
+    one-hash-aggregate plan as ``minhash_near_dup_pairs``. This is
+    what an incremental pipeline CHECKPOINTS so later batches dedup
+    against the corpus without ever re-reading its text."""
+    toks = _doc_tokens(df, id_col, text_col)
+    rows = toks.join(_hint(_vocab_hashes(toks), broadcast_hints), "tok")
+    return (
+        rows.groupBy("doc_id")
+        .agg(*mh.sig_min_aggs("h"))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"s{j}") for j in range(mh.K)]).alias("sig"),
+        )
+    )
+
+
+def _band_vals_from_array(sig) -> list:
+    """Band bucket values folded from a stored ``sig`` array column
+    (array twin of ``mh.band_cols_from_sig``, which reads the s<j>
+    aggregate columns)."""
+    vals = []
+    for band in range(mh.BANDS):
+        acc = sig[band * mh.ROWS]
+        for r in range(1, mh.ROWS):
+            acc = (acc * mh.B + sig[band * mh.ROWS + r]) % mh.P
+        vals.append(acc)
+    return vals
+
+
+def sig_est_jaccard(sig_a, sig_b):
+    """Jaccard ESTIMATE from minhash signature agreement — the
+    fraction of equal components, the estimator whose expectation is
+    the true Jaccard. This is what lets the incremental path verify
+    candidates against K stored longs instead of re-reading old
+    documents' token sets."""
+    eq = F.zip_with(
+        sig_a, sig_b, lambda x, y: (x == y).cast("int")
+    )
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / mh.K
+    )
+
+
+def incremental_minhash_dedup(
+    store_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    broadcast_hints: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ONE NEW BATCH against an already-signed corpus: the
+    standard shape for a training-data pipeline that ingests
+    continuously and cannot re-run corpus-wide LSH per batch.
+
+    ``store_df`` is a ``(doc_id, sig)`` signature table (from
+    ``minhash_signature_table``, typically a versioned table the
+    pipeline appends to per batch). Per batch the cost is
+    O(|new| × BANDS) band rows joined against the store's band
+    table — nothing rescans old text, nothing is all-pairs — and
+    verification compares K stored longs per candidate
+    (``sig_est_jaccard``), so the store stays ~128 B/doc at any
+    corpus size.
+
+    Returns ``(pairs, new_sigs)``: pairs is
+    ``(new_doc, matched_doc, est_jaccard >= threshold)`` where
+    ``matched_doc`` is in the store or earlier (lower id) in the same
+    batch; ``new_sigs`` is what the caller appends to the store to
+    advance it."""
+    new_sigs = minhash_signature_table(
+        new_df, id_col, text_col, broadcast_hints
+    )
+
+    def bands_of(sig_df: DataFrame, tag: int) -> DataFrame:
+        return sig_df.select(
+            "doc_id",
+            F.lit(tag).alias("tag"),
+            F.posexplode(
+                F.array(*_band_vals_from_array(F.col("sig")))
+            ).alias("band_id", "band_val"),
+        )
+
+    all_bands = bands_of(store_df, 0).unionByName(bands_of(new_sigs, 1))
+    probe = bands_of(new_sigs, 1).alias("a")
+    cand = (
+        probe.join(
+            _hint(all_bands.alias("b"), broadcast_hints),
+            on=["band_id", "band_val"],
+        )
+        .where(
+            (F.col("b.tag") == 0) | (F.col("b.doc_id") < F.col("a.doc_id"))
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("matched_doc"),
+        )
+        .distinct()
+    )
+    sigs_all = store_df.unionByName(new_sigs)
+    sa = new_sigs.select(
+        F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs_all.select(
+        F.col("doc_id").alias("matched_doc"), F.col("sig").alias("sig_b")
+    )
+    est = sig_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+    pairs = (
+        cand.join(_hint(sa, broadcast_hints), "new_doc")
+        .join(_hint(sb, broadcast_hints), "matched_doc")
+        .select("new_doc", "matched_doc", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return pairs, new_sigs
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

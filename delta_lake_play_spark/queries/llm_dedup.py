@@ -519,3 +519,81 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# --- llm_dedup_incremental -------------------------------------------------
+# Continuous-ingest dedup: a signature STORE (versioned table of
+# (doc_id, sig) — K int64s/doc) is built once from the existing
+# corpus; each arriving batch LSH-joins its own band rows against the
+# store's, verifies candidates by signature-agreement Jaccard
+# estimate (never re-reading old text), and appends its signatures to
+# advance the store. Per-batch cost is O(|batch|) — the property that
+# makes dedup sustainable on a corpus that only ever grows.
+
+_INC_THRESHOLD = 0.75
+
+
+def _incremental_oracle() -> str:
+    hashes = mh.sql_token_hashes("tk")
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, tag, {band} AS band_id, "
+        f"{mh.sql_band_value('sig', band)} AS band_val FROM sig"
+        for band in range(mh.BANDS)
+    )
+    eq_frac = (
+        "list_sum(list_transform(range(1, 17), "
+        "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {mh.sql_token_set('text')} AS tk,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS tag
+  FROM documents
+  WHERE text IS NOT NULL AND len({mh.sql_token_set('text')}) > 0
+),
+sig AS (SELECT doc_id, tag, {mh.sql_minhash_signature(hashes)} AS sig FROM toks),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS matched_doc
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE a.tag = 1 AND (b.tag = 0 OR b.doc_id < a.doc_id)
+)
+SELECT c.new_doc, c.matched_doc, {eq_frac} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.new_doc
+JOIN sig sb ON sb.doc_id = c.matched_doc
+WHERE {eq_frac} >= {_INC_THRESHOLD}
+"""
+
+
+@register("llm_dedup_incremental", oracle=_incremental_oracle())
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.py::
+    incremental_minhash_dedup): docs with ``doc_id % 3 != 0`` play
+    the already-ingested corpus — their SIGNATURE TABLE is persisted
+    as a versioned table; the ``% 3 == 0`` docs arrive as the new
+    batch, dedup against store + earlier-in-batch via banded LSH and
+    signature-estimate verification, and their signatures are
+    appended so the store is ready for the next batch. The oracle
+    recomputes the same pairs corpus-wide in SQL."""
+    from delta_lake_play_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    store = VersionedTable.create(
+        spark,
+        temp_table_path("sigstore"),
+        minhash_signature_table(old, "doc_id", "text"),
+    )
+    pairs, new_sigs = incremental_minhash_dedup(
+        store.to_df(), new, "doc_id", "text", _INC_THRESHOLD
+    )
+    out = pairs.localCheckpoint()  # materialize before the store advances
+    store.append(new_sigs)  # store now covers the whole corpus
+    return out
