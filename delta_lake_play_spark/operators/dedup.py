@@ -134,7 +134,8 @@ def minhash_signature_table(
     one-hash-aggregate plan as ``minhash_near_dup_pairs``. This is
     what an incremental pipeline CHECKPOINTS so later batches dedup
     against the corpus without ever re-reading its text."""
-    toks = _doc_tokens(df, id_col, text_col)
+    # persisted: feeds the vocabulary branch and the join probe
+    toks = _doc_tokens(df, id_col, text_col).persist()
     rows = toks.join(_hint(_vocab_hashes(toks), broadcast_hints), "tok")
     return (
         rows.groupBy("doc_id")
@@ -199,10 +200,20 @@ def incremental_minhash_dedup(
     ``(new_doc, matched_doc, est_jaccard >= threshold)`` where
     ``matched_doc`` is in the store or earlier (lower id) in the same
     batch; ``new_sigs`` is what the caller appends to the store to
-    advance it."""
+    advance it.
+
+    Broadcast discipline (the whole point of the incremental shape):
+    only BATCH-sized tables are ever broadcast — the batch's band
+    rows into the candidate join and the (candidate × sig_a) build
+    into the verify join — so the corpus-sized store is STREAMED
+    through both joins without a shuffle or a broadcast, no matter
+    how large it grows. ``broadcast_hints=False`` degrades every
+    join to its shuffle form."""
+    # persisted: feeds the two band branches, the verify join, and
+    # the caller's store-advancing append
     new_sigs = minhash_signature_table(
         new_df, id_col, text_col, broadcast_hints
-    )
+    ).persist()
 
     def bands_of(sig_df: DataFrame, tag: int) -> DataFrame:
         return sig_df.select(
@@ -216,10 +227,8 @@ def incremental_minhash_dedup(
     all_bands = bands_of(store_df, 0).unionByName(bands_of(new_sigs, 1))
     probe = bands_of(new_sigs, 1).alias("a")
     cand = (
-        probe.join(
-            _hint(all_bands.alias("b"), broadcast_hints),
-            on=["band_id", "band_val"],
-        )
+        all_bands.alias("b")
+        .join(_hint(probe, broadcast_hints), on=["band_id", "band_val"])
         .where(
             (F.col("b.tag") == 0) | (F.col("b.doc_id") < F.col("a.doc_id"))
         )
@@ -238,8 +247,11 @@ def incremental_minhash_dedup(
     )
     est = sig_est_jaccard(F.col("sig_a"), F.col("sig_b"))
     pairs = (
-        cand.join(_hint(sa, broadcast_hints), "new_doc")
-        .join(_hint(sb, broadcast_hints), "matched_doc")
+        sb.join(
+            _hint(cand.join(_hint(sa, broadcast_hints), "new_doc"),
+                  broadcast_hints),
+            "matched_doc",
+        )
         .select("new_doc", "matched_doc", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )

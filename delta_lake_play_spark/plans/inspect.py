@@ -122,3 +122,33 @@ def assert_scalable(
             f"pruning failed: {s.read_schemas}"
         )
     return s
+
+
+def _node_depth(line: str) -> int:
+    """Column where the node name starts in a Spark plan-tree line
+    (children render strictly deeper)."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-*(":
+            return i
+    return len(line)
+
+
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The text of every BroadcastExchange subtree in the executed
+    plan — i.e. exactly what the plan proposes to materialize on
+    every executor. Pin scale safety by asserting that nothing
+    corpus-sized (a big table's scan, an unbounded aggregate) appears
+    in any of them."""
+    lines = executed_plan(df).splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = _node_depth(line)
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _node_depth(nxt) <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out

@@ -908,9 +908,12 @@ def dml_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IDENTITY_ORACLE = """
 WITH survivors AS (
   SELECT * FROM customer WHERE NOT COALESCE(c_nationkey = 0, FALSE)
+),
+appended AS (
+  SELECT LEAST(500, COUNT(*)) AS n FROM customer
 )
-SELECT CAST((SELECT COUNT(*) FROM survivors) + 500 AS BIGINT) AS n_rows,
-       CAST((SELECT COUNT(*) FROM survivors) + 500 AS BIGINT) AS n_ids,
+SELECT CAST((SELECT COUNT(*) FROM survivors) + (SELECT n FROM appended) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM survivors) + (SELECT n FROM appended) AS BIGINT) AS n_ids,
        TRUE AS ids_start_ok,
        TRUE AS append_above_create
 """
@@ -937,16 +940,18 @@ def dml_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     create_max = t.to_df().agg(F.max("row_id")).collect()[0][0]
     t.delete(F.col("c_nationkey") == 0)  # ids of deleted rows retire
-    t.append(cust.orderBy("c_custkey").limit(500))
+    appended = cust.orderBy("c_custkey").limit(500)
+    n_appended = appended.count()  # < 500 on a tiny fixture
+    t.append(appended)
     df = t.to_df()
     return df.agg(
         F.count("*").alias("n_rows"),
         F.count_distinct("row_id").alias("n_ids"),
         (F.min("row_id") >= F.lit(1000)).alias("ids_start_ok"),
-        # exactly the 500 appended rows sit above the create batch's
+        # exactly the appended rows sit above the create batch's
         # max id — so the watermark advanced AND survivors kept theirs
         (
             F.sum((F.col("row_id") > F.lit(create_max)).cast("long"))
-            == F.lit(500)
+            == F.lit(n_appended)
         ).alias("append_above_create"),
     )

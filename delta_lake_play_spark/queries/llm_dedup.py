@@ -533,7 +533,13 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_THRESHOLD = 0.75
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(final: str = "pairs") -> str:
+    """Corpus-wide SQL recomputation of the incremental pair set.
+    ``final='pairs'`` emits (new_doc, matched_doc, est_jaccard);
+    ``final='dups'`` emits the flagged-doc set — which is invariant
+    to how arrivals are split into batches as long as batches arrive
+    in ascending doc_id order (a doc is dup iff it matches the
+    pre-existing store or ANY lower-id arrival)."""
     hashes = mh.sql_token_hashes("tk")
     band_selects = "\nUNION ALL ".join(
         f"SELECT doc_id, tag, {band} AS band_id, "
@@ -544,6 +550,10 @@ def _incremental_oracle() -> str:
         "list_sum(list_transform(range(1, 17), "
         "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0"
     )
+    selects = {
+        "pairs": f"SELECT c.new_doc, c.matched_doc, {eq_frac} AS est_jaccard",
+        "dups": "SELECT DISTINCT c.new_doc AS doc_id",
+    }
     return f"""
 WITH toks AS (
   SELECT doc_id, {mh.sql_token_set('text')} AS tk,
@@ -559,7 +569,7 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_val = b.band_val
   WHERE a.tag = 1 AND (b.tag = 0 OR b.doc_id < a.doc_id)
 )
-SELECT c.new_doc, c.matched_doc, {eq_frac} AS est_jaccard
+{selects[final]}
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.new_doc
 JOIN sig sb ON sb.doc_id = c.matched_doc
@@ -597,3 +607,92 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairs.localCheckpoint()  # materialize before the store advances
     store.append(new_sigs)  # store now covers the whole corpus
     return out
+
+
+# --- llm_dedup_streaming ----------------------------------------------------
+# The production composition of this module with the streaming and
+# transaction layers: documents land on a bronze table as commits, a
+# Structured Streaming query tails it (Python versioned_table source,
+# maxVersionsPerTrigger=1 — one commit per micro-batch), and each
+# micro-batch dedups against the ADVANCING signature store with
+# SetTransaction-idempotent writes, so a crash-replayed batch can
+# neither double-flag a doc nor double-advance the store. The flagged
+# set is invariant to micro-batch boundaries because arrivals are
+# committed in ascending doc_id ranges: a doc is dup iff it matches
+# the pre-existing store or any lower-id arrival — exactly what the
+# corpus-wide oracle recomputes.
+
+
+@register("llm_dedup_streaming", oracle=_incremental_oracle(final="dups"))
+def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup end-to-end: bronze commits →
+    versioned_table stream source → foreachBatch
+    ``incremental_minhash_dedup`` against a signature store →
+    exactly-once (txn-tagged) dup-set append + store advance. Every
+    sink application runs TWICE with the same (appId, batch_id) — the
+    second is the simulated at-least-once replay and must no-op."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from delta_lake_play_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    arrivals = d.filter(F.col("doc_id") % 3 == 0)
+
+    store = VersionedTable.create(
+        spark,
+        temp_table_path("sigstream-store"),
+        minhash_signature_table(corpus, "doc_id", "text"),
+    )
+    dups = VersionedTable.create(
+        spark,
+        temp_table_path("sigstream-dups"),
+        spark.createDataFrame([], "doc_id bigint"),
+    )
+
+    # three ascending-id commits on bronze = three stream batches
+    b1, b2 = (
+        arrivals.agg(
+            F.expr("percentile(doc_id, 0.33)"),
+            F.expr("percentile(doc_id, 0.66)"),
+        ).first()
+    )
+    bronze = VersionedTable.create(
+        spark,
+        temp_table_path("sigstream-bronze"),
+        arrivals.filter(F.col("doc_id") <= b1).coalesce(1),
+    )
+    bronze.append(
+        arrivals.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)).coalesce(1)
+    )
+    bronze.append(arrivals.filter(F.col("doc_id") > b2).coalesce(1))
+
+    app_id = "dedup-sink-" + _uuid.uuid4().hex[:8]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pairs, new_sigs = incremental_minhash_dedup(
+            store.to_df(), batch_df, "doc_id", "text", _INC_THRESHOLD
+        )
+        flagged = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
+        for _replay in range(2):  # second pass = simulated batch replay
+            dups.append(flagged, txn_app_id=app_id + "-dups", txn_version=batch_id)
+            store.append(new_sigs, txn_app_id=app_id + "-sigs", txn_version=batch_id)
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("maxVersionsPerTrigger", "1")
+        .load(bronze.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix="dedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dups.to_df()

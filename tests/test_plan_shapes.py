@@ -516,3 +516,52 @@ def test_substring_dedup_single_corpus_explode(spark, sf_dir):
     assert plan.count(") Generate") == 1, plan  # one detail header = one explode
     s = summarize(QUERIES["llm_substring_dedup"](spark, sf_dir))
     assert s.n_exchanges <= 3, s.n_exchanges
+
+
+def test_incremental_dedup_never_broadcasts_the_store(spark, sf_dir):
+    """The incremental-dedup contract: the corpus-sized signature
+    store may reach a BroadcastExchange only AFTER the LSH candidate
+    join has bounded it to candidate-sized rows. Broadcasting the raw
+    store (its band explosion, or its signatures into the verify
+    join) is the 100 TB failure mode. Concretely: every broadcast
+    subtree whose lineage includes the store scan must contain the
+    band-key join; and the band join's build side must be the
+    store-free batch probe."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_table,
+    )
+    from delta_lake_play_spark.plans import broadcast_subtrees, executed_plan
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # short path: Spark truncates long scan locations out of plan
+    # strings, which would make the marker checks below vacuous
+    root = tempfile.mkdtemp(prefix="sigmk_")
+    try:
+        store_path = root + "/SIGSTORE_MARKER"
+        minhash_signature_table(
+            d.filter(F.col("doc_id") % 3 != 0), "doc_id", "text"
+        ).write.parquet(store_path)
+        store = spark.read.parquet(store_path)
+        pairs, _ = incremental_minhash_dedup(
+            store, d.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", 0.75
+        )
+        assert "SIGSTORE_MARKER" in executed_plan(pairs)  # non-vacuous
+        subtrees = broadcast_subtrees(pairs)
+        assert subtrees, "batch-side broadcasts expected in the plan"
+        assert any("SIGSTORE_MARKER" not in s for s in subtrees), (
+            "no store-free broadcast found — the batch probe should be one"
+        )
+        for sub in subtrees:
+            if "SIGSTORE_MARKER" in sub:
+                assert "band_val" in sub, (
+                    "store broadcast without LSH candidate bounding:\n" + sub
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
