@@ -684,6 +684,7 @@ def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _replay in range(2):  # second pass = simulated batch replay
             dups.append(flagged, txn_app_id=app_id + "-dups", txn_version=batch_id)
             store.append(new_sigs, txn_app_id=app_id + "-sigs", txn_version=batch_id)
+        new_sigs.unpersist()  # batch cache must not accumulate across batches
 
     q = (
         spark.readStream.format("versioned_table")
