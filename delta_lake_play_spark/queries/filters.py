@@ -270,3 +270,159 @@ def sample_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
     )
+
+
+# --- sample_token_budget_mix (exact token budgets per source) --------------
+# Real pretraining mixes are specified as TOKEN BUDGETS per domain
+# ("40% web, 30% code, ..." of a fixed total), not keep-rates: the
+# mix owner fixes a total token count B, splits it across sources by
+# weight with EXACT integer arithmetic (largest-remainder rounding,
+# so the per-source budgets sum to B precisely), and each source
+# contributes documents in a deterministic hash order until its
+# budget is exhausted. Compare `sample_data_mix` (rate-based, one
+# narrow pass) — budget-based mixing needs one shuffle on the source
+# key for the per-source running token total.
+
+_BUDGET_DIVISOR = 5  # B = total corpus tokens / 5
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+srcs AS (
+  SELECT source,
+         1 + (COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT), 0) % 4) AS w,
+         CAST(SUM(toks) AS BIGINT) AS src_toks
+  FROM docs GROUP BY source
+),
+tot AS (SELECT SUM(src_toks) // {_BUDGET_DIVISOR} AS b, SUM(w) AS tw FROM srcs),
+alloc AS (
+  SELECT s.source, s.w, (t.b * s.w) // t.tw AS fl, (t.b * s.w) % t.tw AS rem, t.b AS b
+  FROM srcs s, tot t
+),
+alloc2 AS (
+  SELECT source, w, fl, b - SUM(fl) OVER () AS extra,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM alloc
+),
+budgets AS (
+  SELECT source, w, fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS budget
+  FROM alloc2
+),
+ranked AS (
+  SELECT d.source, d.toks, b.budget,
+         SUM(d.toks) OVER (
+           PARTITION BY d.source
+           ORDER BY (d.doc_id * 2654435761 + 40503) % 1000000007, d.doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM docs d JOIN budgets b USING (source)
+),
+kept AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(toks) AS BIGINT) AS kept_tokens
+  FROM ranked WHERE cum <= budget GROUP BY source
+)
+SELECT b.source, CAST(b.w AS BIGINT) AS weight,
+       CAST(b.budget AS BIGINT) AS budget_tokens,
+       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM budgets b LEFT JOIN kept k USING (source)
+"""
+
+
+@register("sample_token_budget_mix", oracle=_token_budget_oracle())
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: split an exact global token budget
+    B = corpus_tokens/5 across sources by weight (weight derived
+    from the source name so it is data-driven on every fixture),
+    with largest-remainder rounding so the integer per-source
+    budgets sum to B exactly; then each source contributes docs in
+    deterministic hash order until its budget is spent (a doc is
+    kept iff its running total fits entirely). Output is the
+    source-level audit: weight, budget, kept docs/tokens.
+
+    Scale shape: one corpus pass for per-doc token counts, one
+    map-side-combined aggregate to source level (budget arithmetic
+    runs on the #sources-row aggregate — windows there are
+    aggregate-sized), one broadcast of the budget table back onto
+    the corpus, and ONE shuffle on the source key for the running
+    token total. At 100 TB the per-source sort is the cost; a real
+    deployment first estimates each source's hash cutoff from a
+    token-count quantile sketch and exact-sorts only the ~budget
+    prefix, which this plan's shape admits without change."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("toks"),
+    )
+    srcs = docs.groupBy("source").agg(
+        F.sum("toks").alias("src_toks"),
+    ).select(
+        "source",
+        "src_toks",
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.regexp_extract("source", "[0-9]+", 0).cast("bigint"),
+                F.lit(0),
+            )
+            % 4
+        ).alias("w"),
+    )
+    all_w = Window.partitionBy()  # aggregate-sized table: #sources rows
+    b = F.expr(f"sum(src_toks) over () div {_BUDGET_DIVISOR}")
+    tw = F.sum("w").over(all_w)
+    alloc = srcs.select(
+        "source", "w", b.alias("b"), tw.alias("tw")
+    ).select(
+        "source",
+        "w",
+        # integer div/% exactly as the oracle's // and % on BIGINT
+        F.expr("b * w div tw").alias("fl"),
+        F.expr("(b * w) % tw").alias("rem"),
+        "b",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    )
+    extra = F.col("b") - F.sum("fl").over(all_w)
+    budgets = alloc.select(
+        "source",
+        "w",
+        (
+            F.col("fl")
+            + F.when(rk <= extra, F.lit(1)).otherwise(F.lit(0))
+        ).alias("budget"),
+    ).localCheckpoint()  # #sources rows; both consumers (the
+    # broadcast onto the corpus and the final audit join) reuse the
+    # materialized table instead of re-running the corpus aggregate
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(
+            (F.col("doc_id") * F.lit(2654435761) + F.lit(40503))
+            % F.lit(1000000007),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        docs.join(F.broadcast(budgets.select("source", "budget")), "source")
+        .withColumn("cum", F.sum("toks").over(cum_w))
+        .where(F.col("cum") <= F.col("budget"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("toks").alias("kept_tokens"),
+        )
+    )
+    return budgets.join(kept, "source", "left").select(
+        "source",
+        F.col("w").alias("weight"),
+        F.col("budget").alias("budget_tokens"),
+        F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )

@@ -156,6 +156,11 @@ _PRIORITY: tuple[str, ...] = (
     "sort_within_partitions",
     "win_first_last_nth",
     "win_percent_rank_cume_dist",
+    # late-r5 additions, never driver-checked — r6 window candidates
+    # alongside the tier-2 singles above and the other late-r5 keys
+    # (CDF trio, incremental/streaming dedup, stream_starting_version,
+    # llm_substring_dedup) registered behind them in tier 3
+    "sample_token_budget_mix",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )

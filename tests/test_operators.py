@@ -328,3 +328,23 @@ def test_incremental_minhash_two_batches_match_one_shot(spark, sf_dir):
 
     assert got == want
     assert len(want) > 0  # fixture has near-dup families; non-vacuous
+
+
+def test_token_budget_mix_invariants(spark, sf_dir):
+    """Largest-remainder allocation: the integer per-source budgets
+    sum EXACTLY to B = total_tokens div 5, and every source's kept
+    token total fits its budget with no doc split across the line."""
+    from delta_lake_play_spark.queries.filters import (
+        _BUDGET_DIVISOR,
+        sample_token_budget_mix,
+    )
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    out = sample_token_budget_mix(spark, sf_dir).toPandas()
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    total = d.select(
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+    ).first()[0]
+    assert out["budget_tokens"].sum() == total // _BUDGET_DIVISOR
+    assert (out["kept_tokens"] <= out["budget_tokens"]).all()
+    assert (out["kept_docs"] > 0).any()  # non-vacuous
