@@ -253,3 +253,124 @@ def test_concurrent_processes_linearizable(tmp_path):
     for w in range(n_procs):
         for i in range(ops_each):
             assert final.get(1000 + w * 100 + i) == w, (w, i)
+
+
+@pytest.mark.slow
+@given(ops=_OPS)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_dml_cdf_mirror_mapped(spark, ops):
+    """The round-5 surfaces COMPOSED: the same random DML sequences,
+    but on a table with Change Data Feed capture, a live Delta-log
+    mirror, and occasional metadata-only column renames in between.
+    Invariants after every op:
+
+    - latest snapshot equals the model (under the CURRENT logical
+      schema — renames must not move data),
+    - the CDF of each commit REPLAYS: applying its
+      delete/update_preimage removals and insert/update_postimage
+      additions to the previous version's state yields this
+      version's state exactly,
+    - the protocol reader (checkpoint + JSON replay over the
+      mirrored ``_delta_log``, physicalName-resolved) agrees with
+      the private read at the final version and a sampled earlier
+      version.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    model = {1: ("James", "Bond"), 2: ("Alice", "Rogers")}
+    table = VersionedTable.create(
+        spark,
+        temp_table_path("propcdf"),
+        spark.createDataFrame([(k, *v) for k, v in model.items()], SCHEMA),
+        enable_cdf=True,
+        delta_mirror=True,
+    )
+    last_col = "lastname"  # current logical name of the 3rd column
+
+    def snap(version=None):
+        df = table.read(version=version) if version is not None else table.to_df()
+        return {r[0]: (r[1], r[2]) for r in df.collect()}
+
+    states = {0: dict(model)}
+    next_id = 100
+    renames = 0
+
+    for op_code, seed in ops:
+        ids = sorted(model)
+        src_schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), False),
+                T.StructField("firstname", T.StringType(), False),
+                T.StructField(last_col, T.StringType(), False),
+            ]
+        )
+        if op_code == 0:  # MERGE: update one existing (if any) + insert one new
+            rows = [(next_id, f"n{seed}", "New")]
+            if ids:
+                rows.append((ids[seed % len(ids)], f"u{seed}", "Merged"))
+            table.merge(spark.createDataFrame(rows, src_schema), key="id")
+            for rid, fn, ln in rows:
+                model[rid] = (fn, ln)
+            next_id += 1
+        elif op_code == 1 and ids:  # DELETE a nonempty id subset
+            victims = ids[: (seed % len(ids)) + 1]
+            table.delete(F.col("id").isin(victims))
+            for v in victims:
+                del model[v]
+        elif op_code == 2 and ids:  # UPDATE renamed-lastname where id == pick
+            pick = ids[seed % len(ids)]
+            table.update({last_col: F.lit(f"upd{seed}")}, F.col("id") == pick)
+            model[pick] = (model[pick][0], f"upd{seed}")
+        elif op_code == 3:  # APPEND a fresh row
+            row = (next_id, f"a{seed}", "Appended")
+            table.append(spark.createDataFrame([row], src_schema))
+            model[row[0]] = row[1:]
+            next_id += 1
+        elif op_code == 4:  # RESTORE to a random earlier version
+            v = seed % (table.latest_version() + 1)
+            table.restore(v)
+            model = dict(states[v])
+        elif op_code == 5 and ids:  # metadata-only RENAME of the 3rd column
+            renames += 1
+            new_name = f"surname_{renames}"
+            table.rename_column(last_col, new_name)
+            last_col = new_name
+        elif op_code == 6 and ids and seed % 2:  # MoR DELETE (deletion vector)
+            pick = ids[seed % len(ids)]
+            table.delete_mor(F.col("id") == pick)
+            del model[pick]
+        else:  # OPTIMIZE: layout-only commit, content must not move
+            table.optimize(target_files=2, cluster_by=["id"])
+
+        version = table.latest_version()
+        states[version] = dict(model)
+        assert snap() == model, f"latest != model after op {op_code}"
+
+        # CDF replay of this commit: prev state + feed == new state
+        prev = states.get(version - 1)
+        if prev is not None:
+            feed = table.table_changes(version, version).collect()
+            replayed = dict(prev)
+            for r in feed:
+                if r["_change_type"] in ("delete", "update_preimage"):
+                    replayed.pop(r[0], None)
+            for r in feed:
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    replayed[r[0]] = (r[1], r[2])
+            assert replayed == model, (
+                f"CDF replay diverged at v{version} after op {op_code}"
+            )
+
+    # Protocol-reader replay over the mirrored _delta_log.
+    def canon(df):
+        return {r[0]: (r[1], r[2]) for r in df.collect()}
+
+    assert canon(read_delta_snapshot(spark, table.path)) == model
+    mid = table.latest_version() // 2
+    assert canon(read_delta_snapshot(spark, table.path, version=mid)) == states[mid]
