@@ -367,7 +367,9 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1)
             + F.coalesce(
-                F.regexp_extract("source", "[0-9]+", 0).cast("bigint"),
+                # try_cast: a digit-free source name extracts '' and
+                # must weight 1, not throw under ANSI cast
+                F.regexp_extract("source", "[0-9]+", 0).try_cast("bigint"),
                 F.lit(0),
             )
             % 4
