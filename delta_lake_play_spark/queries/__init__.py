@@ -12,6 +12,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     llm_multimodal,
     llm_similarity,
     llm_text,
+    runtime_filters,
     scalar_functions,
     scans,
     sorts_sets,

@@ -565,3 +565,36 @@ def test_incremental_dedup_never_broadcasts_the_store(spark, sf_dir):
                 )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_dpp_prunes_fact_scan(spark, sf_dir):
+    # The fact scan must carry a dynamicpruningexpression in its
+    # PartitionFilters — directory pruning driven by the dim side's
+    # runtime filter result, reusing the dim broadcast.
+    from delta_lake_play_spark.queries.runtime_filters import dpp_join_df
+
+    plan = formatted_plan(dpp_join_df(spark, sf_dir))
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filters_fact_before_shuffle(spark, sf_dir):
+    # With broadcast off (the 100 TB shuffle-join shape), the filtered
+    # orders side must build a bloom_filter_agg and the lineitem side
+    # must probe it (might_contain) below the exchange.
+    from delta_lake_play_spark.queries.runtime_filters import (
+        _BLOOM_CONFS,
+        bloom_join_df,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = formatted_plan(bloom_join_df(spark, sf_dir))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    low = plan.lower()
+    assert "bloom_filter_agg" in low, plan[:2000]
+    assert "might_contain" in low, plan[:2000]
