@@ -7,6 +7,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     filters,
     flagship,
     joins,
+    llm_bpe,
     llm_compose,
     llm_dedup,
     llm_multimodal,
