@@ -11,6 +11,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     llm_compose,
     llm_dedup,
     llm_multimodal,
+    llm_pq,
     llm_similarity,
     llm_text,
     runtime_filters,
