@@ -551,3 +551,68 @@ def stream_starting_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- stream_transform_with_state (Spark 4 arbitrary state API) ------------
+
+_TWS_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_transform_with_state", oracle=_TWS_ORACLE)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, exact-grid sum) as a
+    ``transformWithStateInPandas`` stream over the RocksDB state
+    store (the API requires it; the provider is scoped to this query
+    and restored). availableNow drains the source; update semantics
+    make the max-count emission per user the complete total, which
+    the oracle checks against a batch groupBy.
+
+    Env gate: the TWS state-server protocol needs ``google.protobuf``
+    (absent in this sandbox — verified, not installable); when
+    missing, the SAME state machine runs via
+    ``applyInPandasWithState`` (``es.user_running_agg_fallback``) on
+    the same RocksDB provider, so semantics and store surface hold
+    either way. tests/test_streaming.py pins that the real TWS path
+    is taken whenever protobuf exists."""
+    from pyspark.sql import functions as F
+
+    stream = es.read_events_stream(spark, sf_dir)
+    build = (
+        es.tws_user_running_agg if es.tws_available() else es.user_running_agg_fallback
+    )
+    name = "tws_running_agg_sink"
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    last = spark.table(name).groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_value")).alias("b")
+    )
+    return last.select(
+        "user_id",
+        F.col("b.n_events").alias("n_events"),
+        F.col("b.sum_value").alias("sum_value"),
+    )

@@ -237,3 +237,104 @@ def click_purchase_attribution(
         "click_id", "purchase_id", F.col("c_user").alias("user_id"),
         "click_ts", "purchase_ts",
     )
+
+
+def tws_user_running_agg(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    ``applyInPandasWithState``: typed state handles on the RocksDB
+    store, explicit init/close lifecycle, optional timers/TTL): a
+    per-user running (count, exact-grid value sum). State is one
+    (long, long) per user — bounded by key cardinality.
+
+    Exact-grid discipline: ``value`` accumulates as integer
+    hundredths inside the Python state (order-independent), so the
+    emitted running sum is bit-identical to the oracle's dsum no
+    matter how the source splits micro-batches. Update semantics —
+    the emission with the highest count per user is the final total.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "cnt long, cents long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._agg.get()
+            cnt, cents = (prev[0], prev[1]) if prev is not None else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                vals = pdf["value"].dropna()
+                # 2-dp grid -> exact integer hundredths (never near a
+                # rounding midpoint; see functions/exact.py)
+                cents += int(round(float(vals.sum()) * 100)) if len(vals) else 0
+            self._agg.update((cnt, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "sum_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf wire format
+    for its state-server protocol; without the ``google.protobuf``
+    package the driver worker crashes at init. Probed up front so the
+    running-agg key can fall back honestly (same semantics, older
+    API) in environments without protobuf."""
+    import importlib.util
+
+    try:  # find_spec imports the parent package, which may not exist
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def user_running_agg_fallback(events_stream: DataFrame) -> DataFrame:
+    """Env-blocked fallback for :func:`tws_user_running_agg`: the
+    SAME per-user (count, integer-hundredths sum) state machine and
+    emissions, expressed with ``applyInPandasWithState`` (which does
+    not need protobuf). Runs on whatever state store provider the
+    session configures — the running-agg key keeps RocksDB enabled so
+    the store surface is exercised either way."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_agg(key, pdf_iter, state: GroupState):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            vals = pdf["value"].dropna()
+            cents += int(round(float(vals.sum()) * 100)) if len(vals) else 0
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update_agg,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="cnt long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -334,3 +334,34 @@ def test_max_versions_per_trigger_paces_steady_state(spark):
     for b in batches[1:]:
         assert len({i // 100 for i in b}) == 1, f"batch mixed commits: {b}"
     assert len(batches) == 4  # snapshot + one batch per burst commit
+
+
+def test_running_agg_rocksdb_matches_batch(spark, sf_dir):
+    """The running-agg state machine (TWS when protobuf exists, the
+    applyInPandasWithState fallback otherwise) on the RocksDB state
+    store must converge to the batch groupBy totals, and the final
+    per-user running sum must sit on the exact 2-dp grid."""
+    import pyspark.sql.functions as F
+
+    from delta_lake_play_spark.functions.exact import dsum
+    from delta_lake_play_spark.registry import all_queries
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    out = all_queries()["stream_transform_with_state"](spark, sf_dir).toPandas()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .toPandas()
+    )
+    o = out.sort_values("user_id").reset_index(drop=True)
+    b = batch.sort_values("user_id").reset_index(drop=True)
+    assert o["user_id"].tolist() == b["user_id"].tolist()
+    assert o["n_events"].tolist() == b["n_events"].tolist()
+    assert o["sum_value"].tolist() == b["sum_value"].tolist()
+
+
+def test_tws_available_probe():
+    from delta_lake_play_spark.streaming.events_stream import tws_available
+
+    assert tws_available() in (True, False)
