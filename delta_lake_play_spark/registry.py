@@ -161,6 +161,13 @@ _PRIORITY: tuple[str, ...] = (
     # (CDF trio, incremental/streaming dedup, stream_starting_version,
     # llm_substring_dedup) registered behind them in tier 3
     "sample_token_budget_mix",
+    # round-5 extension keys, never driver-checked — r6 window
+    # candidates with the tier-2 singles above
+    "scan_dpp_partition_join",
+    "join_runtime_bloom",
+    "llm_bpe_train",
+    "llm_similarity_pq",
+    "stream_transform_with_state",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
