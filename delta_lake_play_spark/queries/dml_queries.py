@@ -955,3 +955,75 @@ def dml_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.lit(n_appended)
         ).alias("append_above_create"),
     )
+
+
+# --- dml_row_tracking (Delta rowTracking: fresh row-id ranges) ------------
+
+_ROW_TRACKING_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation),
+     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation WHERE n_regionkey = 0),
+     d AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation WHERE n_regionkey = 1)
+SELECT 0 AS version, n.c AS num_rows, n.c - 1 AS row_id_hwm FROM n
+UNION ALL
+SELECT 1, n.c + a.c, n.c + a.c - 1 FROM n, a
+UNION ALL
+SELECT 2, n.c + a.c - d.c, n.c + a.c - 1 FROM n, a, d
+UNION ALL
+SELECT 3, n.c + 2*a.c - d.c, n.c + 2*a.c - 1 FROM n, a, d
+"""
+
+
+@register("dml_row_tracking", oracle=_ROW_TRACKING_ORACLE)
+def dml_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (Delta ``delta.enableRowTracking``, writer
+    feature ``rowTracking`` + ``domainMetadata`` under protocol
+    (1, 7)): every file added gets a contiguous fresh row-id range
+    above a commit-logged high-water mark — zero extra jobs, the
+    ranges come from footer row counts already in hand — and the
+    mirror emits ``baseRowId``/``defaultRowCommitVersion`` on add
+    actions plus the ``delta.rowTracking`` domainMetadata action.
+
+    Script: CREATE (partitioned by n_regionkey, mirrored) → APPEND
+    the region-0 rows shifted → partition-aligned DELETE of region 1
+    (drops whole files, no rewrite, mark unchanged — ids are never
+    reused) → APPEND again (continues above the mark). Output is the
+    per-version (num_rows, row_id_hwm) trajectory; the mark
+    arithmetic is file-layout-independent, so the oracle states it
+    from pure counts. Range disjointness per snapshot is asserted
+    in-key (raise on violation) and pinned with the mirror layout in
+    tests/test_row_tracking.py."""
+    n = load_table(spark, sf_dir, "nation")
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("rowtrack"),
+        n,
+        partition_by=["n_regionkey"],
+        delta_mirror=True,
+        row_tracking=True,
+    )
+    extra = n.where(F.col("n_regionkey") == 0).select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("-X")).alias("n_name"),
+        *[c for c in n.columns if c not in ("n_nationkey", "n_name")],
+    ).select(*n.columns)
+    t.append(extra)
+    t.delete("n_regionkey = 1")
+    extra2 = extra.withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    t.append(extra2)
+    rows = []
+    for v in sorted(t._versions()):
+        e = t._read_log_raw(v)
+        spans = sorted(
+            (f["baseRowId"], f["baseRowId"] + f["num_rows"])
+            for f in t._read_log(v)["files"]
+            if f["num_rows"] > 0
+        )
+        for i in range(len(spans) - 1):
+            if spans[i][1] > spans[i + 1][0]:
+                raise AssertionError(
+                    f"row-id ranges overlap at v{v}: {spans[i]} / {spans[i + 1]}"
+                )
+        rows.append((v, int(e["num_rows"]), int(e["rowIdHighWaterMark"])))
+    return spark.createDataFrame(
+        rows, "version int, num_rows bigint, row_id_hwm bigint"
+    )

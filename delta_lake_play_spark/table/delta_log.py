@@ -146,16 +146,18 @@ def _add_action(
 ) -> dict:
     rel = f["path"].replace(os.sep, "/")
     abs_path = rel if rel.startswith("/") else os.path.join(table_path, rel)
-    return {
-        "add": {
-            "path": _add_path(rel),
-            "partitionValues": _partition_values_raw(rel, part_cols),
-            "size": os.path.getsize(abs_path),
-            "modificationTime": ts,
-            "dataChange": data_change,
-            "stats": _stats_string(f, cmap),
-        }
+    add = {
+        "path": _add_path(rel),
+        "partitionValues": _partition_values_raw(rel, part_cols),
+        "size": os.path.getsize(abs_path),
+        "modificationTime": ts,
+        "dataChange": data_change,
+        "stats": _stats_string(f, cmap),
     }
+    if "baseRowId" in f:  # rowTracking: fresh-id range of this file
+        add["baseRowId"] = int(f["baseRowId"])
+        add["defaultRowCommitVersion"] = int(f["defaultRowCommitVersion"])
+    return {"add": add}
 
 
 def _is_mapped(entry: dict) -> bool:
@@ -186,6 +188,8 @@ def _meta_action(table, entry: dict) -> dict:
     config = {}
     if table.cdf_enabled():
         config["delta.enableChangeDataFeed"] = "true"
+    if table.row_tracking_enabled():
+        config["delta.enableRowTracking"] = "true"
     schema_dict = entry["schema"]
     if _is_mapped(entry):
         # Column mapping mode "name": every field advertises its
@@ -242,10 +246,28 @@ def _meta_action(table, entry: dict) -> dict:
     }
 
 
+# Legacy writer features implied by each pre-table-features writer
+# version (PROTOCOL.md): a protocol upgraded to writer 7 must list
+# them explicitly in writerFeatures.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
 def _protocol_action(table, entry: dict) -> dict:
     """Protocol (1, 2) normally; CDF needs writer 4; column mapping
     needs reader 2 / writer 5 (versions are cumulative, so (2, 5)
-    also covers CDF); identity columns need writer 6."""
+    also covers CDF); identity columns need writer 6. Row tracking is
+    a TABLE FEATURE: writer 7 with an explicit writerFeatures list —
+    ``rowTracking`` + its ``domainMetadata`` dependency + every
+    legacy feature the pre-upgrade writer version implied (the
+    upgrade rule in PROTOCOL.md). The reader version stays numeric
+    (row tracking defines no reader feature), so readerFeatures is
+    not emitted."""
     reader, writer = _PROTOCOL["minReaderVersion"], _PROTOCOL["minWriterVersion"]
     if table.cdf_enabled():
         writer = max(writer, 4)
@@ -253,6 +275,20 @@ def _protocol_action(table, entry: dict) -> dict:
         reader, writer = max(reader, 2), max(writer, 5)
     if table.identity_info():
         writer = max(writer, 6)
+    if table.row_tracking_enabled():
+        legacy = [
+            f
+            for v, feats in sorted(_LEGACY_WRITER_FEATURES.items())
+            if v <= writer
+            for f in feats
+        ]
+        return {
+            "protocol": {
+                "minReaderVersion": reader,
+                "minWriterVersion": 7,
+                "writerFeatures": legacy + ["domainMetadata", "rowTracking"],
+            }
+        }
     return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
 
 
@@ -421,6 +457,17 @@ def _unit_adds(
     layout)."""
     if not _has_dv(f):
         return [_add_action(table.path, f, part_cols, ts, data_change, cmap)]
+    if table.row_tracking_enabled():
+        # Materialized DV survivors are a rewrite: the original file's
+        # id range cannot describe them (the mask compacts positions),
+        # and allocating fresh ids outside a commit would corrupt the
+        # high-water mark. Refuse rather than silently de-track.
+        raise DeltaMirrorError(
+            f"deletion-vector file {f['path']!r} cannot be mirrored on a "
+            f"row-tracking table: DV materialization rewrites survivors, "
+            f"which invalidates the file's row-id range. Use copy-on-write "
+            f"DELETE/UPDATE on row-tracking tables."
+        )
     import pyarrow.parquet as pq
 
     pvals = _partition_values_raw(f["path"].replace(os.sep, "/"), part_cols)
@@ -593,11 +640,27 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
             }
     for t in latest_txn.values():
         actions.append({"txn": t})
+    if "rowIdHighWaterMark" in entry:
+        actions.append(_row_tracking_domain(entry))
     for f in entry["files"]:
         actions.extend(
             _unit_adds(table, f, part_cols, ts, True, entry.get("columnMap"))
         )
     return actions
+
+
+def _row_tracking_domain(entry: dict) -> dict:
+    """``domainMetadata`` action carrying the row-id high-water mark
+    (PROTOCOL.md row tracking: domain ``delta.rowTracking``)."""
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": int(entry["rowIdHighWaterMark"])}
+            ),
+            "removed": False,
+        }
+    }
 
 
 def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[dict]:
@@ -637,6 +700,11 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         actions.extend(
             _unit_adds(table, cur_units[key], part_cols, ts, data_change, cmap)
         )
+    if "rowIdHighWaterMark" in entry and (
+        prev is None
+        or entry["rowIdHighWaterMark"] != prev.get("rowIdHighWaterMark")
+    ):
+        actions.append(_row_tracking_domain(entry))
     for f in entry.get("cdcFiles", []):
         actions.append(_cdc_action(table.path, f, part_cols))
     if entry.get("txn"):
@@ -679,6 +747,8 @@ def _checkpoint_schema():
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        # table-features form (writer 7); absent below
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -715,6 +785,9 @@ def _checkpoint_schema():
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        # rowTracking (absent on untracked tables)
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -735,6 +808,16 @@ def _checkpoint_schema():
                         pa.field("appId", pa.string()),
                         pa.field("version", pa.int64()),
                         pa.field("lastUpdated", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -806,6 +889,10 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
                     latest_txn[action["txn"]["appId"]] = action["txn"]
     for t in latest_txn.values():
         rows.append({"txn": t})
+    if "rowIdHighWaterMark" in entry:
+        # domainMetadata persists in checkpoints (PROTOCOL.md): the
+        # row-id high-water mark must survive JSON-prefix cleanup.
+        rows.append(_row_tracking_domain(entry))
     live_paths: set[str] = set()
     for f in entry["files"]:
         for action in _unit_adds(

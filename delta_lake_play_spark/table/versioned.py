@@ -256,6 +256,7 @@ class VersionedTable:
         delta_mirror: bool = False,
         enable_cdf: bool = False,
         identity: dict | None = None,
+        row_tracking: bool = False,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -351,6 +352,7 @@ class VersionedTable:
                 "deltaMirror": bool(delta_mirror),
                 "enableCdf": bool(enable_cdf),
                 "identity": identity or {},
+                "rowTracking": bool(row_tracking),
             },
             df.schema,
         )
@@ -2411,6 +2413,33 @@ class VersionedTable:
             )
         )
 
+    def row_tracking_enabled(self) -> bool:
+        """Whether commits assign row-id ranges to fresh files (Delta
+        ``delta.enableRowTracking``), from the CREATE entry. Fresh
+        (non-materialized) row tracking: every file added to the table
+        gets a contiguous id range ``[baseRowId, baseRowId +
+        num_rows - 1]`` above a commit-logged high-water mark, so a
+        row's id is ``baseRowId + position``. Rewrites (copy-on-write
+        DELETE/UPDATE survivors, OPTIMIZE output) allocate FRESH ids —
+        preserving ids across rewrites requires materialized row-id
+        columns, which this layer deliberately does not add to data
+        files (zero write amplification; same trade Delta makes when
+        ``delta.rowTracking.preserved`` is unavailable)."""
+        if 0 not in self._versions():
+            return False
+        return bool(
+            self._read_log_raw(0).get("operationParameters", {}).get(
+                "rowTracking", False
+            )
+        )
+
+    def row_id_high_water_mark(self, version: int | None = None) -> int:
+        """The highest row id ever assigned as of ``version`` (latest
+        if None); -1 before any rows."""
+        if version is None:
+            version = max(self._versions())
+        return int(self._read_log_raw(version).get("rowIdHighWaterMark", -1))
+
     def _check_constraints(self, df: DataFrame, checks: dict[str, str]) -> None:
         for name, expr in checks.items():
             bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
@@ -2594,6 +2623,30 @@ class VersionedTable:
             "num_rows": sum(f["num_rows"] - _dv_count(f) for f in files),
             "schema": json.loads(schema.json()),
         }
+        rt = (
+            params.get("rowTracking")
+            if operation == "CREATE"
+            else self.row_tracking_enabled()
+        )
+        if rt:
+            # Fresh row-id assignment (Delta rowTracking): each new
+            # file takes the next contiguous id range above the
+            # base snapshot's high-water mark; carried files keep the
+            # baseRowId they were assigned at their own commit (MoR
+            # deletion vectors leave survivor ids stable — the mask
+            # never moves rows). Zero extra jobs: ranges come from the
+            # footer row counts already in hand. The mark is monotone
+            # across every commit, so ids are never reused.
+            hwm = -1
+            if base_version is not None:
+                hwm = int(
+                    self._read_log_raw(base_version).get("rowIdHighWaterMark", -1)
+                )
+            for e in new_entries:
+                e["baseRowId"] = hwm + 1
+                e["defaultRowCommitVersion"] = version
+                hwm += int(e["num_rows"])
+            entry["rowIdHighWaterMark"] = hwm
         idcfg = (
             params.get("identity") if operation == "CREATE" else self.identity_info()
         )
