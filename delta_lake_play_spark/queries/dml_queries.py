@@ -1027,3 +1027,69 @@ def dml_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, num_rows bigint, row_id_hwm bigint"
     )
+
+
+# --- dml_in_commit_timestamps (Delta inCommitTimestamp feature) -----------
+
+_ICT_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+UNION ALL
+SELECT n_nationkey + 1000, n_name || '-X', n_regionkey
+FROM nation WHERE n_regionkey = 0
+"""
+
+
+@register("dml_in_commit_timestamps", oracle=_ICT_ORACLE)
+def dml_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (Delta writer feature
+    ``inCommitTimestamp``, protocol (1, 7)): the commit's clock lives
+    IN the commit (``commitInfo.inCommitTimestamp``), not in file
+    modification times — so external timestamp travel survives log
+    copy/restore. The private log's strictly-increasing commit
+    timestamps are already that clock; the feature declares it.
+
+    Script: CREATE (mirrored, ICT) → two APPENDs; assert every mirror
+    commit's inCommitTimestamp equals the private log's ms timestamp
+    and strictly increases; then timestamp-travel THROUGH THE
+    PROTOCOL READER to v1's in-commit time and return that snapshot
+    (nation + first append), which the oracle states directly."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import (
+        _ts_ms,
+        read_delta_snapshot,
+        resolve_delta_timestamp,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("ict"),
+        n,
+        delta_mirror=True,
+        in_commit_timestamps=True,
+    )
+    extra = n.where(F.col("n_regionkey") == 0).select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("-X")).alias("n_name"),
+        "n_regionkey",
+    )
+    t.append(extra)
+    t.append(extra.withColumn("n_nationkey", F.col("n_nationkey") + 1000))
+    ddir = _os.path.join(t.path, "_delta_log")
+    icts = {}
+    for v in sorted(t._versions()):
+        with open(_os.path.join(ddir, f"{v:020d}.json")) as fh:
+            info = _json.loads(fh.readline())["commitInfo"]
+        icts[v] = info["inCommitTimestamp"]
+        if icts[v] != _ts_ms(t._read_log_raw(v)["timestamp"]):
+            raise AssertionError(f"v{v}: inCommitTimestamp != private clock")
+    if not (icts[0] < icts[1] < icts[2]):
+        raise AssertionError(f"in-commit timestamps not increasing: {icts}")
+    v = resolve_delta_timestamp(t.path, icts[1])
+    if v != 1:
+        raise AssertionError(f"ICT travel to v1's clock resolved v{v}")
+    return read_delta_snapshot(spark, t.path, version=v)

@@ -169,6 +169,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_similarity_pq",
     "stream_transform_with_state",
     "dml_row_tracking",
+    "dml_in_commit_timestamps",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )

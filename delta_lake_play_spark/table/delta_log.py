@@ -190,6 +190,11 @@ def _meta_action(table, entry: dict) -> dict:
         config["delta.enableChangeDataFeed"] = "true"
     if table.row_tracking_enabled():
         config["delta.enableRowTracking"] = "true"
+    if table.ict_enabled():
+        # enabled at CREATE only, so no enablement-provenance keys
+        # (delta.inCommitTimestampEnablementVersion/-Timestamp) are
+        # needed per the spec.
+        config["delta.enableInCommitTimestamps"] = "true"
     schema_dict = entry["schema"]
     if _is_mapped(entry):
         # Column mapping mode "name": every field advertises its
@@ -275,7 +280,12 @@ def _protocol_action(table, entry: dict) -> dict:
         reader, writer = max(reader, 2), max(writer, 5)
     if table.identity_info():
         writer = max(writer, 6)
+    table_features = []
     if table.row_tracking_enabled():
+        table_features += ["domainMetadata", "rowTracking"]
+    if table.ict_enabled():
+        table_features += ["inCommitTimestamp"]
+    if table_features:
         legacy = [
             f
             for v, feats in sorted(_LEGACY_WRITER_FEATURES.items())
@@ -286,7 +296,7 @@ def _protocol_action(table, entry: dict) -> dict:
             "protocol": {
                 "minReaderVersion": reader,
                 "minWriterVersion": 7,
-                "writerFeatures": legacy + ["domainMetadata", "rowTracking"],
+                "writerFeatures": legacy + table_features,
             }
         }
     return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
@@ -603,16 +613,21 @@ def sync(table, materialize_dvs: bool = False) -> int:
     return latest
 
 
-def _commit_info(entry: dict, ts: int) -> dict:
-    return {
-        "commitInfo": {
-            "timestamp": ts,
-            "operation": entry.get("operation", "WRITE"),
-            "operationParameters": _op_params_strings(
-                entry.get("operationParameters", {})
-            ),
-        }
+def _commit_info(table, entry: dict, ts: int) -> dict:
+    info = {
+        "timestamp": ts,
+        "operation": entry.get("operation", "WRITE"),
+        "operationParameters": _op_params_strings(
+            entry.get("operationParameters", {})
+        ),
     }
+    if table.ict_enabled():
+        # inCommitTimestamp (writer feature): the commit's own clock —
+        # the private log's strictly-increasing commit timestamp, so
+        # monotonicity holds by construction. commitInfo must be the
+        # commit's first action when the feature is enabled (it is).
+        info["inCommitTimestamp"] = ts
+    return {"commitInfo": info}
 
 
 def _full_snapshot_actions(table, entry: dict) -> list[dict]:
@@ -621,7 +636,7 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
     actions = [
-        _commit_info(entry, ts),
+        _commit_info(table, entry, ts),
         _protocol_action(table, entry),
         _meta_action(table, entry),
     ]
@@ -667,7 +682,7 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
     data_change = entry.get("operation") not in _DATA_NEUTRAL_OPS
-    actions: list[dict] = [_commit_info(entry, ts)]
+    actions: list[dict] = [_commit_info(table, entry, ts)]
     if version == 0:
         actions.append(_protocol_action(table, entry))
         actions.append(_meta_action(table, entry))
@@ -943,6 +958,34 @@ def _decode_path(table_path: str, p: str) -> str:
     if not p.startswith("/"):
         p = os.path.join(table_path, p)
     return p
+
+
+def resolve_delta_timestamp(table_path: str, timestamp_ms: int) -> int:
+    """Timestamp→version resolution the way an external ICT-aware
+    reader does it: the max version whose ``commitInfo.
+    inCommitTimestamp`` is ≤ the probe — reading the LOG's clock, not
+    commit-file modification times (the whole point of the
+    ``inCommitTimestamp`` feature: file mtimes change on copy/restore;
+    the in-commit clock travels with the log)."""
+    ddir = _delta_dir(table_path)
+    best: int | None = None
+    for fn in sorted(os.listdir(ddir)):
+        if not fn.endswith(".json") or fn.startswith(("_", ".")):
+            continue
+        v = int(fn.split(".")[0])
+        with open(os.path.join(ddir, fn)) as fh:
+            first = json.loads(fh.readline())
+        ict = first.get("commitInfo", {}).get("inCommitTimestamp")
+        if ict is None:
+            raise DeltaMirrorError(
+                f"commit {v} carries no inCommitTimestamp — the table "
+                f"does not declare the inCommitTimestamp feature"
+            )
+        if ict <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(f"no delta version at or before {timestamp_ms} ms")
+    return best
 
 
 def read_delta_snapshot(

@@ -257,6 +257,7 @@ class VersionedTable:
         enable_cdf: bool = False,
         identity: dict | None = None,
         row_tracking: bool = False,
+        in_commit_timestamps: bool = False,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -353,6 +354,7 @@ class VersionedTable:
                 "enableCdf": bool(enable_cdf),
                 "identity": identity or {},
                 "rowTracking": bool(row_tracking),
+                "inCommitTimestamps": bool(in_commit_timestamps),
             },
             df.schema,
         )
@@ -2430,6 +2432,23 @@ class VersionedTable:
         return bool(
             self._read_log_raw(0).get("operationParameters", {}).get(
                 "rowTracking", False
+            )
+        )
+
+    def ict_enabled(self) -> bool:
+        """Whether the mirror advertises Delta in-commit timestamps
+        (writer feature ``inCommitTimestamp``), from the CREATE entry.
+        The private log's commit timestamps are ALREADY the in-commit
+        clock — strictly increasing, bumped past the previous commit
+        (``_commit_timestamp``) — so the feature costs nothing here;
+        what it adds is the protocol declaration that lets external
+        readers time-travel by the log's clock instead of trusting
+        commit-file modification times."""
+        if 0 not in self._versions():
+            return False
+        return bool(
+            self._read_log_raw(0).get("operationParameters", {}).get(
+                "inCommitTimestamps", False
             )
         )
 

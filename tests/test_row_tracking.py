@@ -182,3 +182,51 @@ def test_deletion_vectors_refused_on_mirrored_row_tracking(spark, sf_dir):
     )
     with pytest.raises(DeltaMirrorError, match="row-id range"):
         t.delete_mor("n_regionkey = 1")
+
+
+def test_ict_and_row_tracking_compose(spark, sf_dir):
+    """Both writer-7 features on one table: writerFeatures carries
+    rowTracking + domainMetadata + inCommitTimestamp, every commitInfo
+    leads with a monotone inCommitTimestamp, and the protocol reader's
+    timestamp resolution agrees with the private log's."""
+    from delta_lake_play_spark.table.delta_log import (
+        _ts_ms,
+        resolve_delta_timestamp,
+    )
+
+    n = _nation(spark, sf_dir)
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("rt-ict"),
+        n,
+        delta_mirror=True,
+        row_tracking=True,
+        in_commit_timestamps=True,
+    )
+    t.append(n.withColumn("n_nationkey", F.col("n_nationkey") + 500))
+    acts = _mirror_actions(t.path)
+    proto = next(a["protocol"] for a in acts[0] if "protocol" in a)
+    for feat in ("rowTracking", "domainMetadata", "inCommitTimestamp"):
+        assert feat in proto["writerFeatures"]
+    meta = next(a["metaData"] for a in acts[0] if "metaData" in a)
+    assert meta["configuration"]["delta.enableInCommitTimestamps"] == "true"
+    prev = -1
+    for v in sorted(acts):
+        assert "commitInfo" in acts[v][0], "commitInfo must lead the commit"
+        ict = acts[v][0]["commitInfo"]["inCommitTimestamp"]
+        assert ict == _ts_ms(t._read_log_raw(v)["timestamp"])
+        assert ict > prev
+        prev = ict
+    assert resolve_delta_timestamp(t.path, prev) == max(acts)
+    assert resolve_delta_timestamp(t.path, prev - 1) < max(acts)
+
+
+def test_ict_resolution_refuses_untracked_tables(spark, sf_dir):
+    from delta_lake_play_spark.table.delta_log import resolve_delta_timestamp
+
+    n = _nation(spark, sf_dir)
+    t = VersionedTable.create(
+        spark, temp_table_path("no-ict"), n, delta_mirror=True
+    )
+    with pytest.raises(DeltaMirrorError, match="inCommitTimestamp"):
+        resolve_delta_timestamp(t.path, 10**15)
