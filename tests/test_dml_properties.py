@@ -374,3 +374,104 @@ def test_random_dml_cdf_mirror_mapped(spark, ops):
     assert canon(read_delta_snapshot(spark, table.path)) == model
     mid = table.latest_version() // 2
     assert canon(read_delta_snapshot(spark, table.path, version=mid)) == states[mid]
+
+
+@pytest.mark.slow
+@given(ops=_OPS)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_dml_row_tracking_ict(spark, ops):
+    """Random DML over a table with BOTH writer-7 features (row
+    tracking + in-commit timestamps) and a live mirror. Invariants
+    after every op: snapshot equals the model; the row-id high-water
+    mark is monotone and every snapshot's id ranges are disjoint and
+    below the mark; each mirrored commit leads with a strictly
+    increasing inCommitTimestamp, and resolving that timestamp
+    through the protocol reader returns exactly that version; the
+    protocol replay agrees with the private read at the end."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.delta_log import (
+        read_delta_snapshot,
+        resolve_delta_timestamp,
+    )
+
+    model = {1: ("James", "Bond"), 2: ("Alice", "Rogers")}
+    table = VersionedTable.create(
+        spark,
+        temp_table_path("proprt"),
+        spark.createDataFrame([(k, *v) for k, v in model.items()], SCHEMA),
+        delta_mirror=True,
+        row_tracking=True,
+        in_commit_timestamps=True,
+    )
+    states = {0: dict(model)}
+    next_id = 100
+    prev_hwm = -1
+
+    for op_code, seed in ops:
+        ids = sorted(model)
+        if op_code in (0, 5):  # MERGE (5 reuses merge; MoR refused here)
+            rows = [(next_id, f"n{seed}", "New")]
+            if ids:
+                rows.append((ids[seed % len(ids)], f"u{seed}", "Merged"))
+            table.merge(spark.createDataFrame(rows, SCHEMA), key="id")
+            for rid, fn, ln in rows:
+                model[rid] = (fn, ln)
+            next_id += 1
+        elif op_code == 1 and ids:
+            victims = ids[: (seed % len(ids)) + 1]
+            table.delete(F.col("id").isin(victims))
+            for v in victims:
+                del model[v]
+        elif op_code == 2 and ids:
+            pick = ids[seed % len(ids)]
+            table.update({"lastname": F.lit(f"upd{seed}")}, F.col("id") == pick)
+            model[pick] = (model[pick][0], f"upd{seed}")
+        elif op_code == 3:
+            row = (next_id, f"a{seed}", "Appended")
+            table.append(spark.createDataFrame([row], SCHEMA))
+            model[row[0]] = row[1:]
+            next_id += 1
+        elif op_code == 4:
+            v = seed % (table.latest_version() + 1)
+            table.restore(v)
+            model = dict(states[v])
+        else:
+            table.optimize(target_files=2, cluster_by=["id"])
+
+        version = table.latest_version()
+        states[version] = dict(model)
+        assert _snapshot(table) == model, f"latest != model after op {op_code}"
+        hwm = table.row_id_high_water_mark(version)
+        assert hwm >= prev_hwm, f"hwm regressed at v{version}"
+        prev_hwm = hwm
+        spans = sorted(
+            (f["baseRowId"], f["baseRowId"] + f["num_rows"])
+            for f in table._read_log(version)["files"]
+            if f["num_rows"] > 0
+        )
+        for i in range(len(spans) - 1):
+            assert spans[i][1] <= spans[i + 1][0], f"overlap at v{version}"
+        assert all(hi - 1 <= hwm for _, hi in spans)
+
+    ddir = _os.path.join(table.path, "_delta_log")
+    prev_ict = -1
+    for v in sorted(table._versions()):
+        with open(_os.path.join(ddir, f"{v:020d}.json")) as fh:
+            ict = _json.loads(fh.readline())["commitInfo"]["inCommitTimestamp"]
+        assert ict > prev_ict, f"ICT not increasing at v{v}"
+        prev_ict = ict
+        assert resolve_delta_timestamp(table.path, ict) == v
+
+    replay = {
+        r[0]: (r[1], r[2])
+        for r in read_delta_snapshot(spark, table.path).collect()
+    }
+    assert replay == model
