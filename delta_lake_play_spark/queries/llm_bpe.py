@@ -57,12 +57,12 @@ zip_with(
 """
 
 
-def bpe_train(
-    spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int = _BPE_MERGES
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges over ``docs[text_col]``; returns
-    the merge log (step, pair, merged, pair_count) — the trained
-    artifact, bounded at ``n_merges`` rows like a centroid table."""
+def _bpe_learn(
+    spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[Row], DataFrame]:
+    """Run the merge-training loop; returns (merge log rows, the
+    vocabulary table with all learned merges APPLIED — the input to
+    tokenization)."""
     words = (
         docs.select(
             F.explode(
@@ -106,14 +106,50 @@ def bpe_train(
             words = words.withColumn(
                 "seq", F.replace(seq, F.lit(pair), F.lit(merged))
             )
-        return spark.createDataFrame(merges, _MERGE_SCHEMA)
+        return merges, words
     finally:
         base.unpersist()
 
 
-def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """Unrolled DuckDB twin: same tokenization, same wrapped-unit
-    replace, same (count DESC, pair ASC) argmax per step."""
+def bpe_train(
+    spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int = _BPE_MERGES
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over ``docs[text_col]``; returns
+    the merge log (step, pair, merged, pair_count) — the trained
+    artifact, bounded at ``n_merges`` rows like a centroid table."""
+    merges, _ = _bpe_learn(spark, docs, text_col, n_merges)
+    return spark.createDataFrame(merges, _MERGE_SCHEMA)
+
+
+def bpe_apply_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = _BPE_MERGES,
+    topk: int = 20,
+) -> DataFrame:
+    """Tokenize the corpus with the learned merges and return the
+    top-k tokens by corpus frequency (ties on the token string). The
+    apply step is free given training: the vocabulary table already
+    holds fully merged sequences, so tokenization is one unit-split +
+    explode + map-side-combined count over |vocab| rows, and the
+    top-k is a TakeOrdered — corpus text is still read exactly once."""
+    _, words = _bpe_learn(spark, docs, text_col, n_merges)
+    return (
+        words.withColumn(
+            "units", F.expr("split(substring(seq, 2, length(seq) - 2), '><')")
+        )
+        .select(F.explode("units").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(topk)
+    )
+
+
+def _bpe_ctes(n_merges: int) -> tuple[list[str], list[str]]:
+    """Shared unrolled-CTE scaffolding: returns (ctes, per-step best
+    selects); ``w{n_merges}`` is the fully merged vocabulary."""
     pairs_from = (
         "SELECT cnt, '<' || units[d] || '><' || units[d + 1] || '>' AS pair "
         "FROM (SELECT cnt, units, generate_subscripts(units, 1) AS d, "
@@ -122,7 +158,7 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
         "WHERE d < len(units)"
     )
     ctes = [
-        "w0 AS (SELECT '<' || array_to_string(str_split(word, ''), '><') || '>' AS seq, "
+        "w0 AS MATERIALIZED (SELECT '<' || array_to_string(str_split(word, ''), '><') || '>' AS seq, "
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
         "FROM documents) GROUP BY word)"
@@ -131,21 +167,41 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
     for i in range(1, n_merges + 1):
         src = f"w{i - 1}"
         ctes.append(
-            f"p{i} AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM "
+            f"p{i} AS MATERIALIZED (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c FROM "
             f"({pairs_from.format(src=src)}) GROUP BY pair)"
         )
         ctes.append(
-            f"b{i} AS (SELECT {i} AS step, pair, "
+            f"b{i} AS MATERIALIZED (SELECT {i} AS step, pair, "
             "'<' || trim(replace(pair, '><', ''), '<>') || '>' AS merged, "
             f"c AS pair_count FROM p{i} ORDER BY c DESC, pair LIMIT 1)"
         )
         ctes.append(
-            f"w{i} AS (SELECT replace(seq, "
+            f"w{i} AS MATERIALIZED (SELECT replace(seq, "
             f"coalesce((SELECT pair FROM b{i}), chr(1)), "
             f"coalesce((SELECT merged FROM b{i}), chr(1))) AS seq, cnt FROM {src})"
         )
         finals.append(f"SELECT CAST(step AS INTEGER) AS step, pair, merged, pair_count FROM b{i}")
+    return ctes, finals
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """Unrolled DuckDB twin of the training loop: same tokenization,
+    same wrapped-unit replace, same (count DESC, pair ASC) argmax."""
+    ctes, finals = _bpe_ctes(n_merges)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_MERGES, topk: int = 20) -> str:
+    """Unrolled twin of tokenization with the learned merges: unnest
+    the fully merged vocabulary's units weighted by word count."""
+    ctes, _ = _bpe_ctes(n_merges)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT token, CAST(SUM(cnt) AS BIGINT) AS n FROM ("
+        f"SELECT unnest(str_split(seq[2:length(seq)-1], '><')) AS token, cnt "
+        f"FROM w{n_merges}) GROUP BY token "
+        f"ORDER BY n DESC, token LIMIT {topk}"
+    )
 
 
 @register("llm_bpe_train", oracle=_bpe_oracle())
@@ -157,3 +213,14 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab| × n_merges, not |corpus| × n_merges."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(spark, docs, "text", _BPE_MERGES)
+
+
+@register("llm_bpe_apply", oracle=_bpe_apply_oracle())
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the 6 learned BPE merges and return
+    the top-20 tokens by frequency — the train→apply round trip, all
+    hash-checked. The apply pass is one unit-split + explode +
+    map-side-combined count over the VOCABULARY table (corpus text is
+    read once, by the word count) and a TakeOrdered top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_apply_topk(spark, docs, "text", _BPE_MERGES, topk=20)

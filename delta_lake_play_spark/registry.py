@@ -170,6 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_transform_with_state",
     "dml_row_tracking",
     "dml_in_commit_timestamps",
+    "llm_bpe_apply",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
