@@ -166,3 +166,50 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- scan_agg_pushdown ----------------------------------------------------
+
+_AGG_PUSH_ORACLE = """
+SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+_AGG_PUSH_CONFS = {
+    # key is case-sensitive: ...aggregatePushdown (lowercase d)
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # aggregate pushdown is a DSv2 capability; route parquet off the
+    # V1 file-source path for this window
+    "spark.sql.sources.useV1SourceList": "",
+}
+
+
+def agg_pushdown_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy footer-answered aggregate (shared with the plan test);
+    caller owns the conf window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("scan_agg_pushdown", oracle=_AGG_PUSH_ORACLE)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT answered from parquet footer statistics — the
+    scan carries ``PushedAggregation: [MIN(..), MAX(..), COUNT(*)]``
+    and reads row-group metadata instead of data pages. At 100 TB
+    this is the difference between a metadata sweep and a full column
+    scan for table-profile queries. Materialized inside the conf
+    window (the DSv2 route + pushdown flags are plan-time state)."""
+    prev = {k: spark.conf.get(k, None) for k in _AGG_PUSH_CONFS}
+    for k, v in _AGG_PUSH_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return agg_pushdown_df(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)

@@ -171,6 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "dml_row_tracking",
     "dml_in_commit_timestamps",
     "llm_bpe_apply",
+    "scan_agg_pushdown",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )

@@ -598,3 +598,24 @@ def test_runtime_bloom_filters_fact_before_shuffle(spark, sf_dir):
     low = plan.lower()
     assert "bloom_filter_agg" in low, plan[:2000]
     assert "might_contain" in low, plan[:2000]
+
+
+def test_aggregate_pushdown_reaches_parquet_footer(spark, sf_dir):
+    # MIN/MAX/COUNT must be answered by the scan (PushedAggregation),
+    # not by reading data pages.
+    from delta_lake_play_spark.queries.runtime_filters import (
+        _AGG_PUSH_CONFS,
+        agg_pushdown_df,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _AGG_PUSH_CONFS}
+    for k, v in _AGG_PUSH_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = formatted_plan(agg_pushdown_df(spark, sf_dir))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]" in plan, (
+        plan[:2000]
+    )
