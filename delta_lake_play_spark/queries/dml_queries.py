@@ -1093,3 +1093,97 @@ def dml_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     if v != 1:
         raise AssertionError(f"ICT travel to v1's clock resolved v{v}")
     return read_delta_snapshot(spark, t.path, version=v)
+
+
+# --- dml_scd2_build (SCD type-2 dimension from the change feed) -----------
+
+_SCD2_ORACLE = f"""
+WITH s0 AS (SELECT * FROM customer),
+s1 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN COALESCE(c_mktsegment = 'BUILDING', FALSE)
+              THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM s0
+),
+s2 AS (SELECT * FROM s1 WHERE NOT COALESCE(c_acctbal < 0, FALSE)),
+src AS ({_SRC_SQL}),
+events AS (
+  SELECT *, 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM s0
+  UNION ALL
+  SELECT *, 'update_preimage', 1 FROM s0 WHERE COALESCE(c_mktsegment = 'BUILDING', FALSE)
+  UNION ALL
+  SELECT *, 'update_postimage', 1 FROM s1 WHERE COALESCE(c_mktsegment = 'BUILDING', FALSE)
+  UNION ALL
+  SELECT *, 'delete', 2 FROM s1 WHERE COALESCE(c_acctbal < 0, FALSE)
+  UNION ALL
+  SELECT *, 'update_preimage', 3 FROM s2
+  WHERE c_custkey IN (SELECT c_custkey FROM src)
+  UNION ALL
+  SELECT *, 'update_postimage', 3 FROM src
+  WHERE c_custkey IN (SELECT c_custkey FROM s2)
+  UNION ALL
+  SELECT *, 'insert', 3 FROM src
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM s2)
+),
+ev AS (
+  SELECT *, _change_type IN ('delete', 'update_preimage') AS is_close
+  FROM events
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       _commit_version AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       valid_to IS NULL AS is_current
+FROM (
+  SELECT *, min(CASE WHEN is_close THEN _commit_version END) OVER (
+      PARTITION BY c_custkey
+      ORDER BY _commit_version DESC, is_close
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS valid_to
+  FROM ev
+) WHERE NOT is_close
+"""
+
+
+@register("dml_scd2_build", oracle=_SCD2_ORACLE)
+def dml_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from the Change Data
+    Feed — the production warehouse composite: the initial snapshot
+    seeds version-0 opens, every insert/update_postimage opens a
+    row, every delete/update_preimage closes the newest still-open
+    row for that key. The close assignment is ONE windowed pass
+    (per-key min close-version strictly after each open, via a
+    (version DESC, is_close) ordering with an exclusive frame), so
+    the whole build is a single keyed shuffle over change-sized
+    input — never a self-join, never a snapshot diff. Handles
+    delete→re-insert (the v2-deleted keys re-inserted by the v3
+    MERGE get a closed row and a fresh current row)."""
+    from pyspark.sql.window import Window
+
+    t = _cdf_script(spark, sf_dir)
+    cols = t.read(version=0).columns
+    snap0 = (
+        t.read(version=0)
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(0).cast("long"))
+    )
+    feed = t.table_changes(1, 3).drop("_commit_timestamp")
+    ev = snap0.unionByName(feed).withColumn(
+        "is_close", F.col("_change_type").isin("delete", "update_preimage")
+    )
+    w = (
+        Window.partitionBy("c_custkey")
+        .orderBy(F.desc("_commit_version"), F.asc("is_close"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scd = ev.withColumn(
+        "valid_to",
+        F.min(
+            F.when(F.col("is_close"), F.col("_commit_version"))
+        ).over(w),
+    )
+    return scd.where(~F.col("is_close")).select(
+        *cols,
+        F.col("_commit_version").alias("valid_from"),
+        F.col("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -172,6 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "dml_in_commit_timestamps",
     "llm_bpe_apply",
     "scan_agg_pushdown",
+    "dml_scd2_build",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
