@@ -616,3 +616,115 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_events").alias("n_events"),
         F.col("b.sum_value").alias("sum_value"),
     )
+
+
+# --- stream_scd2_maintain: SCD2 kept current by the CDF stream ------------
+
+
+def _scd2_oracle() -> str:
+    from delta_lake_play_spark.queries.dml_queries import _SCD2_ORACLE
+
+    return _SCD2_ORACLE
+
+
+@register("stream_scd2_maintain", oracle=_scd2_oracle())
+def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of ``dml_scd2_build``: a type-2 dimension
+    kept current by tailing the Change Data Feed
+    (``readChangeFeed`` on the versioned_table source) and applying
+    each micro-batch incrementally — batch opens/closes are merged
+    with the target's OPEN rows for the affected keys via the same
+    windowed min-close-after pass, then ``overwrite_where``
+    (replaceWhere) swaps exactly those keys' rows in one atomic
+    commit. Per-batch cost is change-sized: closed history rows for
+    unaffected keys are never touched, and the replaceWhere key list
+    is bounded by the batch. Hash-matching the SAME oracle as the
+    batch build proves streaming maintenance converges to the batch
+    result regardless of how the source split the commits."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from delta_lake_play_spark.queries.dml_queries import _cdf_script
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    src = _cdf_script(spark, sf_dir)
+    cols = src.to_df().columns
+    scd_schema = T.StructType(
+        list(src.to_df().schema.fields)
+        + [
+            T.StructField("valid_from", T.LongType(), True),
+            T.StructField("valid_to", T.LongType(), True),
+            T.StructField("is_current", T.BooleanType(), True),
+        ]
+    )
+    target = VersionedTable.create(
+        spark,
+        temp_table_path("scd2-target"),
+        spark.createDataFrame([], scd_schema),
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        batch = batch_df.persist()
+        try:
+            if not batch.head(1):
+                return
+            keys = [r[0] for r in batch.select("c_custkey").distinct().collect()]
+            state = target.to_df().where(F.col("c_custkey").isin(keys))
+            closed = state.where(~F.col("is_current"))
+            # open target rows re-enter the window as open events at
+            # their valid_from version
+            opens = state.where(F.col("is_current")).select(
+                *cols,
+                F.lit("insert").alias("_change_type"),
+                F.col("valid_from").alias("_commit_version"),
+            )
+            ev = opens.unionByName(
+                batch.select(*cols, "_change_type", "_commit_version")
+            ).withColumn(
+                "is_close",
+                F.col("_change_type").isin("delete", "update_preimage"),
+            )
+            w = (
+                Window.partitionBy("c_custkey")
+                .orderBy(F.desc("_commit_version"), F.asc("is_close"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            rebuilt = (
+                ev.withColumn(
+                    "valid_to",
+                    F.min(
+                        F.when(F.col("is_close"), F.col("_commit_version"))
+                    ).over(w),
+                )
+                .where(~F.col("is_close"))
+                .select(
+                    *cols,
+                    F.col("_commit_version").alias("valid_from"),
+                    F.col("valid_to"),
+                    F.col("valid_to").isNull().alias("is_current"),
+                )
+            )
+            target.overwrite_where(
+                closed.unionByName(rebuilt), F.col("c_custkey").isin(keys)
+            )
+        finally:
+            batch.unpersist()
+
+    checkpoint = __import__("tempfile").mkdtemp(prefix="scd2_ckpt_")
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(src.path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target.to_df()

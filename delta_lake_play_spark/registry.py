@@ -173,6 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_bpe_apply",
     "scan_agg_pushdown",
     "dml_scd2_build",
+    "stream_scd2_maintain",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
