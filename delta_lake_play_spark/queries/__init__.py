@@ -6,6 +6,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     dml_queries,
     filters,
     flagship,
+    graphs,
     joins,
     llm_bpe,
     llm_compose,

@@ -1,0 +1,282 @@
+"""Graph analytics over derived relationship tables (SURVEY.md §2
+EXT — complements ``llm_pagerank_sources`` and the connected-
+components machinery in ``operators/dedup.py``).
+
+Reference scope note: the reference (nagi49000/delta-lake-play) has
+no graph surface; this extends the engine the way its Spark runtime
+would be used for relationship analysis at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_play_spark.registry import register
+from delta_lake_play_spark.sources.catalog import load_table
+
+# --- graph_triangle_count -------------------------------------------------
+#
+# Co-occurrence graph: users active in the same (event_type, hour)
+# bucket are connected. Buckets are capped to their 10 smallest
+# user_ids (deterministic) so a hot bucket contributes at most 45
+# edges — the standard clique-cap that keeps co-occurrence graph
+# construction output-bounded at any scale. Triangles are counted
+# with the two-shuffle wedge-join: orient every edge small→large id,
+# build wedges by joining edges on their lower endpoint, then
+# semi-join wedges against edges (the MapReduce triangle algorithm —
+# no vertex ever sees more than its own neighborhood).
+
+_TRI_ORACLE = """
+WITH b AS (
+  SELECT event_type, hr, user_id,
+         row_number() OVER (PARTITION BY event_type, hr ORDER BY user_id) AS rn
+  FROM (SELECT DISTINCT event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr, user_id
+        FROM events)
+),
+capped AS (SELECT * FROM b WHERE rn <= 10),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM capped a JOIN capped c
+    ON a.event_type = c.event_type AND a.hr = c.hr AND a.user_id < c.user_id
+),
+wedges AS (
+  SELECT e1.v AS a, e2.v AS b
+  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+tri AS (
+  SELECT COUNT(*) AS n FROM wedges w JOIN edges e ON w.a = e.u AND w.b = e.v
+)
+SELECT CAST((SELECT COUNT(DISTINCT u2) FROM (
+         SELECT u AS u2 FROM edges UNION SELECT v FROM edges)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
+def cooccurrence_edges(events: DataFrame, cap: int = 10) -> DataFrame:
+    """Deterministic capped co-occurrence edges (u < v)."""
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("event_type", "hr").orderBy("user_id")
+    capped = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    other = capped.select(
+        "event_type", "hr", F.col("user_id").alias("v_id")
+    )
+    return (
+        capped.join(other, ["event_type", "hr"])
+        .where(F.col("user_id") < F.col("v_id"))
+        .select(F.col("user_id").alias("u"), F.col("v_id").alias("v"))
+        .distinct()
+    )
+
+
+def _minute_edges(events: DataFrame, cap: int = 4) -> DataFrame:
+    """Sparse co-occurrence edges: users active in the same
+    (event_type, minute) bucket, capped to the ``cap`` smallest
+    user_ids per bucket — at most cap·(cap-1)/2 edges per bucket, so
+    edge count is O(#buckets) at any corpus size."""
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("mi"),
+        "user_id",
+    ).distinct()
+    w = Window.partitionBy("event_type", "mi").orderBy("user_id")
+    capped = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    other = capped.select("event_type", "mi", F.col("user_id").alias("v_id"))
+    return (
+        capped.join(other, ["event_type", "mi"])
+        .where(F.col("user_id") < F.col("v_id"))
+        .select(F.col("user_id").alias("u"), F.col("v_id").alias("v"))
+        .distinct()
+    )
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the user co-occurrence graph:
+    wedge join (edges ⋈ edges on the lower endpoint) then one
+    edge-existence join — two keyed shuffles, work proportional to
+    Σ deg², never all-pairs. The bucket cap bounds construction;
+    edge orientation (u < v) counts each triangle exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(ev).persist()
+    try:
+        e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("b"))
+        wedges = (
+            edges.join(e2, edges.u == e2.u2)
+            .where(F.col("v") < F.col("b"))
+            .select(F.col("v").alias("a"), "b")
+        )
+        closing = edges.select(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        )
+        tri = wedges.join(closing, ["a", "b"]).count()
+        nodes = (
+            edges.select(F.col("u").alias("n"))
+            .union(edges.select("v"))
+            .distinct()
+            .count()
+        )
+        n_edges = edges.count()
+        return spark.createDataFrame(
+            [(nodes, n_edges, tri)],
+            "n_nodes bigint, n_edges bigint, n_triangles bigint",
+        )
+    finally:
+        edges.unpersist()
+
+
+# --- graph_connected_components -------------------------------------------
+#
+# Component-size histogram of the sparse (event_type, minute) user
+# co-occurrence graph. The Spark side reuses the same two-path
+# connected-components operator the dedup pipeline uses
+# (operators/dedup.py::connected_components): union-find on the
+# driver while the EDGE list fits (edges are output-sized, not
+# corpus-sized), distributed min-label propagation with pointer
+# jumping above that — O(log diameter) keyed shuffles, each round
+# localCheckpoint-truncated. The oracle computes the same components
+# via a recursive-CTE transitive closure (fine at oracle scale;
+# closure is exactly what the distributed path must NOT do).
+
+_CC_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT event_type, mi, user_id,
+         row_number() OVER (PARTITION BY event_type, mi ORDER BY user_id) AS rn
+  FROM (SELECT DISTINCT event_type,
+               time_bucket(INTERVAL 1 MINUTE, ts) AS mi, user_id
+        FROM events)
+),
+capped AS (SELECT * FROM b WHERE rn <= 4),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM capped a JOIN capped c
+    ON a.event_type = c.event_type AND a.mi = c.mi AND a.user_id < c.user_id
+),
+bi AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+reach(node, r) AS (
+  SELECT user_id, user_id FROM (SELECT DISTINCT user_id FROM events)
+  UNION
+  SELECT reach.node, bi.v FROM reach JOIN bi ON reach.r = bi.u
+),
+lbl AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, COUNT(*) AS sz FROM lbl GROUP BY cluster)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+"""
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram over the sparse co-occurrence graph.
+    Isolated users are singleton components (nodes = ALL distinct
+    users, not just edge endpoints)."""
+    from delta_lake_play_spark.operators.dedup import connected_components
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = _minute_edges(ev).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    labels = connected_components(nodes, edges)
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+# --- graph_common_neighbors -----------------------------------------------
+#
+# Link prediction by common-neighbor count: for every NON-adjacent
+# user pair sharing >= 3 neighbors in the (event_type, hour)
+# co-occurrence graph, score = |N(u) ∩ N(v)|. The candidate set is
+# generated by the same wedge join as triangle counting (joined on
+# the shared neighbor, work ~ Σ deg² — never all-pairs), adjacency is
+# removed with a keyed anti-join, and the >= 3 floor bounds output.
+
+_CN_ORACLE = """
+WITH b AS (
+  SELECT event_type, hr, user_id,
+         row_number() OVER (PARTITION BY event_type, hr ORDER BY user_id) AS rn
+  FROM (SELECT DISTINCT event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr, user_id
+        FROM events)
+),
+capped AS (SELECT * FROM b WHERE rn <= 10),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM capped a JOIN capped c
+    ON a.event_type = c.event_type AND a.hr = c.hr AND a.user_id < c.user_id
+),
+bi AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+wedge AS (
+  SELECT e1.v AS a, e2.v AS b, e1.u AS via
+  FROM bi e1 JOIN bi e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+scored AS (
+  SELECT a, b, COUNT(DISTINCT via) AS common_neighbors
+  FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = w.a AND e.v = w.b)
+  GROUP BY a, b
+)
+SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v,
+       CAST(common_neighbors AS BIGINT) AS common_neighbors
+FROM scored WHERE common_neighbors >= 3
+"""
+
+
+@register("graph_common_neighbors", oracle=_CN_ORACLE)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-occurrence graph:
+    wedge join on the shared endpoint, anti-join out existing edges,
+    count distinct shared neighbors, floor at 3."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(ev).persist()
+    try:
+        bi = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        e2 = bi.select(F.col("u").alias("u2"), F.col("v").alias("b"))
+        wedges = (
+            bi.join(e2, bi.u == e2.u2)
+            .where(F.col("v") < F.col("b"))
+            .select(F.col("v").alias("a"), "b", F.col("u").alias("via"))
+        )
+        non_adjacent = wedges.join(
+            edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+        return (
+            non_adjacent.groupBy("a", "b")
+            .agg(F.count_distinct("via").alias("common_neighbors"))
+            .where(F.col("common_neighbors") >= 3)
+            .select(
+                F.col("a").cast("long").alias("u"),
+                F.col("b").cast("long").alias("v"),
+                F.col("common_neighbors"),
+            )
+        )
+    finally:
+        edges.unpersist()

@@ -195,6 +195,10 @@ def _meta_action(table, entry: dict) -> dict:
         # (delta.inCommitTimestampEnablementVersion/-Timestamp) are
         # needed per the spec.
         config["delta.enableInCommitTimestamps"] = "true"
+    for cname, cexpr in table.constraints().items():
+        # CHECK constraints live in metaData configuration
+        # (PROTOCOL.md): external writers must enforce them.
+        config[f"delta.constraints.{cname}"] = cexpr
     schema_dict = entry["schema"]
     if _is_mapped(entry):
         # Column mapping mode "name": every field advertises its
@@ -219,6 +223,22 @@ def _meta_action(table, entry: dict) -> dict:
         config["delta.columnMapping.maxColumnId"] = str(
             max(ids.values(), default=0)
         )
+    gen = table.generated_columns()
+    if gen:
+        # Generated columns (PROTOCOL.md): the expression rides as
+        # field metadata so external writers recompute it.
+        fields = []
+        for f in schema_dict["fields"]:
+            if f["name"] in gen:
+                f = {
+                    **f,
+                    "metadata": {
+                        **f.get("metadata", {}),
+                        "delta.generationExpression": gen[f["name"]],
+                    },
+                }
+            fields.append(f)
+        schema_dict = {**schema_dict, "fields": fields}
     idcfg = table.identity_info()
     if idcfg:
         # Identity columns (PROTOCOL.md): the field carries
@@ -274,6 +294,10 @@ def _protocol_action(table, entry: dict) -> dict:
     (row tracking defines no reader feature), so readerFeatures is
     not emitted."""
     reader, writer = _PROTOCOL["minReaderVersion"], _PROTOCOL["minWriterVersion"]
+    if table.constraints():
+        writer = max(writer, 3)  # CHECK constraints
+    if table.generated_columns():
+        writer = max(writer, 4)  # generated columns
     if table.cdf_enabled():
         writer = max(writer, 4)
     if _is_mapped(entry):

@@ -414,3 +414,43 @@ def test_random_mirrored_sequences_replay_exactly(spark):
             for r in read_delta_snapshot(spark, t.path, version=v).collect()
         }
         assert got == expected, f"mirrored version {v} replays wrong"
+
+
+def test_mirror_carries_constraints_and_generation_expressions(spark, sf_dir):
+    """CHECK constraints ride in metaData.configuration
+    (delta.constraints.<name>, writer >= 3) and generated columns as
+    delta.generationExpression field metadata (writer >= 4), so
+    external writers enforce/recompute them."""
+    import json
+    import os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        temp_table_path,
+    )
+
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("meta-mirror"),
+        n,
+        constraints={"key_nonneg": "n_nationkey >= 0"},
+        generated={"region_tag": "concat('R', CAST(n_regionkey AS STRING))"},
+        delta_mirror=True,
+    )
+    ddir = os.path.join(t.path, "_delta_log")
+    with open(os.path.join(ddir, f"{0:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] >= 4
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["configuration"]["delta.constraints.key_nonneg"] == "n_nationkey >= 0"
+    fields = {
+        f["name"]: f for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert (
+        fields["region_tag"]["metadata"]["delta.generationExpression"]
+        == "concat('R', CAST(n_regionkey AS STRING))"
+    )
+    assert read_delta_snapshot(spark, t.path).count() == t.to_df().count()
