@@ -99,3 +99,57 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(
         mm.resize_batches, schema=mm.RESIZE_SCHEMA
     )
+
+
+# --- llm_multimodal_manifest: hash-checked mapInPandas plumbing -----------
+#
+# The three keys above are rows-only because their checksum columns
+# are byte-level. But the frame sampler's SHAPE — how many frames it
+# emits per doc, which indices, how many bytes each — is pure
+# arithmetic of the payload length (FRAME_SIZE/FRAME_STRIDE in
+# llm/multimodal.py), so aggregating the REAL mapInPandas output per
+# doc gives a result DuckDB can recompute from octet_length alone.
+# This is the driver-hash check for the multimodal batch plumbing:
+# if the 1→N explosion mis-indexes, over- or under-samples, or
+# mangles a batch boundary, the per-doc sums diverge.
+
+_MANIFEST_ORACLE = """
+WITH p AS (
+  SELECT doc_id, COALESCE(octet_length(encode(text)), 0) AS n_bytes
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_bytes,
+         (GREATEST(1, n_bytes // 64) + 3) // 4 AS sampled
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sampled AS BIGINT) AS n_frames_sampled,
+       CAST(2 * sampled * (sampled - 1) AS BIGINT) AS sum_frame_idx,
+       CAST(CASE WHEN n_bytes < 64 THEN n_bytes
+                 ELSE 64 * sampled END AS BIGINT) AS sum_frame_bytes,
+       CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
+       CAST(n_bytes % 480 + 1 AS INTEGER) AS height
+FROM s
+"""
+
+
+@register("llm_multimodal_manifest", oracle=_MANIFEST_ORACLE)
+def llm_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc manifest of the frame-sampling stage: run the real
+    Arrow-batched sampler AND decoder, then aggregate counts/index
+    sums/byte sums per doc — the mapInPandas plumbing, hash-checked
+    against a pure-arithmetic oracle."""
+    payloads = _payloads(spark, sf_dir)
+    frames = payloads.mapInPandas(
+        mm.frame_sample_batches, schema=mm.FRAME_SCHEMA
+    )
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_bytes").alias("sum_frame_bytes"),
+    )
+    decoded = payloads.mapInPandas(
+        mm.decode_batches, schema=mm.DECODE_SCHEMA
+    ).select("doc_id", "width", "height")
+    return per_doc.join(decoded, "doc_id")

@@ -1273,3 +1273,87 @@ def llm_mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dev") <= _MAD_K * F.greatest(F.col("mad"), F.lit(1)))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --- llm_gopher_rules ------------------------------------------------------
+#
+# The Gopher repetition-free quality rules (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1 — public paper): word-count
+# bounds, mean-word-length band, minimum fraction of words containing
+# an alphabetic character, and a stopword-presence floor. The
+# canonical pretraining heuristic filter battery; every rule is a
+# per-doc expression over one split of the text, so the whole battery
+# is a single narrow projection — no shuffle, no UDF, fully
+# whole-stage-codegen at any corpus size.
+
+_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+_GOPHER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '),
+                     x -> len(x) > 0) AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           / len(t) AS mean_word_len,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS DOUBLE) / len(t) AS frac_alpha,
+         len(list_filter({list(_STOPWORDS)},
+                         s -> list_contains(t, s))) AS n_stop
+  FROM w
+  WHERE len(t) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len,
+       frac_alpha,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND frac_alpha >= 0.8
+        AND n_stop >= 2) AS keep
+FROM m
+"""
+
+
+@register("llm_gopher_rules", oracle=_GOPHER_ORACLE)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery per doc: word count in [50, 100k], mean
+    word length in [3, 10], >= 80% of words contain a letter, >= 2
+    distinct stopwords present. Emits the metrics plus the combined
+    ``keep`` verdict so downstream can both filter and audit."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    base = d.select("doc_id", t.alias("t")).where(F.size("t") > 0)
+    n_words = F.size("t")
+    sum_len = F.aggregate(
+        "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter("t", lambda x: x.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains("t", s),
+        )
+    )
+    m = base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        (sum_len.cast("double") / n_words).alias("mean_word_len"),
+        (n_alpha.cast("double") / n_words).alias("frac_alpha"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("frac_alpha") >= 0.8)
+        & (F.col("n_stopwords") >= 2)
+    )
+    return m.select("*", keep.alias("keep"))
