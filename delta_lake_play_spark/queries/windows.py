@@ -522,3 +522,127 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0)
     )
     return ev.select("event_id", "user_id", med.alias("moving_median"))
+
+
+# --- win_interpolate_linear -----------------------------------------------
+#
+# Time-series resample + LINEAR interpolation (the timeseries-DB
+# `interpolate()` / pandas `interpolate(method="time")` semantics,
+# which zero-fill `fn_date_spine_fill` deliberately does not cover):
+# each user's hourly spine left-joins the observed hourly sums, then
+# gaps take pv + (nv - pv) * Δt/Δtotal from the bracketing
+# observations. The bracketing values come from two
+# last/first-IGNORE-NULLS window passes over the spine — per-user
+# keyed shuffle only, frames evaluated in one pass; no self-join of
+# the spine against observations, which is the naive quadratic form.
+# Time deltas are integer hour counts (never double epoch), and the
+# observed sums ride the exact integer-cents grid, so the single
+# IEEE multiply-add per gap row is bit-stable across engines.
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(hr) AS d0, MAX(hr) AS d1 FROM obs GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 HOUR)) AS hr
+  FROM span
+),
+j AS (
+  SELECT s.user_id, s.hr, o.v FROM spine s
+  LEFT JOIN obs o ON s.user_id = o.user_id AND s.hr = o.hr
+),
+b AS (
+  SELECT user_id, hr, v,
+         last_value(v IGNORE NULLS) OVER w_back AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_back AS ph,
+         first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_fwd AS nh
+  FROM j
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY hr
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hr,
+       v AS v_obs,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv)
+                 * (CAST(date_diff('hour', ph, hr) AS DOUBLE)
+                    / date_diff('hour', ph, nh)) END AS v_interp,
+       (v IS NULL) AS is_interpolated
+FROM b
+"""
+
+
+@register("win_interpolate_linear", oracle=_INTERP_ORACLE)
+def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spine per user with linear interpolation across gaps
+    from the bracketing observations (IGNORE NULLS window passes)."""
+    from delta_lake_play_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hr = F.date_trunc("hour", F.col("ts"))
+    obs = ev.groupBy("user_id", hr.alias("hr")).agg(dsum("value", 2).alias("v"))
+    span = obs.groupBy("user_id").agg(
+        F.min("hr").alias("d0"), F.max("hr").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    j = spine.join(obs, ["user_id", "hr"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    b = j.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    hours = lambda a, z: (  # noqa: E731 — integer hour delta
+        (F.unix_timestamp(z) - F.unix_timestamp(a)) / 3600
+    ).cast("long")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                hours("ph", "hr").cast("double")
+                / hours("ph", "nh")
+            )
+        )
+    )
+    return b.select(
+        "user_id",
+        "hr",
+        F.col("v").alias("v_obs"),
+        interp.alias("v_interp"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
