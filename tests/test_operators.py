@@ -348,3 +348,66 @@ def test_token_budget_mix_invariants(spark, sf_dir):
     assert out["budget_tokens"].sum() == total // _BUDGET_DIVISOR
     assert (out["kept_tokens"] <= out["budget_tokens"]).all()
     assert (out["kept_docs"] > 0).any()  # non-vacuous
+
+
+def test_connected_components_known_graph(spark):
+    """CC on a hand-built graph: chain 1-2-3, pair 10-11, isolate 99
+    -> components {1,2,3}, {10,11}, {99} labeled by their minimum."""
+    from delta_lake_play_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 10, 11, 99)], "node long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    got = {
+        (r.node, r.cluster)
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_triangle_wedge_join_counts_k4(spark, sf_dir):
+    """The wedge-join pipeline on K4 embedded via a synthetic events
+    frame is exercised end-to-end by the registered key; here the
+    edge builder itself: K4 (4 users, one bucket, cap >= 4) yields
+    C(4,2)=6 edges."""
+    from delta_lake_play_spark.queries.graphs import cooccurrence_edges
+
+    rows = [(i, "2024-01-01 00:00:00", u, "click") for i, u in enumerate([1, 2, 3, 4])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    edges = cooccurrence_edges(ev).collect()
+    assert {(r.u, r.v) for r in edges} == {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+
+
+def test_interpolation_closed_form(spark):
+    """A 3-observation series with a 3-hour gap interpolates on the
+    straight line between the bracketing points."""
+    from delta_lake_play_spark.queries import windows as W
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 0.0),
+        (2, "2024-01-01 04:00:00", 8.0),
+        (3, "2024-01-01 06:00:00", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.lit(7).cast("long")
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.hr.hour, round(r.v_interp, 6), r.is_interpolated)
+            for r in W.win_interpolate_linear(spark, d).collect()
+        }
+    assert out == {
+        (0, 0.0, False),
+        (1, 2.0, True),
+        (2, 4.0, True),
+        (3, 6.0, True),
+        (4, 8.0, False),
+        (5, 6.5, True),
+        (6, 5.0, False),
+    }
