@@ -673,8 +673,16 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             if not batch.head(1):
                 return
-            keys = [r[0] for r in batch.select("c_custkey").distinct().collect()]
-            state = target.to_df().where(F.col("c_custkey").isin(keys))
+            # Keys stay a DataFrame end-to-end: enumerating them on
+            # the driver and stuffing a literal IN list pays
+            # per-element Py4J marshalling + expression analysis
+            # (measured 11 s at 16.5 k keys for the replaceWhere
+            # alone) and caps the batch size; broadcast semi-joins
+            # keep the plan change-sized at any batch width.
+            keys = batch.select("c_custkey").distinct()
+            state = target.to_df().join(
+                F.broadcast(keys), "c_custkey", "leftsemi"
+            )
             closed = state.where(~F.col("is_current"))
             # open target rows re-enter the window as open events at
             # their valid_from version
@@ -709,8 +717,8 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("valid_to").isNull().alias("is_current"),
                 )
             )
-            target.overwrite_where(
-                closed.unionByName(rebuilt), F.col("c_custkey").isin(keys)
+            target.overwrite_for_keys(
+                closed.unionByName(rebuilt), "c_custkey", keys_df=keys
             )
         finally:
             batch.unpersist()

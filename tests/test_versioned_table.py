@@ -901,3 +901,82 @@ def test_vacuum_age_guard_protects_inflight_commits(spark, names):
     assert any("c-99-deadbeef" in p for p in would)
     names.vacuum(retain_last=1, min_age_seconds=0)
     assert not _os.path.exists(inflight)
+
+
+def test_overwrite_for_keys_replaces_and_erases(spark, sf_dir):
+    """Join-keyed replaceWhere: rows for keys in keys_df are swapped
+    for df's rows — including keys whose new state is EMPTY (erased),
+    which a df-derived key set cannot express."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        temp_table_path,
+    )
+
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = VersionedTable.create(spark, temp_table_path("owkeys"), n)
+    keys = spark.createDataFrame([(0,), (1,), (2,)], "n_nationkey long")
+    repl = (
+        n.where(F.col("n_nationkey").isin(0, 1))
+        .withColumn("n_name", F.lit("replaced"))
+    )
+    t.overwrite_for_keys(repl, "n_nationkey", keys_df=keys)
+    got = t.to_df()
+    assert got.where(F.col("n_nationkey") == 2).count() == 0  # erased
+    assert (
+        got.where(F.col("n_nationkey").isin(0, 1))
+        .where(F.col("n_name") == "replaced")
+        .count()
+        == 2
+    )
+    assert got.count() == n.count() - 1  # 25 - key 2 (0,1 replaced 1:1)
+
+
+def test_overwrite_for_keys_guards_out_of_slice_rows(spark, sf_dir):
+    """An incoming row whose key is NOT in the declared keys_df
+    aborts the commit (same contract as overwrite_where's guard)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        temp_table_path,
+    )
+
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = VersionedTable.create(spark, temp_table_path("owkeys-guard"), n)
+    v0 = t.latest_version()
+    keys = spark.createDataFrame([(0,)], "n_nationkey long")
+    bad = n.where(F.col("n_nationkey").isin(0, 5))  # 5 outside slice
+    with pytest.raises(ValueError, match="outside the declared key slice"):
+        t.overwrite_for_keys(bad, "n_nationkey", keys_df=keys)
+    assert t.latest_version() == v0  # nothing committed
+
+
+def test_overwrite_for_keys_default_keys_from_df(spark, sf_dir):
+    """Without keys_df, the key set is df's own distinct keys: only
+    those keys' rows are replaced, everything else is carried."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        temp_table_path,
+    )
+
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = VersionedTable.create(spark, temp_table_path("owkeys-default"), n)
+    repl = (
+        n.where(F.col("n_nationkey") == 7)
+        .withColumn("n_name", F.lit("SEVEN"))
+    )
+    t.overwrite_for_keys(repl, "n_nationkey")
+    got = t.to_df()
+    assert got.count() == n.count()
+    assert got.where(F.col("n_name") == "SEVEN").count() == 1
