@@ -113,22 +113,64 @@ def _minute_edges(events: DataFrame, cap: int = 4) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting on the user co-occurrence graph:
     wedge join (edges ⋈ edges on the lower endpoint) then one
-    edge-existence join — two keyed shuffles, work proportional to
-    Σ deg², never all-pairs. The bucket cap bounds construction;
-    edge orientation (u < v) counts each triangle exactly once."""
+    edge-existence join — two keyed shuffles, never all-pairs. Edges
+    are oriented low-degree → high-degree (ties by id), the classic
+    O(m^1.5) bound: every wedge pivot fans out over its OUT-degree,
+    which the orientation caps at ~√(2m) regardless of how skewed the
+    raw degree distribution is (id-orientation leaves Σ out-deg²
+    unbounded — one hub user appearing in many buckets dominates).
+    The triangle COUNT is orientation-invariant, so the oracle's
+    id-oriented closure counts the same set."""
     ev = load_table(spark, sf_dir, "events")
     edges = cooccurrence_edges(ev).persist()
     try:
-        e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("b"))
-        wedges = (
-            edges.join(e2, edges.u == e2.u2)
-            .where(F.col("v") < F.col("b"))
-            .select(F.col("v").alias("a"), "b")
+        bi = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        closing = edges.select(
-            F.col("u").alias("a"), F.col("v").alias("b")
+        deg = bi.groupBy("u").agg(F.count("*").alias("d")).select(
+            F.col("u").alias("node"), "d"
+        )
+        e = (
+            edges.join(deg.withColumnRenamed("d", "du"), edges.u == deg.node)
+            .drop("node")
+            .join(
+                deg.withColumnRenamed("d", "dv").withColumnRenamed(
+                    "node", "node_v"
+                ),
+                edges.v == F.col("node_v"),
+            )
+            .drop("node_v")
+        )
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = e.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        ).persist()
+        o2 = oriented.select(
+            F.col("src").alias("src2"),
+            F.col("dst").alias("b"),
+            F.col("ddst").alias("db"),
+        )
+        # pair the pivot's out-neighbors in (deg, id) order so each
+        # wedge is generated once and matches the closing edge's
+        # orientation
+        a_first = (F.col("ddst") < F.col("db")) | (
+            (F.col("ddst") == F.col("db")) & (F.col("dst") < F.col("b"))
+        )
+        wedges = (
+            oriented.join(o2, oriented.src == o2.src2)
+            .where(F.col("dst") != F.col("b"))
+            .where(a_first)
+            .select(F.col("dst").alias("a"), "b")
+        )
+        closing = oriented.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
         )
         tri = wedges.join(closing, ["a", "b"]).count()
+        oriented.unpersist()
         nodes = (
             edges.select(F.col("u").alias("n"))
             .union(edges.select("v"))
