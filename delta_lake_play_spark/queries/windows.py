@@ -646,3 +646,217 @@ def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("v_interp"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+# --- win_resample_ohlc ----------------------------------------------------
+#
+# OHLC bar resampling (the financial/timeseries-DB `candlestick()` /
+# pandas `resample().ohlc()` shape): per (user, hour) bucket, the
+# FIRST and LAST observation by event time plus min/max/volume. One
+# hash shuffle on the bucket key; open/close come from two
+# row_number passes over the SAME partitioning (Catalyst reuses the
+# exchange — window partition keys == groupBy keys), so no second
+# shuffle and no self-join. Every output except volume is a single
+# selected element (no FP accumulation); volume rides the exact
+# integer-cents grid. ORDER BY carries event_id as the unique
+# tiebreaker — first/last are deterministic at any parallelism.
+
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr, value,
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, hr,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS volume
+FROM b GROUP BY user_id, hr
+"""
+
+
+@register("win_resample_ohlc", oracle=_OHLC_ORACLE)
+def win_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user: open/close via row_number over the
+    bucket partitioning, high/low/count/volume in the same keyed
+    aggregation — one shuffle total."""
+    from delta_lake_play_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    part = Window.partitionBy("user_id", "hr")
+    rn_a = F.row_number().over(part.orderBy(F.asc("ts"), F.asc("event_id")))
+    rn_d = F.row_number().over(part.orderBy(F.desc("ts"), F.desc("event_id")))
+    return (
+        b.withColumn("rn_a", rn_a)
+        .withColumn("rn_d", rn_d)
+        .groupBy("user_id", "hr")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+            dsum("value", 2).alias("volume"),
+        )
+    )
+
+
+# --- win_ewma -------------------------------------------------------------
+#
+# Truncated exponentially-weighted moving average over each user's
+# observed hourly series (pandas `ewm(alpha=.25, adjust=False)` up to
+# the K-point truncation): the recursion e_t = (1-a)e_{t-1} + a·x_t
+# is inherently sequential, so the SCALE form bounds the lookback at
+# K=24 points — the dropped tail carries weight (1-a)^24 ≈ 1e-3 —
+# making every row independent: one keyed shuffle, bounded frame,
+# no cross-row state. Bit-stability across engines: both sides fold
+# the SAME ordered list with the SAME seed through the SAME IEEE
+# multiply-add sequence (Spark `aggregate` == DuckDB `list_reduce`
+# with the seed prepended), alpha=0.25 is exactly representable, and
+# the inputs are exact-grid doubles.
+
+_EWMA_ORACLE = """
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+  -- all-NULL buckets carry no observation: drop them on BOTH sides
+  -- (Spark's collect_list skips NULLs, DuckDB's list() keeps them)
+  HAVING v IS NOT NULL
+),
+w AS (
+  SELECT user_id, hr, v,
+         list(v) OVER (PARTITION BY user_id ORDER BY hr
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS arr
+  FROM obs
+)
+SELECT user_id, hr, v,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr),
+                   (acc, x) -> acc * 0.75 + 0.25 * x) AS ewma
+FROM w
+"""
+
+
+@register("win_ewma", oracle=_EWMA_ORACLE)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.25) over each user's hourly sums with a 24-point
+    truncated lookback: collect the ordered frame, fold it with one
+    deterministic multiply-add chain."""
+    from delta_lake_play_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(dsum("value", 2).alias("v")).where(F.col("v").isNotNull())
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    arr = F.collect_list("v").over(frame)
+    ewma = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(0.75) + F.lit(0.25) * x,
+    )
+    return obs.select("user_id", "hr", "v", ewma.alias("ewma"))
+
+
+# --- win_anomaly_zscore ---------------------------------------------------
+#
+# Rolling z-score anomaly detection (the monitoring-pipeline shape):
+# each hourly observation scored against the trailing 24-point mean
+# and sample stddev of its own series. All moments come from TWO
+# exact integer window sums (Σc, Σc² over bigint cents — order
+# independent at any parallelism), and the float math is one
+# identical expression tree on both engines, so the hash is stable
+# without any tolerance. n<2 and zero-variance rows yield NULL
+# scores by explicit guard (never NaN/inf leakage).
+
+_ZSCORE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, hr, c,
+         CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+         SUM(c) OVER fr AS s1,
+         SUM(c * c) OVER fr AS s2
+  FROM obs
+  WINDOW fr AS (PARTITION BY user_id ORDER BY hr
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT user_id, hr, c, n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         CASE WHEN n >= 2 THEN
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+           / (n - 1) END AS var_c
+  FROM w
+)
+SELECT user_id, hr,
+       CAST(c AS DOUBLE) / 100.0 AS v,
+       CASE WHEN var_c > 0 THEN (CAST(c AS DOUBLE) - mean_c) / sqrt(var_c)
+            END AS zscore,
+       coalesce(abs(CASE WHEN var_c > 0
+                         THEN (CAST(c AS DOUBLE) - mean_c) / sqrt(var_c)
+                    END) > 3.0, FALSE) AS is_anomaly
+FROM m
+"""
+
+
+@register("win_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-point rolling z-score per user-hour from exact
+    integer moment sums; |z| > 3 flags anomalies."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c"))
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    w = obs.select(
+        "user_id",
+        "hr",
+        "c",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("c").over(fr).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(fr).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    mean_c = (s1d / F.col("n")).alias("mean_c")
+    var_c = F.when(
+        F.col("n") >= 2,
+        (F.col("s2").cast("double") - s1d * s1d / F.col("n"))
+        / (F.col("n") - 1),
+    ).alias("var_c")
+    m = w.select("user_id", "hr", "c", "n", mean_c, var_c)
+    z = F.when(
+        F.col("var_c") > 0,
+        (F.col("c").cast("double") - F.col("mean_c")) / F.sqrt("var_c"),
+    )
+    return m.select(
+        "user_id",
+        "hr",
+        (F.col("c").cast("double") / 100.0).alias("v"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )

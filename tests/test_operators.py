@@ -411,3 +411,84 @@ def test_interpolation_closed_form(spark):
         (5, 6.5, True),
         (6, 5.0, False),
     }
+
+
+def test_ohlc_closed_form(spark):
+    """One bucket with out-of-order event ids: open/close follow
+    event TIME (event_id only tiebreaks), high/low/volume exact."""
+    from delta_lake_play_spark.queries import windows as W
+
+    rows = [
+        (10, "2024-01-01 00:59:00", 2.0),   # last by ts -> close
+        (11, "2024-01-01 00:01:00", 7.0),   # first by ts -> open
+        (12, "2024-01-01 00:30:00", 1.0),   # low
+        (13, "2024-01-01 00:45:00", 9.0),   # high
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.lit(3).cast("long")
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        [r] = W.win_resample_ohlc(spark, d).collect()
+    assert (r.open, r.high, r.low, r.close, r.n_obs, r.volume) == (
+        7.0, 9.0, 1.0, 2.0, 4, 19.0
+    )
+
+
+def test_ewma_closed_form(spark):
+    """alpha=0.25 recursion from a zero seed: e1=.25*4=1,
+    e2=.75*1+.25*8=2.75, e3=.75*2.75+.25*16=6.0625."""
+    from delta_lake_play_spark.queries import windows as W
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 4.0),
+        (2, "2024-01-01 01:00:00", 8.0),
+        (3, "2024-01-01 02:00:00", 16.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.lit(1).cast("long")
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.hr.hour: r.ewma for r in W.win_ewma(spark, d).collect()
+        }
+    assert got == {0: 1.0, 1: 2.75, 2: 6.0625}
+
+
+def test_zscore_closed_form(spark):
+    """n=1 rows and zero-variance frames yield NULL scores; a genuine
+    outlier against a constant prefix is flagged."""
+    from delta_lake_play_spark.queries import windows as W
+
+    vals = [5.0, 5.0, 5.0, 5.0, 50.0]
+    rows = [
+        (i, f"2024-01-01 {i:02d}:00:00", v) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.lit(1).cast("long")
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = sorted(
+            W.win_anomaly_zscore(spark, d).collect(), key=lambda r: r.hr
+        )
+    # first row: n=1 -> NULL; rows 2-4: zero variance -> NULL
+    assert [r.zscore for r in out[:4]] == [None, None, None, None]
+    assert [r.is_anomaly for r in out[:4]] == [False] * 4
+    last = out[-1]
+    # frame = 4x5 + 50: mean 14, var = (4*81 + 36^2)/4 = 405, z = 36/sqrt(405)
+    assert last.zscore == pytest.approx(36.0 / 405.0 ** 0.5)
+    assert not last.is_anomaly  # z ~ 1.79 < 3
