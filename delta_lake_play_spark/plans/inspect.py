@@ -41,7 +41,8 @@ def executed_plan(df: DataFrame) -> str:
 class PlanSummary:
     """Scale-relevant facts extracted from a physical plan."""
 
-    n_exchanges: int = 0          # hash + range shuffles (not broadcasts)
+    n_exchanges: int = 0          # hash/range/single-partition shuffles (not broadcasts)
+    n_single_exchanges: int = 0   # all-to-one shuffles — a scale red flag
     n_broadcast_joins: int = 0    # BroadcastHashJoin + BroadcastNestedLoopJoin
     n_sort_merge_joins: int = 0
     has_cartesian: bool = False
@@ -61,15 +62,21 @@ class PlanSummary:
 _PUSHED = re.compile(r"PushedFilters: \[([^\]]*)\]")
 _SCHEMA = re.compile(r"ReadSchema: (\S+)")
 _CODEGEN = re.compile(r"WholeStageCodegen \((\d+)\)")
+# A shuffle exchange appears as "Exchange hashpartitioning(...)" in the
+# simple/executed-plan style, but formatted mode prints the node header
+# bare ("(4) Exchange") with the partitioning on its own detail line
+# ("Arguments: hashpartitioning(...)"). Match both — counting only the
+# inline form silently returns 0 on formatted text (every exchange cap
+# asserted through summarize() was vacuous until this was caught).
+_SHUFFLE = re.compile(r"(?:Exchange |Arguments: )(?:hash|range)partitioning\(")
+_SINGLE = re.compile(r"(?:Exchange |Arguments: )SinglePartition")
 
 
 def summarize(df: DataFrame) -> PlanSummary:
     fmt = formatted_plan(df)
     return PlanSummary(
-        n_exchanges=(
-            fmt.count("Exchange hashpartitioning")
-            + fmt.count("Exchange rangepartitioning")
-        ),
+        n_exchanges=len(_SHUFFLE.findall(fmt)) + len(_SINGLE.findall(fmt)),
+        n_single_exchanges=len(_SINGLE.findall(fmt)),
         n_broadcast_joins=(
             fmt.count("BroadcastHashJoin") + fmt.count("BroadcastNestedLoopJoin")
         ),

@@ -123,7 +123,8 @@ def test_range_bucketed_join_is_single_pass(spark, sf_dir):
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_bucketed_colocated")
     assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning" not in plan, (
+    s = summarize(QUERIES["join_bucketed_colocated"](spark, sf_dir))
+    assert s.n_exchanges == 0, (
         "bucketed co-located join must not shuffle either side"
     )
 
@@ -472,7 +473,7 @@ def test_quantile_sketch_never_sorts_globally(spark, sf_dir):
     rangepartitioning exchange anywhere in the plan (the only window
     runs on the 128-row bucket table)."""
     plan = _plan(spark, sf_dir, "agg_sketch_quantile")
-    assert "Exchange rangepartitioning" not in plan, (
+    assert "rangepartitioning" not in plan, (
         "histogram quantile regressed to a global range sort:\n" + plan
     )
     assert "CartesianProduct" not in plan
@@ -619,3 +620,19 @@ def test_aggregate_pushdown_reaches_parquet_footer(spark, sf_dir):
     assert "PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]" in plan, (
         plan[:2000]
     )
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    # open/close row_numbers partition by the SAME keys the final
+    # aggregation groups on: one hash exchange serves both.
+    s = summarize(QUERIES["win_resample_ohlc"](spark, sf_dir))
+    assert s.n_exchanges == 1
+    assert s.n_single_exchanges == 0
+
+
+def test_ewma_zscore_keyed_windows_only(spark, sf_dir):
+    # Bounded trailing frames over user-keyed windows — no global
+    # (single-partition) window may appear at any scale.
+    for key in ("win_ewma", "win_anomaly_zscore"):
+        s = summarize(QUERIES[key](spark, sf_dir))
+        assert s.n_single_exchanges == 0, key
