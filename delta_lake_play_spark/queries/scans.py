@@ -362,3 +362,98 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", F.col("lang").cast("string").alias("lang"), "source", "n_chars"
     )
+
+
+# --- scan_observe_metrics -------------------------------------------------
+#
+# Production observability: `Dataset.observe` attaches named aggregate
+# metrics to a plan node (CollectMetrics) that accumulate DURING the
+# normal action — a 100 TB pipeline gets row counts / quality sums
+# for free on every write, with zero extra scans (the alternative, a
+# second .agg() pass, re-reads the whole input). Metrics ride the
+# exact integer-cents grid so the observed values are comparable
+# bit-for-bit with a direct aggregation — which is exactly what the
+# oracle checks.
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_cents,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+"""
+
+
+@register("scan_observe_metrics", oracle=_OBSERVE_ORACLE)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach CollectMetrics to the lineitem scan, run one counting
+    action, and return the observed metrics as a 1-row frame — the
+    observed values must equal a direct aggregation exactly."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("bigint")).alias(
+            "sum_qty_cents"
+        ),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    observed.count()  # any action over the subtree populates the metrics
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["sum_qty_cents"],
+                m["min_ship"],
+                m["max_ship"],
+            )
+        ],
+        "n_rows bigint, sum_qty_cents bigint, min_ship timestamp_ntz, max_ship timestamp_ntz",
+    )
+
+
+# --- sql_parameterized ----------------------------------------------------
+#
+# Parameterized SQL (`spark.sql(query, args=...)`, Spark 3.4+): the
+# injection-safe form of templated queries — values bind as typed
+# literal expressions AFTER parsing, never by string interpolation.
+# The reference's own API interpolates request strings straight into
+# SQL (reference delta-lake-play api.py:107, an injectable f-string);
+# this key is the engine-level fix for that pattern.
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_SQL_ORACLE)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the aggregate through named-parameter binding: the status
+    string and price floor arrive as typed args, not interpolated
+    text. Catalyst folds the bound literals, so the plan (and the
+    parquet pushdown) is identical to the inline form."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 1000.0},
+    )

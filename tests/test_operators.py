@@ -492,3 +492,36 @@ def test_zscore_closed_form(spark):
     # frame = 4x5 + 50: mean 14, var = (4*81 + 36^2)/4 = 405, z = 36/sqrt(405)
     assert last.zscore == pytest.approx(36.0 / 405.0 ** 0.5)
     assert not last.is_anomaly  # z ~ 1.79 < 3
+
+
+def test_parameterized_sql_binds_not_interpolates(spark, sf_dir):
+    """A hostile string arg stays ONE typed literal — the classic
+    OR-1=1 payload matches nothing instead of everything."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = :status",
+        args={"status": "F' OR '1'='1"},
+    ).collect()[0].n
+    assert n == 0
+
+
+def test_observe_metrics_match_direct_agg(spark, sf_dir):
+    """CollectMetrics accumulates during the action; values must equal
+    a separate direct aggregation."""
+    from delta_lake_play_spark.queries.scans import scan_observe_metrics
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    [m] = scan_observe_metrics(spark, sf_dir).collect()
+    [d] = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+            ).alias("sum_qty_cents"),
+        )
+        .collect()
+    )
+    assert (m.n_rows, m.sum_qty_cents) == (d.n_rows, d.sum_qty_cents)
