@@ -1187,3 +1187,122 @@ def dml_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+# --- dml_incremental_join_mv ----------------------------------------------
+#
+# Incrementally-maintained JOIN materialized view (the denormalized
+# silver→gold shape): mv = orders ⋈ customer, kept current after DML
+# on BOTH base tables by keyed recompute — the change feeds of the
+# two sides name the touched join keys, the mv slice for exactly
+# those keys is recomputed from the current snapshots, and
+# overwrite_for_keys swaps it in one atomic commit. Per-refresh cost
+# is O(changed keys' rows) regardless of table size: the key set is
+# change-sized, membership is a broadcast semi-join (never a driver
+# IN-list), and unaffected keys' files are never rewritten. The
+# oracle recomputes the view from scratch, so the hash proves
+# incremental maintenance == full recompute across an append + a
+# delete on the fact side and an update on the dim side.
+
+_JOIN_MV_ORACLE = """
+WITH ord0 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_custkey <= 300
+),
+ord1 AS (
+  SELECT * FROM ord0
+  WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+),
+appended AS (
+  SELECT 9000000 + c_custkey AS o_orderkey, c_custkey AS o_custkey,
+         CAST(1000.5 AS DOUBLE) AS o_totalprice,
+         'O' AS o_orderstatus
+  FROM customer WHERE c_custkey <= 300 AND c_custkey % 97 = 0
+),
+ordN AS (SELECT * FROM ord1 UNION ALL SELECT * FROM appended),
+custN AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 50 = 7 THEN c_name || '*' ELSE c_name END
+           AS c_name,
+         c_nationkey
+  FROM customer
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       c_name, c_nationkey
+FROM ordN JOIN custN ON o_custkey = c_custkey
+"""
+
+
+@register("dml_incremental_join_mv", oracle=_JOIN_MV_ORACLE)
+def dml_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer MV maintained by change-feed-keyed slice
+    recompute: append + delete on orders, update on customer, one
+    overwrite_for_keys refresh; hash-proven equal to full recompute."""
+    ord_t = VersionedTable.create(
+        spark,
+        temp_table_path("mv-ord"),
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+    )
+    cust_t = VersionedTable.create(
+        spark,
+        temp_table_path("mv-cust"),
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        ),
+    )
+
+    def mv_join(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "c_name",
+            "c_nationkey",
+        )
+
+    mv = VersionedTable.create(
+        spark,
+        temp_table_path("mv"),
+        mv_join(ord_t.to_df(), cust_t.to_df()),
+    )
+
+    # DML on both base tables -------------------------------------------
+    ord_t.delete(
+        (F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 10 == 3)
+    )
+    ord_t.append(
+        cust_t.to_df()
+        .where((F.col("c_custkey") <= 300) & (F.col("c_custkey") % 97 == 0))
+        .select(
+            (F.lit(9000000) + F.col("c_custkey")).alias("o_orderkey"),
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit(1000.5).alias("o_totalprice"),
+            F.lit("O").alias("o_orderstatus"),
+        )
+    )
+    cust_t.update(
+        {"c_name": F.concat(F.col("c_name"), F.lit("*"))},
+        F.col("c_custkey") % 50 == 7,
+    )
+
+    # Keyed incremental refresh -----------------------------------------
+    keys = (
+        ord_t.changes(0)
+        .select(F.col("o_custkey").alias("k"))
+        .unionByName(cust_t.changes(0).select(F.col("c_custkey").alias("k")))
+        .distinct()
+        .select(F.col("k").alias("o_custkey"))
+    )
+    slice_rows = mv_join(
+        ord_t.to_df().join(F.broadcast(keys), "o_custkey", "leftsemi"),
+        cust_t.to_df().join(
+            F.broadcast(keys.select(F.col("o_custkey").alias("c_custkey"))),
+            "c_custkey",
+            "leftsemi",
+        ),
+    )
+    mv.overwrite_for_keys(slice_rows, "o_custkey", keys_df=keys)
+    return mv.to_df()

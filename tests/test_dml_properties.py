@@ -475,3 +475,74 @@ def test_random_dml_row_tracking_ict(spark, ops):
         for r in read_delta_snapshot(spark, table.path).collect()
     }
     assert replay == model
+
+
+def test_join_mv_keyed_refresh_converges_over_rounds(spark):
+    """The change-feed-keyed MV refresh (dml_incremental_join_mv's
+    pattern) converges to the full join after EVERY round, with the
+    per-round change feed read from the last-refreshed watermark."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        temp_table_path,
+    )
+
+    ord_rows = [(i, i % 4, float(i)) for i in range(12)]
+    cust_rows = [(k, f"cust-{k}") for k in range(4)]
+    ord_t = VersionedTable.create(
+        spark,
+        temp_table_path("mvp-ord"),
+        spark.createDataFrame(ord_rows, "o_id long, cust long, amt double"),
+    )
+    cust_t = VersionedTable.create(
+        spark,
+        temp_table_path("mvp-cust"),
+        spark.createDataFrame(cust_rows, "cust long, name string"),
+    )
+
+    def full_join():
+        return ord_t.to_df().join(cust_t.to_df(), "cust").select(
+            "cust", "o_id", "amt", "name"
+        )
+
+    mv = VersionedTable.create(spark, temp_table_path("mvp-mv"), full_join())
+    marks = {"ord": ord_t.latest_version(), "cust": cust_t.latest_version()}
+
+    def refresh():
+        keys = (
+            ord_t.changes(marks["ord"])
+            .select("cust")
+            .unionByName(cust_t.changes(marks["cust"]).select("cust"))
+            .distinct()
+        )
+        sliced = (
+            ord_t.to_df().join(F.broadcast(keys), "cust", "leftsemi")
+            .join(
+                cust_t.to_df().join(F.broadcast(keys), "cust", "leftsemi"),
+                "cust",
+            )
+            .select("cust", "o_id", "amt", "name")
+        )
+        mv.overwrite_for_keys(sliced, "cust", keys_df=keys)
+        marks.update(ord=ord_t.latest_version(), cust=cust_t.latest_version())
+
+    def assert_converged():
+        got = {tuple(r) for r in mv.to_df().collect()}
+        want = {tuple(r) for r in full_join().collect()}
+        assert got == want
+
+    # round 1: fact-side append + delete
+    ord_t.append(
+        spark.createDataFrame([(100, 1, 9.5), (101, 9, 1.0)],
+                              "o_id long, cust long, amt double")
+    )
+    ord_t.delete(F.col("cust") == 2)
+    refresh()
+    assert_converged()
+
+    # round 2: dim-side update + a new dim key matching round-1 orphan
+    cust_t.update({"name": F.concat("name", F.lit("!"))}, F.col("cust") == 1)
+    cust_t.append(spark.createDataFrame([(9, "late-cust")], "cust long, name string"))
+    refresh()
+    assert_converged()
