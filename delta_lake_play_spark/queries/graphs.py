@@ -341,3 +341,91 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+# --- graph_kcore ----------------------------------------------------------
+#
+# Bounded-round k-core peeling (k=3): repeatedly drop nodes with
+# degree < k, up to _KCORE_ROUNDS rounds — the deterministic, scale-
+# honest form of the iterative algorithm (production peels bound
+# rounds too; each round is one map-side-combined degree count plus
+# two keyed semi-joins, all edge-partitioned, nothing collected).
+# The loop early-exits at fixpoint, which equals the fixed-round
+# result because further peels are identity — so the DuckDB oracle
+# can unroll exactly _KCORE_ROUNDS rounds as a CTE chain and the
+# hash still proves the distributed loop correct. localCheckpoint
+# truncates the growing lineage each round (the same discipline as
+# the label-propagation fallback in operators/dedup.py).
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+_EDGES_PRELUDE = """
+WITH b AS (
+  SELECT event_type, hr, user_id,
+         row_number() OVER (PARTITION BY event_type, hr ORDER BY user_id) AS rn
+  FROM (SELECT DISTINCT event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr, user_id
+        FROM events)
+),
+capped AS (SELECT * FROM b WHERE rn <= 10),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM capped a JOIN capped c
+    ON a.event_type = c.event_type AND a.hr = c.hr AND a.user_id < c.user_id
+),
+a0 AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)
+"""
+
+
+def _kcore_oracle() -> str:
+    parts = [_EDGES_PRELUDE.rstrip()]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""",
+s{r} AS MATERIALIZED (SELECT u FROM a{r} GROUP BY u HAVING COUNT(*) >= {_KCORE_K}),
+a{r + 1} AS MATERIALIZED (
+  SELECT a.u, a.v FROM a{r} a
+  JOIN s{r} x ON a.u = x.u JOIN s{r} y ON a.v = y.u
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(u AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM a{_KCORE_ROUNDS} GROUP BY u"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving an 8-round 3-core peel of the co-occurrence
+    graph, with their within-core degree."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(ev)
+    alive = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    n = alive.count()
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            alive.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        alive = (
+            alive.join(surv, "u", "leftsemi")
+            .join(surv.withColumnRenamed("u", "v"), "v", "leftsemi")
+            .localCheckpoint()
+        )
+        n2 = alive.count()
+        if n2 == n:  # fixpoint: remaining rounds are identity
+            break
+        n = n2
+    return alive.groupBy("u").agg(
+        F.count(F.lit(1)).alias("core_degree")
+    ).select(
+        F.col("u").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )

@@ -860,3 +860,65 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --- win_twap -------------------------------------------------------------
+#
+# Time-weighted average price (the irregular-sampling aggregate OHLC
+# deliberately isn't): each observation holds its value until the
+# next one, so TWAP over a user-day = Σ cᵢ·Δtᵢ / ΣΔtᵢ with Δt from
+# lead(ts) — the unweighted mean over-counts bursts of ticks. All
+# weights are integer microseconds and all values integer cents, so
+# the two accumulating sums are exact bigints at any parallelism
+# (c·Δt ≈ 2e3·9e10 ≈ 2e14 per term — thousands of terms stay far
+# inside int64); the single double division happens once per group
+# in the same order on both engines. Single-observation days have no
+# holding interval → NULL by guard, never 0/0.
+
+_TWAP_ORACLE = """
+WITH t AS (
+  SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+               ORDER BY ts, event_id)
+)
+SELECT user_id, day,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CASE WHEN SUM(dt_us) > 0 THEN
+         CAST(SUM(c * dt_us) AS DOUBLE) / SUM(dt_us) / 100.0 END AS twap
+FROM t GROUP BY user_id, day
+"""
+
+
+@register("win_twap", oracle=_TWAP_ORACLE)
+def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-day time-weighted average from exact integer
+    cent × microsecond products; lead(ts) defines each tick's
+    holding interval."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day.alias("day")).orderBy(
+        "ts", "event_id"
+    )
+    t = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        (
+            F.unix_micros(F.lead("ts").over(
+                Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+            ))
+            - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    )
+    return t.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.when(
+            F.sum("dt_us") > 0,
+            F.sum(F.col("c") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us")
+            / 100.0,
+        ).alias("twap"),
+    )

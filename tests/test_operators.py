@@ -525,3 +525,29 @@ def test_observe_metrics_match_direct_agg(spark, sf_dir):
         .collect()
     )
     assert (m.n_rows, m.sum_qty_cents) == (d.n_rows, d.sum_qty_cents)
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    """K4 (every degree 3) survives a 3-core peel; a separate
+    2-user bucket's single edge is peeled away entirely."""
+    from delta_lake_play_spark.queries import graphs as G
+
+    rows = [
+        (i, "2024-01-01 00:00:00", u, "click") for i, u in enumerate([1, 2, 3, 4])
+    ] + [
+        (10, "2024-01-01 05:00:00", 7, "view"),
+        (11, "2024-01-01 05:00:00", 8, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.node, r.core_degree)
+            for r in G.graph_kcore(spark, d).collect()
+        }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
