@@ -909,3 +909,61 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+# --- fn_xml_parse ----------------------------------------------------------
+#
+# Spark 4 native XML (`from_xml`, SQL XML joined the builtin source
+# set in 4.0): rows render to XML with entity-escaped text, the
+# parser turns them back into typed columns — entity round-tripping
+# (& < >) is exactly what naive string extraction gets wrong, so the
+# oracle checks the parsed values equal the original columns. DuckDB
+# has no XML parser; the oracle states the round-trip identity
+# directly (parse(render(x)) == x), which is the contract.
+
+_XML_ORACLE = """
+SELECT s_suppkey, s_name AS name, s_nationkey AS nation, s_acctbal AS bal
+FROM supplier
+"""
+
+
+@register("fn_xml_parse", oracle=_XML_ORACLE)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render supplier rows to XML (entity-escaped), parse back with
+    from_xml, return the typed fields — a lossless round trip."""
+    s = load_table(spark, sf_dir, "supplier")
+
+    def esc(c):
+        out = F.regexp_replace(F.col(c).cast("string"), "&", "&amp;")
+        out = F.regexp_replace(out, "<", "&lt;")
+        return F.regexp_replace(out, ">", "&gt;")
+
+    def elem(tag, col):
+        # NULL fields OMIT their element (a missing element parses
+        # back to NULL; a NULL inside concat would null the whole doc)
+        return F.coalesce(
+            F.concat(F.lit(f"<{tag}>"), col, F.lit(f"</{tag}>")), F.lit("")
+        )
+
+    xml = s.select(
+        "s_suppkey",
+        F.concat(
+            F.lit("<supplier>"),
+            elem("name", esc("s_name")),
+            elem("nation", F.col("s_nationkey").cast("string")),
+            elem("bal", F.col("s_acctbal").cast("string")),
+            F.lit("</supplier>"),
+        ).alias("doc"),
+    )
+    parsed = xml.select(
+        "s_suppkey",
+        F.from_xml(
+            "doc", "name STRING, nation INT, bal DOUBLE"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "s_suppkey",
+        F.col("p.name").alias("name"),
+        F.col("p.nation").alias("nation"),
+        F.col("p.bal").alias("bal"),
+    )

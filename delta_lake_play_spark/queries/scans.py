@@ -457,3 +457,34 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "floor": 1000.0},
     )
+
+
+# --- sink_python_datasource ------------------------------------------------
+
+_PYJSONL_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register("sink_python_datasource", oracle=_PYJSONL_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom Python DataSource connector
+    (sources/pyjsonl.py): a distributed per-partition JSONL write
+    with a committed-file manifest, read back N-files-wide. Content
+    identity against the source table is the oracle — the same
+    contract the builtin-format roundtrips (csv/json/orc/text) pin,
+    here proving the EXTENSION API write path."""
+    import tempfile
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="pyjsonl_") + "/supplier"
+    s.write.format("pyjsonl").mode("overwrite").save(out)
+    ddl = "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    return (
+        spark.read.format("pyjsonl").option("schema", ddl).load(out)
+    )

@@ -551,3 +551,59 @@ def test_kcore_peels_pendants_keeps_clique(spark):
             for r in G.graph_kcore(spark, d).collect()
         }
     assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_pyjsonl_manifest_hides_uncommitted_files(spark):
+    """Readers list the _SUCCESS manifest, not the directory: a stray
+    .jsonl file dropped next to the committed ones is invisible."""
+    import json
+    import os
+    import tempfile
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = tempfile.mkdtemp(prefix="pyjsonl_t_") + "/t"
+    df.write.format("pyjsonl").mode("overwrite").save(out)
+    with open(os.path.join(out, "part-zzzzz-stray.jsonl"), "w") as fh:
+        fh.write(json.dumps({"id": 99, "s": "ghost"}) + "\n")
+    back = (
+        spark.read.format("pyjsonl")
+        .option("schema", "id long, s string")
+        .load(out)
+    )
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_pyjsonl_rejects_nested_schema(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+    out = tempfile.mkdtemp(prefix="pyjsonl_n_") + "/t"
+    with _pytest.raises(Exception, match="flat"):
+        df.write.format("pyjsonl").mode("overwrite").save(out)
+
+
+def test_xml_roundtrip_escapes_entities(spark, sf_dir):
+    """A name containing the XML metacharacters survives the render →
+    parse cycle byte-identically."""
+    import os
+    import tempfile
+
+    hostile = 'A&B <Ltd> "q"'
+    s = spark.createDataFrame(
+        [(1, hostile, 5, 10.5)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        s.write.parquet(os.path.join(d, "supplier.parquet"))
+        from delta_lake_play_spark.queries.scalar_functions import fn_xml_parse
+
+        [r] = fn_xml_parse(spark, d).collect()
+    assert (r.s_suppkey, r.name, r.nation, r.bal) == (1, hostile, 5, 10.5)
