@@ -697,3 +697,113 @@ def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return dups.to_df()
+
+
+# --- llm_dedup_recall -------------------------------------------------------
+#
+# Self-evaluating dedup (the ANN-recall pattern of llm_ann_recall
+# applied to LSH dedup): ground truth = EXACT all-pairs token-set
+# Jaccard >= 0.8 over a bounded scope; flagged = the production
+# minhash+banded-LSH pipeline on the same scope; recall = hit/true —
+# quantifying, in-engine, what the banding (BANDS=4, K=16) gives up.
+# The all-pairs truth join is the bounded-verifier demo shape (the
+# quadratic term never sees the corpus; at scale you sample a scope
+# exactly like this to monitor dedup recall in production). Both
+# sides compute both sets from the same token hashes, so the single
+# recall division is the only float op.
+
+_RECALL_SCOPE = 400
+
+
+def _recall_oracle() -> str:
+    hashes = mh.sql_token_hashes(mh.sql_token_set("text"))
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        f"{mh.sql_band_value('sig', band)} AS band_val FROM sig"
+        for band in range(mh.BANDS)
+    )
+    jac_t = mh.sql_jaccard("a.hs", "b.hs")
+    jac_v = mh.sql_jaccard("ta.hs", "tb.hs")
+    return f"""
+WITH scoped AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_RECALL_SCOPE}
+),
+hashed AS MATERIALIZED (
+  SELECT doc_id, list_distinct({hashes}) AS hs FROM scoped
+),
+truth AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+  WHERE {jac_t} >= {_JACCARD_THRESHOLD}
+),
+sig AS (SELECT doc_id, {mh.sql_minhash_signature('hs')} AS sig FROM hashed),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+),
+flagged AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN hashed ta ON ta.doc_id = c.doc_a
+  JOIN hashed tb ON tb.doc_id = c.doc_b
+  WHERE {jac_v} >= {_JACCARD_THRESHOLD}
+),
+hit AS (SELECT f.doc_a FROM flagged f
+        JOIN truth t ON f.doc_a = t.da AND f.doc_b = t.db)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_flagged,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+         CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) END AS recall
+"""
+
+
+@register("llm_dedup_recall", oracle=_recall_oracle())
+def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup recall against exact all-pairs Jaccard truth on a
+    bounded scope — one output row: n_true, n_flagged, n_hit,
+    recall."""
+    from delta_lake_play_spark.operators.dedup import minhash_near_dup_pairs
+
+    scope = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _RECALL_SCOPE)
+        .select("doc_id", "text")
+    )
+    hashed = scope.select(
+        "doc_id", F.array_distinct(mh.token_hashes("text")).alias("hs")
+    ).persist()
+    a = hashed.select(F.col("doc_id").alias("da"), F.col("hs").alias("hs_a"))
+    b = hashed.select(F.col("doc_id").alias("db"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = F.try_divide(
+        inter.cast("double"), F.size("hs_a") + F.size("hs_b") - inter
+    )
+    truth = (
+        a.join(b, F.col("da") < F.col("db"))
+        .where(jac >= _JACCARD_THRESHOLD)
+        .select("da", "db")
+        .persist()
+    )
+    flagged = minhash_near_dup_pairs(
+        scope, "doc_id", "text", _JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b").persist()
+    hit = flagged.join(
+        truth,
+        (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")),
+        "leftsemi",
+    )
+    n_true = truth.count()
+    n_flagged = flagged.count()
+    n_hit = hit.count()
+    truth.unpersist()
+    flagged.unpersist()
+    hashed.unpersist()
+    recall = float(n_hit) / n_true if n_true > 0 else None
+    return spark.createDataFrame(
+        [(n_true, n_flagged, n_hit, recall)],
+        "n_true bigint, n_flagged bigint, n_hit bigint, recall double",
+    )
