@@ -1357,3 +1357,62 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_stopwords") >= 2)
     )
     return m.select("*", keep.alias("keep"))
+
+
+# --- llm_dataset_card -------------------------------------------------------
+#
+# The per-source "dataset card" report a curation run publishes: doc
+# and language counts, exact token totals and medians (integer token
+# counts — F.median on int64 matches DuckDB's median including the
+# even-n midpoint), exact-dup and null rates as single guarded
+# divisions. ONE corpus scan, one map-side-combined shuffle on
+# source; the distinct-text dup count rides the same aggregate as
+# approx-free count(DISTINCT text) per group (Spark plans it as a
+# two-phase expand — still keyed by source, never global).
+
+_DATASET_CARD_ORACLE = """
+WITH t AS (
+  SELECT source, lang, text,
+         CASE WHEN text IS NOT NULL THEN
+           len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+         END AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(median(n_tok) AS DOUBLE) AS median_tokens,
+       CASE WHEN COUNT(text) > 0 THEN
+         1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(text)
+       END AS dup_rate,
+       CAST(COUNT(*) - COUNT(text) AS DOUBLE) / COUNT(*) AS null_rate
+FROM t GROUP BY source
+"""
+
+
+@register("llm_dataset_card", oracle=_DATASET_CARD_ORACLE)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: counts, exact token stats, dup/null
+    rates — one scan, one source-keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.filter(F.split("text", " "), lambda x: F.length(x) > 0)),
+    ).cast("long")
+    t = d.select("source", "lang", "text", n_tok.alias("n_tok"))
+    n_text = F.count("text")
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.median("n_tok").cast("double").alias("median_tokens"),
+        F.when(
+            n_text > 0,
+            F.lit(1.0)
+            - F.count_distinct("text").cast("double") / n_text,
+        ).alias("dup_rate"),
+        (
+            (F.count(F.lit(1)) - n_text).cast("double") / F.count(F.lit(1))
+        ).alias("null_rate"),
+    )
