@@ -856,3 +856,36 @@ def agg_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("cum_prev") < target) & (target <= F.col("cum")))
         .select("q", est.cast("double").alias("est"))
     )
+
+
+# --- agg_approx_top_k -------------------------------------------------------
+
+# Spark 4's approx_top_k is a space-saving-family heavy-hitters
+# sketch: bounded state (maxItemsTracked counters), mergeable
+# partials, the standard scale substitute for a full groupBy+sort
+# when only the head matters. Run here in its EXACTLY-verifiable
+# configuration — k and the tracked capacity exceed the column's
+# universe, where the sketch degenerates to complete exact counts
+# (no tie-order nondeterminism can leak into the hash). Production
+# uses k ≪ NDV, where the driver check would be rows-only; the
+# error-free regime is what a cross-engine hash can pin.
+
+_APPROX_TOPK_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_approx_top_k", oracle=_APPROX_TOPK_ORACLE)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters of event_type via the approx_top_k sketch with
+    capacity above the universe — exact counts, hash-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev_topk")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 64, 4096)) AS t
+              FROM _ev_topk)
+        """
+    )
