@@ -607,3 +607,43 @@ def test_xml_roundtrip_escapes_entities(spark, sf_dir):
 
         [r] = fn_xml_parse(spark, d).collect()
     assert (r.s_suppkey, r.name, r.nation, r.bal) == (1, hostile, 5, 10.5)
+
+
+def test_dataset_card_closed_form(spark):
+    """Two sources: one with an exact duplicate pair and a NULL text,
+    one clean — rates and token stats are exact."""
+    import os
+    import tempfile
+
+    rows = [
+        (1, "a b c", "en", "web", 5),
+        (2, "a b c", "en", "web", 5),     # exact dup of doc 1
+        (3, None, "de", "web", 0),        # null text
+        (4, "x y", "en", "books", 3),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.parquet(os.path.join(tmp, "documents.parquet"))
+        from delta_lake_play_spark.queries.llm_text import llm_dataset_card
+
+        got = {r.source: r for r in llm_dataset_card(spark, tmp).collect()}
+    web = got["web"]
+    assert (web.n_docs, web.n_langs, web.total_tokens) == (3, 2, 6)
+    assert web.dup_rate == pytest.approx(0.5)       # 2 texts, 1 distinct
+    assert web.null_rate == pytest.approx(1 / 3)
+    books = got["books"]
+    assert (books.n_docs, books.total_tokens, books.dup_rate, books.null_rate) == (
+        1, 2, 0.0, 0.0
+    )
+
+
+def test_dedup_recall_flags_subset_of_truth(spark, sf_dir):
+    """The LSH-flagged set verifies with the same metric as truth, so
+    hits == flagged and recall <= 1; the sf0.001 corpus has dups."""
+    from delta_lake_play_spark.queries.llm_dedup import llm_dedup_recall
+
+    [r] = llm_dedup_recall(spark, sf_dir).collect()
+    assert r.n_hit == r.n_flagged <= r.n_true
+    assert r.n_true > 0 and 0.0 < r.recall <= 1.0
