@@ -488,3 +488,98 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("pyjsonl").option("schema", ddl).load(out)
     )
+
+
+# --- scan_csv_corrupt_records -----------------------------------------------
+#
+# Dirty-ingest handling: PERMISSIVE mode parses what it can and
+# quarantines unparseable lines into columnNameOfCorruptRecord
+# instead of failing the job — the production posture for 100 TB of
+# third-party CSV (FAILFAST is exercised in tests; DROPMALFORMED
+# silently loses data and is avoided). The fixture is written by the
+# key itself: two deterministic bad lines (wrong arity, non-numeric
+# field) among the nation rows; the oracle states the expected
+# outcome — every good row parsed, bad lines counted, nothing
+# dropped silently.
+
+_CSV_CORRUPT_ORACLE = """
+SELECT n_nationkey AS nationkey, n_name AS name, FALSE AS is_corrupt
+FROM nation
+UNION ALL
+SELECT NULL, NULL, TRUE FROM range(2)
+"""
+
+
+@register("scan_csv_corrupt_records", oracle=_CSV_CORRUPT_ORACLE)
+def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation as CSV plus two malformed lines, read back in
+    PERMISSIVE mode with a corrupt-record column: good rows parse,
+    bad lines are quarantined (NULL fields + is_corrupt flag)."""
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = tempfile.mkdtemp(prefix="csv_corrupt_") + "/nation"
+    n.coalesce(1).write.mode("overwrite").option("header", "false").csv(out)
+    bad = os.path.join(out, "zz-bad-lines.csv")  # sorts after the data file
+    with open(bad, "w") as fh:
+        fh.write("7,EXTRA,FIELD,HERE\n")       # wrong arity
+        fh.write("not_a_number,BADLAND\n")     # unparseable int
+    parsed = (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("header", "false")
+        .csv(out)
+    )
+    return parsed.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.when(F.col("_corrupt").isNull(), F.col("n_name")).alias("name"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    ).withColumn(
+        "nationkey",
+        F.when(~F.col("is_corrupt"), F.col("nationkey")),
+    )
+
+
+# --- scan_glob_recursive -----------------------------------------------------
+#
+# File-discovery options on a nested layout: recursiveFileLookup
+# walks an arbitrarily nested directory tree (ignoring partition
+# inference) and pathGlobFilter narrows discovery to matching leaf
+# files BEFORE any footer is opened — at 100 TB the difference
+# between listing a prefix and reading it. The key writes a 3-level
+# nested layout with decoy non-parquet files, then reads only the
+# parquet leaves under the glob.
+
+_GLOB_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("scan_glob_recursive", oracle=_GLOB_ORACLE)
+def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-tree read with recursiveFileLookup + pathGlobFilter:
+    decoy .txt files are never touched; all parquet leaves under
+    three different nesting depths are discovered."""
+    import os
+    import tempfile
+
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = tempfile.mkdtemp(prefix="glob_scan_")
+    a = r.where(F.col("r_regionkey") < 2)
+    b = r.where((F.col("r_regionkey") >= 2) & (F.col("r_regionkey") < 4))
+    c = r.where(F.col("r_regionkey") >= 4)
+    a.write.parquet(os.path.join(base, "x/deep/one"))
+    b.write.parquet(os.path.join(base, "x/two"))
+    c.write.parquet(os.path.join(base, "three"))
+    for decoy in ("x/deep/one/readme.txt", "x/notes.txt"):
+        with open(os.path.join(base, decoy), "w") as fh:
+            fh.write("not data\n")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )

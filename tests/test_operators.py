@@ -647,3 +647,22 @@ def test_dedup_recall_flags_subset_of_truth(spark, sf_dir):
     [r] = llm_dedup_recall(spark, sf_dir).collect()
     assert r.n_hit == r.n_flagged <= r.n_true
     assert r.n_true > 0 and 0.0 < r.recall <= 1.0
+
+
+def test_csv_failfast_raises_on_malformed(spark):
+    """The FAILFAST contrast to scan_csv_corrupt_records: the same
+    bad line fails the job instead of quarantining."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="csv_ff_")
+    with open(os.path.join(out, "data.csv"), "w") as fh:
+        fh.write("1,GOOD\n")
+        fh.write("not_a_number,BAD\n")
+    df = (
+        spark.read.schema("k bigint, s string")
+        .option("mode", "FAILFAST")
+        .csv(out)
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        df.collect()
