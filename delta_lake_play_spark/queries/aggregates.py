@@ -889,3 +889,33 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM _ev_topk)
         """
     )
+
+
+# --- agg_listagg -------------------------------------------------------------
+
+# Spark 4's native listagg — ANSI WITHIN GROUP ordered string
+# concatenation (agg_string_agg is the pre-4.0 sort-then-join
+# emulation; this is the engine primitive that replaces it). Ordered
+# by the value itself so the result is deterministic at any
+# parallelism.
+
+_LISTAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("agg_listagg", oracle=_LISTAGG_ORACLE)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations per region as one ordered delimited string via native
+    listagg WITHIN GROUP."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("_nation_la")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM _nation_la GROUP BY n_regionkey
+        """
+    )

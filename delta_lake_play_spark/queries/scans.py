@@ -583,3 +583,91 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(base)
     )
+
+
+# --- scan_file_metadata -------------------------------------------------------
+#
+# The hidden ``_metadata`` column on file sources — the lineage/audit
+# surface: every row knows which physical file (and row group
+# position) produced it, with no join against a manifest. The key
+# writes documents hive-partitioned by lang, reads back selecting
+# ``_metadata.file_path``, and audits rows-per-partition-directory by
+# extracting the partition value from the physical path — proving
+# the rows actually landed in their partition's directory, which a
+# plain GROUP BY lang could never show.
+
+_FILE_META_ORACLE = """
+SELECT lang AS dir_lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_values
+FROM documents WHERE lang IS NOT NULL GROUP BY lang
+"""
+
+
+@register("scan_file_metadata", oracle=_FILE_META_ORACLE)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit via _metadata.file_path: per partition
+    DIRECTORY, the row count and the number of distinct lang values
+    found inside (must be 1 per directory by construction)."""
+    import tempfile
+
+    # NULL lang writes to the __HIVE_DEFAULT_PARTITION__ directory,
+    # whose name round-trips as a token, not NULL — audit the real
+    # partitions only (both sides filter identically)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .where(F.col("lang").isNotNull())
+    )
+    out = tempfile.mkdtemp(prefix="file_meta_") + "/docs"
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).select(
+        "lang",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"/lang=([^/]+)/", 1
+        ).alias("dir_lang"),
+    )
+    return back.groupBy("dir_lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("lang").alias("n_values"),
+    )
+
+
+# --- sink_dynamic_partition_overwrite ----------------------------------------
+#
+# partitionOverwriteMode=dynamic: an INSERT OVERWRITE of a partitioned
+# table replaces ONLY the partitions present in the incoming data —
+# static mode would truncate the whole table first. The daily-refresh
+# shape at 100 TB: rewriting one day must never touch the other
+# thousand. The key refreshes the 'de' partition with recomputed rows
+# and doubles one doc; the oracle states the expected merged state.
+
+_DPO_ORACLE = """
+SELECT doc_id, n_chars, lang FROM documents WHERE lang IS DISTINCT FROM 'de'
+UNION ALL
+SELECT doc_id, n_chars + 1 AS n_chars, lang FROM documents WHERE lang = 'de'
+"""
+
+
+@register("sink_dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite only the 'de' partition of a lang-partitioned table
+    (dynamic mode); every other partition's files are untouched."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    out = tempfile.mkdtemp(prefix="dpo_") + "/docs"
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    refreshed = d.where(F.col("lang") == "de").withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    (
+        refreshed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "n_chars", F.col("lang").cast("string").alias("lang")
+    )
