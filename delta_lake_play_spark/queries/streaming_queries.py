@@ -736,3 +736,74 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return target.to_df()
+
+
+# --- stream_file_source ------------------------------------------------------
+#
+# The built-in FILE streaming source (the landing-zone ingest shape:
+# upstream drops files, the stream discovers and admits them) with
+# maxFilesPerTrigger=1 admission control — each micro-batch ingests
+# exactly one file, so a backlog of N files becomes N bounded
+# batches instead of one unbounded one. The sink tags every row with
+# its batch id; the oracle checks the batch structure itself:
+# file-granular batches with ascending ids covering all rows
+# (files are written with disjoint nation ranges so batch
+# composition is deterministic up to batch ORDER, and the output is
+# made order-invariant by keying each batch by its content).
+
+_FILE_STREAM_ORACLE = """
+SELECT n_nationkey, n_name,
+       CAST(n_nationkey // 9 AS BIGINT) AS file_group,
+       TRUE AS batch_matches_file
+FROM nation
+"""
+
+
+@register("stream_file_source", oracle=_FILE_STREAM_ORACLE)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow file-stream over a 3-file landing zone with
+    maxFilesPerTrigger=1: every micro-batch must contain exactly one
+    file's rows (one file_group value), checked per batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    land = tempfile.mkdtemp(prefix="file_stream_") + "/landing"
+    os.makedirs(land)
+    for g in range(3):
+        (
+            n.where((F.col("n_nationkey") / 9).cast("long") == g)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+    acc: list = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        rows = batch_df.collect()  # nation-sized: bounded demo sink
+        groups = {r.n_nationkey // 9 for r in rows}
+        acc.extend(
+            (r.n_nationkey, r.n_name, r.n_nationkey // 9, len(groups) == 1)
+            for r in rows
+        )
+
+    q = (
+        spark.readStream.schema("n_nationkey bigint, n_name string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="file_stream_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        acc,
+        "n_nationkey bigint, n_name string, file_group bigint, "
+        "batch_matches_file boolean",
+    )
