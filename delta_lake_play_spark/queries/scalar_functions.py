@@ -967,3 +967,97 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.nation").alias("nation"),
         F.col("p.bal").alias("bal"),
     )
+
+
+# --- fn_printf_format --------------------------------------------------------
+
+# C-style formatting (Spark format_string == DuckDB printf — both
+# delegate to printf semantics, so zero-padding, width, precision and
+# hex render byte-identically). The report-rendering scalar path.
+
+_PRINTF_ORACLE = """
+SELECT s_suppkey,
+       printf('%05d|%09.2f|%x', s_suppkey, s_acctbal, s_nationkey) AS line
+FROM supplier WHERE s_acctbal IS NOT NULL AND s_nationkey IS NOT NULL
+"""
+
+
+@register("fn_printf_format", oracle=_PRINTF_ORACLE)
+def fn_printf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render supplier rows through C-style format specifiers
+    (zero-pad, fixed decimals, hex) — byte-identical across engines."""
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal").isNotNull() & F.col("s_nationkey").isNotNull()
+    )
+    return s.select(
+        "s_suppkey",
+        F.format_string(
+            "%05d|%09.2f|%x",
+            F.col("s_suppkey"),
+            F.col("s_acctbal"),
+            F.col("s_nationkey"),
+        ).alias("line"),
+    )
+
+
+# --- fn_ip_cidr ---------------------------------------------------------------
+
+# IPv4 arithmetic from scratch (the telemetry enrichment shape, no
+# udf, no library): render a deterministic address per user, parse it
+# back to a uint32 with split + shifts, and test CIDR membership with
+# a mask — all whole-stage-codegen integer ops on both engines.
+
+_IP_ORACLE = """
+WITH t AS (
+  SELECT user_id,
+         '10.' || (user_id % 256) || '.' || ((user_id // 256) % 256)
+              || '.' || (user_id % 250 + 1) AS ip
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+p AS (
+  SELECT user_id, ip, string_split(ip, '.') AS o FROM t
+),
+n AS (
+  SELECT user_id, ip,
+         CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+         + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT) AS ip_num
+  FROM p
+)
+SELECT user_id, ip, ip_num,
+       (ip_num // 65536) = (CAST(10 AS BIGINT) * 65536 + 7)
+         AS in_10_7_slash16
+FROM n
+"""
+
+
+@register("fn_ip_cidr", oracle=_IP_ORACLE)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse dotted-quad IPv4 to uint32 and test 10.7.0.0/16
+    membership with integer math only."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 250 + 1).cast("string"),
+    )
+    t = ev.select("user_id", ip.alias("ip"))
+    o = F.split(F.col("ip"), r"\.")
+    ip_num = (
+        F.element_at(o, 1).cast("long") * 16777216
+        + F.element_at(o, 2).cast("long") * 65536
+        + F.element_at(o, 3).cast("long") * 256
+        + F.element_at(o, 4).cast("long")
+    )
+    n = t.select("user_id", "ip", ip_num.alias("ip_num"))
+    return n.select(
+        "user_id",
+        "ip",
+        "ip_num",
+        (
+            (F.col("ip_num") / 65536).cast("long")
+            == F.lit(10 * 65536 + 7).cast("long")
+        ).alias("in_10_7_slash16"),
+    )
