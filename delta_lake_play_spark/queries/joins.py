@@ -705,3 +705,83 @@ def join_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_next_purchase_value").alias("next_purchase_value"),
         F.col("asof_next_purchase_ts").alias("next_purchase_ts"),
     )
+
+
+# --- join_asof_tolerance ------------------------------------------------------
+#
+# As-of with a staleness TOLERANCE (pandas merge_asof(tolerance=…) /
+# kdb wj semantics): a matched right row older than the bound is no
+# match at all. Same one-shuffle union+window plan as
+# join_asof_last_event — the bound is a post-projection on the
+# carried timestamp (integer-µs arithmetic), costing nothing extra:
+# no second window, no range join.
+
+_ASOF_TOL_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_ASOF_TOL_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ats, event_id, 1 AS side, value AS purchase_value,
+         NULL::STRUCT(v DOUBLE, t TIMESTAMP) AS carry
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts::TIMESTAMP, event_id, 0, NULL,
+         struct_pack(v := value, t := ts::TIMESTAMP)
+  FROM events WHERE event_type = 'click'
+), g AS (
+  SELECT user_id, ats, event_id, side, purchase_value,
+         (last_value(carry IGNORE NULLS) OVER w).v AS lv,
+         (last_value(carry IGNORE NULLS) OVER w).t AS lt
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ats, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), b AS (
+  SELECT *, (lt IS NOT NULL
+             AND epoch_us(ats) - epoch_us(lt) <= {_ASOF_TOL_US}) AS fresh
+  FROM g WHERE side = 1
+)
+SELECT event_id, user_id, ats AS ts, purchase_value,
+       CASE WHEN fresh THEN lv END AS last_click_value,
+       CASE WHEN fresh THEN lt END AS last_click_ts,
+       fresh AS within_tolerance
+FROM b
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest same-user click before each purchase, but only if it is
+    at most 30 minutes old — stale matches become NULL."""
+    from delta_lake_play_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        right_values=["click_value", "click_ts"],
+        tiebreak="event_id",
+    )
+    fresh = F.col("asof_click_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("asof_click_ts")
+        <= F.lit(_ASOF_TOL_US)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.when(fresh, F.col("asof_click_value")).alias("last_click_value"),
+        F.when(fresh, F.col("asof_click_ts")).alias("last_click_ts"),
+        fresh.alias("within_tolerance"),
+    )

@@ -922,3 +922,78 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0,
         ).alias("twap"),
     )
+
+
+# --- win_rolling_corr -------------------------------------------------------
+#
+# Rolling Pearson correlation between each user's hourly spend and
+# hourly activity count over the trailing 24 observations — the
+# quant/monitoring pair-stats shape. Every moment (Σx Σy Σxy Σx² Σy²
+# n) is an exact int64 window sum (cents ≤ ~1e6, counts ≤ 1e4 keep
+# every product and 24-term sum far inside int64), so the numerator
+# and both variance terms are exact integers; the two sqrt's and one
+# division are the only float ops, in the same order on both
+# engines. Zero variance on either side → NULL by guard.
+
+_ROLLCORR_ORACLE = """
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, hr,
+         CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+         SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+         SUM(x * y) OVER fr AS sxy,
+         SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy
+  FROM obs
+  WINDOW fr AS (PARTITION BY user_id ORDER BY hr
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, hr, n,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS rolling_corr
+FROM w
+"""
+
+
+@register("win_rolling_corr", oracle=_ROLLCORR_ORACLE)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-point spend/activity correlation per user-hour from
+    exact integer moment sums."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    w = obs.select(
+        "user_id",
+        "hr",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return w.select("user_id", "hr", "n", corr.alias("rolling_corr"))
