@@ -438,3 +438,84 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").cast("long").alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+# --- graph_bfs_distance -------------------------------------------------------
+#
+# Bounded-round BFS from a seed set (multi-source shortest hops on
+# the co-occurrence graph): _BFS_ROUNDS frontier expansions, each one
+# keyed join (frontier ⋈ edges) + one min-aggregate, localCheckpoint
+# per round — the traversal twin of graph_kcore's peel. Early exit
+# when an expansion adds no node equals the fixed-round result, so
+# the oracle unrolls exactly _BFS_ROUNDS rounds as MATERIALIZED CTEs
+# and hash-checks the distributed loop. Seeds: user_id % 50 == 0.
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        _EDGES_PRELUDE.rstrip(),
+        """,
+d0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, 0 AS dist FROM a0 WHERE u % 50 = 0
+  UNION
+  SELECT DISTINCT v, 0 FROM a0 WHERE v % 50 = 0
+)""",
+    ]
+    for r in range(_BFS_ROUNDS):
+        parts.append(
+            f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{r}
+    UNION ALL
+    SELECT e.v AS node, {r + 1} AS dist
+    FROM d{r} f JOIN a0 e ON f.node = e.u WHERE f.dist = {r}
+  ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+FROM d{_BFS_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (≤ 4) from the seed users to every reachable node
+    of the co-occurrence graph."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(ev)
+    bi = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    seeds = (
+        bi.select(F.col("u").alias("node"))
+        .where(F.col("node") % 50 == 0)
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+    )
+    dist = seeds.localCheckpoint()
+    n = dist.count()
+    for r in range(_BFS_ROUNDS):
+        frontier = dist.where(F.col("dist") == r)
+        expanded = frontier.join(bi, frontier.node == bi.u).select(
+            F.col("v").alias("node"), F.lit(r + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        n2 = dist.count()
+        if n2 == n:  # no new node: remaining rounds are identity
+            break
+        n = n2
+    return dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )

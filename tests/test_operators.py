@@ -666,3 +666,28 @@ def test_csv_failfast_raises_on_malformed(spark):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         df.collect()
+
+
+def test_bfs_distances_on_path_graph(spark):
+    """Path 50-51-52-53 built from pairwise buckets: seed 50 labels
+    hop distances 0..3."""
+    from delta_lake_play_spark.queries import graphs as G
+
+    rows = []
+    eid = 0
+    for h, (a, b) in enumerate([(50, 51), (51, 52), (52, 53)]):
+        for u in (a, b):
+            rows.append((eid, f"2024-01-01 {h:02d}:00:00", u, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.node, r.dist) for r in G.graph_bfs_distance(spark, d).collect()
+        }
+    assert got == {(50, 0), (51, 1), (52, 2), (53, 3)}
