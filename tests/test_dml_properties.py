@@ -298,6 +298,7 @@ def test_random_dml_cdf_mirror_mapped(spark, ops):
         return {r[0]: (r[1], r[2]) for r in df.collect()}
 
     states = {0: dict(model)}
+    col_at = {0: last_col}  # logical 3rd-column name per version
     next_id = 100
     renames = 0
 
@@ -336,6 +337,10 @@ def test_random_dml_cdf_mirror_mapped(spark, ops):
             v = seed % (table.latest_version() + 1)
             table.restore(v)
             model = dict(states[v])
+            # RESTORE reverts the logical schema too (Delta
+            # semantics — renames are metadata, and metadata is part
+            # of the restored state); the model must follow.
+            last_col = col_at[v]
         elif op_code == 5 and ids:  # metadata-only RENAME of the 3rd column
             renames += 1
             new_name = f"surname_{renames}"
@@ -350,7 +355,12 @@ def test_random_dml_cdf_mirror_mapped(spark, ops):
 
         version = table.latest_version()
         states[version] = dict(model)
+        col_at[version] = last_col
         assert snap() == model, f"latest != model after op {op_code}"
+        assert table.to_df().columns[2] == last_col, (
+            f"3rd column is {table.to_df().columns[2]!r}, model says "
+            f"{last_col!r} after op {op_code}"
+        )
 
         # CDF replay of this commit: prev state + feed == new state
         prev = states.get(version - 1)
