@@ -246,7 +246,11 @@ m AS (
   FROM v
 )
 SELECT vec_id, max_abs,
-       list_transform(de, x -> CAST(floor(x * {_QUANT_LEVELS} / max_abs) AS DOUBLE)) AS q
+       array_to_string(
+         list_transform(de, x -> coalesce(
+           CAST(CAST(floor(x * {_QUANT_LEVELS} / max_abs) AS BIGINT) AS VARCHAR),
+           'null')),
+         ',') AS q
 FROM m
 """
 
@@ -257,7 +261,14 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor to [-LEVELS, LEVELS] — 4× smaller vectors for the ANN index
     with recall traded per the usual quantization curve. Floor (not
     round) so both engines agree at .5 boundaries; the scale factor
-    is an exact fold, so quantized codes are bit-identical."""
+    is an exact fold, so quantized codes are bit-identical.
+
+    The code list is rendered to a CSV string (repo convention,
+    queries/aggregates.py collect_list) because the driver's value
+    hash cannot canonicalize raw array columns — the r5 ERR. A NULL
+    code (zero-norm vector via try_divide) renders as the literal
+    'null' on both engines so nothing is silently skipped by the
+    joiner."""
     e = load_table(spark, sf_dir, "embeddings")
     de = F.col("embedding").cast("array<double>")
     max_abs = F.aggregate(
@@ -268,15 +279,18 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("vec_id", de.alias("de"), max_abs.alias("max_abs"))
     # try_divide: a zero vector has max_abs = 0; DuckDB's x/0 is NULL
     # (→ all-NULL codes) while ANSI Spark would raise DIVIDE_BY_ZERO.
-    # Codes are typed DOUBLE (not INT) on both sides: a NULL code
-    # (zero-norm vector) inside an INT list makes pandas materialize
-    # DuckDB's child array as float64 while Spark keeps ints — a
-    # value-hash skew at the list level. DOUBLE is stable everywhere.
-    q = F.transform(
-        F.col("de"),
-        lambda x: F.floor(
-            F.try_divide(x * _QUANT_LEVELS, F.col("max_abs"))
-        ).cast("double"),
+    # F.floor on DOUBLE yields LONG, matching the oracle's BIGINT cast,
+    # so both engines stringify codes identically ("-64", not "-64.0").
+    q = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("de"),
+            lambda x: F.coalesce(
+                F.floor(F.try_divide(x * _QUANT_LEVELS, F.col("max_abs")))
+                .cast("string"),
+                F.lit("null"),
+            ),
+        ),
     )
     return base.select("vec_id", "max_abs", q.alias("q"))
 

@@ -50,93 +50,85 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-5 WINDOW (first 50). Composition (SURVEY §12 records
-    # the rationale): r4 came back 50/50 green, so this window is
-    # pure verification-debt retirement — 50 of the 65 keys that have
-    # NEVER had a driver CORRECTNESS row (VERDICT r4 ask #1),
-    # highest-risk first: all 21 remaining LLM keys (incl. the three
-    # rows-only multimodal keys), the sketch aggregates (agg_sketch_cms
-    # after this round's executor-side probe rewrite, ask #2), the
-    # never-checked join/window/stream batteries, and history_scan —
-    # newly oracle-paired this round (ask #7) so its first hash row
-    # lands here. The 18 deferred never-checked keys are all trivial
-    # single-construct scalar/agg/window demos (fn_bitwise,
-    # fn_greatest_least, agg_mode, win_first_last_nth, ...) — lowest
-    # divergence risk, locally five-fixture green — and head tier 2
-    # so they close the debt in r6 alongside the stale-green
-    # rotation (ask #8, deliberately deferred one round in favor of
-    # retiring never-checked debt fastest).
-    # LLM-pipeline keys — never checked (19 SQL + 3 rows-only)
-    "llm_pii_redact",
-    "llm_tfidf_topterms",
-    "llm_text_token_bpe",
-    "llm_text_lang_id",
-    "llm_langid_confusion",
-    "llm_text_fingerprint",
-    "llm_repetition_filter",
-    "llm_quality_score_linear",
-    "llm_global_shuffle",
-    "llm_train_val_split",
-    "llm_pack_sequences",
-    "llm_importance_resample",
-    "llm_domain_filter",
-    "llm_curation_shardplan",
-    "llm_dedup_fingerprint",
-    "llm_dedup_url",
-    "llm_token_rarity",
+    # --- ROUND-6 WINDOW (first 50). Composition (SURVEY §12 records
+    # the rationale): slot 1 is the r5 ERR key with its fix (raw
+    # array output → CSV string per repo convention; VERDICT r5 ask
+    # #1 demands the green row land here). Slots 2-50 are 49 of the
+    # 68 never-driver-checked keys, hardest machinery first per
+    # VERDICT ask #2 — these carry the repo's boldest scale claims on
+    # local-only evidence: the SCD2 pair, the CDF trio, incremental/
+    # streaming dedup + the recall monitor, BPE train/apply, PQ, all
+    # five graph keys, row tracking / in-commit timestamps /
+    # incremental MV, the optimizer-surface scans (DPP, runtime
+    # bloom, agg pushdown), the never-checked stream sources, the
+    # timeseries window family, and the ingest/egress batch. The 19
+    # residual never-checked keys (trivial single-construct fn_/agg_/
+    # win_ demos) head tier 2 and close the debt in r7.
     "llm_embedding_quantize",
-    "llm_multimodal_decode",
-    "llm_multimodal_framesample",
-    "llm_multimodal_resize",
-    # sampling / data-mix keys — never checked
-    "sample_stratified_topn",
-    "sample_data_mix",
-    # sketch + analytics aggregates — never checked; agg_sketch_cms
-    # re-written this round (executor-side probe, VERDICT ask #2)
-    "agg_sketch_cms",
-    "agg_sketch_hll",
-    "agg_histogram",
-    "agg_retention_cohort",
-    "agg_regression_exact",
-    "agg_table_profile",
-    # join battery — never checked
-    "join_bucketed_colocated",
-    "join_range_bucketed",
-    "join_null_key_split",
-    "join_asof_next_event",
-    # window battery — never checked
-    "win_funnel_pattern",
-    "win_moving_median",
-    "win_interval_range_frame",
-    "win_count_distinct",
-    # streaming — never checked
-    "stream_stream_join",
-    "stream_stateful_count",
-    "stream_table_source",
-    "stream_table_source_jvm",
-    # scalar-fn singles — never checked (the structured/semi-structured
-    # ones; trivial built-in demos deferred to tier 2)
-    "fn_variant_json",
-    "fn_url_parse",
-    "fn_stack_unpivot",
-    # misc — never checked
-    "udtf_python_offsets",
-    "set_multiset_ops",
-    # brand-new this round — first driver row for each: column-mapping
-    # ALTER (metadata-only rename/drop), SetTransaction-backed
-    # exactly-once streaming sink, and GENERATED ALWAYS AS IDENTITY.
-    # Three single-construct scalar demos (fn_struct_ops,
-    # fn_interval_arith, fn_date_spine_fill) moved down to tier 2 to
-    # make room — lowest divergence risk of the never-checked set.
-    "dml_rename_drop_column",
-    "stream_exactly_once",
-    "dml_identity_column",
-    # newly oracle-paired this round (was rows-only r1-r4): first
-    # hash-checked driver row (VERDICT ask #7)
-    "history_scan",
-    # --- TIER 2 (51+): the 16 remaining never-checked keys (all
-    # trivial single-construct demos, five-fixture green locally) —
-    # they retire the debt in the r6 window.
+    # SCD2 pair — the two most expensive composites in the repo
+    "dml_scd2_build",
+    "stream_scd2_maintain",
+    # CDF trio
+    "dml_cdf_capture",
+    "dml_cdf_mirror_replay",
+    "stream_cdf_feed",
+    # dedup at scale — incremental, streaming, recall monitor, suffix
+    "llm_dedup_incremental",
+    "llm_dedup_streaming",
+    "llm_dedup_recall",
+    "llm_substring_dedup",
+    # tokenizer + quantizer training
+    "llm_bpe_train",
+    "llm_bpe_apply",
+    "llm_similarity_pq",
+    # graph battery
+    "graph_triangle_count",
+    "graph_connected_components",
+    "graph_common_neighbors",
+    "graph_kcore",
+    "graph_bfs_distance",
+    # protocol features new in r5
+    "dml_row_tracking",
+    "dml_in_commit_timestamps",
+    "dml_incremental_join_mv",
+    # optimizer-surface scans
+    "scan_dpp_partition_join",
+    "join_runtime_bloom",
+    "scan_agg_pushdown",
+    # stream sources never checked
+    "stream_starting_version",
+    "stream_file_source",
+    "stream_transform_with_state",
+    # timeseries window family
+    "win_resample_ohlc",
+    "win_ewma",
+    "win_anomaly_zscore",
+    "win_twap",
+    "win_rolling_corr",
+    "win_interpolate_linear",
+    # ingest / egress batch
+    "scan_csv_corrupt_records",
+    "scan_glob_recursive",
+    "scan_file_metadata",
+    "sink_dynamic_partition_overwrite",
+    "sink_python_datasource",
+    "scan_observe_metrics",
+    "sql_parameterized",
+    # remaining never-checked analytics keys
+    "join_asof_tolerance",
+    "agg_approx_top_k",
+    "agg_listagg",
+    "llm_multimodal_manifest",
+    "llm_gopher_rules",
+    "llm_dataset_card",
+    "fn_xml_parse",
+    "fn_printf_format",
+    "fn_ip_cidr",
+    "sample_token_budget_mix",
+    # --- TIER 2 (51+): the 19 residual never-checked keys — all
+    # trivial single-construct demos, multi-fixture green locally —
+    # close the debt in the r7 window, followed by the stale-green
+    # §2 rotation (VERDICT ask #5).
     "fn_struct_ops",
     "fn_interval_arith",
     "fn_date_spine_fill",
@@ -156,24 +148,6 @@ _PRIORITY: tuple[str, ...] = (
     "sort_within_partitions",
     "win_first_last_nth",
     "win_percent_rank_cume_dist",
-    # late-r5 additions, never driver-checked — r6 window candidates
-    # alongside the tier-2 singles above and the other late-r5 keys
-    # (CDF trio, incremental/streaming dedup, stream_starting_version,
-    # llm_substring_dedup) registered behind them in tier 3
-    "sample_token_budget_mix",
-    # round-5 extension keys, never driver-checked — r6 window
-    # candidates with the tier-2 singles above
-    "scan_dpp_partition_join",
-    "join_runtime_bloom",
-    "llm_bpe_train",
-    "llm_similarity_pq",
-    "stream_transform_with_state",
-    "dml_row_tracking",
-    "dml_in_commit_timestamps",
-    "llm_bpe_apply",
-    "scan_agg_pushdown",
-    "dml_scd2_build",
-    "stream_scd2_maintain",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )

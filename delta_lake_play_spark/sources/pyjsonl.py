@@ -50,9 +50,10 @@ class _JsonlPartition(InputPartition):
 
 
 class _JsonlWriter(DataSourceWriter):
-    def __init__(self, path: str, schema: T.StructType):
+    def __init__(self, path: str, schema: T.StructType, overwrite: bool):
         self.path = path
         self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
 
     def write(self, rows: Iterator) -> _FileCommit:
         from pyspark import TaskContext
@@ -69,12 +70,37 @@ class _JsonlWriter(DataSourceWriter):
         os.rename(tmp, os.path.join(self.path, name))
         return _FileCommit(name)
 
+    def _old_manifest(self) -> list[str]:
+        try:
+            with open(os.path.join(self.path, "_SUCCESS")) as fh:
+                return list(json.load(fh)["files"])
+        except (OSError, ValueError, KeyError):
+            return []
+
     def commit(self, messages) -> None:
-        manifest = sorted(m.filename for m in messages if m is not None)
+        # All destruction happens HERE, after every task succeeded —
+        # never at writer construction (ADVICE r5: destroying at plan
+        # time makes an aborted overwrite lose the previously
+        # committed dataset). Task files are uniquely named, so old
+        # and new coexist until the manifest swap; the rename is the
+        # atomic commit point, and readers of the old manifest stay
+        # consistent right up to it.
+        new_files = sorted(m.filename for m in messages if m is not None)
+        old_files = self._old_manifest()
+        manifest = new_files if self.overwrite else sorted(old_files + new_files)
         tmp = os.path.join(self.path, "._SUCCESS.tmp")
         with open(tmp, "w") as fh:
             json.dump({"files": manifest}, fh)
         os.rename(tmp, os.path.join(self.path, "_SUCCESS"))
+        if self.overwrite:
+            # Superseded data files are garbage once the new manifest
+            # is durable; a crash between rename and cleanup leaves
+            # only invisible orphans, never a broken table.
+            for name in set(old_files) - set(manifest):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -134,11 +160,7 @@ class JsonlDataSource(DataSource):
         self._check(schema)
         path = self.options["path"]
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for name in os.listdir(path):
-                if name.endswith(".jsonl") or name == "_SUCCESS":
-                    os.remove(os.path.join(path, name))
-        return _JsonlWriter(path, schema)
+        return _JsonlWriter(path, schema, overwrite)
 
     def reader(self, schema: T.StructType) -> _JsonlReader:
         self._check(schema)

@@ -965,6 +965,24 @@ class VersionedTable:
         sidecar references + per-file counts, so both driver memory
         and log size are independent of how many rows the predicate
         matches."""
+        if self.row_tracking_enabled() and self.delta_mirror_enabled():
+            # Refuse BEFORE the private commit: the mirror's sync()
+            # raises on DV files of row-tracking tables (delta_log.py
+            # _unit_adds — materialization invalidates row-id ranges),
+            # but sync runs only after the private commit is durably
+            # linked. Committing first and raising in sync would wedge
+            # the table: every later commit replays sync, hits the DV
+            # version, and raises again, so the mirror could never
+            # advance. Failing here leaves no committed DV behind.
+            from .delta_log import DeltaMirrorError
+
+            raise DeltaMirrorError(
+                "deletion vectors cannot be mirrored on a row-tracking "
+                "table: DV materialization rewrites survivors, which "
+                "invalidates the file's row-id range. Use copy-on-write "
+                "DELETE/UPDATE (delete/update_where) on row-tracking "
+                "tables."
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
 

@@ -54,10 +54,20 @@ def _canon_cell(v):
         return v.isoformat()
     if isinstance(v, np.ndarray) and v.ndim == 0:
         return _canon_cell(v.item())  # 0-d scalar wrapper (e.g. a NULL list cell)
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        # The REAL driver canonicalizes with pandas.sort_values over
+        # object columns, which raises `TypeError: unhashable type:
+        # 'list'` on complex cells (CORRECTNESS_r05 llm_embedding_
+        # quantize ERR). A lenient list→tuple fallback here let that
+        # key ship locally-green; the replica must be at least as
+        # strict as the driver, so complex cells are a hard error.
+        # Render arrays/maps to deterministic strings in the query
+        # itself (convention: queries/aggregates.py collect_list CSV).
+        raise TypeError(
+            f"complex cell {type(v).__name__} in hash-checked output — "
+            "the driver canonicalizer (pandas sort_values) crashes on "
+            "list/dict cells; render to a string column in the query"
+        )
     if isinstance(v, bytes):
         return v
     if v != v:  # NaN-like

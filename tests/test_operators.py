@@ -590,6 +590,53 @@ def test_pyjsonl_rejects_nested_schema(spark):
         df.write.format("pyjsonl").mode("overwrite").save(out)
 
 
+def test_pyjsonl_failed_overwrite_keeps_old_data(spark):
+    """ADVICE r5: destruction must happen at commit(), not at writer
+    construction — an overwrite job that fails mid-flight leaves the
+    previously committed dataset fully readable."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    ddl = "id long, s string"
+    out = tempfile.mkdtemp(prefix="pyjsonl_ab_") + "/t"
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ddl)
+    old.write.format("pyjsonl").mode("overwrite").save(out)
+
+    @F.udf("string")
+    def _boom(s):
+        raise RuntimeError("task failure injected by test")
+
+    bad = spark.createDataFrame([(9, "x")], ddl).select("id", _boom("s").alias("s"))
+    with _pytest.raises(Exception, match="task failure injected"):
+        bad.write.format("pyjsonl").mode("overwrite").save(out)
+    back = spark.read.format("pyjsonl").option("schema", ddl).load(out)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_pyjsonl_append_merges_manifest(spark):
+    """mode('append') keeps previously committed files visible: the
+    new manifest is the union, not just this job's files."""
+    import tempfile
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    ddl = "id long, s string"
+    out = tempfile.mkdtemp(prefix="pyjsonl_ap_") + "/t"
+    spark.createDataFrame([(1, "a")], ddl).write.format("pyjsonl").mode(
+        "overwrite"
+    ).save(out)
+    spark.createDataFrame([(2, "b")], ddl).write.format("pyjsonl").mode(
+        "append"
+    ).save(out)
+    back = spark.read.format("pyjsonl").option("schema", ddl).load(out)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_xml_roundtrip_escapes_entities(spark, sf_dir):
     """A name containing the XML metacharacters survives the render →
     parse cycle byte-identically."""

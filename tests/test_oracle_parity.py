@@ -3,6 +3,7 @@ replica of the driver's t2 correctness gate (at sf0.001 for speed;
 the driver runs sf0.01)."""
 
 import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from delta_lake_play_spark.registry import all_oracles, all_queries
 
@@ -14,7 +15,22 @@ ORACLES = all_oracles()
 
 @pytest.mark.parametrize("key", sorted(ORACLES))
 def test_oracle_parity(key, spark, duck, sf_dir):
-    spark_pdf = QUERIES[key](spark, sf_dir).toPandas()
+    df = QUERIES[key](spark, sf_dir)
+    # Registry lint (VERDICT r5 #1): a hash-checked key must never
+    # expose array/map/struct columns — the driver's canonicalizer
+    # (pandas sort_values) crashes on them (llm_embedding_quantize
+    # ERR). Render complex values to deterministic strings instead.
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{key}: hash-checked output has complex-typed columns "
+        f"{complex_cols} — the driver canonicalizer crashes on these; "
+        "render to sorted-CSV strings (see queries/aggregates.py)"
+    )
+    spark_pdf = df.toPandas()
     duck_pdf = duck.execute(ORACLES[key]).fetchdf()
     compare(spark_pdf, duck_pdf, key)
 

@@ -66,3 +66,16 @@ def test_negative_zero_normalized():
     a = pd.DataFrame({"v": [-0.0]})
     b = pd.DataFrame({"v": [0.0]})
     compare(a, b, "negzero_demo")
+
+
+def test_complex_cells_are_rejected():
+    """Round-5 postmortem (llm_embedding_quantize): the driver's
+    canonicalizer crashes on list cells, but the replica's lenient
+    list→tuple fallback reported MATCH. The replica must now raise on
+    any complex cell, exactly as strict as the driver."""
+    lists = pd.DataFrame({"k": [1], "q": [[1.0, 2.0]]})
+    with pytest.raises(TypeError, match="complex cell"):
+        canonical_rows(lists)
+    dicts = pd.DataFrame({"k": [1], "m": [{"a": 1}]})
+    with pytest.raises(TypeError, match="complex cell"):
+        canonical_rows(dicts)

@@ -180,8 +180,16 @@ def test_deletion_vectors_refused_on_mirrored_row_tracking(spark, sf_dir):
     t = VersionedTable.create(
         spark, temp_table_path("rt-dv"), n, delta_mirror=True, row_tracking=True
     )
+    v0 = t.latest_version()
     with pytest.raises(DeltaMirrorError, match="row-id range"):
         t.delete_mor("n_regionkey = 1")
+    # The refusal must fire BEFORE the private commit (ADVICE r5): a
+    # post-commit raise in sync() would wedge the table — every later
+    # commit replays sync, hits the DV version, and raises forever.
+    assert t.latest_version() == v0, "refused delete_mor left a commit behind"
+    t.append(n.withColumn("n_nationkey", F.col("n_nationkey") + 900))
+    assert t.latest_version() == v0 + 1
+    assert t.read().count() == 2 * n.count()
 
 
 def test_ict_and_row_tracking_compose(spark, sf_dir):
