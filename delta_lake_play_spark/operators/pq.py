@@ -66,9 +66,23 @@ def pq_adc_topk(
     )
     sub = q.select("vid", F.posexplode(slices).alias("m", "sv")).persist()
     try:
+        # Seed each subspace from the ksub SMALLEST ACTUAL ids, not
+        # `vid < ksub` — a filtered corpus or non-contiguous id space
+        # would otherwise train with fewer (possibly zero) centroids
+        # silently. cl stays the seed vid itself, mirroring the
+        # oracle's `vec_id AS cl`. ksub-row collect, driver-trivial.
+        seed_ids = [
+            int(r["vid"])
+            for r in q.select("vid").orderBy("vid").limit(ksub).collect()
+        ]
+        if len(seed_ids) < ksub:
+            raise ValueError(
+                f"PQ needs at least ksub={ksub} vectors to seed each "
+                f"subspace codebook; corpus has only {len(seed_ids)}"
+            )
         codebooks = [
             (int(r["m"]), int(r["vid"]), list(r["sv"]))
-            for r in sub.filter(F.col("vid") < ksub).collect()
+            for r in sub.filter(F.col("vid").isin(seed_ids)).collect()
         ]
 
         def assign(cdf: DataFrame) -> DataFrame:

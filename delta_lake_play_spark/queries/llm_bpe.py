@@ -106,7 +106,14 @@ def _bpe_learn(
             words = words.withColumn(
                 "seq", F.replace(seq, F.lit(pair), F.lit(merged))
             )
-        return merges, words
+        # Materialize the merged vocabulary BEFORE the finally block
+        # unpersists the base cache: bpe_apply_topk consumes this
+        # DataFrame after _bpe_learn returns, and an unmaterialized
+        # lineage would silently recompute the whole corpus word
+        # count at apply time — breaking the "corpus text is read
+        # exactly once" contract. localCheckpoint truncates the
+        # lineage at vocabulary size (|vocab| rows, merge-log cost).
+        return merges, words.localCheckpoint(eager=True)
     finally:
         base.unpersist()
 

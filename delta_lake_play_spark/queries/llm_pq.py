@@ -34,7 +34,7 @@ def _pq_oracle(
     topk: int = _TOPK,
 ) -> str:
     """Unrolled PQ train/encode/ADC as DuckDB CTEs: same grid, same
-    init (vec_id < k per subspace), same (dist, code) argmin
+    init (the k smallest ids per subspace), same (dist, code) argmin
     tie-break, same floor-requantized centroid update, same ADC sum."""
 
     def dist(a: str, b: str) -> str:
@@ -71,7 +71,10 @@ def _pq_oracle(
         "x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv "
         "FROM embeddings)",
         f"sub AS ({sub_slices})",
-        f"c0 AS (SELECT m, vec_id AS cl, sv AS cv FROM sub WHERE vec_id < {k})",
+        # seed = the k smallest ACTUAL ids (not `vec_id < k`), matching
+        # operators/pq.py — robust to filtered / non-zero-based corpora
+        f"c0 AS (SELECT m, vec_id AS cl, sv AS cv FROM sub "
+        f"WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}))",
     ]
     for i in range(iters):
         ctes.append(assign(f"a{i + 1}", f"c{i}"))

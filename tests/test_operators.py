@@ -590,6 +590,41 @@ def test_pyjsonl_rejects_nested_schema(spark):
         df.write.format("pyjsonl").mode("overwrite").save(out)
 
 
+def test_pq_trains_on_non_zero_based_ids(spark):
+    """ADVICE r5: codebook seeding must use the k smallest ACTUAL ids,
+    not `vid < ksub` — a filtered corpus whose ids start at 1000 would
+    otherwise train zero centroids silently. The search must behave
+    identically to the same vectors with 0-based ids."""
+    import random
+
+    from delta_lake_play_spark.operators.pq import pq_adc_topk
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(24)]
+    base = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    shifted = spark.createDataFrame(
+        [(i + 1000, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    kwargs = dict(n_sub=2, ksub=4, iters=2, topk=10)
+    got_base = pq_adc_topk(spark, base, "vec_id", "embedding", **kwargs).collect()
+    got_shift = pq_adc_topk(spark, shifted, "vec_id", "embedding", **kwargs).collect()
+    assert len(got_shift) == 10
+    # same geometry, same seeds → identical ranking modulo the id shift
+    assert [(r["vec_id"] - 1000, r["adist"]) for r in got_shift] == [
+        (r["vec_id"], r["adist"]) for r in got_base
+    ]
+
+    tiny = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs[:3])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least ksub"):
+        pq_adc_topk(spark, tiny, "vec_id", "embedding", **kwargs)
+
+
 def test_pyjsonl_failed_overwrite_keeps_old_data(spark):
     """ADVICE r5: destruction must happen at commit(), not at writer
     construction — an overwrite job that fails mid-flight leaves the
