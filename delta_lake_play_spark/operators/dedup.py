@@ -175,58 +175,21 @@ def sig_est_jaccard(sig_a, sig_b):
     )
 
 
-def incremental_minhash_dedup(
+def _incremental_rep_candidates(
     store_df: DataFrame,
     new_df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.5,
-    broadcast_hints: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """Dedup ONE NEW BATCH against an already-signed corpus: the
-    standard shape for a training-data pipeline that ingests
-    continuously and cannot re-run corpus-wide LSH per batch.
-
-    ``store_df`` is a ``(doc_id, sig)`` signature table (from
-    ``minhash_signature_table``, typically a versioned table the
-    pipeline appends to per batch). Per batch the cost is
-    O(|new| × BANDS) band rows joined against the store's band
-    table — nothing rescans old text, nothing is all-pairs — and
-    verification compares K stored longs per candidate
-    (``sig_est_jaccard``), so the store stays ~128 B/doc at any
-    corpus size.
-
-    Returns ``(pairs, new_sigs)``: pairs is
-    ``(new_doc, matched_doc, est_jaccard >= threshold)`` where
-    ``matched_doc`` is in the store or earlier (lower id) in the same
-    batch; ``new_sigs`` is what the caller appends to the store to
-    advance it.
-
-    Scale shape (two ideas compose):
-
-    1. **Bucket semi-join first.** The batch's distinct band buckets
-       (≤ |batch| × BANDS keys) are broadcast against the store's
-       band rows (computed map-side by folding each stored ``sig`` —
-       the store is STREAMED, never shuffled wholesale), so only
-       store docs sharing a bucket with the batch — a lower bound on
-       the work of ANY correct algorithm, since each may form a
-       pair — enter the rest of the plan.
-    2. **Signature-collapse (rep-level LSH).** Template-heavy corpora
-       (the norm in web data) have far fewer DISTINCT signatures than
-       docs; docs with identical signatures agree with everything
-       identically, so candidate generation and verification run once
-       per distinct signature ("rep") and verified rep pairs are
-       re-expanded to member pairs by two hash joins. A clique of C
-       identical docs costs 1 rep row instead of C² bucket-join rows
-       (measured 3.4 M → tens of k candidate rows on the synthetic
-       corpus, whose largest identical-sig clique is ~24 % of docs).
-
-    Broadcast discipline: only batch-bounded or hit-bounded tables
-    are ever hinted (batch buckets, rep bands, verified rep pairs,
-    the hit member table); ``broadcast_hints=False`` degrades every
-    join to its shuffle form."""
-    # persisted: feeds the band branch, the expansion join, and the
-    # caller's store-advancing append
+    threshold: float,
+    broadcast_hints: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front half of the incremental dedup operators: sign the
+    batch, bucket-semi-join the streamed store down to hits, and
+    verify candidates at REP level (one row per distinct signature).
+    Returns ``(new_sigs, hits, rep_pairs)`` where rep_pairs is
+    ``(sig_a, sig_b, est_jaccard)`` with sig_a a batch signature and
+    sig_b a batch or store-hit signature. new_sigs is persisted; the
+    caller owns the unpersist."""
     new_sigs = minhash_signature_table(
         new_df, id_col, text_col, broadcast_hints
     ).persist()
@@ -290,6 +253,64 @@ def incremental_minhash_dedup(
     rep_pairs = rep_cand.select(
         "sig_a", "sig_b", est.alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
+    return new_sigs, hits, rep_pairs
+
+
+def incremental_minhash_dedup(
+    store_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    broadcast_hints: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ONE NEW BATCH against an already-signed corpus: the
+    standard shape for a training-data pipeline that ingests
+    continuously and cannot re-run corpus-wide LSH per batch.
+
+    ``store_df`` is a ``(doc_id, sig)`` signature table (from
+    ``minhash_signature_table``, typically a versioned table the
+    pipeline appends to per batch). Per batch the cost is
+    O(|new| × BANDS) band rows joined against the store's band
+    table — nothing rescans old text, nothing is all-pairs — and
+    verification compares K stored longs per candidate
+    (``sig_est_jaccard``), so the store stays ~128 B/doc at any
+    corpus size.
+
+    Returns ``(pairs, new_sigs)``: pairs is
+    ``(new_doc, matched_doc, est_jaccard >= threshold)`` where
+    ``matched_doc`` is in the store or earlier (lower id) in the same
+    batch; ``new_sigs`` is what the caller appends to the store to
+    advance it.
+
+    Scale shape (two ideas compose):
+
+    1. **Bucket semi-join first.** The batch's distinct band buckets
+       (≤ |batch| × BANDS keys) are broadcast against the store's
+       band rows (computed map-side by folding each stored ``sig`` —
+       the store is STREAMED, never shuffled wholesale), so only
+       store docs sharing a bucket with the batch — a lower bound on
+       the work of ANY correct algorithm, since each may form a
+       pair — enter the rest of the plan.
+    2. **Signature-collapse (rep-level LSH).** Template-heavy corpora
+       (the norm in web data) have far fewer DISTINCT signatures than
+       docs; docs with identical signatures agree with everything
+       identically, so candidate generation and verification run once
+       per distinct signature ("rep") and verified rep pairs are
+       re-expanded to member pairs by two hash joins. A clique of C
+       identical docs costs 1 rep row instead of C² bucket-join rows
+       (measured 3.4 M → tens of k candidate rows on the synthetic
+       corpus, whose largest identical-sig clique is ~24 % of docs).
+
+    Broadcast discipline: only batch-bounded or hit-bounded tables
+    are ever hinted (batch buckets, rep bands, verified rep pairs,
+    the hit member table); ``broadcast_hints=False`` degrades every
+    join to its shuffle form."""
+    # new_sigs persisted (by the helper): feeds the band branch, the
+    # expansion join, and the caller's store-advancing append
+    new_sigs, hits, rep_pairs = _incremental_rep_candidates(
+        store_df, new_df, id_col, text_col, threshold, broadcast_hints
+    )
 
     # 3. expand verified rep pairs to member pairs: batch members on
     #    the a-side; store hits (tag 0) and batch members (tag 1) on
@@ -316,6 +337,76 @@ def incremental_minhash_dedup(
         .select("new_doc", "matched_doc", "est_jaccard")
     )
     return pairs, new_sigs
+
+
+def incremental_minhash_flagged(
+    store_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    broadcast_hints: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The DUP-SET variant of :func:`incremental_minhash_dedup`: same
+    semantics, but returns only ``(doc_id,)`` — the batch docs flagged
+    as duplicates — WITHOUT ever materializing member pairs.
+
+    A dup-heavy corpus can emit O(clique²) member pairs from O(reps)
+    verified rep pairs (the synthetic fixture: 651 k pairs per ~3 k-doc
+    batch); a dedup SINK that only keeps/drops docs pays that
+    expansion for nothing. Here the pair predicate
+    ``(in store) OR (earlier in batch)`` is decided at rep level:
+
+    - a batch doc is flagged via the STORE iff its signature matched
+      any store-hit signature (a rep semi-join);
+    - via the BATCH iff the minimum batch doc id over all its matched
+      signatures is smaller than the doc's own id (a rep-level min
+      aggregate joined back onto batch members).
+
+    Every table in the plan is rep- or batch-member-sized — per-batch
+    cost is independent of how many dup PAIRS exist. Flagged set is
+    provably identical to
+    ``incremental_minhash_dedup(...)[0].select('new_doc').distinct()``
+    (pinned by tests/test_operators.py::test_incremental_flagged_matches_pairs).
+    Returns ``(flagged, new_sigs)``; flagged has one ``doc_id`` column."""
+    new_sigs, hits, rep_pairs = _incremental_rep_candidates(
+        store_df, new_df, id_col, text_col, threshold, broadcast_hints
+    )
+    members = new_sigs.select(
+        F.col("doc_id").alias("new_doc"), F.col("sig").alias("sig_a")
+    )
+    # Per-sig_b facts, built once so the rep-candidate subtree (which
+    # embeds a store scan) is consumed EXACTLY once: whether the sig
+    # has a store member, and the smallest batch member id carrying
+    # it. Reflexive (s, s) rep pairs make the min-id route cover
+    # intra-clique dups (every clique member except the lowest id).
+    store_sigs = (
+        hits.select("sig").distinct().withColumn("in_store", F.lit(True))
+    )
+    batch_min = new_sigs.groupBy("sig").agg(F.min("doc_id").alias("min_id"))
+    sig_info = store_sigs.join(batch_min, "sig", "full").select(
+        F.col("sig").alias("sig_b"),
+        F.coalesce("in_store", F.lit(False)).alias("in_store"),
+        "min_id",
+    )
+    per_sig_a = (
+        rep_pairs.join(_hint(sig_info, broadcast_hints), "sig_b")
+        .groupBy("sig_a")
+        .agg(
+            F.max(F.coalesce("in_store", F.lit(False))).alias("any_store"),
+            F.min("min_id").alias("min_match"),
+        )
+    )
+    flagged = (
+        members.join(_hint(per_sig_a, broadcast_hints), "sig_a")
+        .where(
+            F.col("any_store")
+            | (F.col("min_match") < F.col("new_doc"))  # null-safe: NULL drops
+        )
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    return flagged, new_sigs
 
 
 def simhash_near_dup_pairs(

@@ -840,7 +840,27 @@ WHERE c_custkey NOT IN (SELECT c_custkey FROM s2)
 """
 
 
+# Four registry keys (dml_cdf_capture, dml_cdf_mirror_replay,
+# dml_scd2_build, stream_scd2_maintain) consume the SAME
+# deterministic 4-commit fixture and only ever READ it (table_changes
+# / read(version) / CDF stream) — so it is built once per
+# (SparkContext, sf_dir, create-kwargs) and shared. The 4 DML commits
+# cost ~4 s warm at sf0.1; rebuilding them per key was the single
+# largest fixed overhead in the bench suite (VERDICT r5 ask #4).
+_CDF_SCRIPT_CACHE: dict[tuple, VersionedTable] = {}
+
+
 def _cdf_script(spark: SparkSession, sf_dir: str, **create_kwargs) -> VersionedTable:
+    import os as _os
+
+    cache_key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        tuple(sorted(create_kwargs.items())),
+    )
+    cached = _CDF_SCRIPT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     t = VersionedTable.create(
         spark,
         temp_table_path("cdf"),
@@ -852,6 +872,7 @@ def _cdf_script(spark: SparkSession, sf_dir: str, **create_kwargs) -> VersionedT
              F.col("c_mktsegment") == "BUILDING")                # v1
     t.delete(F.col("c_acctbal") < 0)                             # v2
     t.merge(_merge_source(spark, sf_dir), key="c_custkey")       # v3
+    _CDF_SCRIPT_CACHE[cache_key] = t
     return t
 
 

@@ -640,7 +640,15 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaffected keys are never touched, and the replaceWhere key list
     is bounded by the batch. Hash-matching the SAME oracle as the
     batch build proves streaming maintenance converges to the batch
-    result regardless of how the source split the commits."""
+    result regardless of how the source split the commits.
+
+    Batch granularity, honestly: under availableNow the pre-committed
+    CDF backlog drains as ONE micro-batch (maxVersionsPerTrigger
+    paces only post-start commits — the Python DataSource API limit
+    documented in sources/table_stream.py); the apply logic is
+    batch-split-agnostic by construction and live pacing is pinned by
+    tests/test_streaming.py::test_max_versions_per_trigger_paces_
+    steady_state."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F

@@ -590,6 +590,36 @@ def test_pyjsonl_rejects_nested_schema(spark):
         df.write.format("pyjsonl").mode("overwrite").save(out)
 
 
+def test_incremental_flagged_matches_pairs(spark, sf_dir):
+    """incremental_minhash_flagged must return exactly the distinct
+    new_doc set of incremental_minhash_dedup's pairs — same store,
+    same batch, same threshold — without expanding member pairs."""
+    from delta_lake_play_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        incremental_minhash_flagged,
+        minhash_signature_table,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    store = minhash_signature_table(old, "doc_id", "text").persist()
+    try:
+        pairs, sigs_a = incremental_minhash_dedup(store, new, "doc_id", "text", 0.8)
+        expected = {
+            r["new_doc"] for r in pairs.select("new_doc").distinct().collect()
+        }
+        sigs_a.unpersist()
+        flagged, sigs_b = incremental_minhash_flagged(
+            store, new, "doc_id", "text", 0.8
+        )
+        got = {r["doc_id"] for r in flagged.collect()}
+        sigs_b.unpersist()
+    finally:
+        store.unpersist()
+    assert got == expected and len(got) > 0
+
+
 def test_pq_trains_on_non_zero_based_ids(spark):
     """ADVICE r5: codebook seeding must use the k smallest ACTUAL ids,
     not `vid < ksub` — a filtered corpus whose ids start at 1000 would
