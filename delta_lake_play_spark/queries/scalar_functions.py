@@ -1061,3 +1061,52 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.lit(10 * 65536 + 7).cast("long")
         ).alias("in_10_7_slash16"),
     )
+
+
+# --- fn_collation_group: Spark 4 collation surface -------------------------
+# Case-insensitive GROUP BY through a COLLATED expression
+# (UTF8_LCASE), not through lower() rewriting — the Spark 4 collation
+# protocol keeps the original strings and changes only comparison
+# semantics, which is what lets indexes/stats survive on the stored
+# column. The oracle expresses the same grouping with lower() (exact
+# equivalence for this ASCII domain); outputs are normalized to
+# deterministic representatives (lower key + binary-min variant) so
+# the hash is engine-independent.
+
+_COLLATION_ORACLE = """
+SELECT lower(seg_mixed) AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       min(seg_mixed) AS first_variant
+FROM (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg_mixed
+  FROM customer
+)
+GROUP BY lower(seg_mixed)
+"""
+
+
+@register("fn_collation_group", oracle=_COLLATION_ORACLE)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-case segment labels grouped case-insensitively via
+    ``collate(x, 'UTF8_LCASE')``: both case variants of each segment
+    land in one group. The group key value under a collation is an
+    arbitrary member, so the output key is normalized with lower()
+    and the deterministic witness is the binary min variant."""
+    c = load_table(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    df = c.select(mixed.alias("seg_mixed"))
+    return (
+        df.groupBy(F.expr("collate(seg_mixed, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("seg_mixed").alias("first_variant"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("seg"),
+            "n",
+            "first_variant",
+        )
+    )

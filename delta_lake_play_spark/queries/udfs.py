@@ -177,6 +177,65 @@ def udtf_python_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- udtf_polymorphic_split: Spark 4 UDTF analyze() (dynamic schema) ------
+# The POLYMORPHIC half of the UDTF surface: no static returnType —
+# the output schema is computed at PLAN time by a static ``analyze``
+# from the call's literal arguments (here: n leading tokens → n
+# string columns t0..t{n-1}). This is Spark 4's table-function
+# protocol for schema-on-call operators (CSV-ish splitters, pivoting
+# expanders) where a fixed declaration can't express the shape.
+
+_UDTF_POLY_N = 3
+
+_UDTF_POLY_ORACLE = f"""
+SELECT doc_id,
+       {", ".join(f"t[{i + 1}] AS t{i}" for i in range(_UDTF_POLY_N))}
+FROM (
+  SELECT doc_id,
+         list_transform(string_split(text, ' ')[1:{_UDTF_POLY_N}], x -> lower(x)) AS t
+  FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+@register("udtf_polymorphic_split", oracle=_UDTF_POLY_ORACLE)
+def udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-token expansion through a polymorphic Python UDTF:
+    ``split_fixed(text, 3)`` plans a 3-column schema via
+    ``analyze()`` (AnalyzeResult from the foldable literal), then
+    eval pads/truncates each row to exactly those columns. The same
+    call with another literal plans a different schema — the part a
+    static returnType cannot do."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            return AnalyzeResult(
+                T.StructType(
+                    [T.StructField(f"t{i}", T.StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i].lower() if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed", udtf(SplitFixed))
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    ).createOrReplaceTempView("udtf_poly_docs")
+    cols = ", ".join(f"s.t{i}" for i in range(_UDTF_POLY_N))
+    return spark.sql(
+        f"SELECT doc_id, {cols} "
+        f"FROM udtf_poly_docs, LATERAL split_fixed(text, {_UDTF_POLY_N}) s"
+    )
+
+
 # --- udf_arrow_batch: mapInArrow (zero-copy RecordBatch surface) ----------
 
 # The fourth escape hatch: pyarrow RecordBatches straight through
