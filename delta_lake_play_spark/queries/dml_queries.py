@@ -876,6 +876,59 @@ def _cdf_script(spark: SparkSession, sf_dir: str, **create_kwargs) -> VersionedT
     return t
 
 
+# --- dml_checkpoint_v2 (V2 checkpoints: manifest + sidecars) ---------------
+# The modern Delta checkpoint policy (reader-writer table feature
+# ``v2Checkpoint``): the uuid-named top-level checkpoint carries only
+# checkpointMetadata + protocol/metaData/txn rows plus ``sidecar``
+# pointers; the add actions shard across parquet sidecars under
+# _delta_log/_sidecars/. At 100 TB this is what keeps checkpointing
+# parallel and the manifest O(1). The key proves the full round trip:
+# commits → forced V2 checkpoint → JSON prefix DELETED (the log-
+# cleanup state) → snapshot reconstructed by the protocol reader from
+# manifest + sidecars alone, hash-checked against a batch oracle.
+
+_CHECKPOINT_V2_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 0
+)
+SELECT * FROM base WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+"""
+
+
+@register("dml_checkpoint_v2", oracle=_CHECKPOINT_V2_ORACLE)
+def dml_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE → APPEND → DELETE on a ``checkpoint_policy="v2"``
+    mirrored table, force a checkpoint, DELETE every commit JSON (the
+    protocol's cleaned-prefix state), and read the snapshot back
+    exclusively through the V2 manifest + sidecars
+    (table/delta_log.py::read_delta_snapshot)."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("cpv2"),
+        c,
+        delta_mirror=True,
+        checkpoint_policy="v2",
+    )
+    t.append(c.withColumn("c_custkey", F.col("c_custkey") + 1000000))
+    t.delete(F.col("c_acctbal") < 0)
+    v = t.checkpoint_mirror()
+    ddir = _os.path.join(t.path, "_delta_log")
+    for fn in list(_os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= v:
+                _os.remove(_os.path.join(ddir, fn))
+    return read_delta_snapshot(spark, t.path)
+
+
 @register("dml_cdf_capture", oracle=_CDF_ORACLE)
 def dml_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE → DELETE → MERGE on a CDF-enabled table, read back via

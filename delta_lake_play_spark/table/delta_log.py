@@ -57,6 +57,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import uuid
 from datetime import datetime
 from urllib.parse import quote, unquote
@@ -66,6 +67,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _CHECKPOINT_EVERY = 10
+
+# V2 checkpoints: file actions per sidecar parquet. At 100 TB a
+# snapshot has millions of add actions; sidecar sharding is what
+# keeps the top-level checkpoint O(1) and lets readers fetch the
+# manifest in parallel. Small here so the fixtures actually exercise
+# multi-sidecar resolution.
+_SIDECAR_ACTIONS = 512
+
+# classic: <v>.checkpoint.parquet ; v2: <v>.checkpoint.<uuid>.parquet
+_CP_NAME_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.[0-9a-f]{32})?\.parquet$"
+)
+
+
+def _checkpoint_versions(ddir: str) -> dict[int, str]:
+    """version → top-level checkpoint filename, recognizing both the
+    classic single-file name and the uuid-named V2 manifest. When a
+    version has both (e.g. a policy upgrade), the V2 manifest wins —
+    it is the more complete representation."""
+    out: dict[int, str] = {}
+    for fn in sorted(os.listdir(ddir)):
+        m = _CP_NAME_RE.match(fn)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v in out and fn.endswith(".checkpoint.parquet"):
+            continue  # keep the already-seen V2 manifest over classic
+        out[v] = fn
+    return out
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _MATERIALIZED_DIR = "_dv_materialized"
@@ -305,10 +335,21 @@ def _protocol_action(table, entry: dict) -> dict:
     if table.identity_info():
         writer = max(writer, 6)
     table_features = []
+    reader_features: list[str] = []
     if table.row_tracking_enabled():
         table_features += ["domainMetadata", "rowTracking"]
     if table.ict_enabled():
         table_features += ["inCommitTimestamp"]
+    if table.checkpoint_policy() == "v2":
+        # v2Checkpoint is a READER-WRITER table feature (PROTOCOL.md):
+        # minReaderVersion 3 with an explicit readerFeatures list —
+        # which must then also name every legacy reader feature in
+        # use (columnMapping is the only reader-2 legacy feature).
+        table_features += ["v2Checkpoint"]
+        reader_features += ["v2Checkpoint"]
+        if reader >= 2:
+            reader_features = ["columnMapping"] + reader_features
+        reader = 3
     if table_features:
         legacy = [
             f
@@ -316,13 +357,14 @@ def _protocol_action(table, entry: dict) -> dict:
             if v <= writer
             for f in feats
         ]
-        return {
-            "protocol": {
-                "minReaderVersion": reader,
-                "minWriterVersion": 7,
-                "writerFeatures": legacy + table_features,
-            }
+        proto = {
+            "minReaderVersion": reader,
+            "minWriterVersion": 7,
+            "writerFeatures": legacy + table_features,
         }
+        if reader_features:
+            proto["readerFeatures"] = reader_features
+        return {"protocol": proto}
     return {"protocol": {"minReaderVersion": reader, "minWriterVersion": writer}}
 
 
@@ -637,6 +679,23 @@ def sync(table, materialize_dvs: bool = False) -> int:
     return latest
 
 
+def write_checkpoint(table, materialize_dvs: bool = False) -> int:
+    """Force a checkpoint at the mirror's LATEST version, regardless
+    of the every-N cadence (Delta's explicit ``DeltaLog.checkpoint()``
+    surface — run it before handing the log to a reader that should
+    not replay the JSON prefix, or before cleaning that prefix up).
+    Syncs the mirror first; returns the checkpointed version. The
+    checkpoint is written in the table's declared policy (classic or
+    V2 manifest + sidecars)."""
+    latest = sync(table, materialize_dvs=materialize_dvs)
+    ddir = _delta_dir(table.path)
+    entry = table._read_log(latest)
+    if any(_has_dv(f) for f in entry["files"]):
+        _ensure_materialized(table, entry)
+    _write_checkpoint(table, ddir, latest, entry)
+    return latest
+
+
 def _commit_info(table, entry: dict, ts: int) -> dict:
     info = {
         "timestamp": ts,
@@ -774,10 +833,37 @@ def _write_atomic(ddir: str, name: str, content: str) -> None:
 # ------------------------------------------------------------------ checkpoint
 
 
-def _checkpoint_schema():
+def _checkpoint_schema(v2_manifest: bool = False):
     import pyarrow as pa
 
     str_map = pa.map_(pa.string(), pa.string())
+    extra = []
+    if v2_manifest:
+        # V2 top-level checkpoint rows (PROTOCOL.md v2Checkpoint):
+        # a checkpointMetadata action naming the version, and one
+        # sidecar action per file-action shard under _sidecars/.
+        extra = [
+            pa.field(
+                "checkpointMetadata",
+                pa.struct(
+                    [
+                        pa.field("version", pa.int64()),
+                        pa.field("tags", str_map),
+                    ]
+                ),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("sizeInBytes", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("tags", str_map),
+                    ]
+                ),
+            ),
+        ]
     return pa.schema(
         [
             pa.field(
@@ -788,9 +874,11 @@ def _checkpoint_schema():
                         pa.field("minWriterVersion", pa.int32()),
                         # table-features form (writer 7); absent below
                         pa.field("writerFeatures", pa.list_(pa.string())),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
+            *extra,
             pa.field(
                 "metaData",
                 pa.struct(
@@ -891,15 +979,23 @@ def _recent_tombstones(ddir: str, version: int, as_of_ms: int) -> list[dict]:
 
 
 def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
-    """Classic single-file checkpoint: the reconciled snapshot at
-    ``version`` (one protocol row, one metaData row, one add row per
-    live file, plus retained remove tombstones), and
-    ``_last_checkpoint`` so readers can skip — or survive the cleanup
-    of — the JSON prefix. Checkpoint rows are reconciliations, not
-    new data: adds are written with dataChange=false per the spec."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """Write the checkpoint for ``version`` in the table's declared
+    policy: classic single-file (default) or V2 manifest + sidecars
+    (``checkpoint_policy="v2"``), plus ``_last_checkpoint`` so readers
+    can skip — or survive the cleanup of — the JSON prefix."""
+    rows = _checkpoint_rows(table, ddir, version, entry)
+    if table.checkpoint_policy() == "v2":
+        _write_checkpoint_v2(ddir, version, rows)
+    else:
+        _write_checkpoint_classic(ddir, version, rows)
 
+
+def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
+    """The reconciled snapshot at ``version`` as action rows: one
+    protocol row, one metaData row, latest txn per appId, persisted
+    domainMetadata, one add row per live file, plus retained remove
+    tombstones. Checkpoint rows are reconciliations, not new data:
+    adds are written with dataChange=false per the spec."""
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
     meta = _meta_action(table, entry)["metaData"]
@@ -950,6 +1046,13 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
                     }
                 }
             )
+    return rows
+
+
+def _write_checkpoint_classic(ddir: str, version: int, rows: list[dict]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     tbl = pa.Table.from_pylist(rows, schema=_checkpoint_schema())
     tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex}")
     pq.write_table(tbl, tmp)
@@ -961,6 +1064,73 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
     finally:
         os.unlink(tmp)
     _write_last_checkpoint(ddir, version, len(rows))
+
+
+def _sidecar_schema():
+    """File actions only — the V2 spec restricts sidecar files to
+    add/remove; everything else lives in the top-level manifest."""
+    full = _checkpoint_schema()
+    import pyarrow as pa
+
+    return pa.schema([full.field("add"), full.field("remove")])
+
+
+def _write_checkpoint_v2(ddir: str, version: int, rows: list[dict]) -> None:
+    """V2 checkpoint (reader-writer feature ``v2Checkpoint``): the
+    uuid-named top-level manifest carries a checkpointMetadata
+    action, the non-file actions (protocol / metaData / txn /
+    domainMetadata), and one ``sidecar`` action per file-action shard
+    written under ``_delta_log/_sidecars/``.
+
+    Scale shape — the reason this policy exists: a 100 TB snapshot
+    has millions of add actions, so the classic single-file write is
+    a driver-bound serial pass and every reader must scan one giant
+    file. Sidecar sharding bounds the manifest at O(#shards) rows,
+    shards can be written/fetched in parallel, and an incremental
+    checkpointer can REUSE unchanged sidecars across versions (the
+    uuid names make them content-addressed-ish and immutable).
+    Concurrent syncers race benignly: uuid manifests never collide,
+    multiple checkpoints at one version are spec-legal, readers pick
+    either."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    file_actions = [r for r in rows if "add" in r or "remove" in r]
+    top = [r for r in rows if not ("add" in r or "remove" in r)]
+    sdir = os.path.join(ddir, "_sidecars")
+    os.makedirs(sdir, exist_ok=True)
+    shards = [
+        file_actions[i : i + _SIDECAR_ACTIONS]
+        for i in range(0, len(file_actions), _SIDECAR_ACTIONS)
+    ] or [[]]
+    side_rows = []
+    for shard in shards:
+        name = f"{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(pa.Table.from_pylist(shard, schema=_sidecar_schema()), tmp)
+        os.replace(tmp, os.path.join(sdir, name))
+        st = os.stat(os.path.join(sdir, name))
+        side_rows.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "tags": None,
+                }
+            }
+        )
+    manifest = (
+        [{"checkpointMetadata": {"version": version, "tags": None}}]
+        + top
+        + side_rows
+    )
+    tbl = pa.Table.from_pylist(manifest, schema=_checkpoint_schema(v2_manifest=True))
+    tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(tbl, tmp)
+    cp_name = f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    os.replace(tmp, os.path.join(ddir, cp_name))
+    _write_last_checkpoint(ddir, version, len(manifest) + len(file_actions))
 
 
 def _write_last_checkpoint(ddir: str, version: int, size: int) -> None:
@@ -1033,11 +1203,8 @@ def read_delta_snapshot(
         for fn in os.listdir(ddir)
         if fn.endswith(".json") and not fn.startswith(("_", "."))
     )
-    cp_versions = sorted(
-        int(fn.split(".")[0])
-        for fn in os.listdir(ddir)
-        if fn.endswith(".checkpoint.parquet") and not fn.startswith(".")
-    )
+    cp_map = _checkpoint_versions(ddir)
+    cp_versions = sorted(cp_map)
     if version is None:
         if not versions and not cp_versions:
             raise FileNotFoundError(
@@ -1058,8 +1225,9 @@ def read_delta_snapshot(
         import pyarrow.parquet as pq
 
         cp = usable[-1]
-        tbl = pq.read_table(os.path.join(ddir, f"{cp:020d}.checkpoint.parquet"))
-        for row in tbl.to_pylist():
+
+        def _cp_row(row: dict) -> None:
+            nonlocal schema_string, part_cols
             if row.get("metaData"):
                 schema_string = row["metaData"]["schemaString"]
                 part_cols = list(row["metaData"]["partitionColumns"] or [])
@@ -1068,6 +1236,18 @@ def read_delta_snapshot(
                 if isinstance(a.get("partitionValues"), list):
                     a["partitionValues"] = dict(a["partitionValues"])
                 adds[a["path"]] = a
+
+        rows = pq.read_table(os.path.join(ddir, cp_map[cp])).to_pylist()
+        # V2 manifests carry file actions in sidecar shards — resolve
+        # each sidecar action against _delta_log/_sidecars/.
+        sidecars = [r["sidecar"]["path"] for r in rows if r.get("sidecar")]
+        for row in rows:
+            _cp_row(row)
+        for sp in sidecars:
+            for row in pq.read_table(
+                os.path.join(ddir, "_sidecars", sp)
+            ).to_pylist():
+                _cp_row(row)
         start = cp + 1
 
     for v in range(start, version + 1):
@@ -1177,17 +1357,15 @@ def read_delta_changes(
     # metaData as of the range start: replay any JSON commits before
     # it; when the prefix was cleaned up past a checkpoint, take the
     # newest usable checkpoint's metaData first.
-    cp_versions = sorted(
-        int(fn.split(".")[0])
-        for fn in os.listdir(ddir)
-        if fn.endswith(".checkpoint.parquet") and not fn.startswith(".")
-    )
-    usable_cp = [v for v in cp_versions if v < starting_version]
+    cp_map = _checkpoint_versions(ddir)
+    usable_cp = [v for v in sorted(cp_map) if v < starting_version]
     if usable_cp and 0 not in versions:
         import pyarrow.parquet as pq
 
+        # metaData always lives in the top-level file (classic AND V2
+        # manifests) — no sidecar resolution needed for schema lookup.
         tbl = pq.read_table(
-            os.path.join(ddir, f"{usable_cp[-1]:020d}.checkpoint.parquet"),
+            os.path.join(ddir, cp_map[usable_cp[-1]]),
             columns=["metaData"],
         )
         for row in tbl.to_pylist():

@@ -258,6 +258,7 @@ class VersionedTable:
         identity: dict | None = None,
         row_tracking: bool = False,
         in_commit_timestamps: bool = False,
+        checkpoint_policy: str = "classic",
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -314,6 +315,11 @@ class VersionedTable:
         t = cls(spark, path)
         if t.exists():
             raise FileExistsError(f"versioned table already exists at {path}")
+        if checkpoint_policy not in ("classic", "v2"):
+            raise ValueError(
+                f"checkpoint_policy must be 'classic' or 'v2', got "
+                f"{checkpoint_policy!r}"
+            )
         if identity:
             identity = {
                 "column": identity["column"],
@@ -355,6 +361,7 @@ class VersionedTable:
                 "identity": identity or {},
                 "rowTracking": bool(row_tracking),
                 "inCommitTimestamps": bool(in_commit_timestamps),
+                "checkpointPolicy": checkpoint_policy,
             },
             df.schema,
         )
@@ -2558,6 +2565,30 @@ class VersionedTable:
                 "enableCdf", False
             )
         )
+
+    def checkpoint_policy(self) -> str:
+        """Mirror checkpoint policy from the CREATE entry: ``classic``
+        (single-file parquet checkpoint) or ``v2`` (uuid-named
+        manifest + file-action sidecars under ``_delta_log/_sidecars``
+        — the reader-writer table feature ``v2Checkpoint``). V2 is the
+        100 TB policy: the top-level file stays O(#shards) while
+        millions of add actions shard across parallel sidecars."""
+        if 0 not in self._versions():
+            return "classic"
+        return (
+            self._read_log_raw(0)
+            .get("operationParameters", {})
+            .get("checkpointPolicy")
+            or "classic"
+        )
+
+    def checkpoint_mirror(self, materialize_dvs: bool = False) -> int:
+        """Force a mirror checkpoint at the latest version (Delta's
+        explicit ``DeltaLog.checkpoint()``), in the table's declared
+        policy. Syncs first; returns the checkpointed version."""
+        from .delta_log import write_checkpoint as _wcp
+
+        return _wcp(self, materialize_dvs=materialize_dvs)
 
     def row_tracking_enabled(self) -> bool:
         """Whether commits assign row-id ranges to fresh files (Delta

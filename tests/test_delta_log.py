@@ -454,3 +454,123 @@ def test_mirror_carries_constraints_and_generation_expressions(spark, sf_dir):
         == "concat('R', CAST(n_regionkey AS STRING))"
     )
     assert read_delta_snapshot(spark, t.path).count() == t.to_df().count()
+
+
+# ---------------------------------------------------------------- v2 checkpoints
+
+
+def _v2_cp_files(t):
+    ddir = os.path.join(t.path, "_delta_log")
+    return [
+        fn
+        for fn in os.listdir(ddir)
+        if ".checkpoint." in fn and not fn.endswith(".checkpoint.parquet")
+    ]
+
+
+def test_v2_checkpoint_manifest_and_sidecars(spark, monkeypatch):
+    """V2 policy: uuid-named manifest with checkpointMetadata +
+    sidecar actions and ZERO file actions; add actions shard across
+    >1 sidecar when they exceed the per-sidecar cap; the protocol
+    reader reconstructs the snapshot from manifest + sidecars alone
+    after the JSON prefix is deleted."""
+    import pyarrow.parquet as pq
+
+    from delta_lake_play_spark.table import delta_log as DL
+
+    monkeypatch.setattr(DL, "_SIDECAR_ACTIONS", 2)
+    t = _mk(spark, "dl-v2", checkpoint_policy="v2")  # 4 files at v0
+    t.append(
+        spark.range(200, 300).withColumn("v", (F.col("id") * 3).cast("long"))
+    )
+    expected = _canon(t.read())
+    v = t.checkpoint_mirror()
+    cps = _v2_cp_files(t)
+    assert len(cps) == 1, cps
+    ddir = os.path.join(t.path, "_delta_log")
+    rows = pq.read_table(os.path.join(ddir, cps[0])).to_pylist()
+    assert sum(1 for r in rows if r.get("add") or r.get("remove")) == 0
+    cpmeta = [r["checkpointMetadata"] for r in rows if r.get("checkpointMetadata")]
+    assert cpmeta and cpmeta[0]["version"] == v
+    sidecars = [r["sidecar"] for r in rows if r.get("sidecar")]
+    assert len(sidecars) >= 2, "5 add actions at cap 2 must shard into >= 3 sidecars"
+    for s in sidecars:
+        p = os.path.join(ddir, "_sidecars", s["path"])
+        assert os.path.exists(p) and s["sizeInBytes"] == os.path.getsize(p)
+    proto = next(r["protocol"] for r in rows if r.get("protocol"))
+    assert proto["minReaderVersion"] == 3
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            os.remove(os.path.join(ddir, fn))
+    got = read_delta_snapshot(spark, t.path)
+    assert _canon(got) == expected
+
+
+def test_classic_policy_unchanged_by_v2_machinery(spark):
+    """Default tables keep the classic single-file checkpoint name,
+    write no _sidecars directory, and stay protocol (1, 2)."""
+    t = _mk(spark, "dl-classic")
+    t.append(spark.range(200, 220).withColumn("v", (F.col("id") * 3).cast("long")))
+    t.checkpoint_mirror()
+    ddir = os.path.join(t.path, "_delta_log")
+    assert f"{1:020d}.checkpoint.parquet" in os.listdir(ddir)
+    assert not _v2_cp_files(t)
+    assert not os.path.exists(os.path.join(ddir, "_sidecars"))
+    acts = _actions(t, 0)
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_checkpoint_policy_validated(spark):
+    with pytest.raises(ValueError, match="checkpoint_policy"):
+        VersionedTable.create(
+            spark,
+            temp_table_path("dl-badpol"),
+            spark.range(3).withColumn("v", F.col("id")),
+            checkpoint_policy="v3",
+        )
+
+
+def test_v2_checkpoint_periodic_cadence(spark):
+    """The every-N sync cadence writes V2 manifests on V2 tables with
+    no explicit checkpoint_mirror call."""
+    df = spark.range(0, 50).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-v2cad"),
+        df.coalesce(1),
+        delta_mirror=True,
+        checkpoint_policy="v2",
+    )
+    for i in range(10):
+        t.append(df.withColumn("id", F.col("id") + 100 * (i + 1)).coalesce(1))
+    assert _v2_cp_files(t), "no V2 checkpoint written at the v10 cadence"
+    got = read_delta_snapshot(spark, t.path)
+    assert got.count() == 50 * 11
+
+
+def test_v2_checkpoint_cdf_metadata_lookup(spark):
+    """read_delta_changes resolves its schema from a V2 manifest when
+    the JSON prefix below the range start was cleaned up."""
+    from delta_lake_play_spark.table.delta_log import read_delta_changes
+
+    df = spark.range(0, 40).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-v2cdf"),
+        df.coalesce(1),
+        delta_mirror=True,
+        enable_cdf=True,
+        checkpoint_policy="v2",
+    )
+    t.append(df.withColumn("id", F.col("id") + 1000).coalesce(1))  # v1
+    t.checkpoint_mirror()  # checkpoint at v1
+    t.append(df.withColumn("id", F.col("id") + 2000).coalesce(1))  # v2
+    ddir = os.path.join(t.path, "_delta_log")
+    for v in (0, 1):
+        os.remove(os.path.join(ddir, f"{v:020d}.json"))
+    ch = read_delta_changes(spark, t.path, 2, 2)
+    assert ch.count() == 40
+    assert set(ch.columns) >= {"id", "v", "_change_type", "_commit_version"}
