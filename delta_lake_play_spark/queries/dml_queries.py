@@ -929,6 +929,55 @@ def dml_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_snapshot(spark, t.path)
 
 
+# --- dml_log_compaction (minor log compaction: <x>.<y>.compacted.json) -----
+# Between checkpoints a reader replays up to CHECKPOINT_EVERY small
+# JSON commits; Delta's minor compaction collapses a range into one
+# reconciled file readers may substitute. The key proves the reader
+# actually USES it: the covered commits' JSONs are deleted before the
+# protocol read, so only the compacted range can supply the actions.
+
+_LOG_COMPACTION_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 1
+)
+SELECT * FROM (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM b
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment FROM b
+) WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+UNION ALL
+SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment FROM b
+"""
+
+
+@register("dml_log_compaction", oracle=_LOG_COMPACTION_ORACLE)
+def dml_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE → APPEND → DELETE → APPEND on a mirrored table, compact
+    commits [1, 3] into one ``<x>.<y>.compacted.json``, delete those
+    commits' JSONs, and read the snapshot back through the protocol
+    reader — which must substitute the compacted range."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import (
+        read_delta_snapshot,
+        write_log_compaction,
+    )
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 1)
+    t = VersionedTable.create(
+        spark, temp_table_path("logc"), c, delta_mirror=True
+    )
+    t.append(c.withColumn("c_custkey", F.col("c_custkey") + 1000000))  # v1
+    t.delete(F.col("c_acctbal") < 0)                                   # v2
+    t.append(c.withColumn("c_custkey", F.col("c_custkey") + 2000000))  # v3
+    write_log_compaction(t, 1, 3)
+    ddir = _os.path.join(t.path, "_delta_log")
+    for v in (1, 2, 3):
+        _os.remove(_os.path.join(ddir, f"{v:020d}.json"))
+    return read_delta_snapshot(spark, t.path, version=3)
+
+
 @register("dml_cdf_capture", oracle=_CDF_ORACLE)
 def dml_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE → DELETE → MERGE on a CDF-enabled table, read back via

@@ -117,18 +117,29 @@ _PRIORITY: tuple[str, ...] = (
     # remaining never-checked analytics keys
     "join_asof_tolerance",
     "agg_approx_top_k",
-    "agg_listagg",
     "llm_multimodal_manifest",
     "llm_gopher_rules",
     "llm_dataset_card",
-    "fn_xml_parse",
-    "fn_printf_format",
-    "fn_ip_cidr",
     "sample_token_budget_mix",
-    # --- TIER 2 (51+): the 19 residual never-checked keys — all
+    # brand-new this round — first driver row for each: V2 checkpoint
+    # round trip, minor log compaction, polymorphic UDTF (Spark 4
+    # analyze()), collation GROUP BY. They take the slots of four
+    # single-construct demos (agg_listagg, fn_xml/printf/ip — lowest
+    # divergence risk of the never-checked set, moved to tier 2): new
+    # machinery gets driver validation first; the never-checked total
+    # retired this round is identical either way.
+    "dml_checkpoint_v2",
+    "dml_log_compaction",
+    "udtf_polymorphic_split",
+    "fn_collation_group",
+    # --- TIER 2 (51+): the 23 residual never-checked keys — all
     # trivial single-construct demos, multi-fixture green locally —
     # close the debt in the r7 window, followed by the stale-green
     # §2 rotation (VERDICT ask #5).
+    "agg_listagg",
+    "fn_xml_parse",
+    "fn_printf_format",
+    "fn_ip_cidr",
     "fn_struct_ops",
     "fn_interval_arith",
     "fn_date_spine_fill",

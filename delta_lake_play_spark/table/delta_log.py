@@ -679,6 +679,85 @@ def sync(table, materialize_dvs: bool = False) -> int:
     return latest
 
 
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def write_log_compaction(table, start: int, end: int) -> str:
+    """Minor log compaction (Delta's ``<x>.<y>.compacted.json``): one
+    file holding the exact action reconciliation of commits
+    ``start..end`` — net adds (files added in range and not removed
+    later in range), remove tombstones (paths removed in range),
+    latest metaData/protocol if they changed, latest txn per appId,
+    latest domainMetadata per domain. Readers MAY substitute the
+    compacted file for the range; the JSON commits stay in place (log
+    cleanup is the checkpoint's job, not compaction's).
+
+    Scale story: between checkpoints a reader replays up to
+    _CHECKPOINT_EVERY small JSON files per table — at many tables ×
+    frequent commits, listing+reading those dominates snapshot
+    construction cost. A compacted range collapses that to one read
+    while staying pure metadata (O(#net actions) driver work)."""
+    ddir = _delta_dir(table.path)
+    if start >= end:
+        raise ValueError("compaction range must span at least two commits")
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    meta = None
+    proto = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        p = os.path.join(ddir, f"{v:020d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"cannot compact [{start}, {end}]: commit {v} missing"
+            )
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+                    removes.pop(a["add"]["path"], None)
+                elif "remove" in a:
+                    rm = a["remove"]
+                    if adds.pop(rm["path"], None) is None:
+                        removes[rm["path"]] = rm  # tombstone for pre-range file
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    proto = a["protocol"]
+                elif "txn" in a:
+                    txns[a["txn"]["appId"]] = a["txn"]
+                elif "domainMetadata" in a:
+                    domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+    actions: list[dict] = []
+    if proto is not None:
+        actions.append({"protocol": proto})
+    if meta is not None:
+        actions.append({"metaData": meta})
+    actions += [{"txn": t} for t in txns.values()]
+    actions += [{"domainMetadata": d} for d in domains.values()]
+    actions += [{"add": a} for a in adds.values()]
+    actions += [{"remove": r} for r in removes.values()]
+    name = f"{start:020d}.{end:020d}.compacted.json"
+    _write_atomic(ddir, name, "\n".join(json.dumps(a) for a in actions))
+    return os.path.join(ddir, name)
+
+
+def _compacted_spans(ddir: str) -> dict[int, tuple[int, str]]:
+    """start → (end, filename) for every compacted range on disk."""
+    out: dict[int, tuple[int, str]] = {}
+    for fn in os.listdir(ddir):
+        m = _COMPACTED_RE.match(fn)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            if s not in out or e > out[s][0]:
+                out[s] = (e, fn)  # widest range per start wins
+    return out
+
+
 def write_checkpoint(table, materialize_dvs: bool = False) -> int:
     """Force a checkpoint at the mirror's LATEST version, regardless
     of the every-N cadence (Delta's explicit ``DeltaLog.checkpoint()``
@@ -1205,14 +1284,20 @@ def read_delta_snapshot(
     )
     cp_map = _checkpoint_versions(ddir)
     cp_versions = sorted(cp_map)
+    spans = _compacted_spans(ddir)
+    span_ends = {e for e, _fn in spans.values()}
     if version is None:
-        if not versions and not cp_versions:
+        if not versions and not cp_versions and not span_ends:
             raise FileNotFoundError(
                 f"no delta log at {ddir!r}: neither JSON commits nor "
                 "checkpoints found"
             )
-        version = max(versions + cp_versions)
-    if version not in versions and version not in cp_versions:
+        version = max(versions + cp_versions + sorted(span_ends))
+    if (
+        version not in versions
+        and version not in cp_versions
+        and version not in span_ends
+    ):
         raise FileNotFoundError(f"delta version {version} not in log")
 
     adds: dict[str, dict] = {}
@@ -1250,7 +1335,31 @@ def read_delta_snapshot(
                 _cp_row(row)
         start = cp + 1
 
-    for v in range(start, version + 1):
+    def _apply_json(path: str) -> None:
+        nonlocal schema_string, part_cols
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                    part_cols = list(action["metaData"]["partitionColumns"])
+                elif "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+
+    v = start
+    while v <= version:
+        # Minor log compactions: a <v>.<e>.compacted.json whose whole
+        # range fits the replay substitutes for its JSON commits — one
+        # read instead of e-v+1 (and tolerates those commits' absence).
+        if v in spans and spans[v][0] <= version:
+            end_v, cfn = spans[v]
+            _apply_json(os.path.join(ddir, cfn))
+            v = end_v + 1
+            continue
         commit = os.path.join(ddir, f"{v:020d}.json")
         if not os.path.exists(commit):
             if v in versions or usable:
@@ -1263,18 +1372,8 @@ def read_delta_snapshot(
                 f"delta version {version} predates every checkpoint and "
                 f"its JSON commits were cleaned up — not reconstructible"
             )
-        with open(commit) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    schema_string = action["metaData"]["schemaString"]
-                    part_cols = list(action["metaData"]["partitionColumns"])
-                elif "add" in action:
-                    adds[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    adds.pop(action["remove"]["path"], None)
+        _apply_json(commit)
+        v += 1
 
     if schema_string is None:
         raise ValueError("no metaData action found — not a valid delta log")

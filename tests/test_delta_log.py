@@ -574,3 +574,63 @@ def test_v2_checkpoint_cdf_metadata_lookup(spark):
     ch = read_delta_changes(spark, t.path, 2, 2)
     assert ch.count() == 40
     assert set(ch.columns) >= {"id", "v", "_change_type", "_commit_version"}
+
+
+# ---------------------------------------------------------------- log compaction
+
+
+def test_log_compaction_reconciles_range(spark):
+    """The compacted file carries the NET actions of the range (adds
+    not later removed, tombstones for pre-range files removed in the
+    range), and the reader substitutes it for the missing JSONs."""
+    from delta_lake_play_spark.table.delta_log import write_log_compaction
+
+    df = spark.range(0, 100).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-lc"), df.coalesce(1), delta_mirror=True
+    )
+    t.append(df.withColumn("id", F.col("id") + 1000).coalesce(1))  # v1
+    t.delete(F.col("id") < 50)                                      # v2 (rewrite)
+    t.append(df.withColumn("id", F.col("id") + 2000).coalesce(1))  # v3
+    expected = _canon(t.read())
+    p = write_log_compaction(t, 1, 3)
+    acts = [json.loads(line) for line in open(p) if line.strip()]
+    kinds = [next(iter(a)) for a in acts]
+    assert "add" in kinds
+    # v0's file was rewritten by the v2 delete: its remove must
+    # survive compaction as a tombstone so the reader drops it
+    assert "remove" in kinds
+    ddir = os.path.join(t.path, "_delta_log")
+    for v in (1, 2, 3):
+        os.remove(os.path.join(ddir, f"{v:020d}.json"))
+    got = read_delta_snapshot(spark, t.path)
+    assert _canon(got) == expected
+
+
+def test_log_compaction_partial_range_ignored_beyond_target(spark):
+    """A compacted range extending past the requested version must
+    NOT be substituted (it would replay too far)."""
+    from delta_lake_play_spark.table.delta_log import write_log_compaction
+
+    df = spark.range(0, 60).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-lc2"), df.coalesce(1), delta_mirror=True
+    )
+    t.append(df.withColumn("id", F.col("id") + 1000).coalesce(1))  # v1
+    t.append(df.withColumn("id", F.col("id") + 2000).coalesce(1))  # v2
+    write_log_compaction(t, 1, 2)
+    got = read_delta_snapshot(spark, t.path, version=1)
+    assert got.count() == 120  # v1 state, not v2's 180
+
+
+def test_log_compaction_validates_range(spark):
+    from delta_lake_play_spark.table.delta_log import write_log_compaction
+
+    df = spark.range(0, 10).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-lc3"), df.coalesce(1), delta_mirror=True
+    )
+    with pytest.raises(ValueError, match="at least two"):
+        write_log_compaction(t, 1, 1)
+    with pytest.raises(FileNotFoundError, match="missing"):
+        write_log_compaction(t, 0, 5)
