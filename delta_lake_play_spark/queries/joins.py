@@ -785,3 +785,57 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("asof_click_ts")).alias("last_click_ts"),
         fresh.alias("within_tolerance"),
     )
+
+
+# --- join_fuzzy_blocked (edit-distance join via blocking) -------------------
+# The entity-resolution join shape (operators/fuzzy.py): match
+# corrupted name variants back to the customer master WITHOUT an
+# all-pairs cross product — block on (length, last-4 chars), verify
+# levenshtein only within blocks. Every tenth customer gets a
+# deterministic single-character substitution at name position 12
+# (inside the digit run, away from the blocked tail), so the
+# variant's block keys equal its source's and recall is exact; at
+# sf>=0.1 the blocks also surface true original-original near-matches
+# (ids sharing the last 4 digits, one digit apart) — real fuzzy hits,
+# not fixture artifacts.
+
+_FUZZY_ORACLE = """
+WITH c AS (SELECT c_custkey, c_name FROM customer),
+v AS (
+  SELECT c_custkey AS variant_id,
+         substr(c_name, 1, 11) || 'X' || substr(c_name, 13) AS v_name
+  FROM c WHERE c_custkey % 10 = 0
+)
+SELECT v.variant_id, c.c_custkey AS matched_id,
+       CAST(levenshtein(v.v_name, c.c_name) AS INTEGER) AS lev
+FROM v JOIN c
+  ON length(v.v_name) = length(c.c_name)
+ AND substr(v.v_name, -4, 4) = substr(c.c_name, -4, 4)
+WHERE levenshtein(v.v_name, c.c_name) <= 1
+"""
+
+
+@register("join_fuzzy_blocked", oracle=_FUZZY_ORACLE)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join: corrupted name variants matched to the
+    customer master at levenshtein <= 1 through the
+    (length, last-4-chars) blocking shuffle — candidate-then-verify,
+    never all-pairs. Library form: operators/fuzzy.py."""
+    from delta_lake_play_spark.operators.fuzzy import fuzzy_join_blocked
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("variant_id"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("X"),
+            F.expr("substring(c_name, 13)"),
+        ).alias("v_name"),
+    )
+    return fuzzy_join_blocked(
+        v, c, "variant_id", "c_custkey", "v_name", "c_name", max_dist=1
+    ).select(
+        "variant_id",
+        F.col("c_custkey").alias("matched_id"),
+        F.col("lev").cast("int").alias("lev"),
+    )

@@ -529,3 +529,84 @@ def llm_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select(F.col("node").alias("source"), F.col("rank").alias("pagerank"))
+
+
+# --- llm_entity_resolution (blocked fuzzy match → components → ids) --------
+# The full record-linkage composite a curation pipeline runs to
+# assign stable entity ids across noisy duplicate records: blocked
+# edit-distance candidate pairs (operators/fuzzy.py — one keyed
+# shuffle, never all-pairs), transitive closure via the same
+# connected-components operator the dedup pipeline uses
+# (operators/dedup.py — union-find while the EDGE list fits,
+# distributed pointer-jumping above), entity id = smallest member id.
+# The oracle recomputes components with a recursive-CTE closure —
+# exactly what the distributed path must NOT do.
+
+_ER_ORACLE = """
+WITH RECURSIVE c AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+),
+v AS (
+  SELECT c_custkey + 10000000 AS id,
+         substr(name, 1, 11) || 'X' || substr(name, 13) AS name
+  FROM (SELECT c_custkey, c_name AS name FROM customer)
+  WHERE c_custkey % 10 = 0
+),
+rec AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+e AS (
+  SELECT a.id AS u, b.id AS w
+  FROM rec a JOIN rec b
+    ON length(a.name) = length(b.name)
+   AND substr(a.name, -4, 4) = substr(b.name, -4, 4)
+   AND a.id <> b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+reach(node, r) AS (
+  SELECT id, id FROM rec
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN e ON reach.node = e.u
+)
+SELECT node AS record_id, CAST(MIN(r) AS BIGINT) AS entity_id
+FROM reach GROUP BY node
+"""
+
+
+@register("llm_entity_resolution", oracle=_ER_ORACLE)
+def llm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: customer master + corrupted
+    variants (ids offset by 1e7) → blocked levenshtein<=1 pairs →
+    connected components → ``(record_id, entity_id)`` with entity_id
+    the component's smallest record id. Variants resolve to their
+    source's entity; near-identical master names (same last-4, one
+    digit apart) merge transitively."""
+    from delta_lake_play_spark.operators.dedup import connected_components
+    from delta_lake_play_spark.operators.fuzzy import fuzzy_join_blocked
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    v = c.where(F.col("id") % 10 == 0).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.concat(
+            F.substring("name", 1, 11), F.lit("X"), F.expr("substring(name, 13)")
+        ).alias("name"),
+    )
+    rec = c.unionByName(v)
+    pairs = (
+        fuzzy_join_blocked(
+            rec.select(F.col("id").alias("a"), F.col("name").alias("na")),
+            rec.select(F.col("id").alias("b"), F.col("name").alias("nb")),
+            "a",
+            "b",
+            "na",
+            "nb",
+            max_dist=1,
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    labels = connected_components(rec.select(F.col("id").alias("node")), pairs)
+    return labels.select(
+        F.col("node").alias("record_id"),
+        F.col("cluster").cast("long").alias("entity_id"),
+    )

@@ -132,10 +132,13 @@ _PRIORITY: tuple[str, ...] = (
     "dml_log_compaction",
     "udtf_polymorphic_split",
     "fn_collation_group",
-    # --- TIER 2 (51+): the 23 residual never-checked keys — all
-    # trivial single-construct demos, multi-fixture green locally —
-    # close the debt in the r7 window, followed by the stale-green
-    # §2 rotation (VERDICT ask #5).
+    # --- TIER 2 (51+): r7 window candidates. Head: the two newest
+    # composites (blocked fuzzy join + entity resolution — six-fixture
+    # green, registered after the r6 window was frozen), then the 23
+    # residual never-checked singles, then the stale-green §2
+    # rotation (VERDICT ask #5).
+    "join_fuzzy_blocked",
+    "llm_entity_resolution",
     "agg_listagg",
     "fn_xml_parse",
     "fn_printf_format",

@@ -590,6 +590,33 @@ def test_pyjsonl_rejects_nested_schema(spark):
         df.write.format("pyjsonl").mode("overwrite").save(out)
 
 
+def test_fuzzy_join_blocking_recall_contract(spark):
+    """(length, last-4) blocking finds every single-char SUBSTITUTION
+    before the tail, and — documented trade, operators/fuzzy.py —
+    deliberately misses edits that change length or the tail."""
+    from delta_lake_play_spark.operators.fuzzy import fuzzy_join_blocked
+
+    master = spark.createDataFrame(
+        [(1, "Customer#000000123"), (2, "Customer#000000456")],
+        "id long, name string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, "Customer#0000X0123"),  # substitution mid-string: found
+            (11, "Customer#00000123"),   # deletion (length change): missed
+            (12, "Customer#000000124"),  # tail substitution: missed by design
+        ],
+        "pid long, pname string",
+    )
+    got = {
+        (r["pid"], r["id"], r["lev"])
+        for r in fuzzy_join_blocked(
+            probes, master, "pid", "id", "pname", "name", max_dist=1
+        ).collect()
+    }
+    assert got == {(10, 1, 1)}
+
+
 def test_incremental_flagged_matches_pairs(spark, sf_dir):
     """incremental_minhash_flagged must return exactly the distinct
     new_doc set of incremental_minhash_dedup's pairs — same store,
