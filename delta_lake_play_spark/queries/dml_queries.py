@@ -1429,3 +1429,40 @@ def dml_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv.overwrite_for_keys(slice_rows, "o_custkey", keys_df=keys)
     return mv.to_df()
+
+
+# --- dml_optimize_where (partition-scoped compaction) -----------------------
+# Delta's OPTIMIZE ... WHERE: compact ONLY the partitions the
+# predicate selects; every other file is carried by reference. At
+# 100 TB this is the nightly job — compact yesterday's partition
+# after the backfill, never rewrite the table. Pruning evaluates the
+# predicate per file on its hive partition VALUES (O(#files) driver
+# metadata, zero data reads); the oracle is content identity, and the
+# file-level claims (scoped rewrite, carry-by-reference, no-op on an
+# empty scope) are pinned in tests/test_versioned_table.py.
+
+_OPT_WHERE_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+UNION ALL
+SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+@register("dml_optimize_where", oracle=_OPT_WHERE_ORACLE)
+def dml_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two commits of small files into a segment-partitioned table,
+    then OPTIMIZE scoped to one segment: that partition compacts to
+    one file, the rest are carried untouched, content is identical."""
+    c = load_table(spark, sf_dir, "customer")
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("optw"),
+        c.repartition(4),
+        partition_by=["c_mktsegment"],
+    )
+    t.append(
+        c.withColumn("c_custkey", F.col("c_custkey") + 1000000).repartition(4)
+    )
+    t.optimize(target_files=1, where="c_mktsegment = 'BUILDING'")
+    return t.to_df().select(*c.columns)

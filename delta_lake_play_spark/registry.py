@@ -139,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     # rotation (VERDICT ask #5).
     "join_fuzzy_blocked",
     "llm_entity_resolution",
+    "dml_optimize_where",
     "agg_listagg",
     "fn_xml_parse",
     "fn_printf_format",

@@ -1661,6 +1661,7 @@ class VersionedTable:
         target_files: int = 8,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> int:
         """Delta-style OPTIMIZE: rewrite the latest snapshot into
         ``target_files`` bin-packed files, optionally range-clustered
@@ -1677,15 +1678,61 @@ class VersionedTable:
         each column is min-max-scaled to a 16-bit rank and the bits
         are interleaved, so files carry tight bands on EVERY listed
         column, not just the first — lexicographic range clustering
-        only helps its leading column."""
+        only helps its leading column.
+
+        ``where`` (Delta's ``OPTIMIZE ... WHERE``) scopes the rewrite
+        to the files whose HIVE PARTITION VALUES satisfy the
+        predicate; every other file is carried by reference. This is
+        the operational shape at 100 TB — compact yesterday's
+        partition after the backfill lands, never rewrite the table.
+        The predicate is evaluated per file on its partition values
+        (O(#files) driver-side metadata, one tiny local plan, zero
+        data reads for pruning) and may reference partition columns
+        only — anything else fails analysis loudly. A predicate
+        matching no files is a no-op returning the current version."""
         if cluster_by and zorder_by:
             raise ValueError("pass either cluster_by or zorder_by, not both")
+        part_cols = self.partition_columns()
+        if where is not None and not part_cols:
+            raise ValueError(
+                "optimize(where=...) prunes on hive partition values; "
+                "this table is unpartitioned — run a full optimize()"
+            )
 
         def attempt() -> int:
             base = self.latest_version()
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
-            df = self._read_entry(entry)
+            hit, carried = list(entry["files"]), []
+            if where is not None:
+                by_name = {f.name: f.dataType for f in schema.fields}
+                pschema = T.StructType(
+                    [T.StructField("__idx", T.LongType())]
+                    + [T.StructField(c, by_name[c], True) for c in part_cols]
+                )
+                rows = [
+                    (
+                        i,
+                        *[
+                            _partition_values(f["path"], part_cols, schema).get(c)
+                            for c in part_cols
+                        ],
+                    )
+                    for i, f in enumerate(entry["files"])
+                ]
+                keep = {
+                    r["__idx"]
+                    for r in self.spark.createDataFrame(rows, pschema)
+                    .filter(F.expr(where))
+                    .collect()
+                }
+                hit = [f for i, f in enumerate(entry["files"]) if i in keep]
+                carried = [
+                    f for i, f in enumerate(entry["files"]) if i not in keep
+                ]
+                if not hit:
+                    return base  # nothing in scope: no-op, no commit
+            df = self._read_entry({**entry, "files": hit})
             if zorder_by:
                 out = df.repartitionByRange(
                     target_files, _zorder_key(df, zorder_by)
@@ -1696,12 +1743,13 @@ class VersionedTable:
                 out = df.coalesce(target_files)
             return self._commit_files(
                 out,
-                [],
+                carried,
                 "OPTIMIZE",
                 {
                     "targetFiles": target_files,
                     "clusterBy": cluster_by or [],
                     "zorderBy": zorder_by or [],
+                    **({"predicate": where} if where is not None else {}),
                 },
                 schema,
                 base_version=base,

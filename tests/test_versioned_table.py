@@ -980,3 +980,35 @@ def test_overwrite_for_keys_default_keys_from_df(spark, sf_dir):
     got = t.to_df()
     assert got.count() == n.count()
     assert got.where(F.col("n_name") == "SEVEN").count() == 1
+
+
+def test_optimize_where_scopes_to_partition(spark, sf_dir):
+    """OPTIMIZE ... WHERE rewrites only the selected partition's
+    files, carries the rest by reference, is a commit-free no-op on
+    an empty scope, and refuses non-partition predicates loudly."""
+    df = (
+        spark.range(0, 300)
+        .withColumn("day", (F.col("id") % 3).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("optwhere"), df.repartition(4), partition_by=["day"]
+    )
+    t.append(df.withColumn("id", F.col("id") + 1000).repartition(4))
+    before = sorted(tuple(r) for r in t.read().collect())
+    e1 = t._read_log(t.latest_version())
+    files_before = {f["path"] for f in e1["files"]}
+    v = t.optimize(target_files=1, where="day = 0")
+    e2 = t._read_log(v)
+    day0 = [f for f in e2["files"] if "day=0" in f["path"]]
+    rest = [f for f in e2["files"] if "day=0" not in f["path"]]
+    assert len(day0) == 1
+    assert all(f["path"] in files_before for f in rest), "untouched partitions must carry"
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    assert t.optimize(where="day = 99") == v, "empty scope must not commit"
+    with pytest.raises(Exception, match="UNRESOLVED_COLUMN|cannot be resolved"):
+        t.optimize(where="v > 5")  # non-partition column: loud refusal
+    with pytest.raises(ValueError, match="unpartitioned"):
+        VersionedTable.create(
+            spark, temp_table_path("optwhere-up"), df.drop("day")
+        ).optimize(where="day = 0")
