@@ -206,7 +206,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             entry = _read_entry(self.path, v)
             cur = self._file_map(v)
-            if entry.get("cdcFiles"):
+            if "cdcFiles" in entry:
+                # key present = capture ran; [] = zero-change commit
+                # (e.g. a RESTORE reverting a layout-only OPTIMIZE) —
+                # contributes no batch rows, must not fail the stream
                 paths = sorted(
                     os.path.join(self.path, f["path"])
                     for f in entry["cdcFiles"]

@@ -843,7 +843,15 @@ def _row_tracking_domain(entry: dict) -> dict:
 def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[dict]:
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
-    data_change = entry.get("operation") not in _DATA_NEUTRAL_OPS
+    # A commit whose CDF capture ran and recorded ZERO rows (e.g. a
+    # RESTORE reverting a layout-only OPTIMIZE) is content-preserving:
+    # its file swaps mirror with dataChange=false — exactly OPTIMIZE's
+    # treatment — so protocol CDF readers and streams correctly skip
+    # it instead of refusing a "rewrite without change data".
+    captured_empty = "cdcFiles" in entry and not entry["cdcFiles"]
+    data_change = (
+        entry.get("operation") not in _DATA_NEUTRAL_OPS and not captured_empty
+    )
     actions: list[dict] = [_commit_info(table, entry, ts)]
     if version == 0:
         actions.append(_protocol_action(table, entry))

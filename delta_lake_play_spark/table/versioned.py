@@ -1867,10 +1867,13 @@ class VersionedTable:
             entry = self._read_log(v)
             op = entry.get("operation")
             df = None
-            if entry.get("cdcFiles"):
-                df = self._read_files(
-                    entry["cdcFiles"], cdc_schema, column_map=end_map
-                )
+            if "cdcFiles" in entry:
+                # key present = capture RAN; an empty list is a
+                # legitimate zero-change commit (contributes nothing)
+                if entry["cdcFiles"]:
+                    df = self._read_files(
+                        entry["cdcFiles"], cdc_schema, column_map=end_map
+                    )
             elif op != "OPTIMIZE":
                 prev_ids = (
                     {ident(f) for f in prev_entry["files"]} if prev_entry else set()
@@ -2910,7 +2913,12 @@ class VersionedTable:
                 if s and s[1] is not None:
                     cand.append(int(s[1]))
             entry["identityHighWaterMark"] = max(cand)
-        if cdc_entries:
+        if cdc_df is not None:
+            # Recorded even when EMPTY: a zero-row capture (e.g. a
+            # RESTORE that reverts a layout-only OPTIMIZE — files
+            # move, no row changes) must stay distinguishable from
+            # "never captured", or every CDF reader would refuse the
+            # commit as a rewrite without change data.
             entry["cdcFiles"] = cdc_entries
         if txn is not None:
             entry["txn"] = txn

@@ -310,3 +310,45 @@ def test_cdf_commit_conflict_leaves_only_orphans(spark):
         for r in feed.filter("_change_type = 'update_postimage'").collect()
     }
     assert per_v == {1: 1, 2: 2}
+
+
+def test_restore_of_layout_only_commit_captures_empty_cdf(spark):
+    """Hypothesis-found (r6): OPTIMIZE (layout-only) then RESTORE —
+    the restore's row diff is EMPTY but files move. The capture must
+    be recorded as empty (not absent), table_changes must yield zero
+    rows for that version instead of refusing, the CDF stream must
+    not fail, and the mirror must mark the restore's file swaps
+    dataChange=false so protocol CDF readers skip it."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_changes
+
+    df = spark.range(0, 40).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("cdf-restore-empty"),
+        df.repartition(3),
+        enable_cdf=True,
+        delta_mirror=True,
+    )
+    t.optimize(target_files=1)        # v1: layout-only
+    t.restore(0)                      # v2: empty row diff, files move
+    entry = t._read_log(2)
+    assert "cdcFiles" in entry and entry["cdcFiles"] == []
+    assert t.table_changes(2, 2).count() == 0
+    assert t.read().count() == 40
+    # mirror: v2's add/remove actions are dataChange=false; protocol
+    # CDF read over the range yields nothing for v2
+    with open(_os.path.join(t.path, "_delta_log", f"{2:020d}.json")) as fh:
+        acts = [_json.loads(line) for line in fh if line.strip()]
+    moved = [a for a in acts if "add" in a or "remove" in a]
+    assert moved and all(
+        not (a.get("add") or a.get("remove"))["dataChange"] for a in moved
+    )
+    ch = read_delta_changes(spark, t.path, 2, 2)
+    assert ch.count() == 0
+    # a LATER real change still feeds normally
+    t.delete(F.col("id") < 5)         # v3
+    assert t.table_changes(3, 3).count() == 5
+    assert read_delta_changes(spark, t.path, 3, 3).count() == 5
