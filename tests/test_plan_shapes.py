@@ -636,3 +636,40 @@ def test_ewma_zscore_keyed_windows_only(spark, sf_dir):
     for key in ("win_ewma", "win_anomaly_zscore"):
         s = summarize(QUERIES[key](spark, sf_dir))
         assert s.n_single_exchanges == 0, key
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
+    """The blocked fuzzy join must be an equi-join on the block key
+    (hash or broadcast), never CartesianProduct / BroadcastNestedLoop
+    — the whole point of blocking is that the edit-distance verify
+    runs only inside block collisions."""
+    plan = _plan(spark, sf_dir, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "levenshtein" in plan  # verify stays post-join, in-block
+
+
+def test_optimize_where_prunes_without_data_read(spark):
+    """Partition-scoped OPTIMIZE decides its file scope from hive
+    partition VALUES alone: the pruning step reads zero data files
+    (pinned indirectly — the rewrite touches only in-scope files;
+    see test_versioned_table.py::test_optimize_where_scopes_to_
+    partition). Here: the rewritten partition's one output file
+    carries partition-value stats so later reads keep pruning."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        temp_table_path,
+    )
+
+    df = spark.range(0, 90).withColumn("day", (F.col("id") % 3).cast("int"))
+    t = VersionedTable.create(
+        spark, temp_table_path("optw-plan"), df.repartition(3), partition_by=["day"]
+    )
+    t.optimize(target_files=1, where="day = 1")
+    e = t._read_log(t.latest_version())
+    rewritten = [f for f in e["files"] if "day=1" in f["path"]]
+    assert len(rewritten) == 1
+    assert rewritten[0]["stats"].get("day") == [1, 1]
