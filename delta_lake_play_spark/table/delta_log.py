@@ -80,6 +80,23 @@ _CP_NAME_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.[0-9a-f]{32})?\.parquet$"
 )
 
+# Commit files strictly: `<x>.<y>.compacted.json` also ends in
+# ".json", so every "endswith('.json')" commit glob would mis-list a
+# compacted range's START as a live commit (r6 review: broke ICT
+# timestamp resolution, duplicated checkpoint tombstones, gapped sync
+# backfills, and skewed both readers' version lists).
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+
+
+def _commit_versions(ddir: str) -> list[int]:
+    """Sorted versions that have an actual COMMIT json present."""
+    out = []
+    for fn in os.listdir(ddir):
+        m = _COMMIT_RE.match(fn)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
 
 def _checkpoint_versions(ddir: str) -> dict[int, str]:
     """version → top-level checkpoint filename, recognizing both the
@@ -616,11 +633,7 @@ def sync(table, materialize_dvs: bool = False) -> int:
     Returns the latest mirrored version."""
     ddir = _delta_dir(table.path)
     os.makedirs(ddir, exist_ok=True)
-    have = {
-        int(fn.split(".")[0])
-        for fn in os.listdir(ddir)
-        if fn.endswith(".json") and not fn.startswith(("_", "."))
-    }
+    have = set(_commit_versions(ddir))
     latest = table.latest_version()
     missing = [v for v in range(0, latest + 1) if v not in have]
     if not missing:
@@ -746,15 +759,21 @@ def write_log_compaction(table, start: int, end: int) -> str:
     return os.path.join(ddir, name)
 
 
-def _compacted_spans(ddir: str) -> dict[int, tuple[int, str]]:
-    """start → (end, filename) for every compacted range on disk."""
-    out: dict[int, tuple[int, str]] = {}
+def _compacted_spans(ddir: str) -> dict[int, list[tuple[int, str]]]:
+    """start → [(end, filename), ...] for every compacted range on
+    disk, widest end first. ALL ranges per start are kept: after a
+    re-compaction ([1,3] then [1,5]) a reader targeting version 3 must
+    still find the narrower file — keeping only the widest would make
+    version 3 unreconstructible once its JSONs were cleaned (r6
+    review)."""
+    out: dict[int, list[tuple[int, str]]] = {}
     for fn in os.listdir(ddir):
         m = _COMPACTED_RE.match(fn)
         if m:
             s, e = int(m.group(1)), int(m.group(2))
-            if s not in out or e > out[s][0]:
-                out[s] = (e, fn)  # widest range per start wins
+            out.setdefault(s, []).append((e, fn))
+    for spans in out.values():
+        spans.sort(reverse=True)
     return out
 
 
@@ -1047,11 +1066,10 @@ def _recent_tombstones(ddir: str, version: int, as_of_ms: int) -> list[dict]:
     incremental readers can still see recently removed files."""
     floor = as_of_ms - _TOMBSTONE_RETENTION_MS
     out: list[dict] = []
-    for fn in sorted(os.listdir(ddir)):
-        if not fn.endswith(".json") or fn.startswith(("_", ".")):
+    for v_fn in _commit_versions(ddir):
+        if v_fn > version:
             continue
-        if int(fn.split(".")[0]) > version:
-            continue
+        fn = f"{v_fn:020d}.json"
         with open(os.path.join(ddir, fn)) as fh:
             for line in fh:
                 if not line.strip():
@@ -1097,11 +1115,10 @@ def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
     # after the JSON prefix is cleaned up (PROTOCOL.md checkpoint
     # contents).
     latest_txn: dict[str, dict] = {}
-    for fn in sorted(os.listdir(ddir)):
-        if not fn.endswith(".json") or fn.startswith(("_", ".")):
+    for v_fn in _commit_versions(ddir):
+        if v_fn > version:
             continue
-        if int(fn.split(".")[0]) > version:
-            continue
+        fn = f"{v_fn:020d}.json"
         with open(os.path.join(ddir, fn)) as fh:
             for line in fh:
                 if not line.strip():
@@ -1250,10 +1267,8 @@ def resolve_delta_timestamp(table_path: str, timestamp_ms: int) -> int:
     the in-commit clock travels with the log)."""
     ddir = _delta_dir(table_path)
     best: int | None = None
-    for fn in sorted(os.listdir(ddir)):
-        if not fn.endswith(".json") or fn.startswith(("_", ".")):
-            continue
-        v = int(fn.split(".")[0])
+    for v in _commit_versions(ddir):
+        fn = f"{v:020d}.json"
         with open(os.path.join(ddir, fn)) as fh:
             first = json.loads(fh.readline())
         ict = first.get("commitInfo", {}).get("inCommitTimestamp")
@@ -1285,15 +1300,11 @@ def read_delta_snapshot(
     the newest usable checkpoint. Requesting a version below every
     checkpoint with its JSON missing raises a descriptive error."""
     ddir = _delta_dir(table_path)
-    versions = sorted(
-        int(fn.split(".")[0])
-        for fn in os.listdir(ddir)
-        if fn.endswith(".json") and not fn.startswith(("_", "."))
-    )
+    versions = _commit_versions(ddir)
     cp_map = _checkpoint_versions(ddir)
     cp_versions = sorted(cp_map)
     spans = _compacted_spans(ddir)
-    span_ends = {e for e, _fn in spans.values()}
+    span_ends = {e for lst in spans.values() for e, _fn in lst}
     if version is None:
         if not versions and not cp_versions and not span_ends:
             raise FileNotFoundError(
@@ -1360,11 +1371,16 @@ def read_delta_snapshot(
 
     v = start
     while v <= version:
-        # Minor log compactions: a <v>.<e>.compacted.json whose whole
-        # range fits the replay substitutes for its JSON commits — one
-        # read instead of e-v+1 (and tolerates those commits' absence).
-        if v in spans and spans[v][0] <= version:
-            end_v, cfn = spans[v]
+        # Minor log compactions: the WIDEST <v>.<e>.compacted.json
+        # whose range fits the replay substitutes for its JSON
+        # commits — one read instead of e-v+1 (and tolerates those
+        # commits' absence). Overshooting ranges are skipped; a
+        # narrower re-compaction sibling can still match.
+        fit = next(
+            ((e, fn) for e, fn in spans.get(v, []) if e <= version), None
+        )
+        if fit is not None:
+            end_v, cfn = fit
             _apply_json(os.path.join(ddir, cfn))
             v = end_v + 1
             continue
@@ -1449,11 +1465,7 @@ def read_delta_changes(
     table columns + ``_change_type`` / ``_commit_version`` /
     ``_commit_timestamp``."""
     ddir = _delta_dir(table_path)
-    versions = sorted(
-        int(fn.split(".")[0])
-        for fn in os.listdir(ddir)
-        if fn.endswith(".json") and not fn.startswith(("_", "."))
-    )
+    versions = _commit_versions(ddir)
     if ending_version is None:
         if not versions:
             raise FileNotFoundError(f"no delta JSON commits at {ddir!r}")

@@ -1705,26 +1705,30 @@ class VersionedTable:
             schema = self._entry_schema(entry)
             hit, carried = list(entry["files"]), []
             if where is not None:
+                from .delta_log import _partition_values_raw
+
                 by_name = {f.name: f.dataType for f in schema.fields}
+                # Partition values travel as RAW HIVE STRINGS and are
+                # cast to the schema types through Spark's own
+                # string→type casts — date/timestamp/decimal partition
+                # columns prune correctly (a typed createDataFrame
+                # from python-side parsing rejected them, r6 review).
                 pschema = T.StructType(
                     [T.StructField("__idx", T.LongType())]
-                    + [T.StructField(c, by_name[c], True) for c in part_cols]
+                    + [T.StructField(c, T.StringType(), True) for c in part_cols]
                 )
-                rows = [
-                    (
-                        i,
-                        *[
-                            _partition_values(f["path"], part_cols, schema).get(c)
-                            for c in part_cols
-                        ],
+                rows = []
+                for i, f in enumerate(entry["files"]):
+                    pv = _partition_values_raw(
+                        f["path"].replace(os.sep, "/"), part_cols
                     )
-                    for i, f in enumerate(entry["files"])
-                ]
+                    rows.append((i, *[pv.get(c) for c in part_cols]))
+                typed = self.spark.createDataFrame(rows, pschema).select(
+                    "__idx",
+                    *[F.col(c).cast(by_name[c]).alias(c) for c in part_cols],
+                )
                 keep = {
-                    r["__idx"]
-                    for r in self.spark.createDataFrame(rows, pschema)
-                    .filter(F.expr(where))
-                    .collect()
+                    r["__idx"] for r in typed.filter(F.expr(where)).collect()
                 }
                 hit = [f for i, f in enumerate(entry["files"]) if i in keep]
                 carried = [
