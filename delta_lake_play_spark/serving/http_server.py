@@ -68,7 +68,11 @@ def make_handler(service: NamesTableService) -> type[BaseHTTPRequestHandler]:
                 elif method == "POST" and self.path == "/get_table":
                     version = _parse_version(self._body().get("version"))
                     out = service.get_table(version)
-                    out["version"] = str(out["version"])  # datetime-safe
+                    # JSON-shape parity with the FastAPI app (r6
+                    # review): integer labels stay numbers; only a
+                    # datetime label needs serializing, in ISO form.
+                    if isinstance(out["version"], datetime):
+                        out["version"] = out["version"].isoformat()
                     self._reply(200, out)
                 elif method == "PUT" and self.path == "/merge_to_table":
                     self._reply(200, service.merge_to_table(self._body()["data"]))

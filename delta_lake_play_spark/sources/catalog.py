@@ -53,7 +53,10 @@ def _nanos_columns(path: str) -> list[str]:
             schema = pq.read_schema(part)
         except (StopIteration, OSError):
             return []
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    # startswith: UTC-adjusted ns columns render as
+    # "timestamp[ns, tz=UTC]" and are equally illegal for Spark's
+    # reader — the workaround must engage for them too.
+    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,9 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (``unix_micros`` et al.) reject. NTZ columns convert to
       TIMESTAMP **per-expression** — ``from_utc_timestamp(cast(c),
       session_tz)`` cancels the session-timezone offset the cast
-      applies, so the NTZ wall clock lands on the identical UTC epoch
-      under ANY session timezone (it reduces to a plain cast when the
-      session is UTC, ``get_spark()``'s pinned default). A loader must
+      applies, so the NTZ wall clock lands on the UTC epoch under any
+      FIXED-OFFSET session timezone (it reduces to a plain cast when
+      the session is UTC, ``get_spark()``'s pinned default). Honest
+      caveat: within an hour of a DST transition the two offsets are
+      evaluated at slightly different instants and can differ by the
+      DST delta — run sessions at UTC (the engine's default) for
+      bit-exact parity. A loader must
       not flip ``spark.sql.session.timeZone`` on a shared session: that
       would silently change the semantics of every subsequent
       timestamp query in sessions not built via ``get_spark()``.

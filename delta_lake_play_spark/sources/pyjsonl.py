@@ -85,22 +85,39 @@ class _JsonlWriter(DataSourceWriter):
         # and new coexist until the manifest swap; the rename is the
         # atomic commit point, and readers of the old manifest stay
         # consistent right up to it.
+        #
+        # The append-mode manifest merge is a read-modify-write:
+        # without mutual exclusion two concurrent appenders would both
+        # read the same old list and the second rename would silently
+        # drop the first job's files (r6 review). An flock on a
+        # sidecar lockfile serializes committers — same-host advisory
+        # locking, which is exactly this connector's scope (a
+        # distributed-FS deployment needs the versioned-table layer's
+        # optimistic log, not this demo sink).
+        import fcntl
+
         new_files = sorted(m.filename for m in messages if m is not None)
-        old_files = self._old_manifest()
-        manifest = new_files if self.overwrite else sorted(old_files + new_files)
-        tmp = os.path.join(self.path, "._SUCCESS.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"files": manifest}, fh)
-        os.rename(tmp, os.path.join(self.path, "_SUCCESS"))
-        if self.overwrite:
-            # Superseded data files are garbage once the new manifest
-            # is durable; a crash between rename and cleanup leaves
-            # only invisible orphans, never a broken table.
-            for name in set(old_files) - set(manifest):
-                try:
-                    os.remove(os.path.join(self.path, name))
-                except OSError:
-                    pass
+        lock_path = os.path.join(self.path, ".commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            old_files = self._old_manifest()
+            manifest = (
+                new_files if self.overwrite else sorted(old_files + new_files)
+            )
+            tmp = os.path.join(self.path, f"._SUCCESS.{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"files": manifest}, fh)
+            os.rename(tmp, os.path.join(self.path, "_SUCCESS"))
+            if self.overwrite:
+                # Superseded data files are garbage once the new
+                # manifest is durable; a crash between rename and
+                # cleanup leaves only invisible orphans, never a
+                # broken table.
+                for name in set(old_files) - set(manifest):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:

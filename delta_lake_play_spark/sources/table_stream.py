@@ -62,8 +62,32 @@ def _log_entries(path: str) -> dict[int, str]:
 
 
 def _read_entry(path: str, version: int) -> dict:
-    with open(_log_entries(path)[version]) as fh:
-        return json.load(fh)
+    # Direct O(1) path construction — the previous listdir-per-read
+    # made a cold-start backfill O(versions² ) directory scans.
+    log_file = os.path.join(path, "_log", f"{version:020d}.json")
+    with open(log_file) as fh:
+        entry = json.load(fh)
+    if "filesManifest" in entry:
+        # Commits above manifest_inline_max spill the file list to a
+        # parquet sidecar and omit the "files" key (versioned.py
+        # _write_manifest) — resolve it here the same way _read_log
+        # does, or every wide commit would KeyError the stream.
+        import pyarrow.parquet as pq
+
+        man = pq.read_table(
+            os.path.join(path, "_log", entry["filesManifest"])
+        )
+        files = []
+        for p, num_rows, meta in zip(
+            man["path"].to_pylist(),
+            man["num_rows"].to_pylist(),
+            man["meta_json"].to_pylist(),
+        ):
+            f = {"path": p, "num_rows": num_rows}
+            f.update(json.loads(meta))
+            files.append(f)
+        entry["files"] = files
+    return entry
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):

@@ -33,25 +33,35 @@ WATERMARK = "15 minutes"
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, with the same
-    ns→µs timestamp normalization as the batch reader
-    (``sources/catalog.py``): schema is taken from the batch read, so
-    batch and stream see identical column types."""
+    ns→µs / NTZ timestamp normalization as the batch reader
+    (``sources/catalog.py``) applied to EVERY timestamp column —
+    batch and stream see identical column types. Per-expression
+    conversions only: a reader must never flip
+    ``spark.sql.session.timeZone`` on a shared session (that would
+    silently change every subsequent timestamp query's semantics —
+    the exact global-state hazard catalog.py documents)."""
+    from delta_lake_play_spark.sources.catalog import _nanos_columns
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
+    ns_cols = set(_nanos_columns(path))
     raw_schema = spark.read.parquet(path).schema
     # The file source requires a directory basePath; a glob whose
     # non-glob prefix is the directory satisfies it while matching
     # exactly the events file.
     stream = spark.readStream.schema(raw_schema).parquet(path + "*")
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # µs parquet without the UTC flag infers NTZ, which watermarks
-        # reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Same UTC-pinned
-        # cast as the batch reader so batch/stream types stay identical.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    converted = {}
+    for c, t in stream.dtypes:
+        if c in ns_cols and t == "bigint":
+            converted[c] = F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        elif t == "timestamp_ntz":
+            # µs parquet without the UTC flag infers NTZ, which
+            # watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+            # same per-expression normalization as the batch reader.
+            converted[c] = F.from_utc_timestamp(F.col(c).cast("timestamp"), tz)
+    if converted:
+        stream = stream.withColumns(converted)
     return stream
 
 
@@ -112,15 +122,26 @@ def hourly_user_stats(events: DataFrame, watermark: str | None = None) -> DataFr
     ``watermark`` set (streaming), events later than the watermark
     horizon are dropped and window state is evicted; on a batch
     DataFrame ``withWatermark`` is a no-op, so the batch form is the
-    complete-data answer the stream converges to."""
+    complete-data answer the stream converges to.
+
+    Exact distinct without ``countDistinct`` — which Spark's
+    UnsupportedOperationChecker rejects on streams: two CHAINED
+    aggregations, (window, user) partials then a per-window rollup
+    (n = Σ partial counts, n_users = #groups, max = max of partial
+    maxes). Chained stateful aggregations are streaming-legal in
+    Spark 4 (append mode + watermark); identical arithmetic in batch.
+    Parity pinned by tests/test_streaming.py."""
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
+    per_user = events.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.count("*").alias("n_u"), F.max("value").alias("mv")
+    )
     return (
-        events.groupBy(F.window("ts", "1 hour"))
+        per_user.groupBy("window")
         .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.max("value").alias("max_value"),
+            F.sum("n_u").alias("n"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.max("mv").alias("max_value"),
         )
         .select(F.col("window.start").alias("window_start"), "n", "n_users", "max_value")
     )

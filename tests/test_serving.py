@@ -140,7 +140,7 @@ def test_http_server_end_to_end(spark):
         assert call("GET", "/hello_world") == (200, {"message": "Hello World"})
 
         status, table = call("POST", "/get_table", {"version": None})
-        assert status == 200 and table["version"] == "0"
+        assert status == 200 and table["version"] == 0
         assert _names(table) == {
             (1, "James", "Bond"), (2, "Alice", "Rogers"), (3, "Joe", "Bloggs")
         }
@@ -217,6 +217,6 @@ def test_http_concurrent_merges_both_commit(spark):
         with urllib.request.urlopen(req, timeout=120) as resp:
             table = json.loads(resp.read())
         ids = {r["id"] for r in table["data"]}
-        assert {100, 200} <= ids and table["version"] == "2"
+        assert {100, 200} <= ids and table["version"] == 2
     finally:
         server.shutdown()

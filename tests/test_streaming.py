@@ -365,3 +365,69 @@ def test_tws_available_probe():
     from delta_lake_play_spark.streaming.events_stream import tws_available
 
     assert tws_available() in (True, False)
+
+
+def test_hourly_user_stats_streams_exact_distinct(spark, sf_dir):
+    """r6 review: the old form used countDistinct, which streaming
+    rejects — the advertised streaming path could never run. The
+    chained-aggregation form must actually RUN as a stream (Spark 4
+    multiple stateful operators, append mode) and agree with batch on
+    every window the terminal watermark finalized (append emits only
+    closed windows; the trailing window may be withheld)."""
+    batch = es.hourly_user_stats(
+        load_table(spark, sf_dir, "events"), watermark=es.WATERMARK
+    ).toPandas()
+    stream_in = es.read_events_stream(spark, sf_dir)
+    streamed = _run_stream_to_df(
+        es.hourly_user_stats(stream_in, watermark=es.WATERMARK),
+        spark,
+        complete=False,
+    ).toPandas()
+    b = {
+        r.window_start: (r.n, r.n_users, r.max_value)
+        for r in batch.itertuples()
+    }
+    s = {
+        r.window_start: (r.n, r.n_users, r.max_value)
+        for r in streamed.itertuples()
+    }
+    assert s, "stream emitted nothing — chained aggregation did not run"
+    assert all(b[k] == v for k, v in s.items()), "streamed window diverged from batch"
+    assert len(s) >= len(b) - 1, f"stream withheld {len(b) - len(s)} windows (max 1 allowed)"
+
+
+def test_stream_source_reads_manifest_spilled_commit(spark):
+    """r6 review: commits above manifest_inline_max spill the file
+    list to a parquet sidecar and omit the 'files' key — the Python
+    stream source must resolve the manifest instead of KeyError-ing
+    on every trigger that plans across the spilled commit."""
+    from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
+    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+
+    spark.dataSource.register(VersionedTableDataSource)
+    df = spark.range(0, 60).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("stream-manifest"), df.coalesce(1)
+    )
+    old_max = VersionedTable.manifest_inline_max
+    VersionedTable.manifest_inline_max = 4
+    try:
+        t.append(df.selectExpr("id + 100 as id", "v").repartition(6))  # spills
+    finally:
+        VersionedTable.manifest_inline_max = old_max
+    assert "filesManifest" in t._read_log_raw(1), "fixture did not spill"
+    got = []
+
+    def sink(bdf, _bid):
+        got.extend(r["id"] for r in bdf.select("id").collect())
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .load(t.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mspill_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == list(range(0, 60)) + list(range(100, 160))
