@@ -708,3 +708,66 @@ def test_optimize_where_on_date_partition(spark):
     hit = [f for f in e["files"] if "day=2026-08-02" in f["path"]]
     assert len(hit) == 1
     assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
+def test_duckdb_sql_protocol_reader_agrees(spark):
+    """A THIRD, fully independent reader of the mirrored _delta_log:
+    the action reconciliation (adds minus later removes) is written
+    in DuckDB SQL over the raw commit JSON — sharing zero code with
+    either the private log layer or the module's Python protocol
+    reader — and the surviving parquet files are read back by DuckDB.
+    Agreement here is the closest this environment gets to an
+    external Delta client (delta-rs / duckdb-delta are not
+    installable; SURVEY §14 probe)."""
+    import duckdb
+    from urllib.parse import unquote
+
+    df = spark.range(0, 120).withColumn("v", (F.col("id") * 7).cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-duck"), df.repartition(3), delta_mirror=True
+    )
+    t.append(spark.range(120, 160).withColumn("v", (F.col("id") * 7).cast("long")))
+    t.delete(F.col("id") % 11 == 0)   # rewrites files -> remove actions
+    t.update({"v": F.lit(-1).cast("long")}, F.col("id") == 5)
+
+    ddir = os.path.join(t.path, "_delta_log")
+    commits = sorted(
+        os.path.join(ddir, fn)
+        for fn in os.listdir(ddir)
+        if fn.endswith(".json") and not fn.startswith(("_", "."))
+    )
+    con = duckdb.connect()
+    file_list = ", ".join(f"'{c}'" for c in commits)
+    # Two direct scans (one per action kind): DuckDB 1.0 mis-executes
+    # json_extract filters over an ALIASED subquery of
+    # read_ndjson_objects ("Malformed JSON ... length 0"), so the
+    # extraction stays inline on the scan itself.
+    files = con.execute(
+        f"""
+        WITH adds AS (
+          SELECT CAST(regexp_extract(filename, '(\\d{{20}})\\.json$', 1) AS BIGINT) AS v,
+                 json_extract_string("json", '$.add.path') AS p
+          FROM read_ndjson_objects([{file_list}], filename=true)
+          WHERE json_extract("json", '$.add') IS NOT NULL
+        ),
+        rms AS (
+          SELECT CAST(regexp_extract(filename, '(\\d{{20}})\\.json$', 1) AS BIGINT) AS v,
+                 json_extract_string("json", '$.remove.path') AS p
+          FROM read_ndjson_objects([{file_list}], filename=true)
+          WHERE json_extract("json", '$.remove') IS NOT NULL
+        )
+        SELECT p FROM adds a
+        WHERE NOT EXISTS (SELECT 1 FROM rms r WHERE r.p = a.p AND r.v > a.v)
+        ORDER BY p
+        """
+    ).fetchall()
+    paths = [os.path.join(t.path, unquote(p)) for (p,) in files]
+    assert paths, "SQL reconciliation found no live files"
+    duck_rows = sorted(
+        con.execute(
+            "SELECT id, v FROM read_parquet($paths)", {"paths": paths}
+        ).fetchall()
+    )
+    spark_rows = sorted(tuple(r) for r in t.read().select("id", "v").collect())
+    assert duck_rows == spark_rows
+    con.close()
