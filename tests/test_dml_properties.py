@@ -36,6 +36,14 @@ _OPS = st.lists(
     st.tuples(st.integers(0, 6), st.integers(0, 10**6)), min_size=3, max_size=7
 )
 
+# The mirror-composition test additionally draws op 7 = minor log
+# compaction over a random valid range (metadata-only: no new table
+# version, but the protocol reader must keep agreeing with compacted
+# files interleaved into the _delta_log).
+_OPS_MIRROR = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 10**6)), min_size=3, max_size=7
+)
+
 
 def _snapshot(table, version=None):
     rows = table.read(version=version).collect() if version is not None else table.to_df().collect()
@@ -256,7 +264,7 @@ def test_concurrent_processes_linearizable(tmp_path):
 
 
 @pytest.mark.slow
-@given(ops=_OPS)
+@given(ops=_OPS_MIRROR)
 @settings(
     max_examples=5,
     deadline=None,
@@ -350,6 +358,20 @@ def test_random_dml_cdf_mirror_mapped(spark, ops):
             pick = ids[seed % len(ids)]
             table.delete_mor(F.col("id") == pick)
             del model[pick]
+        elif op_code == 7 and table.latest_version() >= 2:
+            # minor LOG COMPACTION over a random valid range —
+            # metadata-only: no table version, model unchanged; the
+            # end-of-sequence protocol-reader checks must keep
+            # agreeing with compacted files interleaved in the log
+            from delta_lake_play_spark.table.delta_log import (
+                write_log_compaction,
+            )
+
+            latest = table.latest_version()
+            lo = 1 + seed % latest
+            hi = min(latest, lo + 1 + seed % 3)
+            if hi > lo:
+                write_log_compaction(table, lo, hi)
         else:  # OPTIMIZE: layout-only commit, content must not move
             table.optimize(target_files=2, cluster_by=["id"])
 
