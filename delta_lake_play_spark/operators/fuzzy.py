@@ -27,9 +27,16 @@ from pyspark.sql import functions as F
 
 def _block_key(name: str):
     c = F.col(name)
+    # Negative-start substring semantics diverge across engines for
+    # strings shorter than the window (Spark clamps to the full
+    # string, DuckDB's substr(s,-4,4) yields a prefix fragment), so
+    # short names block on the full string — a no-op for the >=4-char
+    # common case and engine-portable for the rest (ADVICE r6).
     return [
         F.length(c).alias("__blk_len"),
-        F.substring(c, -4, 4).alias("__blk_tail"),
+        F.when(F.length(c) >= 4, F.substring(c, -4, 4))
+        .otherwise(c)
+        .alias("__blk_tail"),
     ]
 
 

@@ -49,11 +49,21 @@ class _JsonlPartition(InputPartition):
         self.path = path
 
 
+_DEFAULT_RETENTION_SEC = 600.0
+
+
 class _JsonlWriter(DataSourceWriter):
-    def __init__(self, path: str, schema: T.StructType, overwrite: bool):
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        overwrite: bool,
+        retention_sec: float = _DEFAULT_RETENTION_SEC,
+    ):
         self.path = path
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        self.retention_sec = retention_sec
 
     def write(self, rows: Iterator) -> _FileCommit:
         from pyspark import TaskContext
@@ -70,12 +80,27 @@ class _JsonlWriter(DataSourceWriter):
         os.rename(tmp, os.path.join(self.path, name))
         return _FileCommit(name)
 
-    def _old_manifest(self) -> list[str]:
+    def _old_manifest(self) -> dict:
+        """Prior manifest, or an empty one ONLY when ``_SUCCESS`` is
+        genuinely absent. A present-but-unparseable manifest raises:
+        swallowing it would let an append silently rewrite the
+        manifest without the previously committed files, turning a
+        detectable corruption into silent data invisibility
+        (ADVICE r6)."""
         try:
-            with open(os.path.join(self.path, "_SUCCESS")) as fh:
-                return list(json.load(fh)["files"])
-        except (OSError, ValueError, KeyError):
-            return []
+            fh = open(os.path.join(self.path, "_SUCCESS"))
+        except FileNotFoundError:
+            return {"files": [], "superseded": []}
+        with fh:
+            try:
+                data = json.load(fh)
+                files = list(data["files"])
+            except (ValueError, KeyError, TypeError) as e:
+                raise ValueError(
+                    f"corrupt pyjsonl manifest at {self.path}/_SUCCESS: "
+                    f"{e!r} — refusing to commit over it"
+                ) from e
+        return {"files": files, "superseded": list(data.get("superseded", []))}
 
     def commit(self, messages) -> None:
         # All destruction happens HERE, after every task succeeded —
@@ -95,29 +120,46 @@ class _JsonlWriter(DataSourceWriter):
         # distributed-FS deployment needs the versioned-table layer's
         # optimistic log, not this demo sink).
         import fcntl
+        import time
 
         new_files = sorted(m.filename for m in messages if m is not None)
         lock_path = os.path.join(self.path, ".commit.lock")
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            old_files = self._old_manifest()
-            manifest = (
-                new_files if self.overwrite else sorted(old_files + new_files)
+            old = self._old_manifest()
+            files = (
+                new_files
+                if self.overwrite
+                else sorted(old["files"] + new_files)
             )
-            tmp = os.path.join(self.path, f"._SUCCESS.{uuid.uuid4().hex[:8]}.tmp")
-            with open(tmp, "w") as fh:
-                json.dump({"files": manifest}, fh)
-            os.rename(tmp, os.path.join(self.path, "_SUCCESS"))
+            # Overwrite never deletes superseded files at the commit
+            # point: a reader that loaded the old _SUCCESS an instant
+            # before the rename still holds paths it has not opened
+            # yet (readers take no lock). Superseded files become
+            # TOMBSTONES with a timestamp — invisible to new readers
+            # immediately, physically removed by a LATER commit once
+            # older than the retention grace (Delta's remove-tombstone
+            # + retention model, scaled to a demo sink; ADVICE r6).
+            now = time.time()
+            superseded = list(old["superseded"])
             if self.overwrite:
-                # Superseded data files are garbage once the new
-                # manifest is durable; a crash between rename and
-                # cleanup leaves only invisible orphans, never a
-                # broken table.
-                for name in set(old_files) - set(manifest):
+                superseded += [
+                    {"file": name, "ts": now}
+                    for name in set(old["files"]) - set(files)
+                ]
+            keep: list[dict] = []
+            for entry in superseded:
+                if now - float(entry.get("ts", now)) >= self.retention_sec:
                     try:
-                        os.remove(os.path.join(self.path, name))
+                        os.remove(os.path.join(self.path, entry["file"]))
                     except OSError:
                         pass
+                else:
+                    keep.append(entry)
+            tmp = os.path.join(self.path, f"._SUCCESS.{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"files": files, "superseded": keep}, fh)
+            os.rename(tmp, os.path.join(self.path, "_SUCCESS"))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -177,7 +219,15 @@ class JsonlDataSource(DataSource):
         self._check(schema)
         path = self.options["path"]
         os.makedirs(path, exist_ok=True)
-        return _JsonlWriter(path, schema, overwrite)
+        retention = float(
+            self.options.get(
+                "supersededRetentionSec",
+                self.options.get(
+                    "supersededretentionsec", _DEFAULT_RETENTION_SEC
+                ),
+            )
+        )
+        return _JsonlWriter(path, schema, overwrite, retention_sec=retention)
 
     def reader(self, schema: T.StructType) -> _JsonlReader:
         self._check(schema)

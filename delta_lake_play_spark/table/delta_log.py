@@ -735,8 +735,15 @@ def write_log_compaction(table, start: int, end: int) -> str:
                     removes.pop(a["add"]["path"], None)
                 elif "remove" in a:
                     rm = a["remove"]
-                    if adds.pop(rm["path"], None) is None:
-                        removes[rm["path"]] = rm  # tombstone for pre-range file
+                    adds.pop(rm["path"], None)
+                    # Tombstone retained even when it cancels an
+                    # in-range add: Delta's reconciliation keeps
+                    # removes for the retention window, so a reader
+                    # substituting this file for the range (incl. a
+                    # mid-span replay over a checkpoint that still
+                    # holds the transient file) and VACUUM both see
+                    # the removal (ADVICE r6).
+                    removes[rm["path"]] = rm
                 elif "metaData" in a:
                     meta = a["metaData"]
                 elif "protocol" in a:
@@ -1386,6 +1393,30 @@ def read_delta_snapshot(
             continue
         commit = os.path.join(ddir, f"{v:020d}.json")
         if not os.path.exists(commit):
+            # Commit JSON cleaned up mid-span (e.g. checkpoint at 2,
+            # compacted [1,5], JSONs 3..5 removed): a span STARTING
+            # BEFORE the cursor still reconstructs v..end exactly,
+            # because a compacted file is the full action
+            # reconciliation of its range — re-applying the already-
+            # replayed prefix is idempotent (adds re-add live files,
+            # retained remove tombstones re-delete dead ones, latest
+            # metaData/protocol/txn win). Only engaged when the JSON
+            # is genuinely missing; widest usable end wins (ADVICE r6).
+            covering = next(
+                (
+                    (e, fn)
+                    for s in sorted(spans, reverse=True)
+                    if s <= v
+                    for e, fn in spans[s]
+                    if v <= e <= version
+                ),
+                None,
+            )
+            if covering is not None:
+                end_v, cfn = covering
+                _apply_json(os.path.join(ddir, cfn))
+                v = end_v + 1
+                continue
             if v in versions or usable:
                 raise FileNotFoundError(
                     f"delta log is missing commit {v} needed to replay "

@@ -690,6 +690,41 @@ def test_compacted_files_are_not_commits(spark):
     assert read_delta_snapshot(spark, t.path, version=3).count() == expected3
 
 
+def test_log_compaction_mid_span_checkpoint_replay(spark):
+    """ADVICE r6 (two coupled fixes): a checkpoint landing MID-span
+    (checkpoint at 2, compacted [1,5], JSONs 1..5 cleaned) must still
+    reconstruct versions past the checkpoint by replaying the covering
+    compacted file over the checkpoint state — which is only correct
+    because compaction now RETAINS the remove tombstone for a file
+    both added and removed in-range (the checkpoint still holds the
+    file added at v1; the [1,5] reconciliation must delete it)."""
+    from delta_lake_play_spark.table.delta_log import write_log_compaction
+
+    df = spark.range(0, 50).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-lc5"), df.coalesce(1), delta_mirror=True
+    )
+    t.append(df.withColumn("id", F.col("id") + 1000).coalesce(1))   # v1
+    t.append(df.withColumn("id", F.col("id") + 2000).coalesce(1))   # v2
+    t.checkpoint_mirror()  # checkpoint at 2 — still holds v1's file
+    t.append(df.withColumn("id", F.col("id") + 3000).coalesce(1))   # v3
+    t.delete((F.col("id") >= 1000) & (F.col("id") < 2000))          # v4 kills v1's file
+    t.append(df.withColumn("id", F.col("id") + 4000).coalesce(1))   # v5
+    expected = _canon(t.read())
+    p = write_log_compaction(t, 1, 5)
+    # the in-range transient (added v1, removed v4) keeps its tombstone
+    acts = [json.loads(line) for line in open(p) if line.strip()]
+    added = {a["add"]["path"] for a in acts if "add" in a}
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert removed - added, "in-range transient file lost its tombstone"
+    ddir = os.path.join(t.path, "_delta_log")
+    for v in (1, 2, 3, 4, 5):
+        os.remove(os.path.join(ddir, f"{v:020d}.json"))
+    got = read_delta_snapshot(spark, t.path)
+    assert _canon(got) == expected
+    assert got.where((F.col("id") >= 1000) & (F.col("id") < 2000)).count() == 0
+
+
 def test_optimize_where_on_date_partition(spark):
     """r6 review: date-partitioned tables (the docstring's own
     'compact yesterday's partition' case) must prune through the

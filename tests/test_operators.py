@@ -729,6 +729,96 @@ def test_pyjsonl_append_merges_manifest(spark):
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
 
 
+def test_pyjsonl_corrupt_manifest_append_raises(spark):
+    """ADVICE r6: a present-but-unparseable _SUCCESS must fail an
+    append loudly — swallowing it would rewrite the manifest without
+    the previously committed files (silent data invisibility)."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    ddl = "id long, s string"
+    out = tempfile.mkdtemp(prefix="pyjsonl_cm_") + "/t"
+    spark.createDataFrame([(1, "a")], ddl).write.format("pyjsonl").mode(
+        "overwrite"
+    ).save(out)
+    with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+        fh.write("{not json")
+    with _pytest.raises(Exception, match="corrupt pyjsonl manifest"):
+        spark.createDataFrame([(2, "b")], ddl).write.format("pyjsonl").mode(
+            "append"
+        ).save(out)
+
+
+def test_pyjsonl_overwrite_defers_superseded_deletion(spark):
+    """ADVICE r6: overwrite must not delete superseded files at the
+    commit point (a reader holding the old manifest would hit missing
+    files mid-scan). They become timestamped tombstones — invisible
+    immediately, physically removed only by a later commit once past
+    the retention grace."""
+    import json
+    import os
+    import tempfile
+
+    from delta_lake_play_spark.sources.pyjsonl import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    ddl = "id long, s string"
+    out = tempfile.mkdtemp(prefix="pyjsonl_gc_") + "/t"
+    spark.createDataFrame([(1, "a")], ddl).coalesce(1).write.format(
+        "pyjsonl"
+    ).mode("overwrite").save(out)
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        gen1 = set(json.load(fh)["files"])
+    spark.createDataFrame([(2, "b")], ddl).coalesce(1).write.format(
+        "pyjsonl"
+    ).mode("overwrite").save(out)
+    # gen-1 files: superseded (invisible) but still on disk
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        m2 = json.load(fh)
+    assert {e["file"] for e in m2["superseded"]} == gen1
+    assert all(os.path.exists(os.path.join(out, f)) for f in gen1)
+    back = spark.read.format("pyjsonl").option("schema", ddl).load(out)
+    assert {tuple(r) for r in back.collect()} == {(2, "b")}
+    # a later commit past the grace (retention 0) physically removes them
+    spark.createDataFrame([(3, "c")], ddl).coalesce(1).write.format(
+        "pyjsonl"
+    ).mode("overwrite").option("supersededRetentionSec", "0").save(out)
+    assert not any(os.path.exists(os.path.join(out, f)) for f in gen1)
+
+
+def test_fuzzy_join_short_names_engine_portable(spark):
+    """ADVICE r6: names shorter than the 4-char tail window block on
+    the full string (negative-start substring semantics diverge across
+    engines) — parity with a brute-force levenshtein join on a short-
+    name corpus."""
+    from delta_lake_play_spark.operators.fuzzy import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [(1, "ab"), (2, "abc"), (3, "x"), (4, "abcd")], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "ab"), (11, "abd"), (12, "y"), (13, "abce")],
+        "rid long, rname string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["lev"])
+        for r in fuzzy_join_blocked(
+            left, right, "lid", "rid", "lname", "rname", max_dist=1
+        ).collect()
+    }
+    # For names shorter than the window the tail IS the full string,
+    # so only exact short matches collide (documented recall trade);
+    # the point of the guard is that this is deterministic and
+    # engine-portable, never substring(-4)-undefined. "abcd"/"abce"
+    # is the usual tail-substitution miss.
+    assert got == {(1, 10, 0)}
+
+
 def test_xml_roundtrip_escapes_entities(spark, sf_dir):
     """A name containing the XML metacharacters survives the render →
     parse cycle byte-identically."""
