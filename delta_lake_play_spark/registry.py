@@ -50,97 +50,32 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-6 WINDOW (first 50). Composition (SURVEY §12 records
-    # the rationale): slot 1 is the r5 ERR key with its fix (raw
-    # array output → CSV string per repo convention; VERDICT r5 ask
-    # #1 demands the green row land here). Slots 2-50 are 49 of the
-    # 68 never-driver-checked keys, hardest machinery first per
-    # VERDICT ask #2 — these carry the repo's boldest scale claims on
-    # local-only evidence: the SCD2 pair, the CDF trio, incremental/
-    # streaming dedup + the recall monitor, BPE train/apply, PQ, all
-    # five graph keys, row tracking / in-commit timestamps /
-    # incremental MV, the optimizer-surface scans (DPP, runtime
-    # bloom, agg pushdown), the never-checked stream sources, the
-    # timeseries window family, and the ingest/egress batch. The 19
-    # residual never-checked keys (trivial single-construct fn_/agg_/
-    # win_ demos) head tier 2 and close the debt in r7.
-    "llm_embedding_quantize",
-    # SCD2 pair — the two most expensive composites in the repo
-    "dml_scd2_build",
-    "stream_scd2_maintain",
-    # CDF trio
-    "dml_cdf_capture",
-    "dml_cdf_mirror_replay",
-    "stream_cdf_feed",
-    # dedup at scale — incremental, streaming, recall monitor, suffix
+    # --- ROUND-7 WINDOW (first 50). Composition (SURVEY §15 records
+    # the rationale): slots 1-7 are this round's new/changed
+    # machinery — the re-pointed incremental-dedup key (now the
+    # scale-safe flagged-set contract, VERDICT r6 ask #2), the new
+    # serving-lifecycle key (ask #4), and the four keys whose
+    # implementation changed this round (incremental V2 checkpoints,
+    # compaction tombstone retention, pyjsonl deferred deletion,
+    # fuzzy block-key guard). Slots 8-31 retire ALL 26 remaining
+    # never-driver-checked keys (VERDICT ask #1 — ends the
+    # two-round-old deferral). Slots 32-50 rotate the 19 stalest
+    # greens: every r1-vintage hash row plus the oldest r2 rows.
+    # Done = 295/295 ever-checked, zero §2 rows older than r2.
     "llm_dedup_incremental",
-    "llm_dedup_streaming",
-    "llm_dedup_recall",
-    "llm_substring_dedup",
-    # tokenizer + quantizer training
-    "llm_bpe_train",
-    "llm_bpe_apply",
-    "llm_similarity_pq",
-    # graph battery
-    "graph_triangle_count",
-    "graph_connected_components",
-    "graph_common_neighbors",
-    "graph_kcore",
-    "graph_bfs_distance",
-    # protocol features new in r5
-    "dml_row_tracking",
-    "dml_in_commit_timestamps",
-    "dml_incremental_join_mv",
-    # optimizer-surface scans
-    "scan_dpp_partition_join",
-    "join_runtime_bloom",
-    "scan_agg_pushdown",
-    # stream sources never checked
-    "stream_starting_version",
-    "stream_file_source",
-    "stream_transform_with_state",
-    # timeseries window family
-    "win_resample_ohlc",
-    "win_ewma",
-    "win_anomaly_zscore",
-    "win_twap",
-    "win_rolling_corr",
-    "win_interpolate_linear",
-    # ingest / egress batch
-    "scan_csv_corrupt_records",
-    "scan_glob_recursive",
-    "scan_file_metadata",
-    "sink_dynamic_partition_overwrite",
-    "sink_python_datasource",
-    "scan_observe_metrics",
-    "sql_parameterized",
-    # remaining never-checked analytics keys
-    "join_asof_tolerance",
-    "agg_approx_top_k",
-    "llm_multimodal_manifest",
-    "llm_gopher_rules",
-    "llm_dataset_card",
-    "sample_token_budget_mix",
-    # brand-new this round — first driver row for each: V2 checkpoint
-    # round trip, minor log compaction, polymorphic UDTF (Spark 4
-    # analyze()), collation GROUP BY. They take the slots of four
-    # single-construct demos (agg_listagg, fn_xml/printf/ip — lowest
-    # divergence risk of the never-checked set, moved to tier 2): new
-    # machinery gets driver validation first; the never-checked total
-    # retired this round is identical either way.
+    "serve_endpoint_lifecycle",
     "dml_checkpoint_v2",
     "dml_log_compaction",
-    "udtf_polymorphic_split",
-    "fn_collation_group",
-    # --- TIER 2 (51+): r7 window candidates. Head: the two newest
-    # composites (blocked fuzzy join + entity resolution — six-fixture
-    # green, registered after the r6 window was frozen), then the 23
-    # residual never-checked singles, then the stale-green §2
-    # rotation (VERDICT ask #5).
+    "sink_python_datasource",
     "join_fuzzy_blocked",
     "llm_entity_resolution",
+    # never-checked residue — composites and singles, all six-fixture
+    # green locally (r6 judge spot-ran 10 of these: 10/10 MATCH)
     "dml_optimize_where",
     "agg_listagg",
+    "agg_mode",
+    "agg_grouping_id",
+    "agg_string_agg",
     "fn_xml_parse",
     "fn_printf_format",
     "fn_ip_cidr",
@@ -157,12 +92,70 @@ _PRIORITY: tuple[str, ...] = (
     "fn_posexplode",
     "fn_date_trunc_week_quarter",
     "join_cross_small",
-    "agg_mode",
-    "agg_grouping_id",
-    "agg_string_agg",
     "sort_within_partitions",
     "win_first_last_nth",
     "win_percent_rank_cume_dist",
+    # stale-green rotation: the complete r1-vintage hash set ...
+    "agg_group_sum_avg_count",  # the flagship
+    "join_left_outer",
+    "join_full_outer",
+    "join_broadcast",
+    "join_multiway_star",
+    "join_theta_range",
+    "join_asof_last_event",
+    "join_self_pairs",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect_list_set",
+    "agg_filtered",
+    "agg_percentile",
+    # ... plus the oldest r2 rows (§2-core, cheapest first)
+    "scan_parquet",
+    "set_distinct",
+    "win_row_number_topk_per_group",
+    "llm_dedup_exact",
+    "llm_dedup_near_minhash",
+    "llm_similarity_topk",
+    # --- TIER 2 (51+): r8 rotation candidates — the remaining
+    # r2-vintage greens, oldest machinery first.
+    "llm_text_stats",
+    "llm_doc_quality_filter",
+    "llm_multimodal_cols",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_stateful",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_pandas_grouped",
+    "udtf_explode_ngrams",
+    "win_rank_dense_rank",
+    "win_lag_lead_delta",
+    "win_running_sum_frame",
+    "win_range_frame_moving_avg",
+    "win_ntile",
+    "win_session_id",
+    "sort_by_key",
+    "sort_multi_col_nulls",
+    "limit_n",
+    "topk_global",
+    "set_union_all",
+    "set_intersect",
+    "fn_string_basic",
+    "fn_string_split_tokens",
+    "fn_string_regex",
+    "fn_date_trunc_extract",
+    "fn_date_arith",
+    "fn_timestamp_cast_fmt",
+    "fn_cond_case",
+    "fn_array_ops",
+    "fn_array_hof",
+    "fn_explode",
+    "fn_map_json",
+    "json_column_parse",
+    "collect_to_pandas",
+    "create_dataframe_rows",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
