@@ -271,7 +271,8 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
-       sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS stddev_value
+       sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS stddev_value
 FROM s
 """
 
@@ -292,8 +293,13 @@ def agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents * cents).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    # sample variance = (n·Σx² − (Σx)²) / (n·(n−1))
-    stddev = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1))) / 100.0
+    # sample variance = (n·Σx² − (Σx)²) / (n·(n−1)). The SUMS stay
+    # exact integers (order-independence); the combination runs in
+    # DOUBLE — n·Σx² overflows int64 near n≈2e5 groups of 5-digit
+    # cents (caught by the sf1 anchor run under ANSI mode), and the
+    # identical expression tree on both engines keeps it hash-stable.
+    nd, sxd = n.cast("double"), sx.cast("double")
+    stddev = F.sqrt((nd * sxx - sxd * sx) / (nd * (n - 1))) / 100.0
     return agg.select("event_type", "n", stddev.alias("stddev_value"))
 
 
@@ -311,7 +317,7 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       (n * sxy - sx * sy) /
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
        (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
         * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_disc_tax
 FROM s
@@ -337,7 +343,10 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    corr = (n * sxy - sx * sy) / (
+    # numerator in DOUBLE like the denominator: n·Σxy outgrows int64
+    # with corpus size (same overflow class the sf1 anchor caught in
+    # agg_stddev_exact); the sums themselves stay exact integers
+    corr = (n.cast("double") * sxy - sx.cast("double") * sy) / (
         F.sqrt(n.cast("double") * sxx - sx.cast("double") * sx)
         * F.sqrt(n.cast("double") * syy - sy.cast("double") * sy)
     )

@@ -978,6 +978,54 @@ def dml_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_snapshot(spark, t.path, version=3)
 
 
+# --- dml_log_cleanup (metadata retention: delta.logRetentionDuration) ------
+# The mirror counterpart of VACUUM for metadata: once a checkpoint
+# covers a prefix, its JSON commits / compacted ranges / superseded
+# checkpoints are deletable after the retention window, with V2
+# sidecars GC'd by reference count. The key proves the reader
+# REPLAYS CORRECTLY from the surviving checkpoint + JSON tail: the
+# cleaned prefix cannot supply any action.
+
+_LOG_CLEANUP_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 3
+)
+SELECT * FROM (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM b
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment FROM b
+) WHERE NOT COALESCE(c_acctbal > 5000, FALSE)
+UNION ALL
+SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment FROM b
+"""
+
+
+@register("dml_log_cleanup", oracle=_LOG_CLEANUP_ORACLE)
+def dml_log_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE → APPEND → DELETE → checkpoint → APPEND on a mirrored
+    table, then ``cleanup_log_mirror(retention=0)`` — the expired
+    prefix (v0..v2 JSONs and any superseded checkpoint) is physically
+    deleted — and the snapshot is read back through the protocol
+    reader from the surviving checkpoint + JSON tail alone."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 3)
+    t = VersionedTable.create(
+        spark, temp_table_path("loggc"), c, delta_mirror=True
+    )
+    t.append(c.withColumn("c_custkey", F.col("c_custkey") + 1000000))  # v1
+    t.delete(F.col("c_acctbal") > 5000)                                 # v2
+    t.checkpoint_mirror()                                               # cp @ 2
+    t.append(c.withColumn("c_custkey", F.col("c_custkey") + 2000000))  # v3
+    future = int(_os.path.getmtime(t.path) * 1000) + 10_000_000
+    deleted = t.cleanup_log_mirror(retention_ms=0, now_ms=future)
+    assert any(fn.endswith(".json") for fn in deleted), deleted
+    return read_delta_snapshot(spark, t.path)
+
+
 @register("dml_cdf_capture", oracle=_CDF_ORACLE)
 def dml_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE → DELETE → MERGE on a CDF-enabled table, read back via

@@ -115,9 +115,13 @@ _PRIORITY: tuple[str, ...] = (
     "win_row_number_topk_per_group",
     "llm_dedup_exact",
     "llm_dedup_near_minhash",
-    "llm_similarity_topk",
+    # new machinery registered after the window above was composed:
+    # metadata retention cleanup (its slot displaces one r2 rotation
+    # key to tier 2 — new machinery gets driver validation first)
+    "dml_log_cleanup",
     # --- TIER 2 (51+): r8 rotation candidates — the remaining
     # r2-vintage greens, oldest machinery first.
+    "llm_similarity_topk",
     "llm_text_stats",
     "llm_doc_quality_filter",
     "llm_multimodal_cols",

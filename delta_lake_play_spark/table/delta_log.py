@@ -120,6 +120,9 @@ _MATERIALIZED_DIR = "_dv_materialized"
 # delta.deletedFileRetentionDuration (default 1 week) so external
 # VACUUM / incremental readers can track recently removed files.
 _TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
+# delta.logRetentionDuration default (30 days): log files below the
+# latest checkpoint older than this are metadata-cleanup eligible.
+_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 # Operations that rearrange data without changing it: the protocol
 # requires dataChange=false on their add/remove actions so streaming /
 # CDF consumers do not re-process compacted files as new data.
@@ -784,6 +787,79 @@ def _compacted_spans(ddir: str) -> dict[int, list[tuple[int, str]]]:
     return out
 
 
+def cleanup_expired_logs(
+    table, retention_ms: int = _LOG_RETENTION_MS, now_ms: int | None = None
+) -> list[str]:
+    """Metadata cleanup (Delta's ``delta.logRetentionDuration``, the
+    counterpart VACUUM is to data files): delete log files BELOW the
+    latest checkpoint that are older than the retention window —
+    JSON commits, compacted ranges fully under the checkpoint, and
+    superseded checkpoints — then garbage-collect V2 sidecars no
+    retained manifest references. Returns the deleted names.
+
+    Contract (matching Delta): versions below the earliest surviving
+    checkpoint become unreconstructible — time travel is bounded by
+    the retention window by design; the protocol readers raise their
+    descriptive not-reconstructible error for them. Checkpoints are
+    self-contained for replay, and ``_checkpoint_rows`` seeds txn and
+    unexpired tombstones from the prior checkpoint, so nothing a
+    FUTURE checkpoint needs lives only in the deleted JSONs. Sidecar
+    GC is reference-counted against every retained manifest — an
+    incremental checkpoint's REUSED sidecars are exactly the case a
+    name-based cleanup would corrupt.
+
+    Scale story: a 100 TB table commits continuously; an unbounded
+    log is a listing cost on every snapshot and an O(history) burden
+    on small-file storage. Cleanup keeps the log O(retention), purely
+    driver-side metadata work, no data files touched."""
+    import time as _time
+
+    ddir = _delta_dir(table.path)
+    cp_map = _checkpoint_versions(ddir)
+    if not cp_map:
+        return []  # nothing is replay-safe to delete without a checkpoint
+    latest_cp = max(cp_map)
+    cutoff = (now_ms if now_ms is not None else int(_time.time() * 1000)) - retention_ms
+
+    def _expired(fn: str) -> bool:
+        return os.path.getmtime(os.path.join(ddir, fn)) * 1000 <= cutoff
+
+    deleted: list[str] = []
+    # Replay from the latest checkpoint starts at latest_cp + 1, so
+    # the JSON AT the checkpoint version is itself redundant.
+    for v in _commit_versions(ddir):
+        fn = f"{v:020d}.json"
+        if v <= latest_cp and _expired(fn):
+            os.remove(os.path.join(ddir, fn))
+            deleted.append(fn)
+    for start, spans in _compacted_spans(ddir).items():
+        for end, fn in spans:
+            if end <= latest_cp and _expired(fn):
+                os.remove(os.path.join(ddir, fn))
+                deleted.append(fn)
+    for v, fn in cp_map.items():
+        if v < latest_cp and _expired(fn):
+            os.remove(os.path.join(ddir, fn))
+            deleted.append(fn)
+    # V2 sidecar GC: keep exactly what surviving manifests reference.
+    sdir = os.path.join(ddir, "_sidecars")
+    if os.path.isdir(sdir):
+        import pyarrow.parquet as pq
+
+        referenced: set[str] = set()
+        for fn in _checkpoint_versions(ddir).values():
+            if fn.endswith(".checkpoint.parquet"):
+                continue  # classic: no sidecars
+            for row in pq.read_table(os.path.join(ddir, fn)).to_pylist():
+                if row.get("sidecar"):
+                    referenced.add(row["sidecar"]["path"])
+        for fn in os.listdir(sdir):
+            if fn.endswith(".parquet") and fn not in referenced:
+                os.remove(os.path.join(sdir, fn))
+                deleted.append(os.path.join("_sidecars", fn))
+    return deleted
+
+
 def write_checkpoint(table, materialize_dvs: bool = False) -> int:
     """Force a checkpoint at the mirror's LATEST version, regardless
     of the every-N cadence (Delta's explicit ``DeltaLog.checkpoint()``
@@ -1102,6 +1178,26 @@ def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
         _write_checkpoint_classic(ddir, version, rows)
 
 
+def _prior_checkpoint_rows(ddir: str, version: int) -> list[dict]:
+    """All action rows (manifest + sidecars for V2) of the newest
+    checkpoint STRICTLY below ``version`` — the seed state a new
+    checkpoint must reconcile over once the JSON prefix below that
+    checkpoint has been cleaned up (``cleanup_expired_logs``): txn
+    and unexpired tombstone actions whose commits no longer exist
+    must survive checkpoint-to-checkpoint."""
+    usable = [v for v in _checkpoint_versions(ddir) if v < version]
+    if not usable:
+        return []
+    import pyarrow.parquet as pq
+
+    cp = max(usable)
+    fn = _checkpoint_versions(ddir)[cp]
+    rows = pq.read_table(os.path.join(ddir, fn)).to_pylist()
+    for sp in [r["sidecar"]["path"] for r in rows if r.get("sidecar")]:
+        rows += pq.read_table(os.path.join(ddir, "_sidecars", sp)).to_pylist()
+    return rows
+
+
 def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
     """The reconciled snapshot at ``version`` as action rows: one
     protocol row, one metaData row, latest txn per appId, persisted
@@ -1117,11 +1213,19 @@ def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
         _protocol_action(table, entry),
         {"metaData": meta},
     ]
+    prior = _prior_checkpoint_rows(ddir, version)
     # SetTransaction reconciliation: the checkpoint must carry the
     # LATEST txn version per appId so idempotent writers can resume
     # after the JSON prefix is cleaned up (PROTOCOL.md checkpoint
-    # contents).
+    # contents). Seeded from the previous checkpoint — after log
+    # cleanup the JSONs that recorded an appId may no longer exist —
+    # then overlaid with every commit still on disk.
     latest_txn: dict[str, dict] = {}
+    for r in prior:
+        if r.get("txn"):
+            latest_txn[r["txn"]["appId"]] = {
+                k: v for k, v in r["txn"].items() if v is not None
+            }
     for v_fn in _commit_versions(ddir):
         if v_fn > version:
             continue
@@ -1146,8 +1250,31 @@ def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
         ):
             rows.append(action)
             live_paths.add(action["add"]["path"])
+    seen_tombstones: set[str] = set()
     for rm in _recent_tombstones(ddir, version, ts):
         if rm["path"] not in live_paths:
+            seen_tombstones.add(rm["path"])
+            rows.append(
+                {
+                    "remove": {
+                        "path": rm["path"],
+                        "deletionTimestamp": rm.get("deletionTimestamp"),
+                        "dataChange": False,
+                    }
+                }
+            )
+    # Tombstones whose commits were cleaned up survive via the prior
+    # checkpoint until they age out of the retention window.
+    floor = ts - _TOMBSTONE_RETENTION_MS
+    for r in prior:
+        rm = r.get("remove")
+        if (
+            rm
+            and rm["path"] not in live_paths
+            and rm["path"] not in seen_tombstones
+            and (rm.get("deletionTimestamp") or 0) >= floor
+        ):
+            seen_tombstones.add(rm["path"])
             rows.append(
                 {
                     "remove": {

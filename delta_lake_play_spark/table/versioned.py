@@ -2645,6 +2645,24 @@ class VersionedTable:
 
         return _wcp(self, materialize_dvs=materialize_dvs)
 
+    def cleanup_log_mirror(
+        self, retention_ms: int | None = None, now_ms: int | None = None
+    ) -> list[str]:
+        """Mirror metadata cleanup (Delta ``delta.logRetentionDuration``):
+        delete mirrored log files below the latest checkpoint once
+        older than the retention window, including V2 sidecar GC.
+        Returns the deleted names. The PRIVATE commit log is never
+        touched — time travel through this layer keeps its full
+        history; only the open-protocol mirror's replay horizon is
+        bounded, exactly as an external Delta deployment's would be."""
+        from .delta_log import _LOG_RETENTION_MS, cleanup_expired_logs
+
+        return cleanup_expired_logs(
+            self,
+            retention_ms=_LOG_RETENTION_MS if retention_ms is None else retention_ms,
+            now_ms=now_ms,
+        )
+
     def row_tracking_enabled(self) -> bool:
         """Whether commits assign row-id ranges to fresh files (Delta
         ``delta.enableRowTracking``), from the CREATE entry. Fresh

@@ -572,6 +572,82 @@ def test_v2_checkpoint_reuses_unchanged_sidecars(spark, monkeypatch):
     assert _canon(read_delta_snapshot(spark, t.path)) == expected
 
 
+# ---------------------------------------------------------------- log cleanup
+
+
+def test_log_cleanup_bounds_replay_horizon(spark):
+    """cleanup_expired_logs deletes commits/checkpoints below the
+    latest checkpoint once past retention; the latest snapshot stays
+    readable from the surviving checkpoint + JSON tail, versions
+    below the horizon raise the descriptive error, and SetTransaction
+    + tombstone state survives into the NEXT checkpoint via prior-
+    checkpoint seeding."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 100).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-gc"), df.coalesce(1), delta_mirror=True
+    )
+    t.append(
+        df.withColumn("id", F.col("id") + 1000).coalesce(1),
+        txn_app_id="loader-a",
+        txn_version=7,
+    )                                                   # v1 (txn)
+    t.delete(F.col("id") < 40)                          # v2 (tombstone)
+    t.checkpoint_mirror()                               # checkpoint at 2
+    t.append(df.withColumn("id", F.col("id") + 2000).coalesce(1))  # v3
+    expected = _canon(t.read())
+    future = int(os.path.getmtime(t.path) * 1000) + 10_000_000
+    deleted = t.cleanup_log_mirror(retention_ms=0, now_ms=future)
+    ddir = os.path.join(t.path, "_delta_log")
+    assert {f"{v:020d}.json" for v in (0, 1, 2)} <= set(deleted)
+    assert f"{3:020d}.json" in os.listdir(ddir)  # above the checkpoint: kept
+    assert _canon(read_delta_snapshot(spark, t.path)) == expected
+    with pytest.raises(FileNotFoundError, match="not reconstructible|not in log"):
+        read_delta_snapshot(spark, t.path, version=1)
+    # the NEXT checkpoint still carries the cleaned-up txn + tombstone
+    t.checkpoint_mirror()  # checkpoint at 3
+    cp = [fn for fn in os.listdir(ddir) if ".checkpoint" in fn and fn.endswith(".parquet")]
+    rows = pq.read_table(os.path.join(ddir, sorted(cp)[-1])).to_pylist()
+    txns = {r["txn"]["appId"]: r["txn"]["version"] for r in rows if r.get("txn")}
+    assert txns.get("loader-a") == 7, txns
+    assert any(r.get("remove") for r in rows), "tombstone lost across cleanup"
+
+
+def test_log_cleanup_respects_retention_and_sidecar_refs(spark, monkeypatch):
+    """Files younger than retention survive; V2 sidecar GC deletes
+    only sidecars no retained manifest references — REUSED sidecars
+    (shared between the old and new manifest) must survive the old
+    manifest's deletion, and the snapshot must still reconstruct."""
+    from delta_lake_play_spark.table import delta_log as DL
+
+    monkeypatch.setattr(DL, "_SIDECAR_ACTIONS", 4)
+    t = _mk(spark, "dl-gc2", checkpoint_policy="v2")
+    for i in range(5):
+        t.append(
+            spark.range(1000 * (i + 1), 1000 * (i + 1) + 10)
+            .withColumn("v", (F.col("id") * 3).cast("long"))
+            .coalesce(1)
+        )
+    t.checkpoint_mirror()
+    ddir = os.path.join(t.path, "_delta_log")
+    sdir = os.path.join(ddir, "_sidecars")
+    first_sidecars = set(os.listdir(sdir))
+    # fresh files: nothing is past a 1-hour retention yet
+    assert t.cleanup_log_mirror(retention_ms=3_600_000) == []
+    t.append(
+        spark.range(9000, 9010).withColumn("v", (F.col("id") * 3).cast("long")).coalesce(1)
+    )
+    t.checkpoint_mirror()  # incremental: reuses most sidecars
+    expected = _canon(t.read())
+    future = int(os.path.getmtime(t.path) * 1000) + 10_000_000
+    deleted = t.cleanup_log_mirror(retention_ms=0, now_ms=future)
+    assert any(".checkpoint." in d for d in deleted), "old manifest kept"
+    surviving = set(os.listdir(sdir))
+    assert surviving & first_sidecars, "reused sidecars must survive GC"
+    assert _canon(read_delta_snapshot(spark, t.path)) == expected
+
+
 def test_classic_policy_unchanged_by_v2_machinery(spark):
     """Default tables keep the classic single-file checkpoint name,
     write no _sidecars directory, and stay protocol (1, 2)."""
