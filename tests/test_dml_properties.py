@@ -578,3 +578,96 @@ def test_join_mv_keyed_refresh_converges_over_rounds(spark):
     cust_t.append(spark.createDataFrame([(9, "late-cust")], "cust long, name string"))
     refresh()
     assert_converged()
+
+
+# Ops 0-3 are DML (merge/delete/update/append), op 4 = checkpoint the
+# mirror, op 5 = checkpoint + metadata cleanup (retention 0 at a
+# future "now", so everything below the checkpoint goes away).
+_OPS_CLEANUP = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 10**6)), min_size=4, max_size=8
+)
+
+
+@pytest.mark.slow
+@given(ops=_OPS_CLEANUP)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_random_dml_with_log_cleanup(spark, ops):
+    """Random DML interleaved with mirror checkpoints and metadata
+    cleanup (delta.logRetentionDuration at retention 0). Invariants
+    after every op: the protocol reader's LATEST read equals the
+    model, and after each cleanup every version at or above the
+    newest checkpoint still reconstructs to its historical state
+    (the replay horizon contract) — all while checkpoints seed txn/
+    tombstone state from their predecessors across the deleted
+    prefix."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    model = {1: ("James", "Bond"), 2: ("Alice", "Rogers")}
+    table = VersionedTable.create(
+        spark,
+        temp_table_path("propgc"),
+        spark.createDataFrame([(k, *v) for k, v in model.items()], SCHEMA),
+        delta_mirror=True,
+    )
+    states = {0: dict(model)}
+    next_id = 100
+    last_cp = None
+
+    def canon(df):
+        return {r[0]: (r[1], r[2]) for r in df.collect()}
+
+    for op_code, seed in ops:
+        ids = sorted(model)
+        if op_code == 0:  # MERGE
+            rows = [(next_id, f"n{seed}", "New")]
+            if ids:
+                rows.append((ids[seed % len(ids)], f"u{seed}", "Merged"))
+            table.merge(spark.createDataFrame(rows, SCHEMA), key="id")
+            for rid, fn, ln in rows:
+                model[rid] = (fn, ln)
+            next_id += 1
+        elif op_code == 1 and ids:  # DELETE
+            victims = ids[: (seed % len(ids)) + 1]
+            table.delete(F.col("id").isin(victims))
+            for v in victims:
+                del model[v]
+        elif op_code == 2 and ids:  # UPDATE
+            pick = ids[seed % len(ids)]
+            table.update({"lastname": F.lit(f"upd{seed}")}, F.col("id") == pick)
+            model[pick] = (model[pick][0], f"upd{seed}")
+        elif op_code == 3:  # APPEND (txn-tagged so cleanup must keep it)
+            row = (next_id, f"a{seed}", "Appended")
+            table.append(
+                spark.createDataFrame([row], SCHEMA),
+                txn_app_id="prop-loader",
+                txn_version=next_id,
+            )
+            model[row[0]] = row[1:]
+            next_id += 1
+        elif op_code == 4:  # checkpoint only
+            last_cp = table.checkpoint_mirror()
+        else:  # checkpoint + cleanup at retention 0
+            last_cp = table.checkpoint_mirror()
+            future = int(_os.path.getmtime(table.path) * 1000) + 10_000_000
+            table.cleanup_log_mirror(retention_ms=0, now_ms=future)
+
+        states[table.latest_version()] = dict(model)
+        assert canon(read_delta_snapshot(spark, table.path)) == model, (
+            f"protocol latest diverged after op {op_code}"
+        )
+
+    if last_cp is not None:
+        # every version from the newest checkpoint up must replay
+        for v in range(last_cp, table.latest_version() + 1):
+            if v in states:
+                assert canon(
+                    read_delta_snapshot(spark, table.path, version=v)
+                ) == states[v], f"version {v} lost after cleanup"
