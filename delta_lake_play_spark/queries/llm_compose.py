@@ -119,7 +119,7 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall harness costs one extra broadcast join over the two
     searches."""
     from delta_lake_play_spark.queries.llm_similarity import (
-        _CENTROID_STRIDE,
+        _ivf_stride,
         _N_QUERIES,
         _TOP_K,
     )
@@ -134,7 +134,7 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(
         corpus=corpus,
         queries=queries,
-        centroids=e.where(F.col("vec_id") % _CENTROID_STRIDE == 0),
+        centroids=e.where(F.col("vec_id") % _ivf_stride(e) == 0),
         id_col="vec_id",
         vec_col="embedding",
         k=_TOP_K,

@@ -107,11 +107,32 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- llm_similarity_ivf (cell-restricted scale path) ----------------------
 
-_CENTROID_STRIDE = 50  # vec_id % 50 == 0 → deterministic centroid set
+# Deterministic centroid set: every stride-th vec_id, where
+# stride = max(50, ceil(n/100)) — i.e. the cell COUNT caps at ~100
+# regardless of corpus size. The r7 sf1 anchor caught the original
+# fixed stride (50) growing the centroid set LINEARLY with the
+# corpus, which makes the broadcast assign O(n·cells·dim) = O(n²)
+# — 121× wall for 10× data. A capped nlist keeps assign and probe
+# both linear; at the driver fixtures (n ≤ 5000) the stride floor
+# reproduces the original cell layout exactly.
+_IVF_MIN_STRIDE = 50
+_IVF_MAX_CELLS = 100
+_IVF_STRIDE_SQL = (
+    f"(SELECT GREATEST({_IVF_MIN_STRIDE}, "
+    f"CAST(ceil(count(*) / {_IVF_MAX_CELLS}.0) AS BIGINT)) FROM v)"
+)
+
+
+def _ivf_stride(df: DataFrame) -> int:
+    """max(50, ceil(n/100)) — the Spark twin of ``_IVF_STRIDE_SQL``.
+    One parquet-footer count; the result is a plan literal."""
+    n = df.count()
+    return max(_IVF_MIN_STRIDE, -(-n // _IVF_MAX_CELLS))
+
 
 _IVF_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, de AS dcent FROM v WHERE vec_id % {_CENTROID_STRIDE} = 0),
+cent AS (SELECT vec_id AS centroid_id, de AS dcent FROM v WHERE vec_id % {_IVF_STRIDE_SQL} = 0),
 assign AS (
   SELECT vec_id, centroid_id FROM (
     SELECT v.vec_id, cent.centroid_id,
@@ -158,7 +179,7 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         corpus=e.where(F.col("vec_id") >= _N_QUERIES),
         queries=e.where(F.col("vec_id") < _N_QUERIES),
-        centroids=e.where(F.col("vec_id") % _CENTROID_STRIDE == 0),
+        centroids=e.where(F.col("vec_id") % _ivf_stride(e) == 0),
         id_col="vec_id",
         vec_col="embedding",
         k=_TOP_K,
