@@ -82,6 +82,24 @@ def test_ivf_assignment_shuffles_n_rows_not_n_times_c(spark, sf_dir):
     assert "partial_max" in plan or "partial" in plan.lower()
 
 
+def test_ivf_cell_count_is_capped():
+    """r7 sf1 anchor regression: the centroid set must NOT grow
+    linearly with the corpus (O(n²) assign). stride = max(50,
+    ceil(n/100)) keeps the historical layout at driver-fixture sizes
+    and caps cells at ~100 beyond."""
+    from delta_lake_play_spark.queries.llm_similarity import (
+        _IVF_MAX_CELLS,
+        _IVF_MIN_STRIDE,
+    )
+
+    def stride(n):  # the pure math of _ivf_stride, no Spark needed
+        return max(_IVF_MIN_STRIDE, -(-n // _IVF_MAX_CELLS))
+
+    assert stride(500) == 50 and stride(5000) == 50  # fixture layout kept
+    for n in (50_000, 1_000_000, 10**9):
+        assert n // stride(n) <= _IVF_MAX_CELLS + 1, n
+
+
 @pytest.mark.parametrize(
     "key",
     [
