@@ -605,6 +605,12 @@ def test_log_cleanup_bounds_replay_horizon(spark):
     assert _canon(read_delta_snapshot(spark, t.path)) == expected
     with pytest.raises(FileNotFoundError, match="not reconstructible|not in log"):
         read_delta_snapshot(spark, t.path, version=1)
+    # CDF over the cleaned range refuses descriptively (change feed
+    # is bounded by log retention, exactly as Delta's)
+    from delta_lake_play_spark.table.delta_log import read_delta_changes
+
+    with pytest.raises(FileNotFoundError, match="missing commit"):
+        read_delta_changes(spark, t.path, 1, 2)
     # the NEXT checkpoint still carries the cleaned-up txn + tombstone
     t.checkpoint_mirror()  # checkpoint at 3
     cp = [fn for fn in os.listdir(ddir) if ".checkpoint" in fn and fn.endswith(".parquet")]
