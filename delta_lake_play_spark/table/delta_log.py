@@ -612,6 +612,40 @@ def _files_present(table, entry: dict) -> bool:
 # ----------------------------------------------------------------- sync
 
 
+def _write_version_crc(table, ddir: str, version: int, entry: dict) -> None:
+    """Per-version checksum file (``<v>.crc`` — delta-spark's
+    VersionChecksum, validated by delta-kernel readers): the summary
+    state a reader can check a replayed snapshot against WITHOUT
+    scanning data files. OSS field subset written here:
+    ``tableSizeBytes`` (sum of live add sizes), ``numFiles``,
+    ``numMetadata``, ``numProtocol``. Snapshot validation lives in
+    ``read_delta_snapshot``; a corrupt replay (lost tombstone,
+    missed compacted span, stale checkpoint) fails loudly at read
+    time instead of silently returning wrong rows."""
+    ts = _ts_ms(entry["timestamp"])
+    part_cols = table.partition_columns()
+    size = 0
+    count = 0
+    for f in entry["files"]:
+        for action in _unit_adds(
+            table, f, part_cols, ts, False, entry.get("columnMap")
+        ):
+            size += int(action["add"]["size"])
+            count += 1
+    _write_atomic(
+        ddir,
+        f"{version:020d}.crc",
+        json.dumps(
+            {
+                "tableSizeBytes": size,
+                "numFiles": count,
+                "numMetadata": 1,
+                "numProtocol": 1,
+            }
+        ),
+    )
+
+
 def sync(table, materialize_dvs: bool = False) -> int:
     """Bring ``_delta_log`` up to the private log's latest version.
 
@@ -685,10 +719,12 @@ def sync(table, materialize_dvs: bool = False) -> int:
             _write_atomic(
                 ddir, f"{v:020d}.json", "\n".join(json.dumps(a) for a in actions)
             )
+            _write_version_crc(table, ddir, v, entry)
             _write_checkpoint(table, ddir, v, entry)
             mirrored.add(v)
             continue
         _write_atomic(ddir, f"{v:020d}.json", "\n".join(json.dumps(a) for a in actions))
+        _write_version_crc(table, ddir, v, entry)
         if v > 0 and v % _CHECKPOINT_EVERY == 0:
             _write_checkpoint(table, ddir, v, entry)
         mirrored.add(v)
@@ -832,6 +868,11 @@ def cleanup_expired_logs(
         if v <= latest_cp and _expired(fn):
             os.remove(os.path.join(ddir, fn))
             deleted.append(fn)
+            try:  # the version checksum travels with its commit
+                os.remove(os.path.join(ddir, f"{v:020d}.crc"))
+                deleted.append(f"{v:020d}.crc")
+            except FileNotFoundError:
+                pass
     for start, spans in _compacted_spans(ddir).items():
         for end, fn in spans:
             if end <= latest_cp and _expired(fn):
@@ -1635,6 +1676,27 @@ def read_delta_snapshot(
             )
         _apply_json(commit)
         v += 1
+
+    # Version-checksum validation (<v>.crc, delta-spark's
+    # VersionChecksum): the replayed file set must match the summary
+    # the writer recorded at commit time — a lost tombstone, missed
+    # compacted span, or stale checkpoint fails loudly here instead
+    # of silently returning wrong rows.
+    crc_path = os.path.join(ddir, f"{version:020d}.crc")
+    if os.path.exists(crc_path):
+        with open(crc_path) as fh:
+            crc = json.load(fh)
+        got_files = len(adds)
+        got_size = sum(int(a.get("size") or 0) for a in adds.values())
+        if (
+            crc.get("numFiles") != got_files
+            or crc.get("tableSizeBytes") != got_size
+        ):
+            raise DeltaMirrorError(
+                f"version checksum mismatch at {version}: crc says "
+                f"{crc.get('numFiles')} files / {crc.get('tableSizeBytes')} "
+                f"bytes, replay produced {got_files} / {got_size}"
+            )
 
     if schema_string is None:
         raise ValueError("no metaData action found — not a valid delta log")

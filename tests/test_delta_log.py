@@ -572,6 +572,43 @@ def test_v2_checkpoint_reuses_unchanged_sidecars(spark, monkeypatch):
     assert _canon(read_delta_snapshot(spark, t.path)) == expected
 
 
+def test_version_checksum_written_and_validated(spark):
+    """Every mirrored commit gets a ``<v>.crc`` (delta-spark's
+    VersionChecksum) whose numFiles/tableSizeBytes the protocol
+    reader validates after replay — a tampered checksum (simulating a
+    corrupt replay) fails loudly; cleanup deletes the crc with its
+    commit."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import DeltaMirrorError
+
+    df = spark.range(0, 40).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-crc"), df.coalesce(1), delta_mirror=True
+    )
+    t.append(df.withColumn("id", F.col("id") + 1000).coalesce(1))  # v1
+    t.delete(F.col("id") < 20)                                      # v2
+    ddir = _os.path.join(t.path, "_delta_log")
+    for v in (0, 1, 2):
+        assert _os.path.exists(_os.path.join(ddir, f"{v:020d}.crc")), v
+    read_delta_snapshot(spark, t.path)  # validates v2's crc: no raise
+    crc_path = _os.path.join(ddir, f"{2:020d}.crc")
+    with open(crc_path) as fh:
+        crc = json.load(fh)
+    crc["numFiles"] += 1
+    with open(crc_path, "w") as fh:
+        json.dump(crc, fh)
+    with pytest.raises(DeltaMirrorError, match="checksum mismatch"):
+        read_delta_snapshot(spark, t.path)
+    with open(crc_path, "w") as fh:
+        json.dump({**crc, "numFiles": crc["numFiles"] - 1}, fh)
+    t.checkpoint_mirror()
+    future = int(_os.path.getmtime(t.path) * 1000) + 10_000_000
+    deleted = t.cleanup_log_mirror(retention_ms=0, now_ms=future)
+    assert f"{0:020d}.crc" in deleted and f"{2:020d}.crc" in deleted
+    assert not _os.path.exists(_os.path.join(ddir, f"{0:020d}.crc"))
+
+
 # ---------------------------------------------------------------- log cleanup
 
 
