@@ -1110,3 +1110,44 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_variant",
         )
     )
+
+
+# --- fn_variant_extract (Spark 4 VARIANT: parse_json / variant_get) --------
+# The open-format semi-structured type (Spark 4 + Delta variantType):
+# parse once into VARIANT, extract typed paths without re-parsing per
+# field. At 100 TB the win over from_json-per-field is one parse per
+# row and binary-encoded shredded access; here the surface is proven
+# against a plain-JSON oracle. Outputs are plain typed columns — the
+# VARIANT itself never reaches the hash-checked schema.
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.absent') AS VARCHAR) AS missing,
+       CASE WHEN props IS NULL THEN NULL ELSE 'OBJECT<k: BIGINT>' END
+         AS vschema
+FROM events
+WHERE COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) >= 50
+"""
+
+
+@register("fn_variant_extract", oracle=_VARIANT_ORACLE)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_json(props)`` → VARIANT, then typed path extraction
+    (``variant_get`` with a target type), a missing-path probe
+    (``try_variant_get`` → NULL, never an error), and
+    ``schema_of_variant`` — the Spark 4 semi-structured surface the
+    ``from_json``-with-declared-schema keys cannot express (no schema
+    is declared anywhere here). The filter runs ON the variant
+    extraction, proving predicates compose with it."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.absent", "string").alias("missing"),
+            F.schema_of_variant(v).alias("vschema"),
+        )
+        .where(F.coalesce(F.col("k"), F.lit(-1)) >= 50)
+    )

@@ -459,6 +459,50 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sql_pipe_syntax (Spark 4 SQL pipe operators) ---------------------------
+# The |> chain form (SQL:2023-adjacent, Spark 4.0+): each stage
+# consumes the previous stage's relation, so a multi-step analysis
+# reads top-to-bottom instead of inside-out. Catalyst plans it
+# identically to the nested form — this key proves the surface parses
+# AND that the plan still aggregates/filters correctly by matching
+# the conventional-SQL oracle.
+
+_PIPE_SQL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_late,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+         AS late_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 1
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_SQL_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same join→filter→aggregate→having pipeline written as
+    Spark 4 pipe stages (`FROM … |> JOIN … |> WHERE … |> AGGREGATE …
+    |> WHERE`)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        FROM orders
+        |> JOIN customer ON o_custkey = c_custkey
+        |> WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_late,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                          AS DOUBLE) AS late_value
+           GROUP BY o_orderpriority
+        |> WHERE n_late > 1
+        |> SELECT o_orderpriority, n_late, late_value
+        """
+    )
+
+
 # --- sink_python_datasource ------------------------------------------------
 
 _PYJSONL_ORACLE = """

@@ -113,14 +113,17 @@ _PRIORITY: tuple[str, ...] = (
     "scan_parquet",
     "set_distinct",
     "win_row_number_topk_per_group",
-    "llm_dedup_exact",
-    "llm_dedup_near_minhash",
     # new machinery registered after the window above was composed:
-    # metadata retention cleanup (its slot displaces one r2 rotation
-    # key to tier 2 — new machinery gets driver validation first)
+    # metadata retention cleanup, the Spark-4 VARIANT surface, and
+    # SQL pipe syntax (their slots displace three r2 rotation keys to
+    # tier 2 — new machinery gets driver validation first)
     "dml_log_cleanup",
+    "fn_variant_extract",
+    "sql_pipe_syntax",
     # --- TIER 2 (51+): r8 rotation candidates — the remaining
     # r2-vintage greens, oldest machinery first.
+    "llm_dedup_exact",
+    "llm_dedup_near_minhash",
     "llm_similarity_topk",
     "llm_text_stats",
     "llm_doc_quality_filter",
