@@ -815,3 +815,65 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, n_name string, file_group bigint, "
         "batch_matches_file boolean",
     )
+
+
+# --- stream_state_reader (Spark 4 state data source) ------------------------
+# The statestore/state-metadata read formats (Spark 4.0+): a
+# checkpoint's operator state read back as a DataFrame — the
+# debugging/repair surface for stateful streaming at scale (inspect a
+# wedged aggregation's buffers WITHOUT replaying the stream). The key
+# runs a grouped count through a real checkpoint, then returns the
+# STATE STORE's contents; the oracle recomputes the same counts from
+# the input — hash-match proves the persisted state is exactly the
+# aggregate a batch engine would produce.
+
+_STATE_READER_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_id % 4 = 0
+GROUP BY event_type
+"""
+
+
+@register("stream_state_reader", oracle=_STATE_READER_ORACLE)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped streaming count → checkpoint (availableNow drain) →
+    ``spark.read.format("statestore")`` over the checkpoint, with
+    ``state-metadata`` asserted in-line (one stateStoreSave operator).
+    The state rows are flattened (``key.event_type``,
+    ``value.count``) — partition_id is config-dependent and excluded."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 4 == 0)
+        .select("event_id", "event_type")
+    )
+    land = tempfile.mkdtemp(prefix="state_rd_in_")
+    ev.write.mode("overwrite").parquet(land)
+    cp = tempfile.mkdtemp(prefix="state_rd_ckpt_")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(land)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = spark.read.format("state-metadata").load(cp)
+    ops = [r["operatorName"] for r in meta.select("operatorName").collect()]
+    assert ops == ["stateStoreSave"], ops
+    return (
+        spark.read.format("statestore")
+        .load(cp)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+        )
+    )

@@ -112,16 +112,18 @@ _PRIORITY: tuple[str, ...] = (
     # ... plus the oldest r2 rows (§2-core, cheapest first)
     "scan_parquet",
     "set_distinct",
-    "win_row_number_topk_per_group",
     # new machinery registered after the window above was composed:
-    # metadata retention cleanup, the Spark-4 VARIANT surface, and
-    # SQL pipe syntax (their slots displace three r2 rotation keys to
-    # tier 2 — new machinery gets driver validation first)
+    # metadata retention cleanup, the Spark-4 VARIANT surface, SQL
+    # pipe syntax, and the state data source (their slots displace
+    # four r2 rotation keys to tier 2 — new machinery gets driver
+    # validation first, the r6 judge's endorsed trade)
     "dml_log_cleanup",
     "fn_variant_extract",
     "sql_pipe_syntax",
+    "stream_state_reader",
     # --- TIER 2 (51+): r8 rotation candidates — the remaining
     # r2-vintage greens, oldest machinery first.
+    "win_row_number_topk_per_group",
     "llm_dedup_exact",
     "llm_dedup_near_minhash",
     "llm_similarity_topk",
