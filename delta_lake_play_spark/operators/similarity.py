@@ -99,13 +99,17 @@ def blocked_pairs(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
-    block_col: str,
+    block_col: str | list[str],
     min_cos: float,
     broadcast_hints: bool = True,
 ) -> DataFrame:
     """Within-block near-dup pairs: cosine ≥ ``min_cos`` for every
     ``a < b`` pair sharing ``block_col`` (the IVF-cell / LSH-bucket /
-    precomputed-label blocking pattern).
+    precomputed-label blocking pattern). A list of columns forms a
+    COMPOSITE block key (pairs must match on every column); pass one
+    whose combined cardinality grows with the corpus — a fixed-
+    cardinality key makes block population, and therefore within-
+    block pair enumeration, grow with n (see ``scaled_sign_planes``).
 
     With ``broadcast_hints=True`` (default) the right side is
     broadcast un-replicated and the left side is repartitioned to the
@@ -128,29 +132,59 @@ def blocked_pairs(
     ``tests/test_operators.py::test_blocked_pairs_hint_off_same_pairs``)."""
     spark = vectors.sparkSession
     want = spark.sparkContext.defaultParallelism
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col)
+    blk_aliases = [f"__blk{i}" for i in range(len(blocks))]
     a = vectors.select(
         F.col(id_col).alias("__a"),
-        F.col(block_col).alias("__blk"),
+        *[F.col(c).alias(al) for c, al in zip(blocks, blk_aliases)],
         F.col(vec_col).alias("__va"),
     )
     if a.rdd.getNumPartitions() < want:
         a = a.repartition(want)
     b = vectors.select(
         F.col(id_col).alias("__b"),
-        F.col(block_col).alias("__blk"),
+        *[F.col(c).alias(al) for c, al in zip(blocks, blk_aliases)],
         F.col(vec_col).alias("__vb"),
     )
-    return (
-        a.join(F.broadcast(b) if broadcast_hints else b, on="__blk")
+    paired = (
+        a.join(F.broadcast(b) if broadcast_hints else b, on=blk_aliases)
         .where(F.col("__a") < F.col("__b"))
         .select(
             "__a",
             "__b",
-            "__blk",
+            # single-key callers keep the historical `__blk` name;
+            # composite callers get back their own column names
+            *(
+                [F.col(blk_aliases[0]).alias("__blk")]
+                if len(blocks) == 1
+                else [F.col(al).alias(c) for c, al in zip(blocks, blk_aliases)]
+            ),
             cosine_sim("__va", "__vb").alias("__cos"),
         )
         .where(F.col("__cos") >= min_cos)
     )
+    return paired
+
+
+def scaled_sign_planes(n_rows: int, base: int = 5000, max_planes: int = 16) -> int:
+    """Corpus-scaled LSH plane count for a composite blocking key:
+    the smallest p (≤ ``max_planes``) with ``n_rows ≤ base·2^p``.
+
+    Used to keep blocked-pair enumeration LINEAR in the corpus: a
+    fixed blocking key (e.g. a 10-value label) makes within-block
+    population grow ∝ n and pair listing ∝ n²; intersecting it with
+    a 2^p-bucket hyperplane-sign key whose p grows with log₂(n)
+    pins expected block population to [base/2, base] by
+    construction. Assignment stays a narrow per-row map of p
+    dot-products — O(n·log n) total, never the O(n·cells) broadcast
+    assign that makes linearly-grown IVF centroid sets quadratic
+    (the r7 sf1 lesson). Integer ladder, no floating log2, so a SQL
+    oracle reproduces it exactly with a CASE over count(*)."""
+    p, cap = 0, base
+    while n_rows > cap and p < max_planes:
+        p += 1
+        cap *= 2
+    return p
 
 
 def lsh_planes(dims: int, n_planes: int) -> list[list[float]]:

@@ -920,3 +920,55 @@ def test_bfs_distances_on_path_graph(spark):
             (r.node, r.dist) for r in G.graph_bfs_distance(spark, d).collect()
         }
     assert got == {(50, 0), (51, 1), (52, 2), (53, 3)}
+
+
+def test_scaled_sign_planes_ladder():
+    """Integer ladder: smallest p with n <= base*2^p, capped. This is
+    the contract the SQL oracle's CASE ladder mirrors — a drift here
+    silently desyncs llm_dedup_embedding_cosine's blocking from its
+    oracle at large corpora (driver fixtures all sit at p=0)."""
+    from delta_lake_play_spark.operators.similarity import scaled_sign_planes
+
+    assert scaled_sign_planes(1) == 0
+    assert scaled_sign_planes(5000) == 0
+    assert scaled_sign_planes(5001) == 1
+    assert scaled_sign_planes(10000) == 1
+    assert scaled_sign_planes(10001) == 2
+    assert scaled_sign_planes(25000) == 3
+    assert scaled_sign_planes(50000) == 4
+    assert scaled_sign_planes(10**12) == 16  # cap
+    assert scaled_sign_planes(300, base=100, max_planes=2) == 2
+
+
+def test_blocked_pairs_composite_key(spark, sf_dir):
+    """Composite block key = intersection semantics: every composite
+    pair exists in the single-key set, and pairs split across
+    sub-buckets are dropped. With a constant sub-bucket the pair set
+    must be IDENTICAL to single-key blocking (the p=0 fixture path of
+    llm_dedup_embedding_cosine)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.operators.similarity import (
+        blocked_pairs,
+        hyperplane_bucket,
+        lsh_planes,
+    )
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where("vec_id < 200")
+    single = blocked_pairs(e, "vec_id", "embedding", "label", 0.3)
+    canon = lambda df: sorted((r["__a"], r["__b"]) for r in df.collect())  # noqa: E731
+    single_pairs = canon(single)
+
+    const = e.withColumn("bkt", F.lit(0).cast("long"))
+    same = blocked_pairs(const, "vec_id", "embedding", ["label", "bkt"], 0.3)
+    assert canon(same) == single_pairs and len(single_pairs) > 0
+
+    split = e.withColumn(
+        "bkt", hyperplane_bucket("embedding", lsh_planes(64, 4))
+    )
+    subset = blocked_pairs(split, "vec_id", "embedding", ["label", "bkt"], 0.3)
+    sub_pairs = canon(subset)
+    assert set(sub_pairs) <= set(single_pairs)
+    # composite output keeps the caller's column names, not __blk
+    assert {"label", "bkt"} <= set(subset.columns) and "__blk" not in subset.columns
