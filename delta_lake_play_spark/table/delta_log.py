@@ -612,7 +612,20 @@ def _files_present(table, entry: dict) -> bool:
 # ----------------------------------------------------------------- sync
 
 
-def _write_version_crc(table, ddir: str, version: int, entry: dict) -> None:
+def _unit_size_count(table, f: dict, part_cols: list[str], cmap) -> tuple[int, int]:
+    """(bytes, file count) one private unit contributes to the live
+    snapshot — the file itself, or its materialized DV survivors."""
+    size = 0
+    count = 0
+    for action in _unit_adds(table, f, part_cols, 0, False, cmap):
+        size += int(action["add"]["size"])
+        count += 1
+    return size, count
+
+
+def _write_version_crc(
+    table, ddir: str, version: int, entry: dict, prev: dict | None = None
+) -> None:
     """Per-version checksum file (``<v>.crc`` — delta-spark's
     VersionChecksum, validated by delta-kernel readers): the summary
     state a reader can check a replayed snapshot against WITHOUT
@@ -621,24 +634,56 @@ def _write_version_crc(table, ddir: str, version: int, entry: dict) -> None:
     ``numMetadata``, ``numProtocol``. Snapshot validation lives in
     ``read_delta_snapshot``; a corrupt replay (lost tombstone,
     missed compacted span, stale checkpoint) fails loudly at read
-    time instead of silently returning wrong rows."""
-    ts = _ts_ms(entry["timestamp"])
+    time instead of silently returning wrong rows.
+
+    Derived INCREMENTALLY when ``prev`` (the predecessor's private
+    entry) is given: prior ``.crc`` totals plus this commit's
+    add/remove unit deltas — O(changed units) in stat/footer
+    syscalls, matching how delta-spark folds each commit's actions
+    into the previous VersionChecksum. The full live-set recompute
+    (O(total files) per version, O(F·V) over a backfill) runs only
+    for v0, re-base snapshots, or when the prior crc / a removed
+    unit's on-disk artifacts are gone."""
     part_cols = table.partition_columns()
-    size = 0
-    count = 0
-    for f in entry["files"]:
-        for action in _unit_adds(
-            table, f, part_cols, ts, False, entry.get("columnMap")
-        ):
-            size += int(action["add"]["size"])
-            count += 1
+    totals: tuple[int, int] | None = None
+    if prev is not None and version > 0:
+        try:
+            with open(os.path.join(ddir, f"{version - 1:020d}.crc")) as fh:
+                pc = json.load(fh)
+            size = int(pc["tableSizeBytes"])
+            count = int(pc["numFiles"])
+            prev_units = {_unit_key(f): f for f in prev["files"]}
+            cur_units = {_unit_key(f): f for f in entry["files"]}
+            for key in cur_units.keys() - prev_units.keys():
+                s, c = _unit_size_count(
+                    table, cur_units[key], part_cols, entry.get("columnMap")
+                )
+                size += s
+                count += c
+            for key in prev_units.keys() - cur_units.keys():
+                s, c = _unit_size_count(
+                    table, prev_units[key], part_cols, prev.get("columnMap")
+                )
+                size -= s
+                count -= c
+            totals = (size, count)
+        except (OSError, ValueError, KeyError):
+            totals = None  # missing/corrupt prior crc or reclaimed unit
+    if totals is None:
+        size = 0
+        count = 0
+        for f in entry["files"]:
+            s, c = _unit_size_count(table, f, part_cols, entry.get("columnMap"))
+            size += s
+            count += c
+        totals = (size, count)
     _write_atomic(
         ddir,
         f"{version:020d}.crc",
         json.dumps(
             {
-                "tableSizeBytes": size,
-                "numFiles": count,
+                "tableSizeBytes": totals[0],
+                "numFiles": totals[1],
                 "numMetadata": 1,
                 "numProtocol": 1,
             }
@@ -724,7 +769,7 @@ def sync(table, materialize_dvs: bool = False) -> int:
             mirrored.add(v)
             continue
         _write_atomic(ddir, f"{v:020d}.json", "\n".join(json.dumps(a) for a in actions))
-        _write_version_crc(table, ddir, v, entry)
+        _write_version_crc(table, ddir, v, entry, prev=None if v == 0 else prev)
         if v > 0 and v % _CHECKPOINT_EVERY == 0:
             _write_checkpoint(table, ddir, v, entry)
         mirrored.add(v)
@@ -895,7 +940,17 @@ def cleanup_expired_logs(
                 if row.get("sidecar"):
                     referenced.add(row["sidecar"]["path"])
         for fn in os.listdir(sdir):
-            if fn.endswith(".parquet") and fn not in referenced:
+            # mtime grace: _write_checkpoint_v2 links sidecars into
+            # place BEFORE its manifest lands, so an unreferenced
+            # sidecar younger than the retention cutoff may belong to
+            # an in-flight checkpoint — deleting it would orphan the
+            # manifest written moments later. Only reap sidecars old
+            # enough that no surviving manifest could still adopt them.
+            if (
+                fn.endswith(".parquet")
+                and fn not in referenced
+                and os.path.getmtime(os.path.join(sdir, fn)) * 1000 <= cutoff
+            ):
                 os.remove(os.path.join(sdir, fn))
                 deleted.append(os.path.join("_sidecars", fn))
     return deleted
@@ -1649,15 +1704,16 @@ def read_delta_snapshot(
             # retained remove tombstones re-delete dead ones, latest
             # metaData/protocol/txn win). Only engaged when the JSON
             # is genuinely missing; widest usable end wins (ADVICE r6).
-            covering = next(
+            covering = max(
                 (
                     (e, fn)
-                    for s in sorted(spans, reverse=True)
+                    for s in spans
                     if s <= v
                     for e, fn in spans[s]
                     if v <= e <= version
                 ),
-                None,
+                key=lambda t: t[0],
+                default=None,
             )
             if covering is not None:
                 end_v, cfn = covering

@@ -2654,9 +2654,15 @@ class VersionedTable:
         Returns the deleted names. The PRIVATE commit log is never
         touched — time travel through this layer keeps its full
         history; only the open-protocol mirror's replay horizon is
-        bounded, exactly as an external Delta deployment's would be."""
+        bounded, exactly as an external Delta deployment's would be.
+
+        A table created without ``delta_mirror=True`` has no
+        ``_delta_log`` directory: a no-op (returns ``[]``), matching
+        the other mirror entry points' guard-or-create behavior."""
         from .delta_log import _LOG_RETENTION_MS, cleanup_expired_logs
 
+        if not os.path.isdir(os.path.join(self.path, "_delta_log")):
+            return []
         return cleanup_expired_logs(
             self,
             retention_ms=_LOG_RETENTION_MS if retention_ms is None else retention_ms,

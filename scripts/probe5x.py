@@ -34,7 +34,7 @@ spark.sparkContext.setLogLevel("ERROR")
 queries = all_queries()
 
 
-def run(key: str, sf_dir: str) -> float:
+def run(key: str, sf_dir: str) -> tuple[float, int]:
     best = float("inf")
     for _ in range(2):  # min-of-2: absorbs JIT/fixture-build jitter
         t0 = time.time()

@@ -984,3 +984,40 @@ def test_duckdb_sql_protocol_reader_agrees(spark):
     spark_rows = sorted(tuple(r) for r in t.read().select("id", "v").collect())
     assert duck_rows == spark_rows
     con.close()
+
+
+def test_version_crc_incremental_matches_full(spark, monkeypatch):
+    """The incremental crc (prior .crc + this commit's unit deltas)
+    must equal the full live-set recompute byte-for-byte, and a
+    one-file append on a many-file table must stat only the CHANGED
+    units — not the whole snapshot (the O(F·V) backfill trap)."""
+    import os as _os
+
+    from delta_lake_play_spark.table import delta_log as dl
+
+    df = spark.range(0, 200).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-crc-inc"), df.repartition(8), delta_mirror=True
+    )
+    calls = []
+    real = dl._unit_size_count
+
+    def counting(table, f, part_cols, cmap):
+        calls.append(f["path"])
+        return real(table, f, part_cols, cmap)
+
+    monkeypatch.setattr(dl, "_unit_size_count", counting)
+    t.append(df.limit(5).coalesce(1))  # v1: ONE added file
+    assert len(calls) <= 2, calls  # changed units only, never all 8+
+    ddir = _os.path.join(t.path, "_delta_log")
+    with open(_os.path.join(ddir, f"{1:020d}.crc")) as fh:
+        incremental = json.load(fh)
+    # force the full-recompute path by dropping prev and compare
+    monkeypatch.setattr(dl, "_unit_size_count", real)
+    entry = t._read_log(1)
+    _os.remove(_os.path.join(ddir, f"{1:020d}.crc"))
+    dl._write_version_crc(t, ddir, 1, entry, prev=None)
+    with open(_os.path.join(ddir, f"{1:020d}.crc")) as fh:
+        full = json.load(fh)
+    assert incremental == full
+    read_delta_snapshot(spark, t.path)  # still validates

@@ -1012,3 +1012,11 @@ def test_optimize_where_scopes_to_partition(spark, sf_dir):
         VersionedTable.create(
             spark, temp_table_path("optwhere-up"), df.drop("day")
         ).optimize(where="day = 0")
+
+
+def test_cleanup_log_mirror_noop_without_mirror(spark):
+    """cleanup_log_mirror on a table created WITHOUT delta_mirror must
+    be a no-op returning [], not a raw FileNotFoundError (ADVICE r7)."""
+    df = spark.range(0, 10).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(spark, temp_table_path("no-mirror-clean"), df)
+    assert t.cleanup_log_mirror(retention_ms=0) == []
