@@ -1514,3 +1514,71 @@ def dml_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.optimize(target_files=1, where="c_mktsegment = 'BUILDING'")
     return t.to_df().select(*c.columns)
+
+
+# --- dml_cluster_by (clustered tables / liquid clustering) ------------------
+# Delta clustered tables: clustering columns are DECLARED table state
+# (domain ``delta.clustering`` + writer feature ``clustering``), and
+# OPTIMIZE applies them without being told the columns. The key proves
+# the full lifecycle through the protocol reader: declare at CREATE,
+# alter with set_cluster_by, plain optimize() picks the declared
+# columns up, then checkpoint + JSON cleanup — the domainMetadata must
+# survive into the checkpoint for the replayed clustering_cols literal
+# (and therefore the value hash) to match the oracle.
+
+_CLUSTER_BY_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal,
+       'c_nationkey,c_acctbal' AS clustering_cols
+FROM customer WHERE c_custkey BETWEEN 10 AND 60
+"""
+
+
+@register("dml_cluster_by", oracle=_CLUSTER_BY_ORACLE)
+def dml_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE CLUSTER BY (c_custkey) → ALTER CLUSTER BY (c_nationkey,
+    c_acctbal) → plain OPTIMIZE (applies the DECLARED columns) →
+    checkpoint, delete every commit JSON, and read back exclusively
+    through the protocol reader — data rows from the checkpoint, the
+    clustering declaration from the replayed ``delta.clustering``
+    domainMetadata. A lost or stale domain changes clustering_cols
+    and fails the value hash."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import (
+        read_delta_domains,
+        read_delta_snapshot,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("clby"),
+        c.repartition(4),
+        delta_mirror=True,
+        cluster_by=["c_custkey"],
+    )
+    t.set_cluster_by(["c_nationkey", "c_acctbal"])   # v1: ALTER, O(1)
+    t.optimize(target_files=4)                        # v2: declared layout
+    v = t.checkpoint_mirror()
+    ddir = _os.path.join(t.path, "_delta_log")
+    for fn in list(_os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= v:
+                _os.remove(_os.path.join(ddir, fn))
+    domains = read_delta_domains(t.path)
+    cols = [
+        p[0]
+        for p in domains.get("delta.clustering", {}).get(
+            "clusteringColumns", []
+        )
+    ]
+    return (
+        read_delta_snapshot(spark, t.path)
+        .filter(F.col("c_custkey").between(10, 60))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(",".join(cols)).alias("clustering_cols"),
+        )
+    )

@@ -126,7 +126,7 @@ _LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 # Operations that rearrange data without changing it: the protocol
 # requires dataChange=false on their add/remove actions so streaming /
 # CDF consumers do not re-process compacted files as new data.
-_DATA_NEUTRAL_OPS = {"OPTIMIZE"}
+_DATA_NEUTRAL_OPS = {"OPTIMIZE", "CLUSTER BY"}
 
 
 class DeltaMirrorError(RuntimeError):
@@ -358,6 +358,12 @@ def _protocol_action(table, entry: dict) -> dict:
     reader_features: list[str] = []
     if table.row_tracking_enabled():
         table_features += ["domainMetadata", "rowTracking"]
+    if entry.get("clusterBy"):
+        # clustered table (liquid clustering): writer feature
+        # ``clustering`` + its ``domainMetadata`` dependency
+        if "domainMetadata" not in table_features:
+            table_features += ["domainMetadata"]
+        table_features += ["clustering"]
     if table.ict_enabled():
         table_features += ["inCommitTimestamp"]
     if table.checkpoint_policy() == "v2":
@@ -1017,6 +1023,8 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
         actions.append({"txn": t})
     if "rowIdHighWaterMark" in entry:
         actions.append(_row_tracking_domain(entry))
+    if entry.get("clusterBy"):
+        actions.append(_clustering_domain(entry))
     for f in entry["files"]:
         actions.extend(
             _unit_adds(table, f, part_cols, ts, True, entry.get("columnMap"))
@@ -1032,6 +1040,23 @@ def _row_tracking_domain(entry: dict) -> dict:
             "domain": "delta.rowTracking",
             "configuration": json.dumps(
                 {"rowIdHighWaterMark": int(entry["rowIdHighWaterMark"])}
+            ),
+            "removed": False,
+        }
+    }
+
+
+def _clustering_domain(entry: dict) -> dict:
+    """``domainMetadata`` action declaring a clustered table's
+    clustering columns (PROTOCOL.md clustered tables: domain
+    ``delta.clustering``; delta-spark's liquid-clustering metadata).
+    Column paths nest one level per struct hop — this layer clusters
+    on top-level columns only, so each path is a single element."""
+    return {
+        "domainMetadata": {
+            "domain": "delta.clustering",
+            "configuration": json.dumps(
+                {"clusteringColumns": [[c] for c in entry["clusterBy"]]}
             ),
             "removed": False,
         }
@@ -1057,9 +1082,11 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         prev_units: dict[str, dict] = {}
     else:
         assert prev is not None
-        if _is_mapped(entry) and not _is_mapped(prev):
-            # column mapping first enabled here: upgrade the protocol
-            # in the same commit (legal mid-log per the spec)
+        if (_is_mapped(entry) and not _is_mapped(prev)) or (
+            entry.get("clusterBy") and not prev.get("clusterBy")
+        ):
+            # column mapping / clustering first enabled here: upgrade
+            # the protocol in the same commit (legal mid-log per spec)
             actions.append(_protocol_action(table, entry))
         if entry["schema"] != prev["schema"] or entry.get(
             "columnMap"
@@ -1088,6 +1115,22 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         or entry["rowIdHighWaterMark"] != prev.get("rowIdHighWaterMark")
     ):
         actions.append(_row_tracking_domain(entry))
+    prev_cb = (prev or {}).get("clusterBy")
+    if entry.get("clusterBy") != prev_cb:
+        if entry.get("clusterBy"):
+            actions.append(_clustering_domain(entry))
+        elif prev_cb:
+            # clustering dropped: tombstone the domain so replay and
+            # compaction reconciliation stop advertising stale columns
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps({"clusteringColumns": []}),
+                        "removed": True,
+                    }
+                }
+            )
     for f in entry.get("cdcFiles", []):
         actions.append(_cdc_action(table.path, f, part_cols))
     if entry.get("txn"):
@@ -1339,6 +1382,10 @@ def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
         # domainMetadata persists in checkpoints (PROTOCOL.md): the
         # row-id high-water mark must survive JSON-prefix cleanup.
         rows.append(_row_tracking_domain(entry))
+    if entry.get("clusterBy"):
+        # likewise the clustering-columns domain: an external client
+        # must still see the declared clustering after log cleanup
+        rows.append(_clustering_domain(entry))
     live_paths: set[str] = set()
     for f in entry["files"]:
         for action in _unit_adds(
@@ -1593,21 +1640,16 @@ def resolve_delta_timestamp(table_path: str, timestamp_ms: int) -> int:
     return best
 
 
-def read_delta_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
-) -> DataFrame:
-    """Read a Delta table through its ``_delta_log`` ONLY — an
-    independent protocol reader (checkpoint + JSON replay), the local
-    stand-in for delta-rs / DuckDB-delta, which this environment
-    cannot install. Partition columns are reconstructed from each
-    add-file's ``partitionValues`` exactly as the protocol requires
-    (they are absent from the data files).
-
-    Handles logs whose JSON prefix was cleaned up (or never written —
-    a vacuum-hole re-base) past a checkpoint: the latest version is
-    the max over JSON commits AND checkpoints, and replay starts at
-    the newest usable checkpoint. Requesting a version below every
-    checkpoint with its JSON missing raises a descriptive error."""
+def _replay_actions(
+    table_path: str, version: int | None = None
+) -> tuple[int, dict[str, dict], str | None, list[str], dict[str, dict]]:
+    """Protocol-reader action replay (checkpoint + compacted spans +
+    JSON commits) shared by :func:`read_delta_snapshot` and
+    :func:`read_delta_domains`. Returns ``(version, adds,
+    schema_string, part_cols, domains)`` where ``domains`` is the
+    latest non-removed ``domainMetadata`` per domain — reconciled
+    exactly as PROTOCOL.md specifies (latest action per domain wins;
+    a ``removed`` tombstone drops it)."""
     ddir = _delta_dir(table_path)
     versions = _commit_versions(ddir)
     cp_map = _checkpoint_versions(ddir)
@@ -1629,9 +1671,16 @@ def read_delta_snapshot(
         raise FileNotFoundError(f"delta version {version} not in log")
 
     adds: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
     schema_string: str | None = None
     part_cols: list[str] = []
     start = 0
+
+    def _apply_domain(d: dict) -> None:
+        if d.get("removed"):
+            domains.pop(d["domain"], None)
+        else:
+            domains[d["domain"]] = d
 
     usable = [v for v in cp_versions if v <= version]
     if usable:
@@ -1644,6 +1693,8 @@ def read_delta_snapshot(
             if row.get("metaData"):
                 schema_string = row["metaData"]["schemaString"]
                 part_cols = list(row["metaData"]["partitionColumns"] or [])
+            if row.get("domainMetadata"):
+                _apply_domain(row["domainMetadata"])
             if row.get("add"):
                 a = row["add"]
                 if isinstance(a.get("partitionValues"), list):
@@ -1677,6 +1728,8 @@ def read_delta_snapshot(
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                elif "domainMetadata" in action:
+                    _apply_domain(action["domainMetadata"])
 
     v = start
     while v <= version:
@@ -1753,7 +1806,44 @@ def read_delta_snapshot(
                 f"{crc.get('numFiles')} files / {crc.get('tableSizeBytes')} "
                 f"bytes, replay produced {got_files} / {got_size}"
             )
+    return version, adds, schema_string, part_cols, domains
 
+
+def read_delta_domains(
+    table_path: str, version: int | None = None
+) -> dict[str, dict]:
+    """Replayed ``domainMetadata`` state at ``version`` through the
+    ``_delta_log`` ONLY (checkpoint + JSON; the same traversal as
+    :func:`read_delta_snapshot`): ``{domain: parsed configuration}``.
+    This is how an external client discovers e.g. a clustered table's
+    clustering columns (domain ``delta.clustering``) after the JSON
+    prefix that declared them was checkpointed and cleaned up."""
+    _, _, _, _, domains = _replay_actions(table_path, version)
+    out: dict[str, dict] = {}
+    for name, d in domains.items():
+        cfg = d.get("configuration")
+        out[name] = json.loads(cfg) if isinstance(cfg, str) else (cfg or {})
+    return out
+
+
+def read_delta_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table through its ``_delta_log`` ONLY — an
+    independent protocol reader (checkpoint + JSON replay), the local
+    stand-in for delta-rs / DuckDB-delta, which this environment
+    cannot install. Partition columns are reconstructed from each
+    add-file's ``partitionValues`` exactly as the protocol requires
+    (they are absent from the data files).
+
+    Handles logs whose JSON prefix was cleaned up (or never written —
+    a vacuum-hole re-base) past a checkpoint: the latest version is
+    the max over JSON commits AND checkpoints, and replay starts at
+    the newest usable checkpoint. Requesting a version below every
+    checkpoint with its JSON missing raises a descriptive error."""
+    version, adds, schema_string, part_cols, _domains = _replay_actions(
+        table_path, version
+    )
     if schema_string is None:
         raise ValueError("no metaData action found — not a valid delta log")
     schema = T.StructType.fromJson(json.loads(schema_string))

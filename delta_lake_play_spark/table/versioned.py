@@ -259,6 +259,7 @@ class VersionedTable:
         row_tracking: bool = False,
         in_commit_timestamps: bool = False,
         checkpoint_policy: str = "classic",
+        cluster_by: list[str] | None = None,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -339,6 +340,17 @@ class VersionedTable:
                     f"identity column {ic!r} collides with a generated/"
                     f"partition column"
                 )
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"cluster_by columns not in the data: {missing}"
+                )
+            if any(c in (partition_by or []) for c in cluster_by):
+                raise ValueError(
+                    "cluster_by and partition_by are mutually exclusive "
+                    "per column (Delta clustered tables are unpartitioned)"
+                )
         os.makedirs(t._log_dir, exist_ok=True)
         for name, expr in (generated or {}).items():
             df = df.withColumn(name, F.expr(expr))
@@ -347,6 +359,11 @@ class VersionedTable:
                 identity["column"],
                 _identity_expr(identity, identity["start"] - identity["step"]),
             )
+        if cluster_by:
+            # initial layout honors the declared clustering: range-
+            # partition so each file carries a tight min/max band on
+            # the clustering columns from the very first commit
+            df = df.repartitionByRange(*cluster_by)
         t._commit_files(
             df,
             [],
@@ -362,6 +379,7 @@ class VersionedTable:
                 "rowTracking": bool(row_tracking),
                 "inCommitTimestamps": bool(in_commit_timestamps),
                 "checkpointPolicy": checkpoint_policy,
+                "clusterBy": list(cluster_by or []),
             },
             df.schema,
         )
@@ -1652,6 +1670,8 @@ class VersionedTable:
             entry["columnMap"] = src["columnMap"]
         if src.get("retiredPhysical"):
             entry["retiredPhysical"] = src["retiredPhysical"]
+        if src.get("clusterBy"):
+            entry["clusterBy"] = src["clusterBy"]
         with open(os.path.join(clone._log_dir, f"{0:020d}.json"), "w") as fh:
             json.dump(entry, fh)
         return clone
@@ -1737,12 +1757,20 @@ class VersionedTable:
                 if not hit:
                     return base  # nothing in scope: no-op, no commit
             df = self._read_entry({**entry, "files": hit})
+            # A clustered table's plain OPTIMIZE applies the DECLARED
+            # clustering columns (Delta: OPTIMIZE on a clustered table
+            # clusters; you never pass columns to it). Explicit
+            # cluster_by/zorder_by args override for this rewrite only
+            # — the declared state is never mutated here.
+            eff_cluster = cluster_by
+            if not cluster_by and not zorder_by:
+                eff_cluster = entry.get("clusterBy") or None
             if zorder_by:
                 out = df.repartitionByRange(
                     target_files, _zorder_key(df, zorder_by)
                 ).sortWithinPartitions(_zorder_key(df, zorder_by))
-            elif cluster_by:
-                out = df.repartitionByRange(target_files, *cluster_by)
+            elif eff_cluster:
+                out = df.repartitionByRange(target_files, *eff_cluster)
             else:
                 out = df.coalesce(target_files)
             return self._commit_files(
@@ -1751,7 +1779,7 @@ class VersionedTable:
                 "OPTIMIZE",
                 {
                     "targetFiles": target_files,
-                    "clusterBy": cluster_by or [],
+                    "clusterBy": eff_cluster or [],
                     "zorderBy": zorder_by or [],
                     **({"predicate": where} if where is not None else {}),
                 },
@@ -2637,6 +2665,52 @@ class VersionedTable:
             or "classic"
         )
 
+    def set_cluster_by(self, cols: list[str]) -> int:
+        """Declare (or clear, with ``[]``) the table's clustering
+        columns — Delta's ``ALTER TABLE ... CLUSTER BY`` surface for
+        clustered tables (liquid clustering). Metadata-only commit:
+        every file is carried by reference, O(1) for any table size;
+        the next :meth:`optimize` applies the declared layout. On a
+        mirrored table the commit emits the ``delta.clustering``
+        domainMetadata (plus the ``clustering`` writer-feature
+        protocol upgrade the first time), so external clients discover
+        the clustering columns through the protocol."""
+
+        def attempt() -> int:
+            base = self.latest_version()
+            entry = self._read_log(base)
+            schema = self._entry_schema(entry)
+            names = {f.name for f in schema.fields}
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"cluster_by columns not in schema: {missing}"
+                )
+            if any(c in self.partition_columns() for c in cols):
+                raise ValueError(
+                    "cluster_by and partition_by are mutually exclusive "
+                    "per column (Delta clustered tables are unpartitioned)"
+                )
+            return self._commit_files(
+                None,
+                list(entry["files"]),
+                "CLUSTER BY",
+                {"clusterBy": list(cols)},
+                schema,
+                base_version=base,
+                column_map=entry.get("columnMap"),
+                retired_physical=entry.get("retiredPhysical"),
+            )
+
+        return self._retrying(attempt)
+
+    def cluster_by_columns(self) -> list[str]:
+        """The declared clustering columns (empty when the table is
+        not clustered), from the latest commit's carried state."""
+        return list(
+            self._read_log_raw(self.latest_version()).get("clusterBy") or []
+        )
+
     def checkpoint_mirror(self, materialize_dvs: bool = False) -> int:
         """Force a mirror checkpoint at the latest version (Delta's
         explicit ``DeltaLog.checkpoint()``), in the table's declared
@@ -2941,6 +3015,19 @@ class VersionedTable:
                 if s and s[1] is not None:
                     cand.append(int(s[1]))
             entry["identityHighWaterMark"] = max(cand)
+        # Clustering columns (Delta clustered tables): declared at
+        # CREATE or by the CLUSTER BY alter commit; every other commit
+        # carries the declaration forward unchanged — OPTIMIZE's
+        # ad-hoc layout params never mutate the declared state.
+        cb = (
+            params.get("clusterBy")
+            if operation in ("CREATE", "CLUSTER BY")
+            else None
+        )
+        if cb is None and base_version is not None:
+            cb = self._read_log_raw(base_version).get("clusterBy")
+        if cb:
+            entry["clusterBy"] = list(cb)
         if cdc_df is not None:
             # Recorded even when EMPTY: a zero-row capture (e.g. a
             # RESTORE that reverts a layout-only OPTIMIZE — files

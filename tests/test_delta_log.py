@@ -1021,3 +1021,77 @@ def test_version_crc_incremental_matches_full(spark, monkeypatch):
         full = json.load(fh)
     assert incremental == full
     read_delta_snapshot(spark, t.path)  # still validates
+
+
+def test_clustering_domain_full_lifecycle(spark):
+    """Clustered-table mirror (liquid clustering): CREATE CLUSTER BY
+    writes the delta.clustering domainMetadata + the clustering
+    writer feature; ALTER re-declares; the domain survives checkpoint
+    + JSON cleanup; clearing tombstones it out of replay."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import (
+        read_delta_domains,
+        read_delta_snapshot,
+    )
+
+    df = spark.range(0, 300).withColumn("v", (F.col("id") * 7 % 50).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-clust"),
+        df.repartition(4),
+        delta_mirror=True,
+        cluster_by=["v"],
+    )
+    ddir = _os.path.join(t.path, "_delta_log")
+    v0 = _actions(t, 0)
+    protos = [a["protocol"] for a in v0 if "protocol" in a]
+    assert protos and "clustering" in protos[0]["writerFeatures"]
+    assert "domainMetadata" in protos[0]["writerFeatures"]
+    doms = [a["domainMetadata"] for a in v0 if "domainMetadata" in a]
+    assert any(
+        d["domain"] == "delta.clustering"
+        and json.loads(d["configuration"])["clusteringColumns"] == [["v"]]
+        for d in doms
+    )
+    # ALTER: metadata-only commit re-declares; plain optimize applies it
+    t.set_cluster_by(["id"])
+    assert t.cluster_by_columns() == ["id"]
+    t.optimize(target_files=2)
+    entry = t._read_log(t.latest_version())
+    assert entry["operationParameters"]["clusterBy"] == ["id"]
+    # survives checkpoint + cleaned JSON prefix
+    v = t.checkpoint_mirror()
+    for fn in list(_os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= v:
+                _os.remove(_os.path.join(ddir, fn))
+    doms = read_delta_domains(t.path)
+    assert doms["delta.clustering"]["clusteringColumns"] == [["id"]]
+    assert read_delta_snapshot(spark, t.path).count() == 300
+    # clearing tombstones the domain out of replay
+    t.set_cluster_by([])
+    assert t.cluster_by_columns() == []
+    assert "delta.clustering" not in read_delta_domains(t.path)
+
+
+def test_clustering_mid_log_protocol_upgrade(spark):
+    """set_cluster_by on a table created WITHOUT clustering emits the
+    protocol upgrade (writer 7 + clustering feature) in the SAME
+    commit as the domain, per the mid-log upgrade rule."""
+    df = spark.range(0, 60).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-clust-up"), df, delta_mirror=True
+    )
+    v0_protos = [a["protocol"] for a in _actions(t, 0) if "protocol" in a]
+    assert all("writerFeatures" not in p for p in v0_protos)
+    t.set_cluster_by(["v"])
+    acts = _actions(t, 1)
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and "clustering" in protos[0]["writerFeatures"]
+    assert protos[0]["minWriterVersion"] == 7
+    assert any(
+        a["domainMetadata"]["domain"] == "delta.clustering"
+        for a in acts
+        if "domainMetadata" in a
+    )
