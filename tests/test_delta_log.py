@@ -1095,3 +1095,203 @@ def test_clustering_mid_log_protocol_upgrade(spark):
         for a in acts
         if "domainMetadata" in a
     )
+
+
+# --- DuckDB-SQL protocol reader: checkpoint / V2 / compaction replay -------
+# Extends the independent SQL reader beyond raw JSON commits (VERDICT
+# r7 ask #4): the strongest external-client stand-in available while
+# delta-rs / duckdb-delta stay uninstallable. Shared SQL shape: every
+# source of file actions contributes (version, path) rows; live files
+# are adds with no later remove. No code is shared with the module's
+# Python readers — reconciliation is pure SQL over the log artifacts.
+
+
+def _duck_live_paths(con, sources: list[tuple[str, str]]) -> list[str]:
+    """``sources``: (kind, spec) where kind is ``json`` (spec = a SQL
+    list literal of commit-file paths, versions parsed from names),
+    ``parquet@N`` (spec = one checkpoint/sidecar parquet path, all
+    actions at version N), or ``compacted@N`` (spec = one compacted
+    ndjson path, reconciled range ending at N)."""
+    adds, rms = [], []
+    for kind, spec in sources:
+        if kind == "json":
+            v = "CAST(regexp_extract(filename, '(\\d{20})\\.json$', 1) AS BIGINT)"
+            adds.append(
+                f"SELECT {v} AS v, json_extract_string(\"json\", '$.add.path') AS p "
+                f"FROM read_ndjson_objects([{spec}], filename=true) "
+                f"WHERE json_extract(\"json\", '$.add') IS NOT NULL"
+            )
+            rms.append(
+                f"SELECT {v} AS v, json_extract_string(\"json\", '$.remove.path') AS p "
+                f"FROM read_ndjson_objects([{spec}], filename=true) "
+                f"WHERE json_extract(\"json\", '$.remove') IS NOT NULL"
+            )
+        elif kind.startswith("parquet@"):
+            v = int(kind.split("@")[1])
+            adds.append(
+                f"SELECT {v} AS v, add.path AS p FROM read_parquet('{spec}') "
+                f"WHERE add IS NOT NULL"
+            )
+            rms.append(
+                f"SELECT {v} AS v, remove.path AS p FROM read_parquet('{spec}') "
+                f"WHERE remove IS NOT NULL"
+            )
+        elif kind.startswith("compacted@"):
+            v = int(kind.split("@")[1])
+            adds.append(
+                f"SELECT {v} AS v, json_extract_string(\"json\", '$.add.path') AS p "
+                f"FROM read_ndjson_objects(['{spec}']) "
+                f"WHERE json_extract(\"json\", '$.add') IS NOT NULL"
+            )
+            rms.append(
+                f"SELECT {v} AS v, json_extract_string(\"json\", '$.remove.path') AS p "
+                f"FROM read_ndjson_objects(['{spec}']) "
+                f"WHERE json_extract(\"json\", '$.remove') IS NOT NULL"
+            )
+        else:  # pragma: no cover - test-harness misuse
+            raise ValueError(kind)
+    q = (
+        "WITH adds AS (" + " UNION ALL ".join(adds) + "), "
+        "rms AS (" + " UNION ALL ".join(rms) + ") "
+        "SELECT DISTINCT p FROM adds a "
+        "WHERE NOT EXISTS (SELECT 1 FROM rms r WHERE r.p = a.p AND r.v > a.v) "
+        "ORDER BY p"
+    )
+    return [p for (p,) in con.execute(q).fetchall()]
+
+
+def _duck_compare(con, t, live_rel_paths):
+    from urllib.parse import unquote
+
+    paths = [os.path.join(t.path, unquote(p)) for p in live_rel_paths]
+    assert paths, "SQL reconciliation found no live files"
+    duck = sorted(
+        con.execute(
+            "SELECT id, v FROM read_parquet($paths)", {"paths": paths}
+        ).fetchall()
+    )
+    spark_rows = sorted(tuple(r) for r in t.read().select("id", "v").collect())
+    assert duck == spark_rows
+
+
+def _duck_json_sources(ddir):
+    commits = sorted(
+        os.path.join(ddir, fn)
+        for fn in os.listdir(ddir)
+        if fn.endswith(".json")
+        and not fn.startswith(("_", "."))
+        and ".compacted." not in fn
+    )
+    return commits
+
+
+def test_duckdb_sql_reader_classic_checkpoint(spark):
+    """SQL replay THROUGH a classic checkpoint: JSON prefix deleted,
+    live set = checkpoint adds (at the checkpoint version) + later
+    JSON adds, minus later removes — pure DuckDB SQL end to end."""
+    import duckdb
+
+    df = spark.range(0, 150).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-duck-cp"), df.repartition(3), delta_mirror=True
+    )
+    t.append(spark.range(150, 200).withColumn("v", (F.col("id") * 3).cast("long")))
+    t.delete(F.col("id") % 9 == 0)
+    cp = t.checkpoint_mirror()                      # checkpoint at v2
+    t.append(spark.range(200, 230).withColumn("v", (F.col("id") * 3).cast("long")))
+    t.update({"v": F.lit(-5).cast("long")}, F.col("id") == 3)
+    ddir = os.path.join(t.path, "_delta_log")
+    for fn in list(os.listdir(ddir)):               # clean the prefix
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= cp:
+                os.remove(os.path.join(ddir, fn))
+    cp_file = next(
+        os.path.join(ddir, fn)
+        for fn in os.listdir(ddir)
+        if fn == f"{cp:020d}.checkpoint.parquet"
+    )
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    con = duckdb.connect()
+    live = _duck_live_paths(
+        con, [(f"parquet@{cp}", cp_file), ("json", jsons)]
+    )
+    _duck_compare(con, t, live)
+    con.close()
+
+
+def test_duckdb_sql_reader_v2_manifest_sidecars(spark):
+    """SQL replay through a V2 checkpoint: the manifest's sidecar rows
+    name the file-action shards; each sidecar parquet contributes its
+    adds/removes at the checkpoint version. Two SQL statements (list
+    sidecars, then reconcile) — still zero shared reader code."""
+    import duckdb
+
+    df = spark.range(0, 150).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-duck-v2"),
+        df.repartition(3),
+        delta_mirror=True,
+        checkpoint_policy="v2",
+    )
+    t.append(spark.range(150, 200).withColumn("v", (F.col("id") * 3).cast("long")))
+    t.delete(F.col("id") % 9 == 0)
+    cp = t.checkpoint_mirror()
+    t.append(spark.range(200, 230).withColumn("v", (F.col("id") * 3).cast("long")))
+    ddir = os.path.join(t.path, "_delta_log")
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= cp:
+                os.remove(os.path.join(ddir, fn))
+    manifest = next(
+        os.path.join(ddir, fn)
+        for fn in os.listdir(ddir)
+        if fn.startswith(f"{cp:020d}.checkpoint.") and fn.endswith(".parquet")
+    )
+    con = duckdb.connect()
+    sidecars = [
+        s
+        for (s,) in con.execute(
+            f"SELECT sidecar.path FROM read_parquet('{manifest}') "
+            f"WHERE sidecar IS NOT NULL"
+        ).fetchall()
+    ]
+    assert sidecars, "V2 manifest lists no sidecars"
+    sources = [(f"parquet@{cp}", manifest)] + [
+        (f"parquet@{cp}", os.path.join(ddir, "_sidecars", s)) for s in sidecars
+    ]
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    live = _duck_live_paths(con, sources + [("json", jsons)])
+    _duck_compare(con, t, live)
+    con.close()
+
+
+def test_duckdb_sql_reader_compacted_range(spark):
+    """SQL replay through a minor log compaction: JSONs 1..4 deleted,
+    the <1>.<4>.compacted.json reconciliation substitutes for them at
+    the range's end version."""
+    import duckdb
+
+    from delta_lake_play_spark.table.delta_log import write_log_compaction
+
+    df = spark.range(0, 150).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-duck-cmp"), df.repartition(3), delta_mirror=True
+    )
+    t.append(spark.range(150, 180).withColumn("v", (F.col("id") * 3).cast("long")))  # v1
+    t.delete(F.col("id") % 9 == 0)                                                   # v2
+    t.update({"v": F.lit(-5).cast("long")}, F.col("id") == 3)                        # v3
+    t.append(spark.range(180, 210).withColumn("v", (F.col("id") * 3).cast("long")))  # v4
+    t.delete(F.col("id") % 13 == 0)                                                  # v5
+    cfn = write_log_compaction(t, 1, 4)
+    ddir = os.path.join(t.path, "_delta_log")
+    for v in range(1, 5):
+        os.remove(os.path.join(ddir, f"{v:020d}.json"))
+    con = duckdb.connect()
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    live = _duck_live_paths(
+        con,
+        [("json", jsons), ("compacted@4", os.path.join(ddir, cfn))],
+    )
+    _duck_compare(con, t, live)
+    con.close()
