@@ -50,86 +50,41 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-7 WINDOW (first 50). Composition (SURVEY §15 records
-    # the rationale): slots 1-7 are this round's new/changed
-    # machinery — the re-pointed incremental-dedup key (now the
-    # scale-safe flagged-set contract, VERDICT r6 ask #2), the new
-    # serving-lifecycle key (ask #4), and the four keys whose
-    # implementation changed this round (incremental V2 checkpoints,
-    # compaction tombstone retention, pyjsonl deferred deletion,
-    # fuzzy block-key guard). Slots 8-31 retire ALL 26 remaining
-    # never-driver-checked keys (VERDICT ask #1 — ends the
-    # two-round-old deferral). Slots 32-50 rotate the 19 stalest
-    # greens: every r1-vintage hash row plus the oldest r2 rows.
-    # Done = 295/295 ever-checked, zero §2 rows older than r2.
-    "llm_dedup_incremental",
-    "serve_endpoint_lifecycle",
+    # --- ROUND-8 WINDOW (first 50). Composition (SURVEY §15 records
+    # the rationale): slots 1-11 enforce the new standing rule from
+    # VERDICT r7 ask #1 — any key whose query source or reachable
+    # operator changed in-round gets a window slot THAT round.
+    # 1-4: the four keys whose r7 code change never got a driver row
+    # (the ANSI-overflow DOUBLE-combination fix in the exact moment
+    # aggregates; the IVF cell-count cap and its recall consumer).
+    # 5-8: this round's composite-blocking change to blocked_pairs
+    # (llm_dedup_embedding_cosine re-pointed per ask #3, plus the two
+    # other blocked_pairs consumers whose single-key path is pinned
+    # identical but reaches changed code) and the new dml_cluster_by
+    # key (ask #6). 9-11: the delta_log.py changes (incremental crc,
+    # sidecar GC grace, widest-span selection) through the three
+    # mirror keys that observe those exact paths. Slots 12-50 rotate
+    # the stale-evidence tail (ask #2), stalest first: all 5
+    # remaining r1-vintage rows, then 34 r2-vintage rows — streams,
+    # UDFs, windows, LLM singles and fn batteries before trivia.
+    "agg_stddev_exact",
+    "agg_corr_exact",
+    "llm_similarity_ivf",
+    "llm_ann_recall",
+    "llm_dedup_embedding_cosine",
+    "llm_dedup_clusters",
+    "llm_dedup_keep_best",
+    "dml_cluster_by",
     "dml_checkpoint_v2",
-    "dml_log_compaction",
-    "sink_python_datasource",
-    "join_fuzzy_blocked",
-    "llm_entity_resolution",
-    # never-checked residue — composites and singles, all six-fixture
-    # green locally (r6 judge spot-ran 10 of these: 10/10 MATCH)
-    "dml_optimize_where",
-    "agg_listagg",
-    "agg_mode",
-    "agg_grouping_id",
-    "agg_string_agg",
-    "fn_xml_parse",
-    "fn_printf_format",
-    "fn_ip_cidr",
-    "fn_struct_ops",
-    "fn_interval_arith",
-    "fn_date_spine_fill",
-    "fn_string_pad_translate",
-    "fn_bitwise",
-    "fn_greatest_least",
-    "fn_map_hof",
-    "fn_bool_agg",
-    "fn_levenshtein",
-    "fn_explode_outer",
-    "fn_posexplode",
-    "fn_date_trunc_week_quarter",
-    "join_cross_small",
-    "sort_within_partitions",
-    "win_first_last_nth",
-    "win_percent_rank_cume_dist",
-    # stale-green rotation: the complete r1-vintage hash set ...
-    "agg_group_sum_avg_count",  # the flagship
-    "join_left_outer",
-    "join_full_outer",
-    "join_broadcast",
-    "join_multiway_star",
-    "join_theta_range",
-    "join_asof_last_event",
-    "join_self_pairs",
-    "agg_rollup",
-    "agg_cube",
-    "agg_collect_list_set",
-    "agg_filtered",
-    "agg_percentile",
-    # ... plus the oldest r2 rows (§2-core, cheapest first)
-    "scan_parquet",
-    "set_distinct",
-    # new machinery registered after the window above was composed:
-    # metadata retention cleanup, the Spark-4 VARIANT surface, SQL
-    # pipe syntax, and the state data source (their slots displace
-    # four r2 rotation keys to tier 2 — new machinery gets driver
-    # validation first, the r6 judge's endorsed trade)
     "dml_log_cleanup",
-    "fn_variant_extract",
-    "sql_pipe_syntax",
-    "stream_state_reader",
-    # --- TIER 2 (51+): r8 rotation candidates — the remaining
-    # r2-vintage greens, oldest machinery first.
-    "win_row_number_topk_per_group",
-    "llm_dedup_exact",
-    "llm_dedup_near_minhash",
-    "llm_similarity_topk",
-    "llm_text_stats",
-    "llm_doc_quality_filter",
-    "llm_multimodal_cols",
+    "dml_log_compaction",
+    # r1-vintage stale rows (newest driver evidence: round 1)
+    "agg_max_by_min_by",
+    "agg_pivot",
+    "filter_null_safe_eq",
+    "join_salted_skew",
+    "sample_hash_mod",
+    # r2-vintage stale rows — stateful/complex machinery first
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
@@ -139,32 +94,43 @@ _PRIORITY: tuple[str, ...] = (
     "udf_pandas_vectorized",
     "udaf_pandas_grouped",
     "udtf_explode_ngrams",
+    "llm_dedup_exact",
+    "llm_dedup_near_minhash",
+    "llm_dedup_simhash",
+    "llm_similarity_topk",
+    "llm_text_stats",
+    "llm_doc_quality_filter",
+    "llm_multimodal_cols",
+    "win_row_number_topk_per_group",
     "win_rank_dense_rank",
     "win_lag_lead_delta",
     "win_running_sum_frame",
     "win_range_frame_moving_avg",
     "win_ntile",
     "win_session_id",
-    "sort_by_key",
-    "sort_multi_col_nulls",
-    "limit_n",
-    "topk_global",
-    "set_union_all",
-    "set_intersect",
+    "agg_grouping_sets",
     "fn_string_basic",
     "fn_string_split_tokens",
     "fn_string_regex",
     "fn_date_trunc_extract",
     "fn_date_arith",
     "fn_timestamp_cast_fmt",
-    "fn_cond_case",
     "fn_array_ops",
     "fn_array_hof",
     "fn_explode",
     "fn_map_json",
+    # --- TIER 2 (51+): the 10 r2-vintage rows deferred to r9 —
+    # trivial scan/sort/set machinery, least likely to rot.
+    "fn_cond_case",
     "json_column_parse",
     "collect_to_pandas",
     "create_dataframe_rows",
+    "sort_by_key",
+    "sort_multi_col_nulls",
+    "limit_n",
+    "topk_global",
+    "set_union_all",
+    "set_intersect",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
