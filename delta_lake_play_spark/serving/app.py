@@ -14,15 +14,17 @@ them in its threadpool, fixing the reference's blocking-inside-
 
 from __future__ import annotations
 
-from datetime import datetime
-
 from pyspark.sql import SparkSession
 
 from delta_lake_play_spark.serving.handlers import NamesTableService
+from delta_lake_play_spark.serving.models import (
+    DeleteFromTableRequest,
+    GetTableRequest,
+    MergeToTableRequest,
+)
 
 try:
     from fastapi import FastAPI, HTTPException
-    from pydantic import BaseModel
 
     _HAVE_FASTAPI = True
 except ImportError:  # pragma: no cover - not installed in build env
@@ -30,26 +32,15 @@ except ImportError:  # pragma: no cover - not installed in build env
 
 
 def create_app(spark: SparkSession, table_dir: str):
-    """Build the FastAPI app (``api.py:52``'s ``create_app`` shape)."""
+    """Build the FastAPI app (``api.py:52``'s ``create_app`` shape).
+    Request models live in ``serving/models.py`` (pydantic-gated, and
+    since r8 exercised by the stdlib dev server too)."""
     if not _HAVE_FASTAPI:
         raise ImportError(
-            "fastapi/pydantic are not installed; use "
-            "delta_lake_play_spark.serving.handlers.NamesTableService directly"
+            "fastapi is not installed; use "
+            "delta_lake_play_spark.serving.http_server (stdlib, same "
+            "routes + pydantic validation) or handlers.NamesTableService"
         )
-
-    class TableRowModel(BaseModel):  # api.py:23-26
-        id: int
-        firstname: str
-        lastname: str
-
-    class MergeToTableRequest(BaseModel):  # api.py:29-30
-        data: list[TableRowModel]
-
-    class DeleteFromTableRequest(BaseModel):  # api.py:33-34
-        ids: list[int]
-
-    class GetTableRequest(BaseModel):  # api.py:37-38
-        version: int | datetime | None = None
 
     service = NamesTableService(spark, table_dir)
     app = FastAPI()

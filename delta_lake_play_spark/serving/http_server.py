@@ -33,6 +33,7 @@ from threading import Thread
 
 from pyspark.sql import SparkSession
 
+from delta_lake_play_spark.serving import models
 from delta_lake_play_spark.serving.handlers import NamesTableService
 
 
@@ -66,7 +67,15 @@ def make_handler(service: NamesTableService) -> type[BaseHTTPRequestHandler]:
                 elif method == "GET" and self.path == "/get_table_history":
                     self._reply(200, service.get_table_history())
                 elif method == "POST" and self.path == "/get_table":
-                    version = _parse_version(self._body().get("version"))
+                    # Validate through the pydantic request model when
+                    # available (exactly what FastAPI does before the
+                    # route runs); hand parsing is the fallback.
+                    if models.HAVE_PYDANTIC:
+                        version = models.GetTableRequest.model_validate(
+                            self._body()
+                        ).version
+                    else:  # pragma: no cover - pydantic present here
+                        version = _parse_version(self._body().get("version"))
                     out = service.get_table(version)
                     # JSON-shape parity with the FastAPI app (r6
                     # review): integer labels stay numbers; only a
@@ -75,9 +84,22 @@ def make_handler(service: NamesTableService) -> type[BaseHTTPRequestHandler]:
                         out["version"] = out["version"].isoformat()
                     self._reply(200, out)
                 elif method == "PUT" and self.path == "/merge_to_table":
-                    self._reply(200, service.merge_to_table(self._body()["data"]))
+                    if models.HAVE_PYDANTIC:
+                        req = models.MergeToTableRequest.model_validate(
+                            self._body()
+                        )
+                        rows = [r.model_dump() for r in req.data]
+                    else:  # pragma: no cover - pydantic present here
+                        rows = self._body()["data"]
+                    self._reply(200, service.merge_to_table(rows))
                 elif method == "DELETE" and self.path == "/delete_from_table":
-                    self._reply(200, service.delete_from_table(self._body()["ids"]))
+                    if models.HAVE_PYDANTIC:
+                        ids = models.DeleteFromTableRequest.model_validate(
+                            self._body()
+                        ).ids
+                    else:  # pragma: no cover - pydantic present here
+                        ids = self._body()["ids"]
+                    self._reply(200, service.delete_from_table(ids))
                 else:
                     self._reply(404, {"detail": "Not Found"})
             except (KeyError, ValueError, TypeError) as exc:

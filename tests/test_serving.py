@@ -220,3 +220,65 @@ def test_http_concurrent_merges_both_commit(spark):
         assert {100, 200} <= ids and table["version"] == 2
     finally:
         server.shutdown()
+
+
+def test_pydantic_request_models_validate_wire_shapes(spark):
+    """The pydantic request models (serving/models.py — api.py:23-38
+    parity) run for real now that pydantic is installed: through the
+    stdlib server, FastAPI-grade validation rejects type-malformed
+    payloads with 422 BEFORE the handler runs, coerces the version
+    union (int | ISO datetime | null) identically, and model_dump
+    round-trips merge rows to the exact dicts the handlers accept."""
+    import json
+    import urllib.request
+    from datetime import datetime
+
+    from delta_lake_play_spark.serving import models
+    from delta_lake_play_spark.serving.http_server import start_server
+
+    assert models.HAVE_PYDANTIC, "pydantic vanished from the env (re-probe!)"
+    # model-level parity, no server needed
+    req = models.MergeToTableRequest.model_validate(
+        {"data": [{"id": "7", "firstname": "A", "lastname": "B"}]}
+    )
+    assert req.data[0].model_dump() == {
+        "id": 7, "firstname": "A", "lastname": "B"   # "7" coerced like FastAPI
+    }
+    v = models.GetTableRequest.model_validate(
+        {"version": "2024-05-06T07:08:09"}
+    ).version
+    assert v == datetime(2024, 5, 6, 7, 8, 9)
+    assert models.GetTableRequest.model_validate({}).version is None
+
+    server, _thread = start_server(spark, temp_table_path("serving-pyd"))
+    port = server.server_address[1]
+
+    def call(method, path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        # type-malformed payloads a naive hand parser would let through
+        assert call("PUT", "/merge_to_table",
+                    {"data": [{"id": "x", "firstname": 1, "lastname": []}]})[0] == 422
+        assert call("PUT", "/merge_to_table",
+                    {"data": [{"id": 1, "firstname": "no-lastname"}]})[0] == 422
+        assert call("DELETE", "/delete_from_table", {"ids": ["seven"]})[0] == 422
+        assert call("POST", "/get_table", {"version": "not-a-date"})[0] == 422
+        # and the happy paths still serve identically
+        assert call("PUT", "/merge_to_table",
+                    {"data": [{"id": 9, "firstname": "Q", "lastname": "Branch"}]}
+                    ) == (200, {"version": 1})
+        status, got = call("POST", "/get_table", {"version": 1})
+        assert status == 200 and got["version"] == 1
+    finally:
+        server.shutdown()
