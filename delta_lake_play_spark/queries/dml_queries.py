@@ -1582,3 +1582,77 @@ def dml_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(",".join(cols)).alias("clustering_cols"),
         )
     )
+
+
+# --- dml_append_only (delta.appendOnly enforcement) --------------------------
+# Delta's oldest writer-enforced table property (legacy writer-2
+# feature appendOnly): row-changing DML is refused, appends are legal.
+# The key PROVES enforcement in-band: every blocked operation must
+# raise AppendOnlyError or the query returns a poisoned marker row set
+# (hash mismatch); the surviving content is the two appends, read back
+# through the protocol reader with the delta.appendOnly property
+# visible in the replayed metaData.
+
+_APPEND_ONLY_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, 'enforced' AS append_only
+FROM customer WHERE c_custkey % 4 = 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, c_acctbal, 'enforced' AS append_only
+FROM customer WHERE c_custkey % 4 = 1
+"""
+
+
+@register("dml_append_only", oracle=_APPEND_ONLY_ORACLE)
+def dml_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE append_only → two appends → DELETE / UPDATE / MERGE /
+    replaceWhere all refused (AppendOnlyError) → content is exactly
+    the appends. The mirror's metaData carries delta.appendOnly=true,
+    checked from the raw v0 commit JSON; enforcement failures poison
+    the output marker instead of silently passing."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_play_spark.table.versioned import AppendOnlyError
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("aponly"),
+        c.filter(F.col("c_custkey") % 4 == 0),
+        delta_mirror=True,
+        append_only=True,
+    )
+    t.append(
+        c.filter(F.col("c_custkey") % 4 == 1).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    blocked = 0
+    for op in (
+        lambda: t.delete(F.col("c_acctbal") < 0),
+        lambda: t.delete_mor(F.col("c_acctbal") < 0),
+        lambda: t.update({"c_name": F.lit("x")}, F.col("c_custkey") == 0),
+        lambda: t.merge(
+            c.filter(F.col("c_custkey") % 4 == 0).limit(1), key="c_custkey"
+        ),
+        lambda: t.overwrite_where(c.limit(0), F.col("c_custkey") < 0),
+    ):
+        try:
+            op()
+        except AppendOnlyError:
+            blocked += 1
+    with open(_os.path.join(t.path, "_delta_log", f"{0:020d}.json")) as fh:
+        metas = [
+            _json.loads(line)["metaData"]
+            for line in fh
+            if '"metaData"' in line
+        ]
+    prop = metas[0].get("configuration", {}).get("delta.appendOnly")
+    marker = "enforced" if blocked == 5 and prop == "true" else (
+        f"BROKEN blocked={blocked} prop={prop}"
+    )
+    return t.to_df().select(
+        "c_custkey", "c_name", "c_acctbal", F.lit(marker).alias("append_only")
+    )

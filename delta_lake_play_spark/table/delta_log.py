@@ -238,6 +238,10 @@ def _meta_action(table, entry: dict) -> dict:
     config = {}
     if table.cdf_enabled():
         config["delta.enableChangeDataFeed"] = "true"
+    if table.append_only_enabled():
+        # external writers must enforce the same no-row-changes
+        # contract (PROTOCOL.md appendOnly, legacy writer-2 feature)
+        config["delta.appendOnly"] = "true"
     if table.row_tracking_enabled():
         config["delta.enableRowTracking"] = "true"
     if table.ict_enabled():

@@ -214,6 +214,10 @@ class ConstraintViolationError(ValueError):
     """A commit would write rows violating a table CHECK constraint."""
 
 
+class AppendOnlyError(RuntimeError):
+    """Row-changing DML attempted on a ``delta.appendOnly`` table."""
+
+
 class VersionConflictError(RuntimeError):
     """Another writer committed the target version first (retryable)."""
 
@@ -260,6 +264,7 @@ class VersionedTable:
         in_commit_timestamps: bool = False,
         checkpoint_policy: str = "classic",
         cluster_by: list[str] | None = None,
+        append_only: bool = False,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -380,6 +385,7 @@ class VersionedTable:
                 "inCommitTimestamps": bool(in_commit_timestamps),
                 "checkpointPolicy": checkpoint_policy,
                 "clusterBy": list(cluster_by or []),
+                "appendOnly": bool(append_only),
             },
             df.schema,
         )
@@ -659,6 +665,7 @@ class VersionedTable:
         files simply read as null for them; no rewrite), missing
         source columns are filled with null.
         """
+        self._refuse_if_append_only("MERGE")
         # One source aggregation serves both the duplicate-key check
         # (Delta semantics: a target row may match at most one source
         # row) and the touched-file semi-join below — no second scan.
@@ -865,6 +872,7 @@ class VersionedTable:
         DELETE semantics: only rows where the predicate is TRUE are
         removed; NULL-predicate rows are kept. Only files physically
         containing a matching row are rewritten."""
+        self._refuse_if_append_only("DELETE")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
 
@@ -910,6 +918,7 @@ class VersionedTable:
         """UPDATE … SET … WHERE (Delta DML surface, ``README.md:11``).
         Rewrites only the files containing a row where the predicate
         is TRUE (NULL ⇒ row unchanged, SQL semantics)."""
+        self._refuse_if_append_only("UPDATE")
         idcfg = self.identity_info()
         if idcfg and idcfg["column"] in set_cols:
             raise IdentityColumnError(
@@ -990,6 +999,7 @@ class VersionedTable:
         sidecar references + per-file counts, so both driver memory
         and log size are independent of how many rows the predicate
         matches."""
+        self._refuse_if_append_only("DELETE (merge-on-read)")
         if self.row_tracking_enabled() and self.delta_mirror_enabled():
             # Refuse BEFORE the private commit: the mirror's sync()
             # raises on DV files of row-tracking tables (delta_log.py
@@ -1114,6 +1124,7 @@ class VersionedTable:
         a predicate aligned with the partition/clustering layout means
         the rewrite set is exactly the slice's files and everything
         else is carried by reference."""
+        self._refuse_if_append_only("replaceWhere")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
         idcfg = self.identity_info()
@@ -1228,6 +1239,7 @@ class VersionedTable:
         pass — the same evaluate-once guard as ``overwrite_where``.
         With the default (keys derived from ``df``), no violation is
         possible and the guard is skipped."""
+        self._refuse_if_append_only("replaceWhere (keyed)")
         key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         explicit = keys_df is not None
         keys = (
@@ -2648,6 +2660,30 @@ class VersionedTable:
                 "enableCdf", False
             )
         )
+
+    def append_only_enabled(self) -> bool:
+        """Whether the table refuses row-changing DML (Delta
+        ``delta.appendOnly``), from the CREATE entry."""
+        if 0 not in self._versions():
+            return False
+        return bool(
+            self._read_log_raw(0).get("operationParameters", {}).get(
+                "appendOnly", False
+            )
+        )
+
+    def _refuse_if_append_only(self, op: str) -> None:
+        """Delta ``delta.appendOnly`` enforcement: DELETE / UPDATE /
+        MERGE / replaceWhere change or remove existing rows and are
+        refused; append, OPTIMIZE (layout-only) and metadata commits
+        stay legal. External writers see the same contract through
+        the mirrored table property."""
+        if self.append_only_enabled():
+            raise AppendOnlyError(
+                f"{op} is not allowed: this table was created with "
+                f"append_only=True (delta.appendOnly) — only appends "
+                f"and layout/metadata commits are permitted"
+            )
 
     def checkpoint_policy(self) -> str:
         """Mirror checkpoint policy from the CREATE entry: ``classic``

@@ -1020,3 +1020,40 @@ def test_cleanup_log_mirror_noop_without_mirror(spark):
     df = spark.range(0, 10).withColumn("v", F.col("id").cast("long"))
     t = VersionedTable.create(spark, temp_table_path("no-mirror-clean"), df)
     assert t.cleanup_log_mirror(retention_ms=0) == []
+
+
+def test_append_only_refuses_row_changes(spark):
+    """delta.appendOnly: every row-changing DML raises AppendOnlyError
+    BEFORE committing anything; appends and OPTIMIZE stay legal; the
+    mirror's metaData advertises the property to external writers."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_play_spark.table.versioned import AppendOnlyError
+
+    df = spark.range(0, 50).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("ap-only"), df, delta_mirror=True,
+        append_only=True,
+    )
+    t.append(spark.range(50, 60).withColumn("v", F.col("id").cast("long")))
+    with pytest.raises(AppendOnlyError):
+        t.delete(F.col("id") < 5)
+    with pytest.raises(AppendOnlyError):
+        t.delete_mor(F.col("id") < 5)
+    with pytest.raises(AppendOnlyError):
+        t.update({"v": F.lit(0).cast("long")}, F.col("id") == 1)
+    with pytest.raises(AppendOnlyError):
+        t.merge(df.limit(1), key="id")
+    with pytest.raises(AppendOnlyError):
+        t.overwrite_where(df.limit(0), F.col("id") < 0)
+    with pytest.raises(AppendOnlyError):
+        t.overwrite_for_keys(df.limit(1), "id")
+    assert t.latest_version() == 1          # nothing committed past the append
+    t.optimize(target_files=1)              # layout-only: legal
+    assert t.read().count() == 60
+    with open(_os.path.join(t.path, "_delta_log", f"{0:020d}.json")) as fh:
+        metas = [
+            _json.loads(line)["metaData"] for line in fh if '"metaData"' in line
+        ]
+    assert metas[0]["configuration"].get("delta.appendOnly") == "true"
