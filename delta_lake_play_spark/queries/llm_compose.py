@@ -52,10 +52,11 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_play_spark.operators.dedup import connected_components
     from delta_lake_play_spark.operators.similarity import blocked_pairs
     from delta_lake_play_spark.queries.llm_dedup import _CLUSTER_COS
+    from delta_lake_play_spark.queries.llm_similarity import with_emb_bucket
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = blocked_pairs(
-        e, "vec_id", "embedding", "label", _CLUSTER_COS
+        with_emb_bucket(e), "vec_id", "embedding", ["label", "__bkt"], _CLUSTER_COS
     ).select(F.col("__a").alias("a"), F.col("__b").alias("b"))
     clusters = connected_components(e.select(F.col("vec_id").alias("node")), pairs)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -249,16 +249,26 @@ _CLUSTER_COS = 0.3
 def _clusters_ctes() -> str:
     """The recursive-CTE prefix computing transitive duplicate
     clusters over the embedding-cosine pair graph; shared by the
-    clusters oracle and the keep-best composition oracle."""
-    from delta_lake_play_spark.queries.llm_similarity import _sql_cos
+    clusters oracle and the keep-best composition oracle. The pair
+    graph uses the SAME composite blocking key as
+    ``llm_dedup_embedding_cosine`` (label × corpus-scaled sign
+    bucket, r8): at the driver fixtures the bucket is constant so
+    the graph is unchanged, and at scale candidate enumeration stays
+    linear in the corpus instead of quadratic per label."""
+    from delta_lake_play_spark.queries.llm_similarity import (
+        _emb_bucket_ctes,
+        _sql_cos,
+    )
 
     cos = _sql_cos("a.de", "b.de")
     return f"""
 WITH RECURSIVE
 v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings),
+{_emb_bucket_ctes()},
 pairs AS (
   SELECT a.vec_id AS pa, b.vec_id AS pb
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM vb a JOIN vb b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE {cos} >= {_CLUSTER_COS}
 ),
 edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs),
@@ -290,10 +300,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Library form: ``operators/dedup.py::connected_components``."""
     from delta_lake_play_spark.operators.dedup import connected_components
     from delta_lake_play_spark.operators.similarity import blocked_pairs
+    from delta_lake_play_spark.queries.llm_similarity import with_emb_bucket
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = blocked_pairs(
-        e, "vec_id", "embedding", "label", _CLUSTER_COS
+        with_emb_bucket(e), "vec_id", "embedding", ["label", "__bkt"], _CLUSTER_COS
     ).select(F.col("__a").alias("a"), F.col("__b").alias("b"))
     out = connected_components(e.select(F.col("vec_id").alias("node")), pairs)
     return out.select(F.col("node").alias("vec_id"), "cluster")

@@ -65,7 +65,13 @@ def _emb_bucket_ladder_sql(cnt_expr: str) -> str:
     return "CASE " + " ".join(arms) + f" ELSE {_EMB_MAX_PLANES} END"
 
 
-def _emb_dedup_oracle() -> str:
+def _emb_bucket_ctes() -> str:
+    """Shared SQL CTE fragment ``np, pl, buckets, vb`` computing the
+    corpus-scaled hyperplane-sign bucket per vector; expects a prior
+    CTE ``v(vec_id, label, de)``. Mirrors ``with_emb_bucket`` exactly
+    (same ladder, same planes, same fold order); composed by the
+    embedding-cosine, dedup-clusters, and keep-best oracles so one
+    definition can never drift from another."""
     from delta_lake_play_spark.operators.similarity import lsh_planes
 
     planes = lsh_planes(_EMB_DIMS, _EMB_MAX_PLANES)
@@ -79,9 +85,7 @@ def _emb_dedup_oracle() -> str:
         "(acc, x) -> acc + x)"
     )
     ladder = _emb_bucket_ladder_sql("(SELECT count(*) FROM embeddings)")
-    return f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings),
-np AS (SELECT {ladder} AS n_planes),
+    return f"""np AS (SELECT {ladder} AS n_planes),
 pl(p, w) AS (VALUES {plane_rows}),
 buckets AS (
   SELECT v.vec_id,
@@ -91,7 +95,32 @@ buckets AS (
   GROUP BY v.vec_id
 ),
 vb AS (SELECT v.vec_id, v.label, v.de, b.bucket
-       FROM v JOIN buckets b USING (vec_id))
+       FROM v JOIN buckets b USING (vec_id))"""
+
+
+def with_emb_bucket(e: DataFrame) -> DataFrame:
+    """Spark twin of ``_emb_bucket_ctes``: adds the corpus-scaled
+    sign-bucket column ``__bkt`` (one parquet-footer ``count()`` picks
+    the plane count; the assignment is a narrow per-row map)."""
+    from delta_lake_play_spark.operators.similarity import (
+        hyperplane_bucket,
+        lsh_planes,
+        scaled_sign_planes,
+    )
+
+    p = scaled_sign_planes(e.count(), _EMB_BLOCK_BASE, _EMB_MAX_PLANES)
+    bucket = (
+        hyperplane_bucket("embedding", lsh_planes(_EMB_DIMS, p))
+        if p
+        else F.lit(0).cast("long")
+    )
+    return e.withColumn("__bkt", bucket)
+
+
+def _emb_dedup_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings),
+{_emb_bucket_ctes()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        {_sql_cos('a.de', 'b.de')} AS cos_sim
 FROM vb a JOIN vb b
@@ -114,21 +143,10 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Library form: ``operators/similarity.py::blocked_pairs`` +
     ``scaled_sign_planes`` + ``hyperplane_bucket``."""
-    from delta_lake_play_spark.operators.similarity import (
-        blocked_pairs,
-        hyperplane_bucket,
-        lsh_planes,
-        scaled_sign_planes,
-    )
+    from delta_lake_play_spark.operators.similarity import blocked_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    p = scaled_sign_planes(e.count(), _EMB_BLOCK_BASE, _EMB_MAX_PLANES)
-    bucket = (
-        hyperplane_bucket("embedding", lsh_planes(_EMB_DIMS, p))
-        if p
-        else F.lit(0).cast("long")
-    )
-    e2 = e.withColumn("__bkt", bucket)
+    e2 = with_emb_bucket(e)
     return blocked_pairs(
         e2, "vec_id", "embedding", ["label", "__bkt"], _COS_THRESHOLD
     ).select(
