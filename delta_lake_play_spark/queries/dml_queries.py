@@ -1656,3 +1656,57 @@ def dml_append_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().select(
         "c_custkey", "c_name", "c_acctbal", F.lit(marker).alias("append_only")
     )
+
+
+# --- dml_dv_native_protocol (deletionVectors reader-writer feature) ---------
+# The mirror's last protocol gap closed (r8): MoR deletes previously
+# required survivor MATERIALIZATION because protocol (1,2) has no DV
+# representation; dv_mirror_policy="native" instead emits the real
+# deletionVectors feature — roaring-bitmap .bin files (table/
+# dv_codec.py), add actions carrying {storageType "u", z85 uuid,
+# offset, sizeInBytes, cardinality}, protocol (3,7) with the feature
+# in BOTH lists. A point delete on a 100 TB table mirrors with ZERO
+# data bytes rewritten on either side. The key proves the reader path:
+# two overlapping MoR deletes, checkpoint, delete every commit JSON,
+# and the masked snapshot must come back through the protocol reader
+# applying the bitmaps (a dropped or mis-decoded DV returns deleted
+# rows and fails the hash).
+
+_DV_NATIVE_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+  AND c_custkey % 10 <> 3
+"""
+
+
+@register("dml_dv_native_protocol", oracle=_DV_NATIVE_ORACLE)
+def dml_dv_native_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE (native DV mirror) → two MoR deletes (DV union on
+    overlapping files) → checkpoint → delete ALL commit JSON → read
+    back exclusively through the protocol reader, which decodes the
+    roaring bitmaps and anti-joins (file, row_index) — the same plan
+    shape as the private MoR read."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dvnat"),
+        c.repartition(4),
+        delta_mirror=True,
+        dv_mirror_policy="native",
+    )
+    t.delete_mor(F.col("c_acctbal") < 0)        # v1
+    t.delete_mor(F.col("c_custkey") % 10 == 3)  # v2: union on same files
+    v = t.checkpoint_mirror()
+    ddir = _os.path.join(t.path, "_delta_log")
+    for fn in list(_os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= v:
+                _os.remove(_os.path.join(ddir, fn))
+    return read_delta_snapshot(spark, t.path)

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_keep_best",
     "dml_cluster_by",
     "dml_append_only",
+    "dml_dv_native_protocol",
     "dml_checkpoint_v2",
     "dml_log_cleanup",
     "dml_log_compaction",
@@ -118,11 +119,12 @@ _PRIORITY: tuple[str, ...] = (
     "fn_timestamp_cast_fmt",
     "fn_array_ops",
     "fn_array_hof",
-    "fn_explode",
     # --- TIER 2 (51+): the r2-vintage rows deferred to r9 — trivial
-    # scan/sort/set/map machinery, least likely to rot (fn_map_json
-    # displaced by the late-registered dml_append_only key: new
-    # machinery gets driver validation first, the endorsed trade).
+    # scan/sort/set/map machinery, least likely to rot (fn_explode +
+    # fn_map_json displaced by the late-registered dml_append_only +
+    # dml_dv_native_protocol keys: new machinery gets driver
+    # validation first, the endorsed trade).
+    "fn_explode",
     "fn_map_json",
     "fn_cond_case",
     "json_column_parse",

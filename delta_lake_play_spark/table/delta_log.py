@@ -242,6 +242,8 @@ def _meta_action(table, entry: dict) -> dict:
         # external writers must enforce the same no-row-changes
         # contract (PROTOCOL.md appendOnly, legacy writer-2 feature)
         config["delta.appendOnly"] = "true"
+    if _dv_native(table):
+        config["delta.enableDeletionVectors"] = "true"
     if table.row_tracking_enabled():
         config["delta.enableRowTracking"] = "true"
     if table.ict_enabled():
@@ -371,12 +373,18 @@ def _protocol_action(table, entry: dict) -> dict:
     if table.ict_enabled():
         table_features += ["inCommitTimestamp"]
     if table.checkpoint_policy() == "v2":
-        # v2Checkpoint is a READER-WRITER table feature (PROTOCOL.md):
-        # minReaderVersion 3 with an explicit readerFeatures list —
-        # which must then also name every legacy reader feature in
-        # use (columnMapping is the only reader-2 legacy feature).
         table_features += ["v2Checkpoint"]
         reader_features += ["v2Checkpoint"]
+    if _dv_native(table):
+        # deletionVectors is a reader-writer feature: readers must
+        # apply the masks or they return deleted rows
+        table_features += ["deletionVectors"]
+        reader_features += ["deletionVectors"]
+    if reader_features:
+        # Any reader-writer table feature forces minReaderVersion 3
+        # with an explicit readerFeatures list (PROTOCOL.md) — which
+        # must then also name every legacy reader feature in use
+        # (columnMapping is the only reader-2 legacy feature).
         if reader >= 2:
             reader_features = ["columnMapping"] + reader_features
         reader = 3
@@ -549,6 +557,69 @@ def _ensure_materialized(table, entry: dict) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _dv_native(table) -> bool:
+    """Whether the table mirrors MoR deletion vectors NATIVELY as
+    protocol ``deletionVector`` specs (reader-writer feature
+    ``deletionVectors``) instead of materializing survivors."""
+    try:
+        return table.dv_mirror_policy() == "native"
+    except AttributeError:  # duck-typed callers without the accessor
+        return False
+
+
+def _dv_positions(table, f: dict) -> list[int]:
+    """All masked row positions of ONE private file entry, from its
+    legacy inline list and/or sidecar parquet dirs. Driver-side
+    pyarrow read of change-sized sidecars — O(deleted rows of this
+    file), never a Spark job per file."""
+    from .versioned import _dv_legacy, _dv_sidecars
+
+    positions = [int(i) for i in _dv_legacy(f)]
+    if _dv_sidecars(f):
+        import pyarrow.parquet as pq
+
+        for s in _dv_sidecars(f):
+            sdir = table._abs(s)
+            parts = (
+                [
+                    os.path.join(sdir, fn)
+                    for fn in sorted(os.listdir(sdir))
+                    if fn.endswith(".parquet")
+                ]
+                if os.path.isdir(sdir)
+                else [sdir]
+            )
+            for part in parts:
+                t = pq.read_table(part, columns=["path", "pos"])
+                for row in t.to_pylist():
+                    if row["path"] == f["path"]:
+                        positions.append(int(row["pos"]))
+    return sorted(set(positions))
+
+
+def _dv_add_action(
+    table, f: dict, part_cols: list[str], ts: int, data_change: bool, cmap
+) -> dict:
+    """Native-DV add: the file itself plus a protocol
+    ``deletionVector`` spec (storageType "u", roaring-bitmap .bin
+    under the table root — dv_codec.py). ``numRecords`` stays the
+    file's PHYSICAL row count and stats carry ``tightBounds: false``,
+    both per the spec's DV rules. The .bin name derives
+    deterministically from the DV fingerprint, so re-syncs reuse it
+    (idempotent, first link wins)."""
+    from .dv_codec import write_dv_file
+
+    action = _add_action(table.path, f, part_cols, ts, data_change, cmap)
+    spec = write_dv_file(
+        table.path, _dv_positions(table, f), _dv_fingerprint(f)
+    )
+    action["add"]["deletionVector"] = spec
+    stats = json.loads(action["add"].get("stats") or "{}")
+    stats["tightBounds"] = False
+    action["add"]["stats"] = json.dumps(stats)
+    return action
+
+
 def _unit_adds(
     table,
     f: dict,
@@ -558,11 +629,14 @@ def _unit_adds(
     cmap: dict | None = None,
 ) -> list[dict]:
     """The add action(s) mirroring one private file entry: the file
-    itself, or its materialized survivors (with the SOURCE file's
-    partition values — materialized artifacts live outside the hive
-    layout)."""
+    itself, its file + native deletionVector spec (``dv_policy
+    "native"``), or its materialized survivors (with the SOURCE
+    file's partition values — materialized artifacts live outside
+    the hive layout)."""
     if not _has_dv(f):
         return [_add_action(table.path, f, part_cols, ts, data_change, cmap)]
+    if _dv_native(table):
+        return [_dv_add_action(table, f, part_cols, ts, data_change, cmap)]
     if table.row_tracking_enabled():
         # Materialized DV survivors are a rewrite: the original file's
         # id range cannot describe them (the mask compacts positions),
@@ -600,7 +674,7 @@ def _unit_adds(
 def _unit_remove_paths(table, f: dict) -> list[str]:
     """The delta ``add.path`` strings a unit previously contributed —
     what a remove action must name when the unit leaves the snapshot."""
-    if not _has_dv(f):
+    if not _has_dv(f) or _dv_native(table):
         return [_add_path(f["path"].replace(os.sep, "/"))]
     return [_add_path(rel) for rel in _materialized_files(table, _dv_fingerprint(f))]
 
@@ -732,15 +806,17 @@ def sync(table, materialize_dvs: bool = False) -> int:
         return latest
 
     entries = {v: table._read_log(v) for v in missing}
+    native = _dv_native(table)
     for v in missing:
         for f in entries[v]["files"]:
-            if _has_dv(f) and not materialize_dvs:
+            if _has_dv(f) and not materialize_dvs and not native:
                 raise DeltaMirrorError(
                     f"version {v} carries a deletion vector on "
                     f"{f['path']!r}; protocol (1, 2) cannot represent "
                     "MoR sidecars — pass materialize_dvs=True to "
-                    "rewrite survivors at sync time, or use "
-                    "copy-on-write delete()"
+                    "rewrite survivors at sync time, create the table "
+                    'with dv_mirror_policy="native" for protocol DVs, '
+                    "or use copy-on-write delete()"
                 )
     # Presence scan BEFORE writing anything: a backfill that crashed on
     # a vacuumed file mid-loop would leave a stale-latest log that
@@ -757,13 +833,13 @@ def sync(table, materialize_dvs: bool = False) -> int:
         if v in bad:
             continue  # unexportable history: superseded by the re-base below
         entry = entries[v]
-        if any(_has_dv(f) for f in entry["files"]):
+        if not native and any(_has_dv(f) for f in entry["files"]):
             _ensure_materialized(table, entry)
         if v == 0:
             actions = _actions_for(table, v, None, entry)
         elif (v - 1) in mirrored:
             prev = entries.get(v - 1) or table._read_log(v - 1)
-            if any(_has_dv(f) for f in prev["files"]):
+            if not native and any(_has_dv(f) for f in prev["files"]):
                 _ensure_materialized(table, prev)
             actions = _actions_for(table, v, prev, entry)
         else:
@@ -977,7 +1053,7 @@ def write_checkpoint(table, materialize_dvs: bool = False) -> int:
     latest = sync(table, materialize_dvs=materialize_dvs)
     ddir = _delta_dir(table.path)
     entry = table._read_log(latest)
-    if any(_has_dv(f) for f in entry["files"]):
+    if not _dv_native(table) and any(_has_dv(f) for f in entry["files"]):
         _ensure_materialized(table, entry)
     _write_checkpoint(table, ddir, latest, entry)
     return latest
@@ -1247,6 +1323,19 @@ def _checkpoint_schema(v2_manifest: bool = False):
                         # rowTracking (absent on untracked tables)
                         pa.field("baseRowId", pa.int64()),
                         pa.field("defaultRowCommitVersion", pa.int64()),
+                        # deletionVectors (null on non-DV adds)
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1876,9 +1965,39 @@ def read_delta_snapshot(
     )
     if not adds:
         return spark.createDataFrame([], schema)
+
+    # Native deletion vectors (reader-writer feature): decode each
+    # add's roaring bitmap and mask (file, row_index) pairs with a
+    # broadcast anti-join on the parquet _metadata columns — the same
+    # plan shape the private MoR read uses. Decode is driver-side,
+    # O(total deleted rows); a cluster-scale reader would decode
+    # distributedly (mapInPandas over the DV specs), same join.
+    from .dv_codec import read_dv_spec
+
+    dv_rows: list[tuple[str, int]] = []
+    for p, a in adds.items():
+        spec = a.get("deletionVector")
+        if spec:
+            base = os.path.basename(_decode_path(table_path, p))
+            dv_rows.extend(
+                (base, int(pos)) for pos in read_dv_spec(table_path, spec)
+            )
+
+    def _read(paths: list[str]) -> DataFrame:
+        df = spark.read.schema(data_schema).parquet(*paths)
+        if dv_rows:
+            mask = spark.createDataFrame(dv_rows, "__fn string, __ri long")
+            df = (
+                df.withColumn("__fn", F.col("_metadata.file_name"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(mask), ["__fn", "__ri"], "left_anti")
+                .drop("__fn", "__ri")
+            )
+        return df
+
     if not part_cols:
         paths = [_decode_path(table_path, p) for p in adds]
-        return _logical(spark.read.schema(data_schema).parquet(*paths))
+        return _logical(_read(paths))
 
     by_part: dict[tuple, list[str]] = {}
     for p, a in adds.items():
@@ -1887,7 +2006,7 @@ def read_delta_snapshot(
     types = {f.name: f.dataType for f in schema.fields}
     out: DataFrame | None = None
     for key, paths in sorted(by_part.items(), key=lambda kv: repr(kv[0])):
-        df = _logical(spark.read.schema(data_schema).parquet(*paths))
+        df = _logical(_read(paths))
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, F.lit(raw).cast(types[c]))
         df = df.select(*[f.name for f in schema.fields])

@@ -265,6 +265,7 @@ class VersionedTable:
         checkpoint_policy: str = "classic",
         cluster_by: list[str] | None = None,
         append_only: bool = False,
+        dv_mirror_policy: str = "materialize",
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -326,6 +327,11 @@ class VersionedTable:
                 f"checkpoint_policy must be 'classic' or 'v2', got "
                 f"{checkpoint_policy!r}"
             )
+        if dv_mirror_policy not in ("materialize", "native"):
+            raise ValueError(
+                f"dv_mirror_policy must be 'materialize' or 'native', "
+                f"got {dv_mirror_policy!r}"
+            )
         if identity:
             identity = {
                 "column": identity["column"],
@@ -386,6 +392,7 @@ class VersionedTable:
                 "checkpointPolicy": checkpoint_policy,
                 "clusterBy": list(cluster_by or []),
                 "appendOnly": bool(append_only),
+                "dvMirrorPolicy": dv_mirror_policy,
             },
             df.schema,
         )
@@ -1000,7 +1007,13 @@ class VersionedTable:
         and log size are independent of how many rows the predicate
         matches."""
         self._refuse_if_append_only("DELETE (merge-on-read)")
-        if self.row_tracking_enabled() and self.delta_mirror_enabled():
+        if (
+            self.row_tracking_enabled()
+            and self.delta_mirror_enabled()
+            and self.dv_mirror_policy() != "native"
+        ):
+            # (native DV mirroring never rewrites survivors, so
+            # row-id ranges stay valid — no refusal needed there)
             # Refuse BEFORE the private commit: the mirror's sync()
             # raises on DV files of row-tracking tables (delta_log.py
             # _unit_adds — materialization invalidates row-id ranges),
@@ -2670,6 +2683,21 @@ class VersionedTable:
             self._read_log_raw(0).get("operationParameters", {}).get(
                 "appendOnly", False
             )
+        )
+
+    def dv_mirror_policy(self) -> str:
+        """How MoR deletion vectors reach the mirror: ``materialize``
+        (rewrite survivors, protocol stays (1, 2)) or ``native``
+        (protocol ``deletionVector`` specs + roaring .bin files, the
+        ``deletionVectors`` reader-writer feature). From the CREATE
+        entry."""
+        if 0 not in self._versions():
+            return "materialize"
+        return (
+            self._read_log_raw(0)
+            .get("operationParameters", {})
+            .get("dvMirrorPolicy")
+            or "materialize"
         )
 
     def _refuse_if_append_only(self, op: str) -> None:

@@ -1295,3 +1295,66 @@ def test_duckdb_sql_reader_compacted_range(spark):
     )
     _duck_compare(con, t, live)
     con.close()
+
+
+def test_native_dv_mirror_lifecycle(spark):
+    """dv_mirror_policy="native": MoR deletes mirror as protocol
+    deletionVector specs (roaring .bin files) — no survivor rewrite.
+    Protocol upgrades to (3,7) with deletionVectors in BOTH feature
+    lists, metaData advertises delta.enableDeletionVectors, DV
+    changes read as remove+re-add of the same path, every version
+    time-travels through the reader, and the masks survive a
+    checkpoint + cleaned JSON prefix. Row tracking composes (native
+    DVs never rewrite, so row-id ranges stay valid)."""
+    df = spark.range(0, 300).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-dv-nat"),
+        df.repartition(3),
+        delta_mirror=True,
+        dv_mirror_policy="native",
+        row_tracking=True,
+    )
+    t.delete_mor(F.col("id") % 7 == 0)     # v1
+    t.delete_mor(F.col("id") % 11 == 3)    # v2: union
+    v0 = _actions(t, 0)
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    meta = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert meta["configuration"]["delta.enableDeletionVectors"] == "true"
+    v2 = _actions(t, 2)
+    dv_adds = [a["add"] for a in v2 if "add" in a and a["add"].get("deletionVector")]
+    removes = [a["remove"]["path"] for a in v2 if "remove" in a]
+    assert dv_adds and removes
+    assert {a["path"] for a in dv_adds} <= set(removes)  # DV change = re-add same path
+    for a in dv_adds:
+        spec = a["deletionVector"]
+        assert spec["storageType"] == "u" and spec["cardinality"] > 0
+        assert json.loads(a["stats"])["tightBounds"] is False
+        assert os.path.exists(
+            os.path.join(t.path, *spec_rel(spec).split("/"))
+        )
+    for v in range(3):
+        got = sorted(
+            tuple(r)
+            for r in read_delta_snapshot(spark, t.path, version=v).collect()
+        )
+        want = sorted(tuple(r) for r in t.read(version=v).collect())
+        assert got == want, f"version {v}"
+    t.checkpoint_mirror()
+    for fn in list(os.listdir(os.path.join(t.path, "_delta_log"))):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            os.remove(os.path.join(t.path, "_delta_log", fn))
+    got = sorted(tuple(r) for r in read_delta_snapshot(spark, t.path).collect())
+    want = sorted(tuple(r) for r in t.read().collect())
+    assert got == want and len(got) == 300 - len(
+        {i for i in range(300) if i % 7 == 0 or i % 11 == 3}
+    )
+
+
+def spec_rel(spec):
+    from delta_lake_play_spark.table.dv_codec import dv_file_rel_path
+
+    return dv_file_rel_path(spec)
