@@ -1358,3 +1358,67 @@ def spec_rel(spec):
     from delta_lake_play_spark.table.dv_codec import dv_file_rel_path
 
     return dv_file_rel_path(spec)
+
+
+def test_duckdb_sql_reader_native_dv_counts(spark):
+    """DuckDB-SQL reconciliation of a NATIVE-DV log: SQL cannot decode
+    roaring bitmaps, but the protocol carries enough for an exact
+    row-count check — live logical rows = Σ(stats.numRecords −
+    deletionVector.cardinality) over reconciled adds, and the physical
+    parquet scan of those files must exceed the logical count by
+    exactly Σcardinality. Zero shared code with the Python readers."""
+    import duckdb
+    from urllib.parse import unquote
+
+    df = spark.range(0, 200).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-duck-dv"),
+        df.repartition(3),
+        delta_mirror=True,
+        dv_mirror_policy="native",
+    )
+    t.delete_mor(F.col("id") % 7 == 0)
+    t.delete_mor(F.col("id") % 11 == 3)
+    ddir = os.path.join(t.path, "_delta_log")
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH adds AS (
+          SELECT CAST(regexp_extract(filename, '(\\d{{20}})\\.json$', 1) AS BIGINT) AS v,
+                 json_extract_string("json", '$.add.path') AS p,
+                 CAST(json_extract(json_extract_string("json", '$.add.stats'),
+                                   '$.numRecords') AS BIGINT) AS nrec,
+                 COALESCE(CAST(json_extract("json", '$.add.deletionVector.cardinality') AS BIGINT), 0) AS dv
+          FROM read_ndjson_objects([{jsons}], filename=true)
+          WHERE json_extract("json", '$.add') IS NOT NULL
+        ),
+        rms AS (
+          SELECT CAST(regexp_extract(filename, '(\\d{{20}})\\.json$', 1) AS BIGINT) AS v,
+                 json_extract_string("json", '$.remove.path') AS p
+          FROM read_ndjson_objects([{jsons}], filename=true)
+          WHERE json_extract("json", '$.remove') IS NOT NULL
+        ),
+        live AS (
+          SELECT p, nrec, dv FROM (
+            SELECT p, nrec, dv,
+                   row_number() OVER (PARTITION BY p ORDER BY v DESC) AS rn
+            FROM adds a
+            WHERE NOT EXISTS (SELECT 1 FROM rms r WHERE r.p = a.p AND r.v > a.v)
+          ) WHERE rn = 1
+        )
+        SELECT p, nrec, dv FROM live ORDER BY p
+        """
+    ).fetchall()
+    assert rows, "no live adds reconciled"
+    logical = sum(nrec - dv for _, nrec, dv in rows)
+    masked = sum(dv for _, _, dv in rows)
+    assert masked > 0, "fixture produced no deletion vectors"
+    paths = [os.path.join(t.path, unquote(p)) for p, _, _ in rows]
+    (physical,) = con.execute(
+        "SELECT count(*) FROM read_parquet($paths)", {"paths": paths}
+    ).fetchone()
+    assert physical == logical + masked
+    assert t.read().count() == logical
+    con.close()
