@@ -1039,6 +1039,57 @@ def cleanup_expired_logs(
             ):
                 os.remove(os.path.join(sdir, fn))
                 deleted.append(os.path.join("_sidecars", fn))
+    # Native-DV bin GC: ``deletion_vector_*.bin`` files are
+    # mirror-owned (the private layer never writes them) and are
+    # replaced — not mutated — whenever a file's DV grows, so stale
+    # states accumulate. Reclaim every bin referenced by NO surviving
+    # log artifact (commit JSONs, compacted ranges, checkpoints incl.
+    # V2 sidecar shards), with the same mtime grace as sidecars: a
+    # concurrent sync links bins before its commit JSON lands.
+    if _dv_native(table):
+        deleted += _gc_dv_bins(table, ddir, cutoff)
+    return deleted
+
+
+def _gc_dv_bins(table, ddir: str, cutoff: float) -> list[str]:
+    from .dv_codec import dv_file_rel_path
+
+    referenced: set[str] = set()
+
+    def _ref(action_add: dict | None) -> None:
+        spec = (action_add or {}).get("deletionVector")
+        if spec:
+            rel = dv_file_rel_path(dict(spec))
+            if rel:
+                referenced.add(rel)
+
+    for fn in os.listdir(ddir):
+        full = os.path.join(ddir, fn)
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            with open(full) as fh:
+                for line in fh:
+                    if line.strip():
+                        _ref(json.loads(line).get("add"))
+        elif fn.endswith(".parquet") and ".checkpoint" in fn:
+            import pyarrow.parquet as pq
+
+            for row in pq.read_table(full).to_pylist():
+                _ref(row.get("add"))
+                if row.get("sidecar"):
+                    sp = os.path.join(ddir, "_sidecars", row["sidecar"]["path"])
+                    if os.path.exists(sp):
+                        for srow in pq.read_table(sp).to_pylist():
+                            _ref(srow.get("add"))
+    deleted: list[str] = []
+    for fn in os.listdir(table.path):
+        if (
+            fn.startswith("deletion_vector_")
+            and fn.endswith(".bin")
+            and fn not in referenced
+            and os.path.getmtime(os.path.join(table.path, fn)) * 1000 <= cutoff
+        ):
+            os.remove(os.path.join(table.path, fn))
+            deleted.append(fn)
     return deleted
 
 

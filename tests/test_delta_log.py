@@ -1422,3 +1422,47 @@ def test_duckdb_sql_reader_native_dv_counts(spark):
     assert physical == logical + masked
     assert t.read().count() == logical
     con.close()
+
+
+def test_native_dv_bin_gc(spark):
+    """Stale deletion-vector .bin files (superseded DV states) are
+    reclaimed by log cleanup; every bin a surviving artifact still
+    references — including via checkpoint rows — is kept and the
+    reader still replays."""
+    from delta_lake_play_spark.table.dv_codec import dv_file_rel_path
+
+    df = spark.range(0, 120).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-dv-gc"),
+        df.coalesce(1),
+        delta_mirror=True,
+        dv_mirror_policy="native",
+    )
+    t.delete_mor(F.col("id") % 7 == 0)    # DV state 1 (superseded below)
+    t.delete_mor(F.col("id") % 11 == 3)   # DV state 2
+    bins_before = {
+        fn for fn in os.listdir(t.path) if fn.startswith("deletion_vector_")
+    }
+    assert len(bins_before) == 2
+    t.checkpoint_mirror()
+    future = int(os.path.getmtime(t.path) * 1000) + 10_000_000
+    deleted = t.cleanup_log_mirror(retention_ms=0, now_ms=future)
+    gone_bins = [d for d in deleted if d.startswith("deletion_vector_")]
+    assert len(gone_bins) == 1            # the superseded state only
+    live = next(
+        a["add"]["deletionVector"]
+        for a in _actions(t, 2)
+        if "add" in a and a["add"].get("deletionVector")
+    ) if os.path.exists(
+        os.path.join(t.path, "_delta_log", f"{2:020d}.json")
+    ) else None
+    kept = {
+        fn for fn in os.listdir(t.path) if fn.startswith("deletion_vector_")
+    }
+    assert len(kept) == 1
+    if live is not None:
+        assert dv_file_rel_path(live) in kept
+    got = sorted(tuple(r) for r in read_delta_snapshot(spark, t.path).collect())
+    want = sorted(tuple(r) for r in t.read().collect())
+    assert got == want
