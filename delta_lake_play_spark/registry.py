@@ -80,6 +80,10 @@ _PRIORITY: tuple[str, ...] = (
     "dml_checkpoint_v2",
     "dml_log_cleanup",
     "dml_log_compaction",
+    # r8 sf1-anchor catch: the unbounded recursion tripped Spark's
+    # 1M-row guardrail at 150k customers — seed now bounded by
+    # construction; changed code -> window slot
+    "sql_recursive_cte",
     # r1-vintage stale rows (newest driver evidence: round 1)
     "agg_max_by_min_by",
     "agg_pivot",
@@ -118,12 +122,13 @@ _PRIORITY: tuple[str, ...] = (
     "fn_date_arith",
     "fn_timestamp_cast_fmt",
     "fn_array_ops",
-    "fn_array_hof",
     # --- TIER 2 (51+): the r2-vintage rows deferred to r9 — trivial
-    # scan/sort/set/map machinery, least likely to rot (fn_explode +
-    # fn_map_json displaced by the late-registered dml_append_only +
-    # dml_dv_native_protocol keys: new machinery gets driver
+    # scan/sort/set/map/HOF machinery, least likely to rot (fn_explode,
+    # fn_map_json, fn_array_hof displaced by the late-registered
+    # dml_append_only / dml_dv_native_protocol keys and the
+    # sql_recursive_cte re-proof: new/changed machinery gets driver
     # validation first, the endorsed trade).
+    "fn_array_hof",
     "fn_explode",
     "fn_map_json",
     "fn_cond_case",
