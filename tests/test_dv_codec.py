@@ -125,3 +125,56 @@ def test_corrupt_checksum_refused(tmp_path):
     p.write_bytes(bytes(blob))
     with pytest.raises(ValueError, match="checksum"):
         read_dv_spec(str(tmp_path), spec)
+
+
+# ------------------------------------------------ property-based pins
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(0, 1 << 17),            # dense low chunks
+                st.integers(0, (1 << 33) + 9),      # multi-bucket spread
+            ),
+            max_size=3000,
+        )
+    )
+    def test_rba_round_trip_property(positions):
+        """Any 64-bit position set round-trips through the portable
+        serialization — array/bitmap container selection, chunk
+        splits, and bucket keys are all exercised by shrinkage."""
+        assert deserialize_rba(serialize_rba(positions)) == sorted(
+            set(positions)
+        )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=257))
+    def test_z85_round_trip_property(data):
+        assert z85_decode(z85_encode(data), len(data)) == data
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(0, 1 << 20), min_size=0, max_size=500),
+        st.text(
+            alphabet="abcdef0123456789", min_size=1, max_size=12
+        ),
+    )
+    def test_dv_spec_round_trip_property(positions, fp):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spec = write_dv_file(d, positions, fp)
+            assert read_dv_spec(d, spec) == sorted(set(positions))
+            assert read_dv_spec(d, inline_dv_spec(positions)) == sorted(
+                set(positions)
+            )
