@@ -679,6 +679,46 @@ def _unit_remove_paths(table, f: dict) -> list[str]:
     return [_add_path(rel) for rel in _materialized_files(table, _dv_fingerprint(f))]
 
 
+def _unit_removes(
+    table, f: dict, part_cols: list[str], ts: int, data_change: bool
+) -> list[dict]:
+    """Remove action(s) for a unit leaving the snapshot, enriched
+    with the spec-RECOMMENDED fields external maintenance jobs use:
+    ``extendedFileMetadata`` + ``partitionValues`` + ``size`` (a
+    VACUUM implementation prunes by partition and accounts bytes from
+    tombstones alone), and — for a native-DV unit — the outgoing
+    ``deletionVector`` so DV-file reclamation can reference-count
+    without replaying adds. Best-effort: a source file already
+    reclaimed on disk degrades to the minimal required fields."""
+    removes = []
+    for path in _unit_remove_paths(table, f):
+        rm: dict = {
+            "path": path,
+            "deletionTimestamp": ts,
+            "dataChange": data_change,
+        }
+        rel = path.replace("/", os.sep)
+        abs_path = rel if rel.startswith(os.sep) else os.path.join(table.path, rel)
+        try:
+            size = os.path.getsize(abs_path)
+        except OSError:
+            size = None
+        if size is not None:
+            rm["extendedFileMetadata"] = True
+            rm["partitionValues"] = _partition_values_raw(
+                path, part_cols
+            )
+            rm["size"] = size
+            if _has_dv(f) and _dv_native(table):
+                from .dv_codec import write_dv_file
+
+                rm["deletionVector"] = write_dv_file(
+                    table.path, _dv_positions(table, f), _dv_fingerprint(f)
+                )
+        removes.append({"remove": rm})
+    return removes
+
+
 def _files_present(table, entry: dict) -> bool:
     """All data files AND deletion-vector sidecars of this version
     still exist on disk (vacuum reclaims both for dropped versions)."""
@@ -1226,16 +1266,9 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         prev_units = {_unit_key(f): f for f in prev["files"]}
     cur_units = {_unit_key(f): f for f in entry["files"]}
     for key in sorted(prev_units.keys() - cur_units.keys()):
-        for path in _unit_remove_paths(table, prev_units[key]):
-            actions.append(
-                {
-                    "remove": {
-                        "path": path,
-                        "deletionTimestamp": ts,
-                        "dataChange": data_change,
-                    }
-                }
-            )
+        actions.extend(
+            _unit_removes(table, prev_units[key], part_cols, ts, data_change)
+        )
     cmap = entry.get("columnMap")
     for key in sorted(cur_units.keys() - prev_units.keys()):
         actions.extend(

@@ -1466,3 +1466,34 @@ def test_native_dv_bin_gc(spark):
     got = sorted(tuple(r) for r in read_delta_snapshot(spark, t.path).collect())
     want = sorted(tuple(r) for r in t.read().collect())
     assert got == want
+
+
+def test_remove_actions_carry_extended_metadata(spark):
+    """Removes in commit JSONs carry extendedFileMetadata +
+    partitionValues + size (spec-recommended; external VACUUMs
+    account bytes from tombstones), and a native-DV unit's remove
+    names its outgoing deletionVector."""
+    df = spark.range(0, 120).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-rm-ext"),
+        df.coalesce(1),
+        delta_mirror=True,
+        dv_mirror_policy="native",
+    )
+    t.delete_mor(F.col("id") % 7 == 0)    # v1: add(path, DV1) + remove(path)
+    t.delete_mor(F.col("id") % 11 == 3)   # v2: remove carries DV1
+    v1_rms = [a["remove"] for a in _actions(t, 1) if "remove" in a]
+    assert v1_rms and all(
+        rm.get("extendedFileMetadata") is True
+        and isinstance(rm.get("size"), int)
+        and "partitionValues" in rm
+        for rm in v1_rms
+    )
+    v2_rms = [a["remove"] for a in _actions(t, 2) if "remove" in a]
+    assert any(rm.get("deletionVector") for rm in v2_rms)
+    dv = next(rm["deletionVector"] for rm in v2_rms if rm.get("deletionVector"))
+    v1_adds = [
+        a["add"] for a in _actions(t, 1) if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv == v1_adds[0]["deletionVector"]  # the OUTGOING state
