@@ -380,6 +380,12 @@ def _protocol_action(table, entry: dict) -> dict:
         # apply the masks or they return deleted rows
         table_features += ["deletionVectors"]
         reader_features += ["deletionVectors"]
+    if '"timestamp_ntz"' in json.dumps(entry["schema"]):
+        # TIMESTAMP_NTZ anywhere in the schema (incl. nested) is the
+        # timestampNtz reader-writer feature: a reader without it
+        # would misinterpret the column's semantics (PROTOCOL.md)
+        table_features += ["timestampNtz"]
+        reader_features += ["timestampNtz"]
     if reader_features:
         # Any reader-writer table feature forces minReaderVersion 3
         # with an explicit readerFeatures list (PROTOCOL.md) — which

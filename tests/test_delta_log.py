@@ -1497,3 +1497,33 @@ def test_remove_actions_carry_extended_metadata(spark):
         a["add"] for a in _actions(t, 1) if "add" in a and a["add"].get("deletionVector")
     ]
     assert dv == v1_adds[0]["deletionVector"]  # the OUTGOING state
+
+
+def test_timestamp_ntz_schema_declares_feature(spark):
+    """A schema containing TIMESTAMP_NTZ must declare the
+    timestampNtz reader-writer feature — protocol (3,7) with the name
+    in BOTH lists; a plain-timestamp table stays at (1,2). The
+    snapshot still replays with ntz values intact."""
+    df = spark.range(0, 20).select(
+        "id",
+        F.lit("2024-01-02T03:04:05").cast("timestamp_ntz").alias("t"),
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-ntz"), df, delta_mirror=True
+    )
+    proto = next(a["protocol"] for a in _actions(t, 0) if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "timestampNtz" in proto["writerFeatures"]
+    assert "timestampNtz" in proto["readerFeatures"]
+    got = sorted(tuple(r) for r in read_delta_snapshot(spark, t.path).collect())
+    want = sorted(tuple(r) for r in t.read().collect())
+    assert got == want
+    # control: no ntz anywhere -> legacy protocol, no feature lists
+    t2 = VersionedTable.create(
+        spark,
+        temp_table_path("dl-no-ntz"),
+        spark.range(0, 5).withColumn("v", F.col("id").cast("long")),
+        delta_mirror=True,
+    )
+    p2 = next(a["protocol"] for a in _actions(t2, 0) if "protocol" in a)
+    assert p2 == {"minReaderVersion": 1, "minWriterVersion": 2}
