@@ -128,6 +128,16 @@ _LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 # CDF consumers do not re-process compacted files as new data.
 _DATA_NEUTRAL_OPS = {"OPTIMIZE", "CLUSTER BY"}
 
+# Reader features this module's protocol reader implements — the
+# refuse-unknown gate in _replay_actions checks against this set.
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "v2Checkpoint",
+    "deletionVectors",
+    "timestampNtz",
+    "variantType",
+}
+
 
 class DeltaMirrorError(RuntimeError):
     """The table state cannot be represented in protocol (1, 2)."""
@@ -380,12 +390,17 @@ def _protocol_action(table, entry: dict) -> dict:
         # apply the masks or they return deleted rows
         table_features += ["deletionVectors"]
         reader_features += ["deletionVectors"]
-    if '"timestamp_ntz"' in json.dumps(entry["schema"]):
+    schema_json = json.dumps(entry["schema"])
+    if '"timestamp_ntz"' in schema_json:
         # TIMESTAMP_NTZ anywhere in the schema (incl. nested) is the
         # timestampNtz reader-writer feature: a reader without it
         # would misinterpret the column's semantics (PROTOCOL.md)
         table_features += ["timestampNtz"]
         reader_features += ["timestampNtz"]
+    if '"variant"' in schema_json:
+        # likewise VARIANT columns (Spark 4 semi-structured type)
+        table_features += ["variantType"]
+        reader_features += ["variantType"]
     if reader_features:
         # Any reader-writer table feature forces minReaderVersion 3
         # with an explicit readerFeatures list (PROTOCOL.md) — which
@@ -1857,6 +1872,7 @@ def _replay_actions(
     domains: dict[str, dict] = {}
     schema_string: str | None = None
     part_cols: list[str] = []
+    protocol: dict | None = None
     start = 0
 
     def _apply_domain(d: dict) -> None:
@@ -1864,6 +1880,10 @@ def _replay_actions(
             domains.pop(d["domain"], None)
         else:
             domains[d["domain"]] = d
+
+    def _apply_protocol(p: dict) -> None:
+        nonlocal protocol
+        protocol = p
 
     usable = [v for v in cp_versions if v <= version]
     if usable:
@@ -1878,6 +1898,8 @@ def _replay_actions(
                 part_cols = list(row["metaData"]["partitionColumns"] or [])
             if row.get("domainMetadata"):
                 _apply_domain(row["domainMetadata"])
+            if row.get("protocol") and row["protocol"].get("minReaderVersion"):
+                _apply_protocol(row["protocol"])
             if row.get("add"):
                 a = row["add"]
                 if isinstance(a.get("partitionValues"), list):
@@ -1913,6 +1935,8 @@ def _replay_actions(
                     adds.pop(action["remove"]["path"], None)
                 elif "domainMetadata" in action:
                     _apply_domain(action["domainMetadata"])
+                elif "protocol" in action:
+                    _apply_protocol(action["protocol"])
 
     v = start
     while v <= version:
@@ -1968,6 +1992,28 @@ def _replay_actions(
             )
         _apply_json(commit)
         v += 1
+
+    # Protocol gate (PROTOCOL.md reader responsibilities): a reader
+    # MUST refuse tables demanding a newer reader version or naming a
+    # reader feature it does not implement — silently misreading (e.g.
+    # returning deleted rows of an un-applied DV scheme) is the one
+    # failure mode the protocol exists to prevent.
+    if protocol is not None:
+        mrv = int(protocol.get("minReaderVersion") or 1)
+        if mrv > 3:
+            raise DeltaMirrorError(
+                f"table requires minReaderVersion {mrv}; this reader "
+                f"implements up to 3"
+            )
+        unknown = set(protocol.get("readerFeatures") or []) - (
+            _SUPPORTED_READER_FEATURES
+        )
+        if unknown:
+            raise DeltaMirrorError(
+                f"table requires reader features {sorted(unknown)} this "
+                f"reader does not implement "
+                f"(supported: {sorted(_SUPPORTED_READER_FEATURES)})"
+            )
 
     # Version-checksum validation (<v>.crc, delta-spark's
     # VersionChecksum): the replayed file set must match the summary

@@ -1527,3 +1527,70 @@ def test_timestamp_ntz_schema_declares_feature(spark):
     )
     p2 = next(a["protocol"] for a in _actions(t2, 0) if "protocol" in a)
     assert p2 == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_variant_schema_declares_feature(spark):
+    """A VARIANT column in the schema declares the variantType
+    reader-writer feature. Unit-level check against _protocol_action:
+    end-to-end variant TABLES are env-blocked — this build's pyarrow
+    cannot parse Spark's VARIANT parquet logical type, so the footer
+    pass inside create() raises before any log is written (pinned
+    below; re-probe when pyarrow learns the type)."""
+    import pytest as _pytest
+
+    from delta_lake_play_spark.table.delta_log import _protocol_action
+
+    df = spark.range(0, 3).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-var-host"), df, delta_mirror=True
+    )
+    entry = t._read_log(0)
+    var_schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "variant", "nullable": True, "metadata": {}},
+        ],
+    }
+    proto = _protocol_action(t, {**entry, "schema": var_schema})["protocol"]
+    assert "variantType" in proto["writerFeatures"]
+    assert "variantType" in proto["readerFeatures"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    # the env block, pinned so its lifting is noticed
+    vdf = spark.range(0, 4).select(
+        "id", F.parse_json(F.lit('{"k": 1}')).alias("p")
+    )
+    with _pytest.raises(OSError, match="LogicalType"):
+        VersionedTable.create(spark, temp_table_path("dl-var-e2e"), vdf)
+
+
+def test_reader_refuses_unknown_reader_features(spark):
+    """PROTOCOL.md reader responsibility: refuse tables naming reader
+    features this reader does not implement, and any
+    minReaderVersion > 3 — never silently misread."""
+    from delta_lake_play_spark.table.delta_log import DeltaMirrorError
+
+    df = spark.range(0, 10).withColumn("v", F.col("id").cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-unknown"), df, delta_mirror=True
+    )
+    ddir = os.path.join(t.path, "_delta_log")
+    with open(os.path.join(ddir, f"{0:020d}.json")) as fh:
+        lines = fh.readlines()
+    out = []
+    for line in lines:
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["futuristicEncoding"],
+                "writerFeatures": ["futuristicEncoding"],
+            }
+        out.append(json.dumps(a))
+    os.remove(os.path.join(ddir, f"{0:020d}.json"))
+    with open(os.path.join(ddir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(out))
+    os.remove(os.path.join(ddir, f"{0:020d}.crc"))  # content changed
+    with pytest.raises(DeltaMirrorError, match="futuristicEncoding"):
+        read_delta_snapshot(spark, t.path)
