@@ -611,3 +611,60 @@ def llm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("record_id"),
         F.col("cluster").cast("long").alias("entity_id"),
     )
+
+
+# --- llm_split_leakage_safe --------------------------------------------------
+# Near-dup-AWARE train/val/test split: hashing doc_id alone (the
+# llm_train_val_split shape) puts near-copies of a training document
+# into the validation set — the benchmark-inflation failure
+# decontamination pipelines exist to prevent. The leakage-safe form
+# splits by DUPLICATE CLUSTER: connected components over the
+# embedding near-dup pair graph (the composite-blocked pair operator
+# + pointer-jumping CC — both already judged), then one deterministic
+# hash of the CLUSTER id assigns every member to the same side. Two
+# keyed shuffles + a CC loop, all corpus-linear; the split stays
+# stable across runs, machines, and partition layouts.
+
+
+def _leakage_safe_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_dedup import _clusters_ctes
+
+    return _clusters_ctes() + """
+SELECT d.doc_id, c.cluster,
+       CASE WHEN (c.cluster * 1103515245 + 12345) % 1000 < 800 THEN 'train'
+            WHEN (c.cluster * 1103515245 + 12345) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters c JOIN documents d ON c.vec_id = d.doc_id
+"""
+
+
+@register("llm_split_leakage_safe", oracle=_leakage_safe_oracle())
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-duplicates, then split by cluster: every member
+    of a duplicate family lands on the SAME side of train/val/test by
+    construction, so validation can never contain a near-copy of a
+    training document. Per-doc output (doc_id, cluster, split) is
+    fully hash-checked against the recursive-CTE closure oracle."""
+    from delta_lake_play_spark.operators.dedup import connected_components
+    from delta_lake_play_spark.operators.similarity import blocked_pairs
+    from delta_lake_play_spark.queries.llm_dedup import _CLUSTER_COS
+    from delta_lake_play_spark.queries.llm_similarity import with_emb_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_pairs(
+        with_emb_bucket(e), "vec_id", "embedding", ["label", "__bkt"], _CLUSTER_COS
+    ).select(F.col("__a").alias("a"), F.col("__b").alias("b"))
+    clusters = connected_components(
+        e.select(F.col("vec_id").alias("node")), pairs
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (F.col("cluster") * F.lit(1103515245) + F.lit(12345)) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        clusters.join(d, clusters.node == d.doc_id)
+        .select("doc_id", "cluster", split.alias("split"))
+    )

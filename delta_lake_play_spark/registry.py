@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     # 1M-row guardrail at 150k customers — seed now bounded by
     # construction; changed code -> window slot
     "sql_recursive_cte",
+    # late r8 addition: near-dup-cluster-aware train/val/test split
+    "llm_split_leakage_safe",
     # r1-vintage stale rows (newest driver evidence: round 1)
     "agg_max_by_min_by",
     "agg_pivot",
@@ -121,13 +123,14 @@ _PRIORITY: tuple[str, ...] = (
     "fn_date_trunc_extract",
     "fn_date_arith",
     "fn_timestamp_cast_fmt",
-    "fn_array_ops",
     # --- TIER 2 (51+): the r2-vintage rows deferred to r9 — trivial
     # scan/sort/set/map/HOF machinery, least likely to rot (fn_explode,
-    # fn_map_json, fn_array_hof displaced by the late-registered
-    # dml_append_only / dml_dv_native_protocol keys and the
-    # sql_recursive_cte re-proof: new/changed machinery gets driver
-    # validation first, the endorsed trade).
+    # fn_map_json, fn_array_hof, fn_array_ops displaced by the
+    # late-registered dml_append_only / dml_dv_native_protocol /
+    # llm_split_leakage_safe keys and the sql_recursive_cte re-proof:
+    # new/changed machinery gets driver validation first, the
+    # endorsed trade).
+    "fn_array_ops",
     "fn_array_hof",
     "fn_explode",
     "fn_map_json",
