@@ -1594,3 +1594,31 @@ def test_reader_refuses_unknown_reader_features(spark):
     os.remove(os.path.join(ddir, f"{0:020d}.crc"))  # content changed
     with pytest.raises(DeltaMirrorError, match="futuristicEncoding"):
         read_delta_snapshot(spark, t.path)
+
+
+def test_native_dv_composes_with_cdf(spark):
+    """CDF + native DV mirror: a MoR delete's commit carries BOTH the
+    deletionVector re-add and protocol cdc actions; per the CDF rules
+    readers use the cdc files exclusively, so the change feed shows
+    exactly the masked rows while the snapshot read applies the
+    bitmap."""
+    df = spark.range(0, 60).withColumn("v", (F.col("id") * 2).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-dv-cdf"),
+        df,
+        enable_cdf=True,
+        delta_mirror=True,
+        dv_mirror_policy="native",
+    )
+    t.delete_mor(F.col("id") % 7 == 0)
+    from delta_lake_play_spark.table.delta_log import read_delta_changes
+
+    ch = read_delta_changes(spark, t.path, 1, 1)
+    got = sorted((r.id, r._change_type) for r in ch.collect())
+    assert got == [(i, "delete") for i in range(0, 60, 7)]
+    acts = _actions(t, 1)
+    assert any("cdc" in a for a in acts)
+    assert any(a.get("add", {}).get("deletionVector") for a in acts)
+    snap = read_delta_snapshot(spark, t.path)
+    assert snap.count() == 60 - len(range(0, 60, 7))
