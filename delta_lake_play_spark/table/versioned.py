@@ -170,14 +170,54 @@ def _stat_key(v):
 _INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def _widen_allowed(from_t: T.DataType, to_t: T.DataType) -> bool:
+    """The Delta ``typeWidening`` whitelist, intersected with what
+    Spark 4's vectorized parquet reader actually upcasts at scan time
+    (PROTOCOL.md type-widening table): integral up-chain,
+    integral→double, float→double, date→timestamp_ntz,
+    int/long→decimal (enough integer digits), decimal→wider decimal.
+    byte/short→decimal is in the Delta spec but Spark's reader
+    refuses INT32-with-INT(16/8)-annotation → DECIMAL, so it is
+    excluded here — the whitelist is engine-honest, never a promise
+    the scan cannot keep."""
+    if isinstance(from_t, _INTEGRALS) and isinstance(to_t, _INTEGRALS):
+        order = [t.__name__ for t in _INTEGRALS]
+        return order.index(type(to_t).__name__) > order.index(type(from_t).__name__)
+    if isinstance(from_t, _INTEGRALS) and isinstance(to_t, T.DoubleType):
+        return True
+    if isinstance(from_t, T.FloatType) and isinstance(to_t, T.DoubleType):
+        return True
+    if isinstance(from_t, T.DateType) and isinstance(to_t, T.TimestampNTZType):
+        return True
+    if isinstance(to_t, T.DecimalType):
+        digits = to_t.precision - to_t.scale
+        if isinstance(from_t, T.IntegerType):
+            return digits >= 10
+        if isinstance(from_t, T.LongType):
+            return digits >= 20
+        if isinstance(from_t, T.DecimalType):
+            return (
+                (to_t.precision, to_t.scale) != (from_t.precision, from_t.scale)
+                and to_t.scale >= from_t.scale
+                and digits >= from_t.precision - from_t.scale
+            )
+    return False
+
+
+def _widen_keeps_stats(from_t: T.DataType, to_t: T.DataType) -> bool:
+    """Whether a widened column's carried footer stats stay usable
+    for skipping: numeric→numeric bounds compare fine across Python
+    int/float/Decimal; date→timestamp_ntz bounds are ISO strings of
+    DIFFERENT shapes, so those are dropped (absence degrades to no
+    pruning, never to a wrong skip)."""
+    return not isinstance(to_t, T.TimestampNTZType)
+
+
 def _widens(src_t: T.DataType, tgt_t: T.DataType) -> bool:
     """True when ``src_t`` is a STRICTLY wider lossless type than
-    ``tgt_t`` (the Delta type-widening whitelist: integral up-chain
-    and float→double)."""
-    if isinstance(src_t, _INTEGRALS) and isinstance(tgt_t, _INTEGRALS):
-        order = [t.__name__ for t in _INTEGRALS]
-        return order.index(type(src_t).__name__) > order.index(type(tgt_t).__name__)
-    return isinstance(src_t, T.DoubleType) and isinstance(tgt_t, T.FloatType)
+    ``tgt_t`` — i.e. widening the table column from ``tgt_t`` to
+    ``src_t`` is on the whitelist."""
+    return _widen_allowed(tgt_t, src_t)
 
 
 def _identity_expr(idcfg: dict, hwm: int):
@@ -212,6 +252,10 @@ class MergeSchemaError(ValueError):
 
 class ConstraintViolationError(ValueError):
     """A commit would write rows violating a table CHECK constraint."""
+
+
+class TypeWideningError(ValueError):
+    """The requested column type change is not a lossless widening."""
 
 
 class AppendOnlyError(RuntimeError):
