@@ -166,6 +166,77 @@ def blocked_pairs(
     return paired
 
 
+def knn_join(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    dims: int,
+    block_base: int = 250,
+    max_planes: int = 16,
+    broadcast_hints: bool = True,
+) -> DataFrame:
+    """Approximate all-pairs k-NN JOIN: every vector's top-k cosine
+    neighbors among the vectors sharing its corpus-scaled
+    hyperplane-sign bucket. This is the large×large shape
+    ``cosine_topk`` (broadcast query set) cannot express — both
+    "sides" are the whole corpus, so neither fits in a broadcast.
+
+    Scale shape: bucket assignment is a narrow per-row map of p
+    dot-products with p = ``scaled_sign_planes(n, block_base)``, so
+    the 2^p bucket count grows with the corpus and expected bucket
+    population stays in [block_base/2, block_base]. The self-join
+    shuffles on the bucket id (high-cardinality by construction);
+    candidate scoring is therefore Θ(n·block_base) — linear in n with
+    a bounded constant — and the per-query ranking window moves
+    exactly the scored candidate set, never n² rows. Missed
+    cross-bucket neighbors are the standard random-hyperplane LSH
+    recall trade: two vectors at angle θ co-bucket with probability
+    (1 − θ/π)^p. Returns (query_id, neighbor_id, cos_sim, rank);
+    vectors alone in their bucket yield no rows.
+
+    ``broadcast_hints`` follows ``blocked_pairs``: the default
+    broadcasts the neighbor side so scoring runs map-side on every
+    core at small/medium corpora; pass False past broadcast limits —
+    the plan degrades to a plain shuffle join on the bucket key with
+    the identical row set."""
+    spark = vectors.sparkSession
+    n = vectors.count()
+    p = scaled_sign_planes(n, block_base, max_planes)
+    bucket = (
+        hyperplane_bucket(vec_col, lsh_planes(dims, p))
+        if p
+        else F.lit(0).cast("long")
+    )
+    vb = vectors.withColumn("__bkt", bucket)
+    q = vb.select(
+        F.col(id_col).alias("query_id"), "__bkt", F.col(vec_col).alias("__vq")
+    )
+    want = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < want:
+        q = q.repartition(want)
+    c = vb.select(
+        F.col(id_col).alias("neighbor_id"), "__bkt", F.col(vec_col).alias("__vn")
+    )
+    scored = (
+        q.join(F.broadcast(c) if broadcast_hints else c, on="__bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim("__vq", "__vn").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def scaled_sign_planes(n_rows: int, base: int = 5000, max_planes: int = 16) -> int:
     """Corpus-scaled LSH plane count for a composite blocking key:
     the smallest p (≤ ``max_planes``) with ``n_rows ≤ base·2^p``.

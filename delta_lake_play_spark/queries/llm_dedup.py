@@ -837,3 +837,115 @@ def llm_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_true, n_flagged, n_hit, recall)],
         "n_true bigint, n_flagged bigint, n_hit bigint, recall double",
     )
+
+
+# --- llm_source_overlap (cross-source duplication matrix) -------------------
+# The shard-vs-shard contamination report a corpus curator reads
+# before mixing sources: for every source pair, how many DISTINCT
+# word 5-grams appear in both (whole-doc fingerprints are too strict
+# — the fixtures, like real crawl snapshots, share phrases long
+# before they share byte-identical documents). The scale shape is
+# the whole point — never doc×doc: one distinct over (gram, source)
+# collapses the corpus to its shingle vocabulary × sources, and the
+# self-join's per-gram group is bounded by the SOURCE count (a
+# handful), so pair expansion is |grams|·O(sources²) — corpus-linear.
+# The same aggregate yields each pair's containment denominator
+# (distinct grams per source) so the report carries overlap ratios,
+# not just raw counts. (Production hashes grams to xxhash64 to
+# shrink the shuffle; raw strings here keep the oracle byte-exact.)
+
+_OVERLAP_N = 5
+
+
+def _source_overlap_oracle() -> str:
+    gram = " || ' ' || ".join(f"t[i+{d}]" for d in range(_OVERLAP_N))
+    return f"""
+WITH tok AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {_OVERLAP_N - 1}, 0) + 1),
+           i -> {gram})) AS gram
+  FROM tok
+),
+per_src AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.src_a, p.src_b, CAST(p.shared_grams AS BIGINT) AS shared_grams,
+       CAST(sa.n_grams AS BIGINT) AS n_grams_a,
+       CAST(sb.n_grams AS BIGINT) AS n_grams_b,
+       round(p.shared_grams / least(sa.n_grams, sb.n_grams), 6) AS containment
+FROM pairs p
+JOIN per_src sa ON sa.source = p.src_a
+JOIN per_src sb ON sb.source = p.src_b
+"""
+
+
+@register("llm_source_overlap", oracle=_source_overlap_oracle())
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: distinct shared word 5-grams
+    and containment (shared / smaller side) for every source pair —
+    the report that decides whether two crawl snapshots are worth
+    mixing or one effectively contains the other.
+
+    Plan: per-doc distinct grams (narrow transform, same gram builder
+    as ``llm_decontaminate``) → distinct (gram, source) → self-join
+    on gram (group size ≤ #sources) → count per pair; per-source
+    denominators broadcast back in. No doc×doc join anywhere;
+    everything after the distinct is sized by the shingle vocabulary,
+    not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("t"),
+    )
+    tk = F.col("t")
+    n = F.greatest(F.size(tk) - (_OVERLAP_N - 1), F.lit(0))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tk, i + d) for d in range(_OVERLAP_N)]
+    )
+    grams_arr = F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n), gram)
+    ).otherwise(F.array().cast("array<string>"))
+    # persist: three consumers (both self-join sides + the per-source
+    # denominators) would otherwise re-run the explode+distinct 3×
+    grams = (
+        tok.select("source", F.explode(grams_arr).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    per_src = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("gram"), F.col("source").alias("src_a"))
+    b = grams.select(F.col("gram"), F.col("source").alias("src_b"))
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    sa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    sb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("n_grams_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            F.round(
+                F.col("shared_grams") / F.least("n_grams_a", "n_grams_b"), 6
+            ).alias("containment"),
+        )
+    )

@@ -54,24 +54,28 @@ _EMB_MAX_PLANES = 16
 _EMB_DIMS = 64
 
 
-def _emb_bucket_ladder_sql(cnt_expr: str) -> str:
+def _emb_bucket_ladder_sql(cnt_expr: str, base: int = _EMB_BLOCK_BASE) -> str:
     """Integer CASE ladder mirroring ``scaled_sign_planes`` exactly —
     no floating log2 on either engine."""
     arms = []
-    cap = _EMB_BLOCK_BASE
+    cap = base
     for p in range(_EMB_MAX_PLANES + 1):
         arms.append(f"WHEN {cnt_expr} <= {cap} THEN {p}")
         cap *= 2
     return "CASE " + " ".join(arms) + f" ELSE {_EMB_MAX_PLANES} END"
 
 
-def _emb_bucket_ctes() -> str:
+def _sign_bucket_ctes(
+    base: int = _EMB_BLOCK_BASE, vb_cols: str = "v.vec_id, v.label, v.de"
+) -> str:
     """Shared SQL CTE fragment ``np, pl, buckets, vb`` computing the
     corpus-scaled hyperplane-sign bucket per vector; expects a prior
-    CTE ``v(vec_id, label, de)``. Mirrors ``with_emb_bucket`` exactly
+    CTE ``v`` carrying at least ``vec_id`` and ``de``. Mirrors
+    ``with_emb_bucket`` / ``knn_join``'s bucket assignment exactly
     (same ladder, same planes, same fold order); composed by the
-    embedding-cosine, dedup-clusters, and keep-best oracles so one
-    definition can never drift from another."""
+    embedding-cosine, dedup-clusters, keep-best, knn-join and
+    hard-negative oracles so one definition can never drift from
+    another."""
     from delta_lake_play_spark.operators.similarity import lsh_planes
 
     planes = lsh_planes(_EMB_DIMS, _EMB_MAX_PLANES)
@@ -84,7 +88,7 @@ def _emb_bucket_ctes() -> str:
         f"list_transform(range(1, {_EMB_DIMS}+1), i -> v.de[i] * pl.w[i])), "
         "(acc, x) -> acc + x)"
     )
-    ladder = _emb_bucket_ladder_sql("(SELECT count(*) FROM embeddings)")
+    ladder = _emb_bucket_ladder_sql("(SELECT count(*) FROM embeddings)", base)
     return f"""np AS (SELECT {ladder} AS n_planes),
 pl(p, w) AS (VALUES {plane_rows}),
 buckets AS (
@@ -94,8 +98,14 @@ buckets AS (
   FROM v CROSS JOIN pl
   GROUP BY v.vec_id
 ),
-vb AS (SELECT v.vec_id, v.label, v.de, b.bucket
+vb AS (SELECT {vb_cols}, b.bucket
        FROM v JOIN buckets b USING (vec_id))"""
+
+
+def _emb_bucket_ctes() -> str:
+    """Label-composite variant of :func:`_sign_bucket_ctes` (the
+    historical name its three oracles compose)."""
+    return _sign_bucket_ctes()
 
 
 def with_emb_bucket(e: DataFrame) -> DataFrame:
@@ -570,4 +580,151 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_to_rep",
         ((F.col("rn") == 1) | (F.col("dist_to_rep") > F.lit(_SEMDEDUP_TAU)))
         .alias("kept"),
+    )
+
+
+# --- llm_knn_join (large x large blocked k-NN join) ------------------------
+# The shape `llm_similarity_topk` cannot express: EVERY vector is a
+# query, so neither side of the join fits in a broadcast at corpus
+# scale. Blocking is the corpus-scaled hyperplane-sign bucket with a
+# SMALL population target (expected bucket population in
+# [base/2, base] by the `scaled_sign_planes` ladder), so candidate
+# scoring is Theta(n*base) — linear in the corpus — and the per-query
+# ranking window moves exactly the scored candidate set. Reference
+# parity: the reference exposes no similarity ops (149-LoC DML demo,
+# api.py:55-107); this is a BASELINE.json:6 north-star extension.
+
+_KNN_BLOCK_BASE = 250
+_KNN_K = 3
+
+
+def _knn_join_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+{_sign_bucket_ctes(_KNN_BLOCK_BASE, "v.vec_id, v.de")},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_sql_cos('a.de', 'b.de')} AS cos_sim
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_KNN_K}
+"""
+
+
+@register("llm_knn_join", oracle=_knn_join_oracle())
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs k-NN join: every vector's top-k cosine
+    neighbors within its corpus-scaled sign bucket — the SemDeDup /
+    duplicate-graph / embedding-clustering front-end that needs
+    neighbors for the WHOLE corpus, not a broadcast query set.
+
+    Scale shape: bucket count grows with n (population bounded by the
+    integer ladder), the self-join shuffles on the bucket id, and
+    total scored candidates are Theta(n*base). Missed cross-bucket
+    neighbors are the standard random-hyperplane recall trade,
+    measured honestly by `llm_ann_recall`'s pattern.
+
+    Library form: ``operators/similarity.py::knn_join``."""
+    from delta_lake_play_spark.operators.similarity import knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_join(
+        e, "vec_id", "embedding", k=_KNN_K, dims=_EMB_DIMS,
+        block_base=_KNN_BLOCK_BASE,
+    )
+
+
+# --- llm_hard_negatives (retrieval-training negative mining) ---------------
+# For training retrieval / reranker models: per query vector, the
+# top-k most-similar vectors whose ground-truth label DIFFERS — the
+# "hard negatives" that teach the model the decision boundary (random
+# negatives are too easy). Same bucket blocking as the k-NN join, so
+# mining the whole corpus stays linear; the label filter runs inside
+# the block before ranking.
+
+_NEG_K = 2
+
+
+def _hard_negatives_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings),
+{_sign_bucket_ctes(_KNN_BLOCK_BASE, "v.vec_id, v.label, v.de")},
+scored AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+         b.vec_id AS negative_id, b.label AS negative_label,
+         {_sql_cos('a.de', 'b.de')} AS cos_sim
+  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.label <> b.label
+)
+SELECT query_id, query_label, negative_id, negative_label, cos_sim, rank FROM (
+  SELECT query_id, query_label, negative_id, negative_label, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, negative_id) AS rank
+  FROM scored
+) WHERE rank <= {_NEG_K}
+"""
+
+
+@register("llm_hard_negatives", oracle=_hard_negatives_oracle())
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training data: per query,
+    the top-k highest-cosine DIFFERENT-label vectors in its sign
+    bucket (similar-but-not-relevant — the examples that move a
+    contrastive loss). NULL labels never match `a.label <> b.label`
+    on either engine, so unlabeled rows produce no negatives.
+
+    Same linear blocking as ``llm_knn_join``; the label inequality is
+    a join-side filter, so no post-ranking re-filter can under-fill
+    the k slots."""
+    from pyspark.sql import Window
+
+    from delta_lake_play_spark.operators.similarity import (
+        hyperplane_bucket,
+        lsh_planes,
+        scaled_sign_planes,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = scaled_sign_planes(e.count(), _KNN_BLOCK_BASE, _EMB_MAX_PLANES)
+    bucket = (
+        hyperplane_bucket("embedding", lsh_planes(_EMB_DIMS, p))
+        if p
+        else F.lit(0).cast("long")
+    )
+    vb = e.withColumn("__bkt", bucket)
+    q = vb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        "__bkt",
+        F.col("embedding").alias("__vq"),
+    )
+    c = vb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        "__bkt",
+        F.col("embedding").alias("__vn"),
+    )
+    scored = (
+        q.join(F.broadcast(c), on="__bkt")
+        .where(F.col("query_label") != F.col("negative_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            cosine_sim("__vq", "__vn").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "negative_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _NEG_K)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label",
+            "cos_sim", "rank",
+        )
     )

@@ -86,6 +86,13 @@ _PRIORITY: tuple[str, ...] = (
     "sql_recursive_cte",
     # late r8 addition: near-dup-cluster-aware train/val/test split
     "llm_split_leakage_safe",
+    # r8 continuation: the large×large blocked k-NN join and its
+    # hard-negative-mining consumer (operators/similarity.py knn_join
+    # + the generalized _sign_bucket_ctes oracle fragment) — new code,
+    # window slots this round per the standing rule
+    "llm_knn_join",
+    "llm_hard_negatives",
+    "llm_source_overlap",
     # r1-vintage stale rows (newest driver evidence: round 1)
     "agg_max_by_min_by",
     "agg_pivot",
@@ -120,16 +127,18 @@ _PRIORITY: tuple[str, ...] = (
     "fn_string_basic",
     "fn_string_split_tokens",
     "fn_string_regex",
-    "fn_date_trunc_extract",
-    "fn_date_arith",
-    "fn_timestamp_cast_fmt",
     # --- TIER 2 (51+): the r2-vintage rows deferred to r9 — trivial
     # scan/sort/set/map/HOF machinery, least likely to rot (fn_explode,
     # fn_map_json, fn_array_hof, fn_array_ops displaced by the
     # late-registered dml_append_only / dml_dv_native_protocol /
     # llm_split_leakage_safe keys and the sql_recursive_cte re-proof:
     # new/changed machinery gets driver validation first, the
-    # endorsed trade).
+    # endorsed trade; fn_date_trunc_extract / fn_date_arith /
+    # fn_timestamp_cast_fmt joined this tier when the r8-continuation
+    # knn-join / hard-negatives / source-overlap keys took slots).
+    "fn_date_trunc_extract",
+    "fn_date_arith",
+    "fn_timestamp_cast_fmt",
     "fn_array_ops",
     "fn_array_hof",
     "fn_explode",

@@ -972,3 +972,90 @@ def test_blocked_pairs_composite_key(spark, sf_dir):
     assert set(sub_pairs) <= set(single_pairs)
     # composite output keeps the caller's column names, not __blk
     assert {"label", "bkt"} <= set(subset.columns) and "__blk" not in subset.columns
+
+
+def test_knn_join_exact_within_bucket(spark, sf_dir):
+    """knn_join's ranked neighbors must equal the brute-force top-k
+    computed WITHIN each bucket (the blocking is the approximation;
+    ranking inside a block is exact), symmetric candidate direction
+    (query != neighbor, both orders), and hint-off must shed the
+    BroadcastExchange while emitting the identical rows."""
+    from delta_lake_play_spark.operators.similarity import (
+        hyperplane_bucket,
+        knn_join,
+        lsh_planes,
+        scaled_sign_planes,
+    )
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where("vec_id < 300")
+    k = 2
+    got = knn_join(e, "vec_id", "embedding", k=k, dims=64)
+    rows = got.collect()
+    assert all(1 <= r["rank"] <= k for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+    # brute-force truth within the same buckets
+    p = scaled_sign_planes(e.count(), 250, 16)
+    vb = e.withColumn(
+        "b",
+        hyperplane_bucket("embedding", lsh_planes(64, p))
+        if p
+        else F.lit(0).cast("long"),
+    ).collect()
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    by_bucket = {}
+    for r in vb:
+        by_bucket.setdefault(r["b"], []).append(r)
+    truth = set()
+    for members in by_bucket.values():
+        for q in members:
+            cand = sorted(
+                (
+                    (-cos(q["embedding"], c["embedding"]), c["vec_id"])
+                    for c in members
+                    if c["vec_id"] != q["vec_id"]
+                ),
+            )[:k]
+            for rank0, (_, nid) in enumerate(cand):
+                truth.add((q["vec_id"], nid, rank0 + 1))
+    got_set = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+    assert got_set == truth and len(truth) > 0
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = knn_join(
+            e, "vec_id", "embedding", k=k, dims=64, broadcast_hints=False
+        )
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert {
+            (r["query_id"], r["neighbor_id"], r["rank"]) for r in plain.collect()
+        } == got_set
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_knn_join_singleton_bucket_emits_nothing(spark):
+    """A vector alone in its bucket has no candidates: it must be
+    absent from the output, not paired across buckets."""
+    from delta_lake_play_spark.operators.similarity import knn_join
+
+    # two opposite vectors land in complementary sign buckets for any
+    # plane set; with p forced >= 1 by a tiny base they never pair
+    df = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [-1.0] * 4), (3, [1.0, 1.0, 1.0, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_join(df, "vec_id", "embedding", k=2, dims=4, block_base=1)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    # 1 and 3 share all signs; 2 is alone in the complement bucket
+    assert got == {(1, 3), (3, 1)}
