@@ -880,7 +880,7 @@ pairs AS (
 SELECT p.src_a, p.src_b, CAST(p.shared_grams AS BIGINT) AS shared_grams,
        CAST(sa.n_grams AS BIGINT) AS n_grams_a,
        CAST(sb.n_grams AS BIGINT) AS n_grams_b,
-       round(p.shared_grams / least(sa.n_grams, sb.n_grams), 6) AS containment
+       p.shared_grams / least(sa.n_grams, sb.n_grams) AS containment
 FROM pairs p
 JOIN per_src sa ON sa.source = p.src_a
 JOIN per_src sb ON sb.source = p.src_b
@@ -944,8 +944,10 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_grams",
             "n_grams_a",
             "n_grams_b",
-            F.round(
-                F.col("shared_grams") / F.least("n_grams_a", "n_grams_b"), 6
+            # bare IEEE division of two exact integers: correctly
+            # rounded, so bit-identical across engines (no round())
+            (
+                F.col("shared_grams") / F.least("n_grams_a", "n_grams_b")
             ).alias("containment"),
         )
     )

@@ -715,3 +715,71 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(out).select(
         "doc_id", "n_chars", F.col("lang").cast("string").alias("lang")
     )
+
+
+# --- sql_udf_create (SQL-defined scalar + table functions, Spark 4) ---------
+# CREATE TEMPORARY FUNCTION ... RETURNS <type> RETURN <expr> — logic
+# shipped as catalog objects instead of engine code. Catalyst INLINES
+# the scalar body at plan time (the UDF is a parse-level rewrite, not
+# a black-box callsite), so predicate pushdown / codegen see straight
+# through it — unlike a Python UDF, a SQL UDF costs nothing at 100 TB.
+# The table-valued form (RETURNS TABLE) demos a catalog-defined
+# dimension. The oracle inlines both bodies by hand; matching hashes
+# prove the inlining is semantics-preserving.
+
+_SQL_UDF_ORACLE = """
+WITH bands(band, band_label) AS (VALUES (0, 'low'), (1, 'mid'), (2, 'high'))
+SELECT l_returnflag, b.band_label,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) / 10000.0 AS DOUBLE) AS disc_value
+FROM (
+  SELECT l_returnflag,
+         l_extendedprice, l_discount,
+         CASE WHEN l_extendedprice * (1.0 - l_discount) < 1000.0 THEN 0
+              WHEN l_extendedprice * (1.0 - l_discount) < 30000.0 THEN 1
+              ELSE 2 END AS band
+  FROM lineitem
+) li
+JOIN bands b USING (band)
+GROUP BY l_returnflag, b.band_label
+"""
+
+
+@register("sql_udf_create", oracle=_SQL_UDF_ORACLE)
+def sql_udf_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declare a scalar SQL UDF (``disc_price``), a second scalar UDF
+    that CALLS it (``price_band`` — nested invocation, both inlined),
+    and a table-valued SQL UDF (``price_bands()`` as a catalog-owned
+    dimension), then run an aggregate through all three. TEMPORARY
+    scope: session-local, like the reference's per-session Spark
+    state."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE, d DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN disc_price(p, d) < 1000.0 THEN 0 "
+        "WHEN disc_price(p, d) < 30000.0 THEN 1 ELSE 2 END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_bands() "
+        "RETURNS TABLE(band INT, band_label STRING) "
+        "RETURN SELECT * FROM VALUES (0, 'low'), (1, 'mid'), (2, 'high')"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, b.band_label,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(disc_price(l_extendedprice, l_discount)
+                                   * 10000) AS BIGINT)) / 10000.0 AS DOUBLE)
+                 AS disc_value
+        FROM lineitem li
+        JOIN price_bands() b
+          ON b.band = price_band(l_extendedprice, l_discount)
+        GROUP BY l_returnflag, b.band_label
+        """
+    )

@@ -691,3 +691,14 @@ def test_optimize_where_prunes_without_data_read(spark):
     rewritten = [f for f in e["files"] if "day=1" in f["path"]]
     assert len(rewritten) == 1
     assert rewritten[0]["stats"].get("day") == [1, 1]
+
+
+def test_sql_udf_inlined_not_black_box(spark, sf_dir):
+    """SQL UDFs must be parse-level rewrites: the executed plan shows
+    the inlined CASE expression and a broadcast of the table-UDF
+    dimension — never a ScalaUDF/PythonUDF callsite that would block
+    codegen and pushdown at scale."""
+    plan = _plan(spark, sf_dir, "sql_udf_create")
+    assert "ScalaUDF" not in plan and "PythonUDF" not in plan
+    assert "CASE WHEN" in plan
+    assert "BroadcastExchange" in plan
