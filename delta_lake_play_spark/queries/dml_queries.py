@@ -1710,3 +1710,95 @@ def dml_dv_native_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
             if int(fn.split(".")[0]) <= v:
                 _os.remove(_os.path.join(ddir, fn))
     return read_delta_snapshot(spark, t.path)
+
+
+# --- dml_vacuum_protocol_check (vacuumProtocolCheck marker feature) ----------
+# PROTOCOL.md's vacuumProtocolCheck: a reader-writer MARKER feature
+# whose only obligation is that VACUUM verify it understands the
+# table's protocol BEFORE reclaiming files — an implementation that
+# skips the check could delete files an unknown writer feature's
+# scheme still references (the spec's motivating bug class). The key
+# proves all three legs in-band: (a) the feature lands in BOTH
+# protocol lists at reader 3 / writer 7, (b) vacuum against a forged
+# protocol demanding an unknown writer feature REFUSES, (c) after the
+# forged commit is withdrawn the same vacuum proceeds and the final
+# content matches the oracle. Any leg failing poisons the marker
+# column, so a silent regression can't keep the hash green.
+
+_VACUUM_PROTO_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal,
+       'checked' AS vacuum_protocol
+FROM customer
+WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+"""
+
+
+@register("dml_vacuum_protocol_check", oracle=_VACUUM_PROTO_ORACLE)
+def dml_vacuum_protocol_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE (mirror + vacuum_protocol_check) → DELETE (orphans the
+    v0 files) → forge an external protocol upgrade naming an unknown
+    writer feature → VACUUM must refuse → withdraw the forgery →
+    VACUUM proceeds → latest read survives."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import DeltaMirrorError
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("vpc"),
+        c,
+        delta_mirror=True,
+        vacuum_protocol_check=True,
+    )
+    t.delete(F.col("c_acctbal") < 0)  # v1: v0's files become orphans
+
+    ddir = _os.path.join(t.path, "_delta_log")
+    with open(_os.path.join(ddir, f"{0:020d}.json")) as fh:
+        protos = [
+            _json.loads(line)["protocol"]
+            for line in fh
+            if '"protocol"' in line
+        ]
+    p = protos[0] if protos else {}
+    declared = (
+        p.get("minReaderVersion") == 3
+        and p.get("minWriterVersion") == 7
+        and "vacuumProtocolCheck" in (p.get("readerFeatures") or [])
+        and "vacuumProtocolCheck" in (p.get("writerFeatures") or [])
+    )
+
+    # forge an external writer's protocol upgrade with a feature this
+    # implementation does not know
+    forged = dict(p)
+    forged["writerFeatures"] = list(p.get("writerFeatures") or []) + [
+        "futureCompactionScheme"
+    ]
+    nxt = max(
+        int(fn[:20])
+        for fn in _os.listdir(ddir)
+        if fn.endswith(".json") and fn[:20].isdigit()
+    ) + 1
+    forged_path = _os.path.join(ddir, f"{nxt:020d}.json")
+    with open(forged_path, "w") as fh:
+        fh.write(_json.dumps({"protocol": forged}) + "\n")
+    refused = False
+    try:
+        t.vacuum(retain_last=1, min_age_seconds=0)
+    except DeltaMirrorError:
+        refused = True
+    _os.remove(forged_path)
+
+    t.vacuum(retain_last=1, min_age_seconds=0)  # now legal
+    marker = (
+        "checked"
+        if declared and refused
+        else f"BROKEN declared={declared} refused={refused}"
+    )
+    return t.to_df().select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.lit(marker).alias("vacuum_protocol"),
+    )

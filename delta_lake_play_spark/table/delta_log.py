@@ -136,6 +136,26 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "timestampNtz",
     "variantType",
+    # marker feature: requires VACUUM to run a protocol check before
+    # deleting files; imposes nothing on reads (PROTOCOL.md)
+    "vacuumProtocolCheck",
+}
+
+# Writer features this implementation can honor when VACUUMing a
+# table whose protocol demands the vacuumProtocolCheck (a vacuum that
+# ignores an unknown writer feature could reclaim files the feature's
+# scheme still references — e.g. a DV bin of a scheme we don't parse).
+_SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "generatedColumns",
+    "identityColumns",
+    "domainMetadata",
+    "rowTracking",
+    "clustering",
+    "inCommitTimestamp",
 }
 
 
@@ -401,6 +421,12 @@ def _protocol_action(table, entry: dict) -> dict:
         # likewise VARIANT columns (Spark 4 semi-structured type)
         table_features += ["variantType"]
         reader_features += ["variantType"]
+    if _vacuum_protocol_check(table):
+        # reader-writer MARKER feature: data layout is unchanged, but
+        # every VACUUM implementation must verify it understands the
+        # table's writer features before reclaiming files
+        table_features += ["vacuumProtocolCheck"]
+        reader_features += ["vacuumProtocolCheck"]
     if reader_features:
         # Any reader-writer table feature forces minReaderVersion 3
         # with an explicit readerFeatures list (PROTOCOL.md) — which
@@ -576,6 +602,63 @@ def _ensure_materialized(table, entry: dict) -> None:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def latest_mirror_protocol(table) -> dict | None:
+    """Newest ``protocol`` action in the mirror log, scanning raw
+    artifacts newest-first: JSON commits (descending), then minor
+    compactions, then the newest checkpoint (whose schema retains the
+    protocol row through JSON cleanup). Returns None when the mirror
+    has never written a protocol (no _delta_log, or artifacts
+    missing it entirely)."""
+    ddir = os.path.join(table.path, "_delta_log")
+    if not os.path.isdir(ddir):
+        return None
+
+    def _scan_json(path: str) -> dict | None:
+        found = None
+        with open(path) as fh:
+            for line in fh:
+                if '"protocol"' not in line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    found = action["protocol"]  # last line wins
+        return found
+
+    jsons = sorted(
+        fn
+        for fn in os.listdir(ddir)
+        if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit()
+    )
+    for fn in reversed(jsons):
+        p = _scan_json(os.path.join(ddir, fn))
+        if p is not None:
+            return p
+    spans = _compacted_spans(ddir)
+    for s in sorted(spans, reverse=True):
+        for _e, cfn in sorted(spans[s], reverse=True):
+            p = _scan_json(os.path.join(ddir, cfn))
+            if p is not None:
+                return p
+    cps = _checkpoint_versions(ddir)
+    if cps:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(os.path.join(ddir, cps[max(cps)])).to_pylist():
+            p = row.get("protocol")
+            if p and p.get("minReaderVersion"):
+                return p
+    return None
+
+
+def _vacuum_protocol_check(table) -> bool:
+    """Whether the table opted in to the ``vacuumProtocolCheck``
+    reader-writer marker feature at CREATE."""
+    try:
+        return table.vacuum_protocol_check_enabled()
+    except AttributeError:  # duck-typed callers without the accessor
+        return False
 
 
 def _dv_native(table) -> bool:

@@ -310,6 +310,7 @@ class VersionedTable:
         cluster_by: list[str] | None = None,
         append_only: bool = False,
         dv_mirror_policy: str = "materialize",
+        vacuum_protocol_check: bool = False,
     ) -> "VersionedTable":
         """Persist ``df`` as version 0 (``spark_project.py:36`` shape).
 
@@ -437,6 +438,7 @@ class VersionedTable:
                 "clusterBy": list(cluster_by or []),
                 "appendOnly": bool(append_only),
                 "dvMirrorPolicy": dv_mirror_policy,
+                "vacuumProtocolCheck": bool(vacuum_protocol_check),
             },
             df.schema,
         )
@@ -2047,6 +2049,7 @@ class VersionedTable:
         reclaim."""
         import time as _time
 
+        self._vacuum_check_mirror_protocol()
         age_floor = _time.time() - min_age_seconds
         versions = sorted(self._versions())
         keep = set(versions[-retain_last:]) if retain_last > 0 else set()
@@ -2743,6 +2746,50 @@ class VersionedTable:
             .get("dvMirrorPolicy")
             or "materialize"
         )
+
+    def vacuum_protocol_check_enabled(self) -> bool:
+        """Whether the mirror declares the ``vacuumProtocolCheck``
+        reader-writer marker feature (PROTOCOL.md): VACUUM must
+        verify it understands the table's protocol before reclaiming
+        files. From the CREATE entry."""
+        if 0 not in self._versions():
+            return False
+        return bool(
+            self._read_log_raw(0).get("operationParameters", {}).get(
+                "vacuumProtocolCheck", False
+            )
+        )
+
+    def _vacuum_check_mirror_protocol(self) -> None:
+        """The vacuumProtocolCheck obligation: before deleting ANY
+        file, re-read the mirrored protocol and refuse if it names a
+        writer feature this implementation does not understand — an
+        unknown scheme (say, a DV format we don't parse) may hold
+        references to files this sweep would classify as orphans.
+        No-op for unmirrored tables (no external protocol exists) and
+        for protocols without the marker feature."""
+        ddir = os.path.join(self.path, "_delta_log")
+        if not os.path.isdir(ddir):
+            return
+        from .delta_log import (
+            _SUPPORTED_WRITER_FEATURES,
+            DeltaMirrorError,
+            latest_mirror_protocol,
+        )
+
+        proto = latest_mirror_protocol(self)
+        if proto is None:
+            return
+        feats = set(proto.get("writerFeatures") or [])
+        if "vacuumProtocolCheck" not in feats:
+            return
+        unknown = feats - _SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise DeltaMirrorError(
+                f"VACUUM refused: table protocol demands writer features "
+                f"{sorted(unknown)} this implementation does not "
+                f"understand (vacuumProtocolCheck)"
+            )
 
     def _refuse_if_append_only(self, op: str) -> None:
         """Delta ``delta.appendOnly`` enforcement: DELETE / UPDATE /

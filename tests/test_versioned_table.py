@@ -1057,3 +1057,70 @@ def test_append_only_refuses_row_changes(spark):
             _json.loads(line)["metaData"] for line in fh if '"metaData"' in line
         ]
     assert metas[0]["configuration"].get("delta.appendOnly") == "true"
+
+
+def test_vacuum_protocol_check_declares_and_refuses(spark):
+    """vacuumProtocolCheck lands in BOTH protocol lists; VACUUM
+    refuses when the latest mirror protocol names an unknown writer
+    feature; the protocol survives JSON cleanup via the checkpoint
+    (latest_mirror_protocol's fallback), so a vacuum AFTER cleanup
+    still performs the check."""
+    import json
+
+    from delta_lake_play_spark.table.delta_log import (
+        DeltaMirrorError,
+        latest_mirror_protocol,
+    )
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("vpcheck"),
+        spark.createDataFrame(SEED, SEED_SCHEMA),
+        delta_mirror=True,
+        vacuum_protocol_check=True,
+    )
+    t.delete(F.col("id") == 1)
+    p = latest_mirror_protocol(t)
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "vacuumProtocolCheck" in p["readerFeatures"]
+    assert "vacuumProtocolCheck" in p["writerFeatures"]
+
+    ddir = os.path.join(t.path, "_delta_log")
+    forged = dict(p)
+    forged["writerFeatures"] = p["writerFeatures"] + ["futureScheme"]
+    nxt = 1 + max(
+        int(fn[:20])
+        for fn in os.listdir(ddir)
+        if fn.endswith(".json") and fn[:20].isdigit()
+    )
+    fpath = os.path.join(ddir, f"{nxt:020d}.json")
+    with open(fpath, "w") as fh:
+        fh.write(json.dumps({"protocol": forged}) + "\n")
+    with pytest.raises(DeltaMirrorError, match="futureScheme"):
+        t.vacuum(retain_last=1, min_age_seconds=0)
+    os.remove(fpath)
+
+    # checkpoint fallback: write a checkpoint, delete every commit
+    # JSON — the protocol must still be found (and still allow vacuum)
+    t.checkpoint_mirror()
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and fn[:20].isdigit():
+            os.remove(os.path.join(ddir, fn))
+    p2 = latest_mirror_protocol(t)
+    assert p2 is not None and "vacuumProtocolCheck" in p2["writerFeatures"]
+    t.vacuum(retain_last=1, min_age_seconds=0)  # check passes, sweep legal
+
+
+def test_vacuum_without_marker_skips_protocol_scan(spark):
+    """A mirrored table WITHOUT the marker never refuses vacuum even
+    if its protocol names extra features (the obligation is opt-in),
+    and an unmirrored table is a clean no-op."""
+    seed = spark.createDataFrame(SEED, SEED_SCHEMA)
+    t = VersionedTable.create(
+        spark, temp_table_path("vpoff"), seed, delta_mirror=True
+    )
+    t.delete(F.col("id") == 1)
+    t.vacuum(retain_last=1, min_age_seconds=0)  # must not raise
+    u = VersionedTable.create(spark, temp_table_path("vpnomirror"), seed)
+    u.delete(F.col("id") == 1)
+    u.vacuum(retain_last=1, min_age_seconds=0)
