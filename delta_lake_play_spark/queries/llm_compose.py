@@ -668,3 +668,135 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.join(d, clusters.node == d.doc_id)
         .select("doc_id", "cluster", split.alias("split"))
     )
+
+
+# --- llm_quality_classifier_train -------------------------------------------
+# Train the quality CLASSIFIER itself, distributed — the
+# fastText-style quality model every web-corpus pipeline fits before
+# it can filter (the static scorers llm_quality_score_linear /
+# llm_gopher_rules APPLY weights; this key LEARNS them). Linear model
+# under squared loss, batch gradient descent, every quantity on an
+# exact integer grid (weights in 1e-6 units, truncating division —
+# verified identical `div`/`//` semantics on both engines), so three
+# unrolled iterations hash-match the SQL oracle on any data, like
+# llm_pagerank_sources' integer power iteration. The label is a
+# deterministic fixture proxy (n_chars > 300) standing in for human /
+# LLM quality labels; the judged substance is the TRAINING mechanics:
+# per-iteration gradients are one aggregate over the corpus (4 sums +
+# loss, map-side combined), weights stay a broadcast 1-row relation,
+# nothing per-row ever leaves the executors. Loss is accumulated as
+# SUM((r*r)//1000): per-row truncation is deterministic on both
+# engines and buys 1000x headroom before BIGINT overflow (~9e9 docs;
+# gradient sums are safe past 1e9 docs at these feature bounds — at
+# true 100 TB scale loss accounting would move per-shard).
+
+_QC_ITERS = 3
+_QC_LRD = 100_000  # update divisor: n * _QC_LRD (lr ~ 1e-5/n)
+
+_QC_FEATS_SQL = """feats AS (
+  SELECT 100 AS x0,
+         least(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 200) AS x1,
+         least(coalesce(n_chars, 0) // 10, 500) AS x2,
+         least(len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))), 200) AS x3,
+         CASE WHEN coalesce(n_chars, 0) > 300 THEN 1000000 ELSE 0 END AS t
+  FROM documents WHERE text IS NOT NULL
+),
+nn AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n FROM feats),
+w0_(w0, w1, w2, w3) AS (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))"""
+
+
+def _qc_oracle() -> str:
+    ctes = [_QC_FEATS_SQL]
+    prev = "w0_"
+    selects = []
+    for i in range(1, _QC_ITERS + 1):
+        ctes.append(f"""g{i} AS (
+  SELECT CAST(coalesce(SUM(r * x0), 0) AS BIGINT) AS g0,
+         CAST(coalesce(SUM(r * x1), 0) AS BIGINT) AS g1,
+         CAST(coalesce(SUM(r * x2), 0) AS BIGINT) AS g2,
+         CAST(coalesce(SUM(r * x3), 0) AS BIGINT) AS g3,
+         CAST(coalesce(SUM((r * r) // 1000), 0) AS BIGINT) AS sse_k
+  FROM (SELECT f.x0, f.x1, f.x2, f.x3,
+               w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 - f.t AS r
+        FROM feats f CROSS JOIN {prev} w)
+),
+w{i}(w0, w1, w2, w3) AS (
+  SELECT w.w0 - g.g0 // (nn.n * {_QC_LRD}),
+         w.w1 - g.g1 // (nn.n * {_QC_LRD}),
+         w.w2 - g.g2 // (nn.n * {_QC_LRD}),
+         w.w3 - g.g3 // (nn.n * {_QC_LRD})
+  FROM {prev} w CROSS JOIN g{i} g CROSS JOIN nn
+)""")
+        selects.append(
+            f"SELECT {i} AS iter, g{i}.sse_k, w{i}.w0, w{i}.w1, w{i}.w2, w{i}.w3 "
+            f"FROM g{i} CROSS JOIN w{i}"
+        )
+        prev = f"w{i}"
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register("llm_quality_classifier_train", oracle=_qc_oracle())
+def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-GD training of a linear quality classifier over the
+    corpus: per iteration ONE aggregate computes the four gradient
+    sums and the (pre-update) loss; the weight vector is a broadcast
+    1-row relation, updated by exact truncating division. Output is
+    (iter, sse_k, w0..w3) per iteration — loss strictly decreasing is
+    part of the hashed result, so a broken update can't pass."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    feats = d.select(
+        F.lit(100).cast("long").alias("x0"),
+        F.least(F.size(toks), F.lit(200)).cast("long").alias("x1"),
+        F.least(
+            F.expr("coalesce(n_chars, 0) div 10"), F.lit(500)
+        ).cast("long").alias("x2"),
+        F.least(F.size(F.array_distinct(toks)), F.lit(200))
+        .cast("long")
+        .alias("x3"),
+        F.when(F.coalesce(F.col("n_chars"), F.lit(0)) > 300, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("t"),
+    ).persist()  # three iterations re-aggregate the same feature rows
+    n_expr = F.greatest(F.count("*"), F.lit(1))
+    w = spark.createDataFrame(
+        [(0, 0, 0, 0)], "w0 long, w1 long, w2 long, w3 long"
+    )
+    outs = []
+    for i in range(1, _QC_ITERS + 1):
+        j = feats.crossJoin(F.broadcast(w))
+        r = (
+            F.col("w0") * F.col("x0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            - F.col("t")
+        ).alias("r")
+        scored = j.select("x0", "x1", "x2", "x3", r)
+        # global agg: exactly one row even over an empty corpus, like
+        # the oracle's CROSS JOIN of scalar aggregates
+        agg = scored.agg(
+            F.coalesce(F.sum(F.col("r") * F.col("x0")), F.lit(0)).alias("g0"),
+            F.coalesce(F.sum(F.col("r") * F.col("x1")), F.lit(0)).alias("g1"),
+            F.coalesce(F.sum(F.col("r") * F.col("x2")), F.lit(0)).alias("g2"),
+            F.coalesce(F.sum(F.col("r") * F.col("x3")), F.lit(0)).alias("g3"),
+            F.coalesce(
+                F.sum(F.expr("(r * r) div 1000")), F.lit(0)
+            ).alias("sse_k"),
+            n_expr.alias("n"),
+        )
+        step = agg.crossJoin(F.broadcast(w)).select(
+            F.lit(i).alias("iter"),
+            "sse_k",
+            *[
+                F.expr(f"w{k} - g{k} div (n * {_QC_LRD})").alias(f"w{k}")
+                for k in range(4)
+            ],
+        )
+        outs.append(step)
+        w = step.select("w0", "w1", "w2", "w3")
+    out = outs[0]
+    for s in outs[1:]:
+        out = out.unionByName(s)
+    return out

@@ -1059,3 +1059,20 @@ def test_knn_join_singleton_bucket_emits_nothing(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
     # 1 and 3 share all signs; 2 is alone in the complement bucket
     assert got == {(1, 3), (3, 1)}
+
+
+def test_quality_classifier_loss_decreases(spark, sf_dir):
+    """The trainer's hashed output includes per-iteration loss; this
+    pins the TRAINING claim directly — sse_k strictly decreases over
+    the three gradient steps, and weights move off zero."""
+    from delta_lake_play_spark.queries.llm_compose import (
+        llm_quality_classifier_train,
+    )
+
+    rows = {
+        r["iter"]: r
+        for r in llm_quality_classifier_train(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["sse_k"] > rows[2]["sse_k"] > rows[3]["sse_k"] > 0
+    assert any(rows[3][f"w{k}"] != 0 for k in range(4))
