@@ -705,7 +705,10 @@ nn AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n FROM feats),
 w0_(w0, w1, w2, w3) AS (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)))"""
 
 
-def _qc_oracle() -> str:
+def _qc_ctes() -> tuple[str, list[str]]:
+    """The trainer's unrolled CTE chain and its per-iteration output
+    selects — shared by the train and eval oracles so the two can
+    never drift."""
     ctes = [_QC_FEATS_SQL]
     prev = "w0_"
     selects = []
@@ -732,7 +735,12 @@ w{i}(w0, w1, w2, w3) AS (
             f"FROM g{i} CROSS JOIN w{i}"
         )
         prev = f"w{i}"
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    return "WITH " + ",\n".join(ctes), selects
+
+
+def _qc_oracle() -> str:
+    ctes, selects = _qc_ctes()
+    return ctes + "\n" + "\nUNION ALL ".join(selects)
 
 
 @register("llm_quality_classifier_train", oracle=_qc_oracle())
@@ -800,3 +808,89 @@ def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in outs[1:]:
         out = out.unionByName(s)
     return out
+
+
+# --- llm_classifier_eval ----------------------------------------------------
+# Close the train→apply loop: score every document with the weights
+# the GD trainer converged to, threshold at 0.5 (500000 on the 1e-6
+# grid), and report the confusion matrix + exact precision/recall as
+# integer per-million rates (ppm — exact integer division, no float
+# rounding to diverge on). One more corpus aggregate after training;
+# the weights stay a broadcast 1-row relation. This is the eval any
+# production quality-filter publishes next to its classifier.
+
+_QC_THRESHOLD = 500_000  # 0.5 on the 1e-6 label grid
+
+
+def _qc_eval_oracle() -> str:
+    # reuse the trainer's unrolled CTE chain up to w{ITERS}, then score
+    ctes, _selects = _qc_ctes()
+    return f"""{ctes},
+scored AS (
+  SELECT f.t, w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS s
+  FROM feats f CROSS JOIN w{_QC_ITERS} w
+),
+cm AS (
+  SELECT CAST(coalesce(SUM(CASE WHEN s >= {_QC_THRESHOLD} AND t = 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(SUM(CASE WHEN s >= {_QC_THRESHOLD} AND t = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(coalesce(SUM(CASE WHEN s < {_QC_THRESHOLD} AND t = 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(coalesce(SUM(CASE WHEN s < {_QC_THRESHOLD} AND t = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       (tp * 1000000) // greatest(tp + fp, 1) AS precision_ppm,
+       (tp * 1000000) // greatest(tp + fn, 1) AS recall_ppm
+FROM cm"""
+
+
+@register("llm_classifier_eval", oracle=_qc_eval_oracle())
+def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + exact ppm precision/recall of the
+    integer-grid classifier after its three training steps — the
+    publishable eval row for the quality filter. Training and
+    scoring share one cached feature pass."""
+    trained = llm_quality_classifier_train(spark, sf_dir)
+    w = trained.where(F.col("iter") == _QC_ITERS).select(
+        "w0", "w1", "w2", "w3"
+    )
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    feats = d.select(
+        F.lit(100).cast("long").alias("x0"),
+        F.least(F.size(toks), F.lit(200)).cast("long").alias("x1"),
+        F.least(
+            F.expr("coalesce(n_chars, 0) div 10"), F.lit(500)
+        ).cast("long").alias("x2"),
+        F.least(F.size(F.array_distinct(toks)), F.lit(200))
+        .cast("long")
+        .alias("x3"),
+        F.when(F.coalesce(F.col("n_chars"), F.lit(0)) > 300, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("t"),
+    )
+    s = (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    pos = s >= F.lit(_QC_THRESHOLD)
+    is1 = F.col("t") == 1000000
+    cm = feats.crossJoin(F.broadcast(w)).agg(
+        F.coalesce(F.sum(F.when(pos & is1, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("tp"),
+        F.coalesce(F.sum(F.when(pos & ~is1, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("fp"),
+        F.coalesce(F.sum(F.when(~pos & is1, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("fn"),
+        F.coalesce(F.sum(F.when(~pos & ~is1, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("tn"),
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("(tp * 1000000) div greatest(tp + fp, 1)").alias(
+            "precision_ppm"
+        ),
+        F.expr("(tp * 1000000) div greatest(tp + fn, 1)").alias("recall_ppm"),
+    )

@@ -32,7 +32,7 @@ SEQ_KEYS = [
     "llm_tfidf_topterms", "llm_token_rarity", "llm_text_fingerprint",
     "llm_text_token_bpe", "llm_pii_redact", "llm_repetition_filter",
     "llm_quality_score_linear", "llm_quality_classifier_train",
-    "llm_source_overlap",
+    "llm_classifier_eval", "llm_source_overlap",
     "sample_data_mix", "sample_token_budget_mix",
     "udtf_python_offsets",
     "fn_explode_outer", "fn_posexplode", "llm_dedup_exact",
