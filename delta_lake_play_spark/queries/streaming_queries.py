@@ -877,3 +877,68 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value.count").alias("n_events"),
         )
     )
+
+
+# --- stream_static_enrich ----------------------------------------------------
+# Stream-STATIC join: the third join shape Structured Streaming
+# supports (beside stream-stream and per-batch foreachBatch joins) —
+# each micro-batch of the unbounded side joins the bounded dimension,
+# which Spark RE-EVALUATES per batch (so a dim update between batches
+# is visible; the cost story is one broadcast per batch, never a
+# shuffle of the stream). The canonical enrichment shape: events
+# arrive forever, the user→segment dimension is a table. Oracle =
+# batch equivalence: with availableNow draining everything exactly
+# once, per-batch enriched counts merged across batches must equal
+# the one-shot batch join.
+
+_STATIC_ENRICH_ORACLE = """
+SELECT coalesce(c_mktsegment, 'unknown') AS segment, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("stream_static_enrich", oracle=_STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich a real events file-stream with a static customer
+    dimension (broadcast stream-static LEFT join, unmatched users
+    keep flowing as 'unknown'), aggregate per micro-batch, and merge
+    the partial counts — exactly-once admission makes the merged
+    result equal the batch join."""
+    from pyspark.sql import functions as F
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment_raw"),
+    )
+    ev = es.read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    enriched = ev.join(F.broadcast(dim), "user_id", "left").select(
+        F.coalesce(F.col("segment_raw"), F.lit("unknown")).alias("segment"),
+        "event_type",
+    )
+    acc: list = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        # per-batch partial aggregate: segment-cardinality-sized, the
+        # bounded thing a real sink would upsert into a serving store
+        acc.extend(
+            (r["segment"], r["event_type"], r["n"])
+            for r in batch_df.groupBy("segment", "event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    partial = spark.createDataFrame(
+        acc, "segment string, event_type string, n long"
+    )
+    return partial.groupBy("segment", "event_type").agg(
+        F.sum("n").cast("long").alias("n")
+    )
