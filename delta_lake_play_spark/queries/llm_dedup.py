@@ -951,3 +951,75 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --- llm_dedup_cross_corpus (onion / priority dedup) -------------------------
+# When mixing sources of unequal trust (Wikipedia > books > web), a
+# near-dup across sources must be resolved in the HIGH-priority
+# source's favor — dropping at random (or by doc_id) silently bleeds
+# curated data. Priority here is the deterministic source ordering;
+# a document is dropped when any near-dup pair (the same banded-LSH
+# candidates + exact-Jaccard verify as llm_dedup_near_minhash)
+# connects it to a better document: a strictly higher-priority
+# source, or a lower doc_id within its own source. Single-pass
+# pairwise contract (each batch's flagged set, not the transitive
+# closure — that is llm_dedup_clusters' job); the loser projection
+# is narrow, the distinct-losers set is at most corpus-sized, and
+# everything after pair generation is one keyed shuffle + one join.
+
+
+def _cross_corpus_oracle() -> str:
+    return f"""
+WITH pairs AS (SELECT * FROM ({_minhash_oracle()}) q),
+srcd AS (SELECT doc_id, source FROM documents),
+losers AS (
+  SELECT DISTINCT CASE WHEN sa.source < sb.source THEN p.doc_b
+                       WHEN sb.source < sa.source THEN p.doc_a
+                       ELSE p.doc_b END AS loser
+  FROM pairs p
+  JOIN srcd sa ON sa.doc_id = p.doc_a
+  JOIN srcd sb ON sb.doc_id = p.doc_b
+)
+SELECT d.doc_id, d.source, l.loser IS NULL AS kept
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.loser
+"""
+
+
+@register("llm_dedup_cross_corpus", oracle=_cross_corpus_oracle())
+def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority ("onion") dedup across sources: per near-dup pair the
+    lower-priority side loses (source ordering, doc_id within a
+    source), and the output marks every document kept/dropped — the
+    keep/drop contract a mixing pipeline consumes before weighting
+    sources."""
+    from delta_lake_play_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", _JACCARD_THRESHOLD)
+    src = d.select("doc_id", "source")
+    p = pairs.join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            )
+        ),
+        "doc_b",
+    )
+    loser = (
+        F.when(F.col("src_a") < F.col("src_b"), F.col("doc_b"))
+        .when(F.col("src_b") < F.col("src_a"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))  # same source: doc_a < doc_b wins
+    )
+    losers = p.select(loser.alias("loser")).distinct()
+    return d.select("doc_id", "source").join(
+        losers, d.doc_id == losers.loser, "left"
+    ).select(
+        "doc_id", "source", F.col("loser").isNull().alias("kept")
+    )

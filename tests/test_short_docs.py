@@ -36,7 +36,8 @@ SEQ_KEYS = [
     "sample_data_mix", "sample_token_budget_mix",
     "udtf_python_offsets",
     "fn_explode_outer", "fn_posexplode", "llm_dedup_exact",
-    "llm_dedup_near_minhash", "llm_dedup_simhash", "llm_text_stats",
+    "llm_dedup_near_minhash", "llm_dedup_cross_corpus",
+    "llm_dedup_simhash", "llm_text_stats",
     "llm_doc_quality_filter", "llm_decontaminate", "fn_string_split_tokens",
     "fn_explode", "sink_text_roundtrip", "udtf_explode_ngrams",
 ]
