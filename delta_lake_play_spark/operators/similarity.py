@@ -175,6 +175,7 @@ def knn_join(
     block_base: int = 250,
     max_planes: int = 16,
     broadcast_hints: bool = True,
+    bucket_cap: int = 500,
 ) -> DataFrame:
     """Approximate all-pairs k-NN JOIN: every vector's top-k cosine
     neighbors among the vectors sharing its corpus-scaled
@@ -195,6 +196,19 @@ def knn_join(
     (1 − θ/π)^p. Returns (query_id, neighbor_id, cos_sim, rank);
     vectors alone in their bucket yield no rows.
 
+    ``bucket_cap`` is the skew guard: sign buckets are NOT balanced
+    on clustered data (near-identical vectors co-bucket by design —
+    an sf1 anchor measured one bucket holding 17% of its expected
+    share ×22, inflating Σpop² to 8× the balanced ideal). Any bucket
+    whose population exceeds the cap is salt-split into
+    ``s = ceil(pop/cap)`` disjoint groups on ``vec_id % s``, so
+    per-query candidates are ≤ cap and TOTAL scoring is ≤ n·cap —
+    linear by construction no matter the skew. Inside a mega-bucket
+    the members are near-duplicates of each other, so a 1/s sample
+    still holds k strong neighbors (the recall trade is measured by
+    the llm_ann_recall pattern). At populations ≤ cap, s = 1 and the
+    pair set is exactly the un-salted one.
+
     ``broadcast_hints`` follows ``blocked_pairs``: the default
     broadcasts the neighbor side so scoring runs map-side on every
     core at small/medium corpora; pass False past broadcast limits —
@@ -209,17 +223,35 @@ def knn_join(
         else F.lit(0).cast("long")
     )
     vb = vectors.withColumn("__bkt", bucket)
+    # salt table: one row per bucket (≤ 2^p — broadcast-sized)
+    salts = vb.groupBy("__bkt").agg(
+        # integer ceil — exact on both engines, no float ceil involved
+        F.expr(f"(count(*) + {bucket_cap - 1}) div {bucket_cap}")
+        .cast("long")
+        .alias("__s")
+    )
+    vb = vb.join(F.broadcast(salts), "__bkt").withColumn(
+        "__salt", F.col(id_col) % F.col("__s")
+    )
     q = vb.select(
-        F.col(id_col).alias("query_id"), "__bkt", F.col(vec_col).alias("__vq")
+        F.col(id_col).alias("query_id"),
+        "__bkt",
+        "__salt",
+        F.col(vec_col).alias("__vq"),
     )
     want = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < want:
         q = q.repartition(want)
     c = vb.select(
-        F.col(id_col).alias("neighbor_id"), "__bkt", F.col(vec_col).alias("__vn")
+        F.col(id_col).alias("neighbor_id"),
+        "__bkt",
+        "__salt",
+        F.col(vec_col).alias("__vn"),
     )
     scored = (
-        q.join(F.broadcast(c) if broadcast_hints else c, on="__bkt")
+        q.join(
+            F.broadcast(c) if broadcast_hints else c, on=["__bkt", "__salt"]
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

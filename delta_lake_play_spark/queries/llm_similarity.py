@@ -596,16 +596,35 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_BLOCK_BASE = 250
 _KNN_K = 3
+_KNN_BUCKET_CAP = 500  # skew guard: salt-split buckets over this pop
+
+
+def _knn_salt_ctes() -> str:
+    """Shared salt-split fragment (mirrors ``knn_join``'s skew
+    guard): per-bucket salt count s = ceil(pop/cap) by integer
+    arithmetic, each row salted on vec_id % s. s = 1 at every driver
+    fixture (pops ≤ cap), so the fixture pair set is the un-salted
+    one."""
+    return f"""salts AS (
+  SELECT bucket, (count(*) + {_KNN_BUCKET_CAP - 1}) // {_KNN_BUCKET_CAP} AS s
+  FROM vb GROUP BY bucket
+),
+vbs AS (
+  SELECT vb.*, vb.vec_id % salts.s AS salt
+  FROM vb JOIN salts USING (bucket)
+)"""
 
 
 def _knn_join_oracle() -> str:
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
 {_sign_bucket_ctes(_KNN_BLOCK_BASE, "v.vec_id, v.de")},
+{_knn_salt_ctes()},
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          {_sql_cos('a.de', 'b.de')} AS cos_sim
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  FROM vbs a JOIN vbs b
+    ON a.bucket = b.bucket AND a.salt = b.salt AND a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT query_id, neighbor_id, cos_sim,
@@ -634,7 +653,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return knn_join(
         e, "vec_id", "embedding", k=_KNN_K, dims=_EMB_DIMS,
-        block_base=_KNN_BLOCK_BASE,
+        block_base=_KNN_BLOCK_BASE, bucket_cap=_KNN_BUCKET_CAP,
     )
 
 
@@ -653,11 +672,13 @@ def _hard_negatives_oracle() -> str:
     return f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS de FROM embeddings),
 {_sign_bucket_ctes(_KNN_BLOCK_BASE, "v.vec_id, v.label, v.de")},
+{_knn_salt_ctes()},
 scored AS (
   SELECT a.vec_id AS query_id, a.label AS query_label,
          b.vec_id AS negative_id, b.label AS negative_label,
          {_sql_cos('a.de', 'b.de')} AS cos_sim
-  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.label <> b.label
+  FROM vbs a JOIN vbs b
+    ON a.bucket = b.bucket AND a.salt = b.salt AND a.label <> b.label
 )
 SELECT query_id, query_label, negative_id, negative_label, cos_sim, rank FROM (
   SELECT query_id, query_label, negative_id, negative_label, cos_sim,
@@ -694,10 +715,20 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         else F.lit(0).cast("long")
     )
     vb = e.withColumn("__bkt", bucket)
+    # same skew guard as knn_join: salt-split buckets past the cap
+    salts = vb.groupBy("__bkt").agg(
+        F.expr(f"(count(*) + {_KNN_BUCKET_CAP - 1}) div {_KNN_BUCKET_CAP}")
+        .cast("long")
+        .alias("__s")
+    )
+    vb = vb.join(F.broadcast(salts), "__bkt").withColumn(
+        "__salt", F.col("vec_id") % F.col("__s")
+    )
     q = vb.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         "__bkt",
+        "__salt",
         F.col("embedding").alias("__vq"),
     )
     # same under-split guard as blocked_pairs/knn_join: the scoring is
@@ -711,10 +742,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("negative_label"),
         "__bkt",
+        "__salt",
         F.col("embedding").alias("__vn"),
     )
     scored = (
-        q.join(F.broadcast(c), on="__bkt")
+        q.join(F.broadcast(c), on=["__bkt", "__salt"])
         .where(F.col("query_label") != F.col("negative_label"))
         .select(
             "query_id",

@@ -1036,7 +1036,14 @@ def test_knn_join_exact_within_bucket(spark, sf_dir):
             e, "vec_id", "embedding", k=k, dims=64, broadcast_hints=False
         )
         plan = plain._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastExchange" not in plan
+        # hint-off sheds the CORPUS broadcast; the remaining
+        # BroadcastExchanges are the per-bucket salt table (<= 2^p
+        # rows, metadata-sized, broadcast unconditionally on both
+        # join sides)
+        hinted_plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastExchange") < hinted_plan.count(
+            "BroadcastExchange"
+        )
         assert {
             (r["query_id"], r["neighbor_id"], r["rank"]) for r in plain.collect()
         } == got_set
@@ -1076,3 +1083,39 @@ def test_quality_classifier_loss_decreases(spark, sf_dir):
     assert set(rows) == {1, 2, 3}
     assert rows[1]["sse_k"] > rows[2]["sse_k"] > rows[3]["sse_k"] > 0
     assert any(rows[3][f"w{k}"] != 0 for k in range(4))
+
+
+def test_knn_join_salt_caps_mega_buckets(spark):
+    """The skew guard: a bucket holding more vectors than bucket_cap
+    must salt-split — per-query candidate counts stay <= ~cap, every
+    query still gets neighbors (mega-bucket members are near-dups of
+    each other), and below the cap the salt is the identity (same
+    rows as an uncapped run)."""
+    from delta_lake_play_spark.operators.similarity import knn_join
+
+    # 40 near-identical vectors (one mega-bucket for any plane set)
+    rows = [(i, [1.0, 0.9 + (i % 7) * 1e-3, 1.0, 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = knn_join(
+        df, "vec_id", "embedding", k=50, dims=4, block_base=1000,
+        bucket_cap=10,
+    )
+    got = capped.collect()
+    # k=50 > group size, so rank count per query == its candidate count
+    per_q = {}
+    for r in got:
+        per_q[r["query_id"]] = max(per_q.get(r["query_id"], 0), r["rank"])
+    assert per_q and max(per_q.values()) <= 10  # ceil(40/10)=4 salts → ≤10 each
+    assert set(per_q) == set(range(40))  # every query kept neighbors
+
+    uncapped = knn_join(
+        df, "vec_id", "embedding", k=3, dims=4, block_base=1000,
+        bucket_cap=1000,
+    )
+    small = knn_join(
+        df, "vec_id", "embedding", k=3, dims=4, block_base=1000,
+    )  # default cap 500 > 40 → identical to uncapped
+    canon = lambda d: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect()
+    )
+    assert canon(uncapped) == canon(small)
