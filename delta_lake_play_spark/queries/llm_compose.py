@@ -894,3 +894,111 @@ def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(tp * 1000000) div greatest(tp + fn, 1)").alias("recall_ppm"),
     )
+
+
+# --- llm_knn_recall ---------------------------------------------------------
+# Self-evaluating k-NN JOIN (the llm_ann_recall / llm_dedup_recall
+# pattern applied to the bucket+salt-blocked join): ground truth =
+# exact all-pairs top-k over a bounded scope; flagged = knn_join on
+# the same scope; per-query recall quantifies exactly what the sign
+# blocking and the skew salt give up. The quadratic truth join never
+# sees the corpus — at scale you sample a scope, which is how a
+# production index is monitored.
+
+_KNN_RECALL_SCOPE = 300
+
+
+def _knn_recall_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_similarity import (
+        _KNN_K,
+        _knn_join_oracle,
+        _sql_cos,
+    )
+
+    pred = f"vec_id < {_KNN_RECALL_SCOPE}"
+    return f"""
+WITH sc AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings WHERE {pred}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_sql_cos('a.de', 'b.de')} DESC, b.vec_id
+           ) AS rank
+    FROM sc a JOIN sc b ON a.vec_id <> b.vec_id
+  ) WHERE rank <= {_KNN_K}
+),
+approx AS (SELECT query_id, neighbor_id FROM ({_knn_join_oracle(pred)}) q)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("llm_knn_recall", oracle=_knn_recall_oracle())
+def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the blocked k-NN join vs exact all-pairs
+    truth on a bounded scope — the production monitoring shape for
+    the similarity-join index (blocking recall is a TRADE; this key
+    prices it in-engine)."""
+    from pyspark.sql import Window as W
+
+    from delta_lake_play_spark.functions.vectors import cosine_sim
+    from delta_lake_play_spark.operators.similarity import knn_join
+    from delta_lake_play_spark.queries.llm_similarity import (
+        _EMB_DIMS,
+        _KNN_BLOCK_BASE,
+        _KNN_BUCKET_CAP,
+        _KNN_K,
+    )
+
+    sc = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _KNN_RECALL_SCOPE)
+        .select("vec_id", "embedding")
+    )
+    a = sc.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__va"))
+    b = sc.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vb"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    exact = (
+        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_sim("__va", "__vb").alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = knn_join(
+        sc, "vec_id", "embedding", k=_KNN_K, dims=_EMB_DIMS,
+        block_base=_KNN_BLOCK_BASE, bucket_cap=_KNN_BUCKET_CAP,
+    ).select("query_id", F.col("neighbor_id").alias("hit_id"))
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx.hit_id),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            (
+                F.sum(
+                    F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("recall"),
+        )
+    )

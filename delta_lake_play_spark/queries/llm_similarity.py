@@ -66,7 +66,9 @@ def _emb_bucket_ladder_sql(cnt_expr: str, base: int = _EMB_BLOCK_BASE) -> str:
 
 
 def _sign_bucket_ctes(
-    base: int = _EMB_BLOCK_BASE, vb_cols: str = "v.vec_id, v.label, v.de"
+    base: int = _EMB_BLOCK_BASE,
+    vb_cols: str = "v.vec_id, v.label, v.de",
+    cnt_source: str = "embeddings",
 ) -> str:
     """Shared SQL CTE fragment ``np, pl, buckets, vb`` computing the
     corpus-scaled hyperplane-sign bucket per vector; expects a prior
@@ -88,7 +90,7 @@ def _sign_bucket_ctes(
         f"list_transform(range(1, {_EMB_DIMS}+1), i -> v.de[i] * pl.w[i])), "
         "(acc, x) -> acc + x)"
     )
-    ladder = _emb_bucket_ladder_sql("(SELECT count(*) FROM embeddings)", base)
+    ladder = _emb_bucket_ladder_sql(f"(SELECT count(*) FROM {cnt_source})", base)
     return f"""np AS (SELECT {ladder} AS n_planes),
 pl(p, w) AS (VALUES {plane_rows}),
 buckets AS (
@@ -615,10 +617,14 @@ vbs AS (
 )"""
 
 
-def _knn_join_oracle() -> str:
+def _knn_join_oracle(pred: str = "TRUE") -> str:
+    """The knn-join oracle, optionally over a scoped slice (the
+    recall harness bounds its exact-truth comparison); the plane
+    ladder counts the SCOPED corpus, mirroring knn_join counting the
+    DataFrame it is handed."""
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
-{_sign_bucket_ctes(_KNN_BLOCK_BASE, "v.vec_id, v.de")},
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings WHERE {pred}),
+{_sign_bucket_ctes(_KNN_BLOCK_BASE, "v.vec_id, v.de", "v")},
 {_knn_salt_ctes()},
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
