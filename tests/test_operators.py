@@ -1119,3 +1119,31 @@ def test_knn_join_salt_caps_mega_buckets(spark):
         (r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect()
     )
     assert canon(uncapped) == canon(small)
+
+
+def test_knn_join_salt_quality_in_mega_bucket(spark):
+    """The salt's quality claim: inside a mega-bucket the members are
+    near-duplicates, so a query's best WITHIN-SALT neighbor is nearly
+    as close as its true best — the cos_sim of rank-1 salted results
+    must sit within 1e-3 of the unsalted rank-1 for every query."""
+    from delta_lake_play_spark.operators.similarity import knn_join
+
+    rows = [
+        (i, [1.0, 0.95 + (i % 11) * 1e-3, 1.0 - (i % 5) * 1e-3, 1.0])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    best = lambda d: {  # noqa: E731
+        r["query_id"]: r["cos_sim"] for r in d.collect() if r["rank"] == 1
+    }
+    true_best = best(
+        knn_join(df, "vec_id", "embedding", k=1, dims=4, block_base=1000,
+                 bucket_cap=1000)
+    )
+    salted_best = best(
+        knn_join(df, "vec_id", "embedding", k=1, dims=4, block_base=1000,
+                 bucket_cap=10)
+    )
+    assert set(salted_best) == set(true_best)
+    for q, c in true_best.items():
+        assert salted_best[q] >= c - 1e-3, (q, salted_best[q], c)
