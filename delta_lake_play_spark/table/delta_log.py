@@ -79,6 +79,11 @@ _SIDECAR_ACTIONS = 512
 _CP_NAME_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.[0-9a-f]{32})?\.parquet$"
 )
+# multi-part classic (external delta-spark writers split large
+# checkpoints): <v>.checkpoint.<part>.<total>.parquet, 1-based part
+_CP_MULTIPART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 # Commit files strictly: `<x>.<y>.compacted.json` also ends in
 # ".json", so every "endswith('.json')" commit glob would mis-list a
@@ -99,20 +104,53 @@ def _commit_versions(ddir: str) -> list[int]:
 
 
 def _checkpoint_versions(ddir: str) -> dict[int, str]:
-    """version → top-level checkpoint filename, recognizing both the
-    classic single-file name and the uuid-named V2 manifest. When a
-    version has both (e.g. a policy upgrade), the V2 manifest wins —
-    it is the more complete representation."""
+    """version → REPRESENTATIVE checkpoint filename, recognizing the
+    classic single-file name, the uuid-named V2 manifest, and the
+    multi-part classic form (``<v>.checkpoint.<part>.<total>.parquet``
+    — external delta-spark writers split large checkpoints; this
+    implementation reads but never writes them). A multi-part
+    checkpoint's representative is its part 1; expand with
+    :func:`_checkpoint_files` before reading rows. Incomplete
+    multi-part sets (a part missing) are IGNORED per the spec — a
+    reader must not replay from half a checkpoint. Preference when a
+    version has several forms: V2 manifest > single classic >
+    multi-part."""
     out: dict[int, str] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
     for fn in sorted(os.listdir(ddir)):
         m = _CP_NAME_RE.match(fn)
-        if not m:
+        if m:
+            v = int(m.group(1))
+            if v in out and fn.endswith(".checkpoint.parquet"):
+                continue  # keep the already-seen V2 manifest over classic
+            out[v] = fn
             continue
-        v = int(m.group(1))
-        if v in out and fn.endswith(".checkpoint.parquet"):
-            continue  # keep the already-seen V2 manifest over classic
-        out[v] = fn
+        mm = _CP_MULTIPART_RE.match(fn)
+        if mm:
+            v, part, total = int(mm.group(1)), int(mm.group(2)), int(mm.group(3))
+            multi.setdefault(v, {})[part] = (total, fn)
+    for v, parts in multi.items():
+        if v in out:
+            continue  # a single-file or V2 form already represents v
+        totals = {t for t, _fn in parts.values()}
+        if len(totals) == 1 and set(parts) == set(range(1, totals.pop() + 1)):
+            out[v] = parts[1][1]  # complete set: part 1 represents it
     return out
+
+
+def _checkpoint_files(ddir: str, fn: str) -> list[str]:
+    """Expand a representative checkpoint filename to every file that
+    must be read: all parts for the multi-part classic form, the file
+    itself otherwise (V2 sidecars are resolved separately by each
+    reader, as before)."""
+    m = _CP_MULTIPART_RE.match(fn)
+    if not m:
+        return [fn]
+    v, total = int(m.group(1)), int(m.group(3))
+    return [
+        f"{v:020d}.checkpoint.{p:010d}.{total:010d}.parquet"
+        for p in range(1, total + 1)
+    ]
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _MATERIALIZED_DIR = "_dv_materialized"
@@ -645,10 +683,11 @@ def latest_mirror_protocol(table) -> dict | None:
     if cps:
         import pyarrow.parquet as pq
 
-        for row in pq.read_table(os.path.join(ddir, cps[max(cps)])).to_pylist():
-            p = row.get("protocol")
-            if p and p.get("minReaderVersion"):
-                return p
+        for part in _checkpoint_files(ddir, cps[max(cps)]):
+            for row in pq.read_table(os.path.join(ddir, part)).to_pylist():
+                p = row.get("protocol")
+                if p and p.get("minReaderVersion"):
+                    return p
     return None
 
 
@@ -1155,8 +1194,12 @@ def cleanup_expired_logs(
                 deleted.append(fn)
     for v, fn in cp_map.items():
         if v < latest_cp and _expired(fn):
-            os.remove(os.path.join(ddir, fn))
-            deleted.append(fn)
+            for part in _checkpoint_files(ddir, fn):
+                try:
+                    os.remove(os.path.join(ddir, part))
+                    deleted.append(part)
+                except FileNotFoundError:
+                    pass
     # V2 sidecar GC: keep exactly what surviving manifests reference.
     sdir = os.path.join(ddir, "_sidecars")
     if os.path.isdir(sdir):
@@ -1164,8 +1207,8 @@ def cleanup_expired_logs(
 
         referenced: set[str] = set()
         for fn in _checkpoint_versions(ddir).values():
-            if fn.endswith(".checkpoint.parquet"):
-                continue  # classic: no sidecars
+            if fn.endswith(".checkpoint.parquet") or _CP_MULTIPART_RE.match(fn):
+                continue  # classic (single- or multi-part): no sidecars
             for row in pq.read_table(os.path.join(ddir, fn)).to_pylist():
                 if row.get("sidecar"):
                     referenced.add(row["sidecar"]["path"])
@@ -1612,7 +1655,11 @@ def _prior_checkpoint_rows(ddir: str, version: int) -> list[dict]:
 
     cp = max(usable)
     fn = _checkpoint_versions(ddir)[cp]
-    rows = pq.read_table(os.path.join(ddir, fn)).to_pylist()
+    rows = [
+        r
+        for part in _checkpoint_files(ddir, fn)
+        for r in pq.read_table(os.path.join(ddir, part)).to_pylist()
+    ]
     for sp in [r["sidecar"]["path"] for r in rows if r.get("sidecar")]:
         rows += pq.read_table(os.path.join(ddir, "_sidecars", sp)).to_pylist()
     return rows
@@ -1781,7 +1828,9 @@ def _prev_sidecar_index(ddir: str, version: int) -> dict[tuple[str, str], dict]:
     prev = [
         (v, fn)
         for v, fn in _checkpoint_versions(ddir).items()
-        if v < version and not fn.endswith(".checkpoint.parquet")
+        if v < version
+        and not fn.endswith(".checkpoint.parquet")
+        and not _CP_MULTIPART_RE.match(fn)  # multi-part classic: no sidecars
     ]
     if not prev:
         return {}
@@ -1989,7 +2038,11 @@ def _replay_actions(
                     a["partitionValues"] = dict(a["partitionValues"])
                 adds[a["path"]] = a
 
-        rows = pq.read_table(os.path.join(ddir, cp_map[cp])).to_pylist()
+        rows = [
+            r
+            for part in _checkpoint_files(ddir, cp_map[cp])
+            for r in pq.read_table(os.path.join(ddir, part)).to_pylist()
+        ]
         # V2 manifests carry file actions in sidecar shards — resolve
         # each sidecar action against _delta_log/_sidecars/.
         sidecars = [r["sidecar"]["path"] for r in rows if r.get("sidecar")]
@@ -2270,14 +2323,16 @@ def read_delta_changes(
 
         # metaData always lives in the top-level file (classic AND V2
         # manifests) — no sidecar resolution needed for schema lookup.
-        tbl = pq.read_table(
-            os.path.join(ddir, cp_map[usable_cp[-1]]),
-            columns=["metaData"],
-        )
-        for row in tbl.to_pylist():
-            if row.get("metaData"):
-                schema_string = row["metaData"]["schemaString"]
-                part_cols = list(row["metaData"]["partitionColumns"] or [])
+        for part in _checkpoint_files(ddir, cp_map[usable_cp[-1]]):
+            tbl = pq.read_table(
+                os.path.join(ddir, part), columns=["metaData"]
+            )
+            for row in tbl.to_pylist():
+                if row.get("metaData"):
+                    schema_string = row["metaData"]["schemaString"]
+                    part_cols = list(
+                        row["metaData"]["partitionColumns"] or []
+                    )
     for v in (x for x in versions if x < starting_version):
         with open(os.path.join(ddir, f"{v:020d}.json")) as fh:
             for line in fh:

@@ -1689,3 +1689,73 @@ def test_crash_between_commit_and_mirror_self_heals_native_dv(spark):
     assert after == before  # deterministic regeneration
     got = sorted(tuple(r) for r in read_delta_snapshot(spark, t.path).collect())
     assert got == sorted(tuple(r) for r in t.read().collect())
+
+
+def test_multipart_classic_checkpoint_read(spark):
+    """External delta-spark writers split large classic checkpoints
+    into <v>.checkpoint.<part>.<total>.parquet files; this reader
+    must (a) replay from a complete part set with the JSON prefix
+    gone, (b) find the protocol in whichever part carries it,
+    (c) IGNORE an incomplete part set rather than replay half a
+    table, and (d) GC every part of a superseded checkpoint."""
+    import pyarrow.parquet as pq
+
+    from delta_lake_play_spark.table.delta_log import (
+        _checkpoint_versions,
+        latest_mirror_protocol,
+    )
+
+    t = _mk(spark, "dl-mpcp")
+    for i in range(12):
+        t.append(
+            spark.range(2000 + i, 2001 + i).withColumn(
+                "v", F.lit(0).cast("long")
+            )
+        )
+    ddir = os.path.join(t.path, "_delta_log")
+    single = os.path.join(ddir, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(single)
+    # split the writer's single-part checkpoint into 2 parts, exactly
+    # as an external multi-part writer would lay the same rows out
+    tbl = pq.read_table(single)
+    half = max(1, tbl.num_rows // 2)
+    pq.write_table(
+        tbl.slice(0, half),
+        os.path.join(ddir, f"{10:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(half),
+        os.path.join(ddir, f"{10:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.unlink(single)
+    lc = json.load(open(os.path.join(ddir, "_last_checkpoint")))
+    lc["parts"] = 2
+    json.dump(lc, open(os.path.join(ddir, "_last_checkpoint"), "w"))
+    for v in range(0, 10):
+        os.unlink(os.path.join(ddir, f"{v:020d}.json"))
+
+    assert _checkpoint_versions(ddir)[10].endswith(
+        ".checkpoint.0000000001.0000000002.parquet"
+    )
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    proto = latest_mirror_protocol(t)
+    assert proto is not None and proto.get("minReaderVersion")
+
+    # (c) incomplete set: hide part 2 — version 10 must drop out of
+    # the checkpoint map entirely (replay then fails loudly rather
+    # than returning half a table)
+    p2 = os.path.join(ddir, f"{10:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    os.rename(p2, p2 + ".hidden")
+    assert 10 not in _checkpoint_versions(ddir)
+    os.rename(p2 + ".hidden", p2)
+
+    # (d) GC: a newer checkpoint supersedes the multi-part one; all
+    # parts must be reclaimed once expired
+    t.append(spark.range(5000, 5001).withColumn("v", F.lit(0).cast("long")))
+    t.checkpoint_mirror()
+    deleted = t.cleanup_log_mirror(retention_ms=0)
+    assert sum(".checkpoint.00000000" in d for d in deleted) == 2
+    assert not [
+        fn for fn in os.listdir(ddir) if ".checkpoint.0000000001." in fn
+    ]
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
