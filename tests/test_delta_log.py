@@ -1759,3 +1759,48 @@ def test_multipart_classic_checkpoint_read(spark):
         fn for fn in os.listdir(ddir) if ".checkpoint.0000000001." in fn
     ]
     assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_duckdb_sql_reader_multipart_checkpoint(spark):
+    """SQL replay through a MULTI-PART classic checkpoint (the
+    external-writer split form): every part parquet contributes its
+    actions at the checkpoint version; JSON prefix deleted. Pure
+    DuckDB SQL — zero shared reader code."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 150).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-duck-mp"), df.repartition(3), delta_mirror=True
+    )
+    t.append(spark.range(150, 200).withColumn("v", (F.col("id") * 3).cast("long")))
+    t.delete(F.col("id") % 9 == 0)
+    cp = t.checkpoint_mirror()
+    t.append(spark.range(200, 230).withColumn("v", (F.col("id") * 3).cast("long")))
+    ddir = os.path.join(t.path, "_delta_log")
+    single = os.path.join(ddir, f"{cp:020d}.checkpoint.parquet")
+    tbl = pq.read_table(single)
+    half = max(1, tbl.num_rows // 2)
+    parts = []
+    for i, sl in enumerate((tbl.slice(0, half), tbl.slice(half)), start=1):
+        pth = os.path.join(
+            ddir, f"{cp:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+        )
+        pq.write_table(sl, pth)
+        parts.append(pth)
+    os.unlink(single)
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= cp:
+                os.remove(os.path.join(ddir, fn))
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    con = duckdb.connect()
+    live = _duck_live_paths(
+        con,
+        [(f"parquet@{cp}", parts[0]), (f"parquet@{cp}", parts[1]), ("json", jsons)],
+    )
+    _duck_compare(con, t, live)
+    con.close()
+    # and the Python protocol reader agrees on the same layout
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
