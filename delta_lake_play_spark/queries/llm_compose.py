@@ -1002,3 +1002,105 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- llm_matryoshka_recall --------------------------------------------------
+# Matryoshka-style dimension truncation: serving stacks cut embedding
+# dims (64 → 16 here) to shrink index memory/bandwidth, accepting a
+# recall hit that must be PRICED before shipping. Per query: exact
+# top-k under the full vectors vs exact top-k under the first-16-dim
+# prefix (re-normalized by construction of cosine), overlap = recall.
+# Pure narrow slice + the same fold-order cosine — no new operator,
+# no shuffle beyond the two rankings; both sides exact so the whole
+# evaluation is hash-checked.
+
+_MATRYOSHKA_DIMS = 16
+_MATRYOSHKA_QUERIES = 40
+_MATRYOSHKA_K = 5
+
+
+def _matryoshka_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_similarity import _sql_cos
+
+    def topk(vec_expr_a: str, vec_expr_b: str, tag: str) -> str:
+        return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cos(f'q.{vec_expr_a}', f'c.{vec_expr_b}')} DESC, c.vec_id
+           ) AS rank
+    FROM qv q JOIN cv c ON TRUE
+  ) WHERE rank <= {_MATRYOSHKA_K}"""
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS de,
+         (embedding::DOUBLE[])[1:{_MATRYOSHKA_DIMS}] AS dt
+  FROM embeddings
+),
+qv AS (SELECT * FROM v WHERE vec_id < {_MATRYOSHKA_QUERIES}),
+cv AS (SELECT * FROM v WHERE vec_id >= {_MATRYOSHKA_QUERIES}),
+full_k AS ({topk('de', 'de', 'full')}),
+trunc_k AS ({topk('dt', 'dt', 'trunc')})
+SELECT f.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+FROM full_k f
+LEFT JOIN trunc_k t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@register("llm_matryoshka_recall", oracle=_matryoshka_oracle())
+def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of prefix-truncated embeddings vs the full
+    vectors — the evaluation that decides whether a 4× cheaper index
+    is shippable. Query set broadcasts (both rankings are the
+    cosine_topk shape); the corpus is scanned twice, never joined to
+    itself."""
+    from delta_lake_play_spark.operators.similarity import cosine_topk
+    from delta_lake_play_spark.queries.llm_similarity import _EMB_DIMS  # noqa: F401
+
+    e = load_table(spark, sf_dir, "embeddings")
+    full = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    trunc = e.select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, _MATRYOSHKA_DIMS).alias("emb")
+    )
+
+    def ranked(vs: DataFrame) -> DataFrame:
+        return cosine_topk(
+            corpus=vs.where(F.col("vec_id") >= _MATRYOSHKA_QUERIES),
+            queries=vs.where(F.col("vec_id") < _MATRYOSHKA_QUERIES),
+            id_col="vec_id",
+            vec_col="emb",
+            k=_MATRYOSHKA_K,
+        ).select("query_id", "neighbor_id")
+
+    full_k = ranked(full)
+    trunc_k = ranked(trunc).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("hit_id")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (full_k.query_id == trunc_k.tq)
+            & (full_k.neighbor_id == trunc_k.hit_id),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            (
+                F.sum(
+                    F.when(F.col("hit_id").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("recall"),
+        )
+    )
