@@ -1802,3 +1802,65 @@ def dml_vacuum_protocol_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal",
         F.lit(marker).alias("vacuum_protocol"),
     )
+
+
+# --- dml_checkpoint_multipart (split classic checkpoints) -------------------
+# delta-spark splits classic checkpoints past checkpoint.partSize
+# into <v>.checkpoint.<part>.<total>.parquet files — at 100 TB a
+# single-file checkpoint is both a write bottleneck and an
+# un-parallelizable read, so the split form is what real large tables
+# carry. The key proves the full round trip on OUR writer: commits →
+# checkpoint_mirror(parts=2) → every commit JSON deleted → snapshot
+# reconstructed from the part files alone, with the part layout and
+# the _last_checkpoint "parts" field asserted in-band (a wrong layout
+# poisons the marker and fails the hash).
+
+_CHECKPOINT_MP_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 20 = 1
+)
+SELECT *, 'parts=2' AS cp_layout
+FROM base WHERE NOT COALESCE(c_acctbal < 0, FALSE)
+"""
+
+
+@register("dml_checkpoint_multipart", oracle=_CHECKPOINT_MP_ORACLE)
+def dml_checkpoint_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE → APPEND → DELETE on a mirrored table, force a 2-part
+    classic checkpoint, DELETE every commit JSON, and read the
+    snapshot back exclusively through the part files."""
+    import json as _json
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 1)
+    t = VersionedTable.create(
+        spark, temp_table_path("cpmp"), c, delta_mirror=True
+    )
+    t.append(c.withColumn("c_custkey", F.col("c_custkey") + 1000000))
+    t.delete(F.col("c_acctbal") < 0)
+    v = t.checkpoint_mirror(parts=2)
+    ddir = _os.path.join(t.path, "_delta_log")
+    names = sorted(
+        fn for fn in _os.listdir(ddir) if f"{v:020d}.checkpoint." in fn
+    )
+    lc = _json.load(open(_os.path.join(ddir, "_last_checkpoint")))
+    ok = (
+        names
+        == [f"{v:020d}.checkpoint.{i:010d}.{2:010d}.parquet" for i in (1, 2)]
+        and lc.get("parts") == 2
+        and lc.get("version") == v
+    )
+    for fn in list(_os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= v:
+                _os.remove(_os.path.join(ddir, fn))
+    marker = "parts=2" if ok else f"BROKEN names={names} lc={lc}"
+    return read_delta_snapshot(spark, t.path).withColumn(
+        "cp_layout", F.lit(marker)
+    )

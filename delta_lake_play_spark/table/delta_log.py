@@ -1280,7 +1280,9 @@ def _gc_dv_bins(table, ddir: str, cutoff: float) -> list[str]:
     return deleted
 
 
-def write_checkpoint(table, materialize_dvs: bool = False) -> int:
+def write_checkpoint(
+    table, materialize_dvs: bool = False, parts: int | None = None
+) -> int:
     """Force a checkpoint at the mirror's LATEST version, regardless
     of the every-N cadence (Delta's explicit ``DeltaLog.checkpoint()``
     surface — run it before handing the log to a reader that should
@@ -1293,7 +1295,7 @@ def write_checkpoint(table, materialize_dvs: bool = False) -> int:
     entry = table._read_log(latest)
     if not _dv_native(table) and any(_has_dv(f) for f in entry["files"]):
         _ensure_materialized(table, entry)
-    _write_checkpoint(table, ddir, latest, entry)
+    _write_checkpoint(table, ddir, latest, entry, parts=parts)
     return latest
 
 
@@ -1629,16 +1631,51 @@ def _recent_tombstones(ddir: str, version: int, as_of_ms: int) -> list[dict]:
     return out
 
 
-def _write_checkpoint(table, ddir: str, version: int, entry: dict) -> None:
+def _write_checkpoint(
+    table, ddir: str, version: int, entry: dict, parts: int | None = None
+) -> None:
     """Write the checkpoint for ``version`` in the table's declared
-    policy: classic single-file (default) or V2 manifest + sidecars
+    policy: classic single-file (default), multi-part classic when
+    ``parts`` is given (the external-writer split form — delta-spark's
+    ``checkpoint.partSize`` behavior), or V2 manifest + sidecars
     (``checkpoint_policy="v2"``), plus ``_last_checkpoint`` so readers
     can skip — or survive the cleanup of — the JSON prefix."""
     rows = _checkpoint_rows(table, ddir, version, entry)
     if table.checkpoint_policy() == "v2":
         _write_checkpoint_v2(ddir, version, rows)
+    elif parts and parts > 1:
+        _write_checkpoint_multipart(ddir, version, rows, parts)
     else:
         _write_checkpoint_classic(ddir, version, rows)
+
+
+def _write_checkpoint_multipart(
+    ddir: str, version: int, rows: list[dict], parts: int
+) -> None:
+    """Multi-part classic checkpoint: the same reconciled action rows
+    striped across ``parts`` files named
+    ``<v>.checkpoint.<part>.<total>.parquet`` (all parts written
+    before ``_last_checkpoint`` flips, so a racing reader never sees
+    a half-published set — incomplete sets are ignored by
+    ``_checkpoint_versions`` on both sides of that race)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _checkpoint_schema()
+    per = -(-len(rows) // parts)  # ceil; a part may be action-empty
+    for i in range(parts):
+        chunk = rows[i * per : (i + 1) * per]
+        tbl = pa.Table.from_pylist(chunk, schema=schema)
+        tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp)
+        name = f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+        try:
+            os.link(tmp, os.path.join(ddir, name))
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    _write_last_checkpoint(ddir, version, len(rows), parts=parts)
 
 
 def _prior_checkpoint_rows(ddir: str, version: int) -> list[dict]:
@@ -1923,10 +1960,15 @@ def _write_checkpoint_v2(ddir: str, version: int, rows: list[dict]) -> None:
     _write_last_checkpoint(ddir, version, len(manifest) + len(file_actions))
 
 
-def _write_last_checkpoint(ddir: str, version: int, size: int) -> None:
+def _write_last_checkpoint(
+    ddir: str, version: int, size: int, parts: int | None = None
+) -> None:
     tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex}")
+    payload = {"version": version, "size": size}
+    if parts is not None:
+        payload["parts"] = parts  # multi-part classic form (spec field)
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "size": size}, fh)
+        json.dump(payload, fh)
     os.replace(tmp, os.path.join(ddir, "_last_checkpoint"))
 
 

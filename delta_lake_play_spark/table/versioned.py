@@ -2866,13 +2866,17 @@ class VersionedTable:
             self._read_log_raw(self.latest_version()).get("clusterBy") or []
         )
 
-    def checkpoint_mirror(self, materialize_dvs: bool = False) -> int:
+    def checkpoint_mirror(
+        self, materialize_dvs: bool = False, parts: int | None = None
+    ) -> int:
         """Force a mirror checkpoint at the latest version (Delta's
         explicit ``DeltaLog.checkpoint()``), in the table's declared
-        policy. Syncs first; returns the checkpointed version."""
+        policy; ``parts=N`` writes the multi-part classic form (the
+        split external writers use past ``checkpoint.partSize``).
+        Syncs first; returns the checkpointed version."""
         from .delta_log import write_checkpoint as _wcp
 
-        return _wcp(self, materialize_dvs=materialize_dvs)
+        return _wcp(self, materialize_dvs=materialize_dvs, parts=parts)
 
     def cleanup_log_mirror(
         self, retention_ms: int | None = None, now_ms: int | None = None

@@ -1804,3 +1804,40 @@ def test_duckdb_sql_reader_multipart_checkpoint(spark):
     con.close()
     # and the Python protocol reader agrees on the same layout
     assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_multipart_checkpoint_writer_roundtrip(spark):
+    """checkpoint_mirror(parts=N) writes the split classic form this
+    reader (and external ones) consume: N part files, _last_checkpoint
+    carries the spec's parts field, replay works with the JSON prefix
+    gone, and the DuckDB-SQL reconciliation agrees."""
+    import duckdb
+
+    t = _mk(spark, "dl-mpw")
+    t.append(spark.range(300, 350).withColumn("v", F.lit(1).cast("long")))
+    t.delete(F.col("id") % 7 == 0)
+    cp = t.checkpoint_mirror(parts=3)
+    t.append(spark.range(400, 420).withColumn("v", F.lit(2).cast("long")))
+    ddir = os.path.join(t.path, "_delta_log")
+    names = [
+        fn for fn in os.listdir(ddir) if f"{cp:020d}.checkpoint." in fn
+    ]
+    assert sorted(names) == [
+        f"{cp:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    lc = json.load(open(os.path.join(ddir, "_last_checkpoint")))
+    assert lc["version"] == cp and lc["parts"] == 3
+    for v in range(0, cp + 1):
+        fp = os.path.join(ddir, f"{v:020d}.json")
+        if os.path.exists(fp):
+            os.remove(fp)
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    con = duckdb.connect()
+    live = _duck_live_paths(
+        con,
+        [(f"parquet@{cp}", os.path.join(ddir, n)) for n in sorted(names)]
+        + [("json", jsons)],
+    )
+    _duck_compare(con, t, live)
+    con.close()
