@@ -176,6 +176,8 @@ def knn_join(
     max_planes: int = 16,
     broadcast_hints: bool = True,
     bucket_cap: int = 500,
+    carry: tuple[str, ...] = (),
+    pair_filter: str | None = None,
 ) -> DataFrame:
     """Approximate all-pairs k-NN JOIN: every vector's top-k cosine
     neighbors among the vectors sharing its corpus-scaled
@@ -209,6 +211,12 @@ def knn_join(
     the llm_ann_recall pattern). At populations ≤ cap, s = 1 and the
     pair set is exactly the un-salted one.
 
+    ``carry`` columns ride along both sides as ``query_<c>`` /
+    ``neighbor_<c>`` (e.g. a label for hard-negative mining);
+    ``pair_filter`` is a SQL boolean over those names applied BEFORE
+    ranking, so a filtered-out candidate can never under-fill the k
+    slots.
+
     ``broadcast_hints`` follows ``blocked_pairs``: the default
     broadcasts the neighbor side so scoring runs map-side on every
     core at small/medium corpora; pass False past broadcast limits —
@@ -235,6 +243,7 @@ def knn_join(
     )
     q = vb.select(
         F.col(id_col).alias("query_id"),
+        *[F.col(c).alias(f"query_{c}") for c in carry],
         "__bkt",
         "__salt",
         F.col(vec_col).alias("__vq"),
@@ -244,10 +253,14 @@ def knn_join(
         q = q.repartition(want)
     c = vb.select(
         F.col(id_col).alias("neighbor_id"),
+        *[F.col(col).alias(f"neighbor_{col}") for col in carry],
         "__bkt",
         "__salt",
         F.col(vec_col).alias("__vn"),
     )
+    carried = [f"query_{col}" for col in carry] + [
+        f"neighbor_{col}" for col in carry
+    ]
     scored = (
         q.join(
             F.broadcast(c) if broadcast_hints else c, on=["__bkt", "__salt"]
@@ -256,16 +269,19 @@ def knn_join(
         .select(
             "query_id",
             "neighbor_id",
+            *carried,
             cosine_sim("__vq", "__vn").alias("cos_sim"),
         )
     )
+    if pair_filter is not None:
+        scored = scored.where(F.expr(pair_filter))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .select("query_id", "neighbor_id", *carried, "cos_sim", "rank")
     )
 
 

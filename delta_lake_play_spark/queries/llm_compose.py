@@ -743,6 +743,29 @@ def _qc_oracle() -> str:
     return ctes + "\n" + "\nUNION ALL ".join(selects)
 
 
+def _qc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's feature projection (x0..x3 + 1e-6-grid label),
+    shared by the trainer and the eval so the scored features can
+    never drift from the trained ones (the SQL side shares _qc_ctes
+    for the same reason)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    return d.select(
+        F.lit(100).cast("long").alias("x0"),
+        F.least(F.size(toks), F.lit(200)).cast("long").alias("x1"),
+        F.least(
+            F.expr("coalesce(n_chars, 0) div 10"), F.lit(500)
+        ).cast("long").alias("x2"),
+        F.least(F.size(F.array_distinct(toks)), F.lit(200))
+        .cast("long")
+        .alias("x3"),
+        F.when(F.coalesce(F.col("n_chars"), F.lit(0)) > 300, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("t"),
+    )
+
+
 @register("llm_quality_classifier_train", oracle=_qc_oracle())
 def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-GD training of a linear quality classifier over the
@@ -853,22 +876,7 @@ def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = trained.where(F.col("iter") == _QC_ITERS).select(
         "w0", "w1", "w2", "w3"
     )
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
-    feats = d.select(
-        F.lit(100).cast("long").alias("x0"),
-        F.least(F.size(toks), F.lit(200)).cast("long").alias("x1"),
-        F.least(
-            F.expr("coalesce(n_chars, 0) div 10"), F.lit(500)
-        ).cast("long").alias("x2"),
-        F.least(F.size(F.array_distinct(toks)), F.lit(200))
-        .cast("long")
-        .alias("x3"),
-        F.when(F.coalesce(F.col("n_chars"), F.lit(0)) > 300, F.lit(1000000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("t"),
-    )
+    feats = _qc_feats(spark, sf_dir)
     s = (
         F.col("w0") * F.col("x0")
         + F.col("w1") * F.col("x1")
@@ -1022,7 +1030,7 @@ _MATRYOSHKA_K = 5
 def _matryoshka_oracle() -> str:
     from delta_lake_play_spark.queries.llm_similarity import _sql_cos
 
-    def topk(vec_expr_a: str, vec_expr_b: str, tag: str) -> str:
+    def topk(vec_expr_a: str, vec_expr_b: str) -> str:
         return f"""
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1041,8 +1049,8 @@ WITH v AS (
 ),
 qv AS (SELECT * FROM v WHERE vec_id < {_MATRYOSHKA_QUERIES}),
 cv AS (SELECT * FROM v WHERE vec_id >= {_MATRYOSHKA_QUERIES}),
-full_k AS ({topk('de', 'de', 'full')}),
-trunc_k AS ({topk('dt', 'dt', 'trunc')})
+full_k AS ({topk('de', 'de')}),
+trunc_k AS ({topk('dt', 'dt')})
 SELECT f.query_id,
        CAST(count(*) AS BIGINT) AS k,
        CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
@@ -1062,7 +1070,6 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine_topk shape); the corpus is scanned twice, never joined to
     itself."""
     from delta_lake_play_spark.operators.similarity import cosine_topk
-    from delta_lake_play_spark.queries.llm_similarity import _EMB_DIMS  # noqa: F401
 
     e = load_table(spark, sf_dir, "embeddings")
     full = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))

@@ -699,77 +699,31 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for retrieval training data: per query,
     the top-k highest-cosine DIFFERENT-label vectors in its sign
     bucket (similar-but-not-relevant — the examples that move a
-    contrastive loss). NULL labels never match `a.label <> b.label`
-    on either engine, so unlabeled rows produce no negatives.
+    contrastive loss). NULL labels never satisfy the inequality on
+    either engine, so unlabeled rows produce no negatives.
 
-    Same linear blocking as ``llm_knn_join``; the label inequality is
-    a join-side filter, so no post-ranking re-filter can under-fill
-    the k slots."""
-    from pyspark.sql import Window
-
-    from delta_lake_play_spark.operators.similarity import (
-        hyperplane_bucket,
-        lsh_planes,
-        scaled_sign_planes,
-    )
+    One call to the generalized ``knn_join`` (same bucket blocking,
+    skew salt, under-split guard): the label rides along as a carry
+    column and the inequality is a pre-rank pair filter, so no
+    post-ranking re-filter can under-fill the k slots."""
+    from delta_lake_play_spark.operators.similarity import knn_join
 
     e = load_table(spark, sf_dir, "embeddings")
-    p = scaled_sign_planes(e.count(), _KNN_BLOCK_BASE, _EMB_MAX_PLANES)
-    bucket = (
-        hyperplane_bucket("embedding", lsh_planes(_EMB_DIMS, p))
-        if p
-        else F.lit(0).cast("long")
-    )
-    vb = e.withColumn("__bkt", bucket)
-    # same skew guard as knn_join: salt-split buckets past the cap
-    salts = vb.groupBy("__bkt").agg(
-        F.expr(f"(count(*) + {_KNN_BUCKET_CAP - 1}) div {_KNN_BUCKET_CAP}")
-        .cast("long")
-        .alias("__s")
-    )
-    vb = vb.join(F.broadcast(salts), "__bkt").withColumn(
-        "__salt", F.col("vec_id") % F.col("__s")
-    )
-    q = vb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        "__bkt",
-        "__salt",
-        F.col("embedding").alias("__vq"),
-    )
-    # same under-split guard as blocked_pairs/knn_join: the scoring is
-    # interpreted HOF CPU — left to the planner a small parquet gets 2
-    # input splits and the broadcast join runs on 2 cores (measured
-    # 13.8x at the 5x probe vs knn_join's 5.1x before this line)
-    want = spark.sparkContext.defaultParallelism
-    if q.rdd.getNumPartitions() < want:
-        q = q.repartition(want)
-    c = vb.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("label").alias("negative_label"),
-        "__bkt",
-        "__salt",
-        F.col("embedding").alias("__vn"),
-    )
-    scored = (
-        q.join(F.broadcast(c), on=["__bkt", "__salt"])
-        .where(F.col("query_label") != F.col("negative_label"))
-        .select(
-            "query_id",
-            "query_label",
-            "negative_id",
-            "negative_label",
-            cosine_sim("__vq", "__vn").alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), "negative_id"
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _NEG_K)
-        .select(
-            "query_id", "query_label", "negative_id", "negative_label",
-            "cos_sim", "rank",
-        )
+    return knn_join(
+        e,
+        "vec_id",
+        "embedding",
+        k=_NEG_K,
+        dims=_EMB_DIMS,
+        block_base=_KNN_BLOCK_BASE,
+        bucket_cap=_KNN_BUCKET_CAP,
+        carry=("label",),
+        pair_filter="query_label <> neighbor_label",
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("neighbor_label").alias("negative_label"),
+        "cos_sim",
+        "rank",
     )

@@ -116,7 +116,10 @@ def _checkpoint_versions(ddir: str) -> dict[int, str]:
     version has several forms: V2 manifest > single classic >
     multi-part."""
     out: dict[int, str] = {}
-    multi: dict[int, dict[int, tuple[int, str]]] = {}
+    # (version, total) → {part: filename}: sets with different totals
+    # at one version are INDEPENDENT candidates (a crashed re-split
+    # must not shadow a complete earlier set)
+    multi: dict[tuple[int, int], dict[int, str]] = {}
     for fn in sorted(os.listdir(ddir)):
         m = _CP_NAME_RE.match(fn)
         if m:
@@ -128,13 +131,16 @@ def _checkpoint_versions(ddir: str) -> dict[int, str]:
         mm = _CP_MULTIPART_RE.match(fn)
         if mm:
             v, part, total = int(mm.group(1)), int(mm.group(2)), int(mm.group(3))
-            multi.setdefault(v, {})[part] = (total, fn)
-    for v, parts in multi.items():
-        if v in out:
+            multi.setdefault((v, total), {})[part] = fn
+    for (v, total), parts in sorted(multi.items()):
+        if v in out and not _CP_MULTIPART_RE.match(out[v]):
             continue  # a single-file or V2 form already represents v
-        totals = {t for t, _fn in parts.values()}
-        if len(totals) == 1 and set(parts) == set(range(1, totals.pop() + 1)):
-            out[v] = parts[1][1]  # complete set: part 1 represents it
+        if set(parts) == set(range(1, total + 1)):
+            # complete set: part 1 represents it; among several
+            # complete totals at one version the largest total wins
+            # (sorted() order makes the preference deterministic —
+            # both sets reconcile to the same snapshot)
+            out[v] = parts[1]
     return out
 
 
@@ -643,12 +649,17 @@ def _ensure_materialized(table, entry: dict) -> None:
 
 
 def latest_mirror_protocol(table) -> dict | None:
-    """Newest ``protocol`` action in the mirror log, scanning raw
-    artifacts newest-first: JSON commits (descending), then minor
-    compactions, then the newest checkpoint (whose schema retains the
-    protocol row through JSON cleanup). Returns None when the mirror
-    has never written a protocol (no _delta_log, or artifacts
-    missing it entirely)."""
+    """The protocol in force at the mirror's newest version: every
+    artifact kind (JSON commits, minor compactions, the newest
+    checkpoint) yields its best (version, protocol) candidate and the
+    HIGHEST VERSION wins — never artifact-kind order. (Kind order was
+    a real bug: a surviving old compaction carrying the v0 protocol
+    would otherwise mask a later checkpoint's upgraded protocol, and
+    a vacuum-protocol check against the stale protocol would miss an
+    external writer's unknown feature — the exact class
+    vacuumProtocolCheck exists to stop.) Returns None when the mirror
+    has never written a protocol (no _delta_log, or artifacts missing
+    it entirely)."""
     ddir = os.path.join(table.path, "_delta_log")
     if not os.path.isdir(ddir):
         return None
@@ -664,6 +675,7 @@ def latest_mirror_protocol(table) -> dict | None:
                     found = action["protocol"]  # last line wins
         return found
 
+    candidates: list[tuple[int, dict]] = []
     jsons = sorted(
         fn
         for fn in os.listdir(ddir)
@@ -672,23 +684,37 @@ def latest_mirror_protocol(table) -> dict | None:
     for fn in reversed(jsons):
         p = _scan_json(os.path.join(ddir, fn))
         if p is not None:
-            return p
+            candidates.append((int(fn[:20]), p))
+            break  # highest JSON version with a protocol line
     spans = _compacted_spans(ddir)
-    for s in sorted(spans, reverse=True):
-        for _e, cfn in sorted(spans[s], reverse=True):
-            p = _scan_json(os.path.join(ddir, cfn))
-            if p is not None:
-                return p
+    # a compaction's protocol is the reconciled one AT its range end
+    for end, cfn in sorted(
+        ((e, fn) for s in spans for e, fn in spans[s]), reverse=True
+    ):
+        p = _scan_json(os.path.join(ddir, cfn))
+        if p is not None:
+            candidates.append((end, p))
+            break
     cps = _checkpoint_versions(ddir)
     if cps:
         import pyarrow.parquet as pq
 
-        for part in _checkpoint_files(ddir, cps[max(cps)]):
-            for row in pq.read_table(os.path.join(ddir, part)).to_pylist():
+        cp = max(cps)
+        for part in _checkpoint_files(ddir, cps[cp]):
+            # column-pruned: the protocol lookup must not materialize
+            # a large checkpoint's add/remove/stats rows
+            tbl = pq.read_table(os.path.join(ddir, part), columns=["protocol"])
+            for row in tbl.to_pylist():
                 p = row.get("protocol")
                 if p and p.get("minReaderVersion"):
-                    return p
-    return None
+                    candidates.append((cp, p))
+                    break
+            else:
+                continue
+            break
+    if not candidates:
+        return None
+    return max(candidates, key=lambda t: t[0])[1]
 
 
 def _vacuum_protocol_check(table) -> bool:
@@ -1200,6 +1226,23 @@ def cleanup_expired_logs(
                     deleted.append(part)
                 except FileNotFoundError:
                     pass
+    # Orphan multi-part sweep: incomplete sets (crashed writes,
+    # cleanup interrupted mid-set) and sets shadowed by a single/V2
+    # form never appear in cp_map via their own representative, so
+    # the loop above can never reclaim them — without this pass they
+    # would leak in a log whose whole cleanup contract is bounded
+    # size. Anything below the latest checkpoint is replay-redundant.
+    for fn in list(os.listdir(ddir)):
+        mm = _CP_MULTIPART_RE.match(fn)
+        if not mm or fn in deleted:
+            continue
+        v = int(mm.group(1))
+        if v < latest_cp and _expired(fn):
+            try:
+                os.remove(os.path.join(ddir, fn))
+                deleted.append(fn)
+            except FileNotFoundError:
+                pass
     # V2 sidecar GC: keep exactly what surviving manifests reference.
     sdir = os.path.join(ddir, "_sidecars")
     if os.path.isdir(sdir):
@@ -1642,6 +1685,13 @@ def _write_checkpoint(
     can skip — or survive the cleanup of — the JSON prefix."""
     rows = _checkpoint_rows(table, ddir, version, entry)
     if table.checkpoint_policy() == "v2":
+        if parts and parts > 1:
+            raise ValueError(
+                "parts= is the multi-part CLASSIC form; a v2-policy "
+                "table shards through sidecars instead — dropping the "
+                "argument silently would break the caller's layout "
+                "expectations"
+            )
         _write_checkpoint_v2(ddir, version, rows)
     elif parts and parts > 1:
         _write_checkpoint_multipart(ddir, version, rows, parts)

@@ -1841,3 +1841,120 @@ def test_multipart_checkpoint_writer_roundtrip(spark):
     )
     _duck_compare(con, t, live)
     con.close()
+
+
+def test_multipart_resplit_crash_does_not_shadow_complete_set(spark):
+    """A crashed re-split (parts 1-2 of a 3-part rewrite) at the same
+    version must not shadow the COMPLETE 2-part set already on disk:
+    grouping is per (version, total)."""
+    import pyarrow.parquet as pq
+
+    from delta_lake_play_spark.table.delta_log import _checkpoint_versions
+
+    t = _mk(spark, "dl-mpshadow")
+    t.append(spark.range(300, 320).withColumn("v", F.lit(1).cast("long")))
+    cp = t.checkpoint_mirror(parts=2)
+    ddir = os.path.join(t.path, "_delta_log")
+    p1 = os.path.join(ddir, f"{cp:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    # simulate the crashed 3-part rewrite: parts 1-2 of 3, no part 3
+    for i in (1, 2):
+        pq.write_table(
+            pq.read_table(p1),
+            os.path.join(
+                ddir, f"{cp:020d}.checkpoint.{i:010d}.{3:010d}.parquet"
+            ),
+        )
+    rep = _checkpoint_versions(ddir)[cp]
+    assert rep.endswith(".checkpoint.0000000001.0000000002.parquet")
+    for v in range(0, cp + 1):
+        fp = os.path.join(ddir, f"{v:020d}.json")
+        if os.path.exists(fp):
+            os.remove(fp)
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_latest_protocol_prefers_highest_version_not_artifact_kind(spark):
+    """A surviving OLD compaction carrying the v0 protocol must not
+    mask a newer checkpoint's upgraded protocol — candidates compare
+    by version, and the vacuum gate sees the upgrade."""
+    from delta_lake_play_spark.table.delta_log import (
+        DeltaMirrorError,
+        latest_mirror_protocol,
+    )
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-protoorder"),
+        spark.range(0, 50).withColumn("v", F.lit(0).cast("long")),
+        delta_mirror=True,
+        vacuum_protocol_check=True,
+    )
+    for i in range(4):
+        t.append(spark.range(100 + i, 101 + i).withColumn("v", F.lit(0).cast("long")))
+    from delta_lake_play_spark.table.delta_log import write_log_compaction
+
+    write_log_compaction(t, 0, 2)  # minor compaction carrying the v0 protocol
+    ddir = os.path.join(t.path, "_delta_log")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cp = t.checkpoint_mirror()
+    # simulate an EXTERNAL writer's upgraded checkpoint: rewrite the
+    # checkpoint's protocol row to name a feature we don't implement
+    cp_path = os.path.join(ddir, f"{cp:020d}.checkpoint.parquet")
+    tbl = pq.read_table(cp_path)
+    rows = tbl.to_pylist()
+    for r in rows:
+        if r.get("protocol") and r["protocol"].get("minReaderVersion"):
+            r["protocol"]["writerFeatures"] = list(
+                r["protocol"].get("writerFeatures") or []
+            ) + ["externalFutureFeature"]
+    pq.write_table(pa.Table.from_pylist(rows, schema=tbl.schema), cp_path)
+    # delete every raw JSON: only the compaction (old protocol) and
+    # the checkpoint (upgraded protocol) remain as candidates
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")) and "compacted" not in fn:
+            os.remove(os.path.join(ddir, fn))
+    got = latest_mirror_protocol(t)
+    assert "externalFutureFeature" in (got.get("writerFeatures") or [])
+    with pytest.raises(DeltaMirrorError, match="externalFutureFeature"):
+        t.vacuum(retain_last=1, min_age_seconds=0)
+
+
+def test_orphan_multipart_parts_are_gc_eligible(spark):
+    """An incomplete part set below the latest checkpoint (crashed
+    write / interrupted cleanup) must be reclaimed by the next
+    cleanup, not leak forever."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, "dl-mporphan")
+    t.append(spark.range(300, 320).withColumn("v", F.lit(1).cast("long")))
+    cp1 = t.checkpoint_mirror()
+    ddir = os.path.join(t.path, "_delta_log")
+    # orphan: part 1-of-2 only, at the older checkpoint's version
+    orphan = os.path.join(
+        ddir, f"{cp1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    )
+    pq.write_table(
+        pq.read_table(os.path.join(ddir, f"{cp1:020d}.checkpoint.parquet")),
+        orphan,
+    )
+    t.append(spark.range(400, 410).withColumn("v", F.lit(2).cast("long")))
+    t.checkpoint_mirror()  # newer checkpoint supersedes cp1
+    deleted = t.cleanup_log_mirror(retention_ms=0)
+    assert os.path.basename(orphan) in deleted
+    assert not os.path.exists(orphan)
+
+
+def test_multipart_parts_refused_on_v2_policy(spark):
+    """parts= is the multi-part CLASSIC form; silently dropping it on
+    a v2-policy table would break the caller's layout expectations."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-mpv2"),
+        spark.range(0, 20).withColumn("v", F.lit(0).cast("long")),
+        delta_mirror=True,
+        checkpoint_policy="v2",
+    )
+    with pytest.raises(ValueError, match="CLASSIC"):
+        t.checkpoint_mirror(parts=2)
