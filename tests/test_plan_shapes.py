@@ -702,3 +702,24 @@ def test_sql_udf_inlined_not_black_box(spark, sf_dir):
     assert "ScalaUDF" not in plan and "PythonUDF" not in plan
     assert "CASE WHEN" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_knn_join_no_cartesian_and_prunes_scan(spark, sf_dir):
+    """The k-NN join must stay a keyed (bucket, salt) join — never a
+    CartesianProduct — and its scan must not read columns the join
+    does not use (label is not carried in the plain knn key)."""
+    plan = _plan(spark, sf_dir, "llm_knn_join")
+    assert "CartesianProduct" not in plan
+    s = summarize(QUERIES["llm_knn_join"](spark, sf_dir))
+    assert all("label" not in r for r in s.read_schemas)
+
+
+def test_classifier_train_single_scan_per_iteration(spark, sf_dir):
+    """Each GD iteration is ONE aggregate over the cached feature
+    pass; nothing in the plan joins the corpus to itself."""
+    plan = _plan(spark, sf_dir, "llm_quality_classifier_train")
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""
+    )
+    # the weight relation rides as a 1-row broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
