@@ -1864,3 +1864,47 @@ def dml_checkpoint_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_snapshot(spark, t.path).withColumn(
         "cp_layout", F.lit(marker)
     )
+
+
+# --- dml_update_mor: merge-on-read UPDATE via deletion vectors ---------------
+# Delta's DV-backed UPDATE: mask the matched positions (zero survivor
+# rows rewritten) and append one change-sized file with the updated
+# versions, atomically. The read-back proves mask+append compose:
+# originals invisible, updated rows present, everything else carried
+# by reference. A follow-up MoR DELETE on an updated row must mask
+# the NEW file's row — DVs attach to whichever file holds the live
+# version.
+
+_UPDATE_MOR_ORACLE = """
+WITH upd AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_acctbal < 0 THEN 'RECOVERED' ELSE c_mktsegment END
+           AS c_mktsegment,
+         c_nationkey
+  FROM customer
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM upd
+WHERE NOT COALESCE(c_mktsegment = 'RECOVERED' AND c_custkey % 2 = 0, FALSE)
+"""
+
+
+@register("dml_update_mor", oracle=_UPDATE_MOR_ORACLE)
+def dml_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR UPDATE (negative balances zeroed and re-segmented, masks +
+    one appended file) then a MoR DELETE of half the updated rows —
+    the delete must mask rows living in the UPDATE's new file."""
+    t = _fresh_from_customer(spark, sf_dir)                       # v0
+    t.update_mor(
+        {
+            "c_acctbal": F.lit(0.0),
+            "c_mktsegment": F.lit("RECOVERED"),
+        },
+        F.col("c_acctbal") < 0,
+    )                                                             # v1
+    t.delete_mor(
+        (F.col("c_mktsegment") == "RECOVERED") & (F.col("c_custkey") % 2 == 0)
+    )                                                             # v2
+    return t.to_df().select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )

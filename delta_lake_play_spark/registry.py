@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_knn_recall",
     "llm_matryoshka_recall",
     "dml_checkpoint_multipart",
+    "dml_update_mor",
     # r1-vintage stale rows (newest driver evidence: round 1)
     "agg_max_by_min_by",
     "agg_pivot",
@@ -126,7 +127,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_doc_quality_filter",
     "llm_multimodal_cols",
     "win_row_number_topk_per_group",
-    "win_rank_dense_rank",
     # --- TIER 2 (51+): the r2-vintage rows deferred to r9 — trivial
     # scan/sort/set/map/HOF machinery, least likely to rot (fn_explode,
     # fn_map_json, fn_array_hof, fn_array_ops displaced by the
@@ -142,7 +142,9 @@ _PRIORITY: tuple[str, ...] = (
     # stream-static join; win_ntile for cross-corpus dedup;
     # win_range_frame_moving_avg for the knn recall harness;
     # win_running_sum_frame for the matryoshka recall;
-    # win_lag_lead_delta for the multi-part checkpoint key).
+    # win_lag_lead_delta for the multi-part checkpoint key;
+    # win_rank_dense_rank for the MoR update).
+    "win_rank_dense_rank",
     "win_lag_lead_delta",
     "win_running_sum_frame",
     "win_range_frame_moving_avg",

@@ -1165,6 +1165,119 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
+    def update_mor(self, set_cols: dict[str, Column], where: Column | str) -> int:
+        """Merge-on-read UPDATE (Delta's DV-backed UPDATE): mask the
+        matched row positions with deletion vectors — zero survivor
+        rows rewritten — and append ONE change-sized file holding the
+        updated versions, in a single atomic commit. A point update
+        on a 100 TB table writes bytes proportional to the rows it
+        changes, never to the files it touches; ``optimize`` hardens
+        the masks away later. Shares the DV sidecar machinery (and
+        every guard) with ``delete_mor``; rows already masked by a
+        prior MoR delete are logically gone and are neither re-masked
+        nor resurrected by the SET."""
+        self._refuse_if_append_only("UPDATE (merge-on-read)")
+        idcfg = self.identity_info()
+        if idcfg and idcfg["column"] in set_cols:
+            raise IdentityColumnError(
+                f"cannot UPDATE identity column {idcfg['column']!r} "
+                f"(GENERATED ALWAYS AS IDENTITY)"
+            )
+        if (
+            self.row_tracking_enabled()
+            and self.delta_mirror_enabled()
+            and self.dv_mirror_policy() != "native"
+        ):
+            from .delta_log import DeltaMirrorError
+
+            raise DeltaMirrorError(
+                "deletion vectors cannot be mirrored on a row-tracking "
+                "table: DV materialization rewrites survivors, which "
+                "invalidates the file's row-id range. Use copy-on-write "
+                "UPDATE (update) on row-tracking tables."
+            )
+        pred = F.expr(where) if isinstance(where, str) else where
+        hit = F.coalesce(pred, F.lit(False))
+
+        def attempt() -> int:
+            base = self.latest_version()
+            entry = self._read_log(base)
+            schema = self._entry_schema(entry)
+            files = entry["files"]
+            cmap = entry.get("columnMap")
+            cur = self._read_paths(
+                [self._abs(f["path"]) for f in files], schema, with_meta=True,
+                column_map=cmap,
+            )
+            matched = cur.filter(hit)
+            existing = self._dv_df(files)
+            if existing is not None:
+                matched = matched.join(
+                    existing, ["__path", "__row_idx"], "left_anti"
+                )
+            map_df = self.spark.createDataFrame(
+                [(self._abs(f["path"]), f["path"]) for f in files],
+                "__path string, path string",
+            )
+            new_dv = (
+                matched.select("__path", "__row_idx")
+                .join(F.broadcast(map_df), "__path")
+                .select("path", F.col("__row_idx").alias("pos"))
+                .repartition("path")
+            )
+            rel_sidecar = f"dv-{entry['version'] + 1}-{uuid.uuid4().hex[:8]}"
+            sidecar_dir = os.path.join(self.path, rel_sidecar)
+            new_dv.write.mode("errorifexists").parquet(sidecar_dir)
+            counts = {
+                r["path"]: r["n"]
+                for r in self.spark.read.parquet(sidecar_dir)
+                .groupBy("path")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            params = {"where": str(where)}
+            if not counts:  # no-op update: drop the empty sidecar
+                _rmtree(sidecar_dir)
+                return self._commit_files(
+                    None, list(files), "UPDATE_MOR", params, schema,
+                    base_version=base, column_map=cmap,
+                    retired_physical=entry.get("retiredPhysical"),
+                )
+            out = []
+            for f in files:
+                n = counts.get(f["path"])
+                if n is None:
+                    out.append(f)
+                else:
+                    out.append(
+                        {
+                            **f,
+                            "dv": {
+                                "sidecars": _dv_sidecars(f) + [rel_sidecar],
+                                "legacy": _dv_legacy(f),
+                                "count": _dv_count(f) + int(n),
+                            },
+                        }
+                    )
+            pre = matched.drop("__path", "__row_idx")
+            post = pre
+            for name, value in set_cols.items():
+                post = post.withColumn(name, value)
+            cdc = None
+            if self.cdf_enabled():
+                cdc = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                )
+            return self._commit_files(
+                post, out, "UPDATE_MOR", params, schema, base_version=base,
+                cdc_df=cdc, column_map=cmap,
+                retired_physical=entry.get("retiredPhysical"),
+            )
+
+        return self._retrying(attempt)
+
     def overwrite_where(self, df: DataFrame, predicate: Column | str) -> int:
         """Delta ``replaceWhere``: atomically replace every row
         matching the predicate with ``df``'s rows, in one commit.

@@ -1958,3 +1958,42 @@ def test_multipart_parts_refused_on_v2_policy(spark):
     )
     with pytest.raises(ValueError, match="CLASSIC"):
         t.checkpoint_mirror(parts=2)
+
+
+def test_update_mor_mirrors_natively_and_replays(spark):
+    """UPDATE_MOR on a native-DV mirrored table: one commit carries
+    BOTH the new file's add and the masked files' DV re-adds; the
+    protocol reader applies the bitmaps and returns the updated
+    snapshot. JSON prefix deleted after a checkpoint to prove the
+    checkpointed DV survives too."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-umor"),
+        spark.range(0, 100).withColumn("v", (F.col("id") * 2).cast("long")),
+        delta_mirror=True,
+        dv_mirror_policy="native",
+    )
+    t.update_mor({"v": F.lit(-1).cast("long")}, F.col("id") % 10 == 3)
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+    got = {tuple(r) for r in read_delta_snapshot(spark, t.path).collect()}
+    assert (3, -1) in got and (3, 6) not in got
+    t.checkpoint_mirror()
+    ddir = os.path.join(t.path, "_delta_log")
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            os.remove(os.path.join(ddir, fn))
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
+def test_update_mor_mirrors_with_materialization(spark):
+    """Default (materialize) mirror policy: the UPDATE_MOR commit's
+    masked survivors materialize for external readers while the
+    private read stays mask-based; both see the same rows."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-umor-mat"),
+        spark.range(0, 80).withColumn("v", (F.col("id") * 2).cast("long")),
+        delta_mirror=True,
+    )
+    t.update_mor({"v": F.lit(-7).cast("long")}, F.col("id") < 5)
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())

@@ -1124,3 +1124,47 @@ def test_vacuum_without_marker_skips_protocol_scan(spark):
     u = VersionedTable.create(spark, temp_table_path("vpnomirror"), seed)
     u.delete(F.col("id") == 1)
     u.vacuum(retain_last=1, min_age_seconds=0)
+
+
+def test_update_mor_masks_and_appends(spark, names):
+    """MoR UPDATE: originals masked by DV (no survivor rewrite), the
+    updated versions live in a change-sized new file, re-update of a
+    masked row is a no-op, and time travel still sees the old rows."""
+    v0_files = {f["path"] for f in names._read_log(0)["files"]}
+    v = names.update_mor({"lastname": F.lit("UPDATED")}, F.col("id") == 2)
+    got = rows(names.to_df())
+    assert (2, "Alice", "UPDATED") in got and len(got) == 3
+    entry = names._read_log(v)
+    # every v0 file is carried by reference (MoR: no rewrite)...
+    assert v0_files <= {f["path"] for f in entry["files"]}
+    # ...and exactly one new file holds the updated row
+    new_files = [f for f in entry["files"] if f["path"] not in v0_files]
+    assert len(new_files) == 1
+    assert sum(dv_count(f) for f in entry["files"]) == 1
+    # time travel: pre-update snapshot intact
+    assert (2, "Alice", "Rogers") in rows(names.read(version=0))
+    # a masked row is logically gone: updating it again changes nothing
+    names.delete_mor(F.col("id") == 2)  # mask the updated row's original? no: masks the new row
+    n_before = len(rows(names.to_df()))
+    names.update_mor({"lastname": F.lit("X")}, F.col("id") == 2)
+    assert len(rows(names.to_df())) == n_before
+    assert all(r[0] != 2 for r in rows(names.to_df()))
+
+
+def test_update_mor_cdf_pre_and_post_images(spark):
+    """CDF on MoR UPDATE: one update_preimage + one update_postimage
+    per changed row, change-sized."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("umor-cdf"),
+        spark.createDataFrame(SEED, SEED_SCHEMA),
+        enable_cdf=True,
+    )
+    v = t.update_mor({"firstname": F.lit("Z")}, F.col("id") == 1)
+    ch = t.table_changes(v, v)
+    kinds = sorted(
+        (r["_change_type"], r["id"], r["firstname"]) for r in ch.collect()
+    )
+    assert ("update_postimage", 1, "Z") in kinds
+    assert any(k[0] == "update_preimage" and k[1] == 1 for k in kinds)
+    assert len([k for k in kinds if k[1] == 1]) == 2
