@@ -915,6 +915,7 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     # persist: three consumers (both self-join sides + the per-source
     # denominators) would otherwise re-run the explode+distinct 3×
+    # (at 100 TB this becomes a checkpointed gram table in Parquet)
     grams = (
         tok.select("source", F.explode(grams_arr).alias("gram"))
         .distinct()
