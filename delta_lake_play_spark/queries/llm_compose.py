@@ -773,23 +773,12 @@ def llm_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums and the (pre-update) loss; the weight vector is a broadcast
     1-row relation, updated by exact truncating division. Output is
     (iter, sse_k, w0..w3) per iteration — loss strictly decreasing is
-    part of the hashed result, so a broken update can't pass."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
-    feats = d.select(
-        F.lit(100).cast("long").alias("x0"),
-        F.least(F.size(toks), F.lit(200)).cast("long").alias("x1"),
-        F.least(
-            F.expr("coalesce(n_chars, 0) div 10"), F.lit(500)
-        ).cast("long").alias("x2"),
-        F.least(F.size(F.array_distinct(toks)), F.lit(200))
-        .cast("long")
-        .alias("x3"),
-        F.when(F.coalesce(F.col("n_chars"), F.lit(0)) > 300, F.lit(1000000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("t"),
-    ).persist()  # three iterations re-aggregate the same feature rows
+    part of the hashed result, so a broken update can't pass. (At
+    100 TB the persist below becomes a checkpointed feature table in
+    Parquet — the same trade the minhash signature persist
+    documents.)"""
+    # persist: three iterations re-aggregate the same feature rows
+    feats = _qc_feats(spark, sf_dir).persist()
     n_expr = F.greatest(F.count("*"), F.lit(1))
     w = spark.createDataFrame(
         [(0, 0, 0, 0)], "w0 long, w1 long, w2 long, w3 long"
