@@ -1004,10 +1004,20 @@ class VersionedTable:
                     retired_physical=entry.get("retiredPhysical"),
                 )
             updated = self._read_files(hit_files, schema, column_map=cmap)
-            for name, value in set_cols.items():
-                updated = updated.withColumn(
-                    name, F.when(hit, value).otherwise(F.col(name))
-                )
+            # One select so every SET expression (and the predicate)
+            # evaluates against the PRE-image row (Delta UPDATE
+            # semantics: SET a=b, b=a swaps). Sequential withColumn
+            # would let a later SET read an earlier SET's post-image.
+            updated = updated.select(
+                *[
+                    (
+                        F.when(hit, set_cols[c]).otherwise(F.col(c)).alias(c)
+                        if c in set_cols
+                        else F.col(c)
+                    )
+                    for c in updated.columns
+                ]
+            )
             cdc = None
             if self.cdf_enabled():
                 # Post-images are the PRE rows with SET applied
@@ -1017,9 +1027,13 @@ class VersionedTable:
                 pre_rows = self._read_files(
                     hit_files, schema, column_map=cmap
                 ).filter(hit)
-                post = pre_rows
-                for name, value in set_cols.items():
-                    post = post.withColumn(name, value)
+                # Single select: every SET sees the pre-image (above).
+                post = pre_rows.select(
+                    *[
+                        set_cols[c].alias(c) if c in set_cols else F.col(c)
+                        for c in pre_rows.columns
+                    ]
+                )
                 cdc = pre_rows.withColumn(
                     "_change_type", F.lit("update_preimage")
                 ).unionByName(
@@ -1260,9 +1274,16 @@ class VersionedTable:
                         }
                     )
             pre = matched.drop("__path", "__row_idx")
-            post = pre
-            for name, value in set_cols.items():
-                post = post.withColumn(name, value)
+            # Single select: every SET expression evaluates against the
+            # PRE-image simultaneously (Delta UPDATE semantics — SET
+            # a=b, b=a swaps); sequential withColumn would leak a
+            # post-image into a later SET.
+            post = pre.select(
+                *[
+                    set_cols[c].alias(c) if c in set_cols else F.col(c)
+                    for c in pre.columns
+                ]
+            )
             cdc = None
             if self.cdf_enabled():
                 cdc = pre.withColumn(

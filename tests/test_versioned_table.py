@@ -1151,6 +1151,46 @@ def test_update_mor_masks_and_appends(spark, names):
     assert all(r[0] != 2 for r in rows(names.to_df()))
 
 
+def test_update_set_swap_evaluates_pre_image(spark, names):
+    """UPDATE SET a=b, b=a swaps (Delta semantics: every SET expression
+    evaluates against the pre-image row, not a prior SET's output)."""
+    names.update(
+        {"firstname": F.col("lastname"), "lastname": F.col("firstname")},
+        F.col("id") == 1,
+    )
+    assert (1, "Bond", "James") in rows(names.to_df())
+
+
+def test_update_cdf_post_image_is_pre_image_based(spark):
+    """The CDC update_postimage rows also evaluate SET against the
+    pre-image (the CDC loop is a separate code path from the rewrite)."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("ucow-swap-cdf"),
+        spark.createDataFrame(SEED, SEED_SCHEMA),
+        enable_cdf=True,
+    )
+    v = t.update(
+        {"firstname": F.col("lastname"), "lastname": F.col("firstname")},
+        F.col("id") == 1,
+    )
+    post = [
+        (r["firstname"], r["lastname"])
+        for r in t.table_changes(v, v).collect()
+        if r["_change_type"] == "update_postimage"
+    ]
+    assert post == [("Bond", "James")]
+
+
+def test_update_mor_set_swap_evaluates_pre_image(spark, names):
+    """MoR UPDATE shares the pre-image SET contract: a=b, b=a swaps."""
+    names.update_mor(
+        {"firstname": F.col("lastname"), "lastname": F.col("firstname")},
+        F.col("id") == 1,
+    )
+    assert (1, "Bond", "James") in rows(names.to_df())
+
+
 def test_update_mor_cdf_pre_and_post_images(spark):
     """CDF on MoR UPDATE: one update_preimage + one update_postimage
     per changed row, change-sized."""
