@@ -174,7 +174,8 @@ def knn_join(
     dims: int,
     block_base: int = 250,
     max_planes: int = 16,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
+    broadcast_max_rows: int = 1_000_000,
     bucket_cap: int = 500,
     carry: tuple[str, ...] = (),
     pair_filter: str | None = None,
@@ -217,13 +218,22 @@ def knn_join(
     ranking, so a filtered-out candidate can never under-fill the k
     slots.
 
-    ``broadcast_hints`` follows ``blocked_pairs``: the default
-    broadcasts the neighbor side so scoring runs map-side on every
-    core at small/medium corpora; pass False past broadcast limits —
-    the plan degrades to a plain shuffle join on the bucket key with
-    the identical row set."""
+    ``broadcast_hints``: unlike ``cosine_topk`` (one side is a small
+    query set), BOTH sides here are corpus-sized, so a hard broadcast
+    hint on a big corpus would fail the job at the 8 GB broadcast
+    limit rather than degrade. The default (``None``) therefore
+    auto-resolves from the corpus count the operator already takes:
+    broadcast the neighbor side when ``n ≤ broadcast_max_rows``
+    (map-side scoring on every core — the small/medium fast path),
+    else fall back to a plain shuffle join on the bucket key, which
+    parallelizes fine because the bucket key is high-cardinality by
+    construction. Pass True/False to override; either way the row
+    set is identical (pinned by
+    ``tests/test_operators.py::test_knn_join_exact_within_bucket``)."""
     spark = vectors.sparkSession
     n = vectors.count()
+    if broadcast_hints is None:
+        broadcast_hints = n <= broadcast_max_rows
     p = scaled_sign_planes(n, block_base, max_planes)
     bucket = (
         hyperplane_bucket(vec_col, lsh_planes(dims, p))

@@ -1232,12 +1232,31 @@ def cleanup_expired_logs(
     # the loop above can never reclaim them — without this pass they
     # would leak in a log whose whole cleanup contract is bounded
     # size. Anything below the latest checkpoint is replay-redundant.
+    # At v == latest_cp itself an INCOMPLETE set (a crashed re-split
+    # at a different part total) would otherwise leak until a newer
+    # checkpoint lands: group that version's parts by total and
+    # reclaim sets missing a part. Complete sets at latest_cp are
+    # never touched — one of them may be the live representative, and
+    # any other complete total reconciles to the same snapshot.
+    latest_by_total: dict[int, dict[int, str]] = {}
+    for fn in os.listdir(ddir):
+        mm = _CP_MULTIPART_RE.match(fn)
+        if mm and int(mm.group(1)) == latest_cp:
+            latest_by_total.setdefault(int(mm.group(3)), {})[
+                int(mm.group(2))
+            ] = fn
+    latest_incomplete = {
+        fn
+        for total, parts in latest_by_total.items()
+        if set(parts) != set(range(1, total + 1))
+        for fn in parts.values()
+    }
     for fn in list(os.listdir(ddir)):
         mm = _CP_MULTIPART_RE.match(fn)
         if not mm or fn in deleted:
             continue
         v = int(mm.group(1))
-        if v < latest_cp and _expired(fn):
+        if (v < latest_cp or fn in latest_incomplete) and _expired(fn):
             try:
                 os.remove(os.path.join(ddir, fn))
                 deleted.append(fn)

@@ -2917,6 +2917,19 @@ class VersionedTable:
         feats = set(proto.get("writerFeatures") or [])
         if "vacuumProtocolCheck" not in feats:
             return
+        # Version bounds first: a future protocol may raise the
+        # reader/writer version without naming a recognizable feature
+        # (PROTOCOL.md caps feature-based protocols at reader 3 /
+        # writer 7 today; anything higher is by definition unknown).
+        reader_v = int(proto.get("minReaderVersion") or 1)
+        writer_v = int(proto.get("minWriterVersion") or 1)
+        if reader_v > 3 or writer_v > 7:
+            raise DeltaMirrorError(
+                f"VACUUM refused: table protocol demands "
+                f"minReaderVersion={reader_v}/minWriterVersion={writer_v}, "
+                f"beyond the feature-protocol bounds (3/7) this "
+                f"implementation understands (vacuumProtocolCheck)"
+            )
         unknown = feats - _SUPPORTED_WRITER_FEATURES
         if unknown:
             raise DeltaMirrorError(

@@ -1946,6 +1946,36 @@ def test_orphan_multipart_parts_are_gc_eligible(spark):
     assert not os.path.exists(orphan)
 
 
+def test_orphan_multipart_at_latest_checkpoint_version(spark):
+    """An incomplete crashed re-split AT the latest checkpoint version
+    is reclaimed (a complete representative for that version exists),
+    while a COMPLETE multi-part set at that version — possibly the
+    representative itself — is never touched."""
+    import pyarrow.parquet as pq
+
+    t = _mk(spark, "dl-mporphan-latest")
+    t.append(spark.range(300, 320).withColumn("v", F.lit(1).cast("long")))
+    cp = t.checkpoint_mirror()
+    ddir = os.path.join(t.path, "_delta_log")
+    src = os.path.join(ddir, f"{cp:020d}.checkpoint.parquet")
+    # complete 1-of-1 multi-part set at the LATEST checkpoint version
+    complete = os.path.join(
+        ddir, f"{cp:020d}.checkpoint.{1:010d}.{1:010d}.parquet"
+    )
+    # incomplete re-split at the same version: part 1-of-3 only
+    orphan = os.path.join(
+        ddir, f"{cp:020d}.checkpoint.{1:010d}.{3:010d}.parquet"
+    )
+    pq.write_table(pq.read_table(src), complete)
+    pq.write_table(pq.read_table(src), orphan)
+    deleted = t.cleanup_log_mirror(retention_ms=0)
+    assert os.path.basename(orphan) in deleted
+    assert not os.path.exists(orphan)
+    assert os.path.exists(complete)
+    # the mirror still reconciles to the private snapshot after the sweep
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
 def test_multipart_parts_refused_on_v2_policy(spark):
     """parts= is the multi-part CLASSIC form; silently dropping it on
     a v2-policy table would break the caller's layout expectations."""

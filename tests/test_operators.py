@@ -1051,6 +1051,36 @@ def test_knn_join_exact_within_bucket(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_knn_join_auto_disables_broadcast_past_threshold(spark, sf_dir):
+    """The default broadcast_hints=None resolves from the corpus count:
+    above broadcast_max_rows the corpus-sized broadcast is shed (a hard
+    F.broadcast on a corpus past the 8 GB relation limit fails the job
+    at scale), below it the map-side fast path is kept — rows identical
+    either way."""
+    from delta_lake_play_spark.operators.similarity import knn_join
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").where("vec_id < 300")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fast = knn_join(e, "vec_id", "embedding", k=2, dims=64)
+        big = knn_join(
+            e, "vec_id", "embedding", k=2, dims=64, broadcast_max_rows=10
+        )
+        fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+        big_plan = big._jdf.queryExecution().executedPlan().toString()
+        assert big_plan.count("BroadcastExchange") < fast_plan.count(
+            "BroadcastExchange"
+        )
+        canon = lambda d: sorted(  # noqa: E731
+            (r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect()
+        )
+        assert canon(big) == canon(fast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_knn_join_singleton_bucket_emits_nothing(spark):
     """A vector alone in its bucket has no candidates: it must be
     absent from the output, not paired across buckets."""

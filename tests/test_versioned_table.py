@@ -1100,6 +1100,18 @@ def test_vacuum_protocol_check_declares_and_refuses(spark):
         t.vacuum(retain_last=1, min_age_seconds=0)
     os.remove(fpath)
 
+    # version bounds: a future protocol raising minReaderVersion /
+    # minWriterVersion WITHOUT naming a recognizable feature must also
+    # refuse — unknown versions may reference files the sweep would
+    # classify as orphans.
+    for bump in ({"minReaderVersion": 4}, {"minWriterVersion": 8}):
+        forged_v = {**p, **bump}
+        with open(fpath, "w") as fh:
+            fh.write(json.dumps({"protocol": forged_v}) + "\n")
+        with pytest.raises(DeltaMirrorError, match="feature-protocol bounds"):
+            t.vacuum(retain_last=1, min_age_seconds=0)
+        os.remove(fpath)
+
     # checkpoint fallback: write a checkpoint, delete every commit
     # JSON — the protocol must still be found (and still allow vacuum)
     t.checkpoint_mirror()
