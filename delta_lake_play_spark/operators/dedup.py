@@ -409,6 +409,182 @@ def incremental_minhash_flagged(
     return flagged, new_sigs
 
 
+def _sig_bands(sig_df: DataFrame, sig_alias: str) -> DataFrame:
+    """``(sig_alias, band_id, band_val)`` per band — map-side fold of
+    a stored ``sig`` array column."""
+    return sig_df.select(
+        F.col("sig").alias(sig_alias),
+        F.posexplode(
+            F.array(*_band_vals_from_array(F.col("sig")))
+        ).alias("band_id", "band_val"),
+    )
+
+
+def _priority_members(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    priority_col: str,
+    broadcast_hints: bool,
+) -> DataFrame:
+    """``(doc_id, __prio, sig)`` — each doc's priority and minhash
+    signature (docs with no tokens emit no row)."""
+    sigs = minhash_signature_table(df, id_col, text_col, broadcast_hints)
+    return sigs.join(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(priority_col).alias("__prio"),
+        ),
+        "doc_id",
+    )
+
+
+def priority_dedup_flagged(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    priority_col: str,
+    threshold: float = 0.8,
+    broadcast_hints: bool = True,
+) -> DataFrame:
+    """Priority ("onion") dedup decided at REP level: per document,
+    ``kept`` is False iff some near-dup is strictly better — lower
+    ``priority_col`` value, or lower id at equal priority. Near-dup =
+    banded-LSH candidate whose minhash signature-agreement estimate
+    (``sig_est_jaccard``) ≥ ``threshold``; verification compares K
+    stored longs per DISTINCT SIGNATURE PAIR, never re-reading text
+    and never expanding member pairs.
+
+    Scale shape: the decision is the family-min trick — a doc loses
+    iff the minimum ``(priority, doc_id)`` struct over the members of
+    every MATCHED signature family beats its own. Candidate
+    generation, verification, and the min all run once per distinct
+    signature ("rep"); docs join back in exactly one hash join. A
+    clique of C near-identical docs therefore costs O(C) rows
+    end-to-end where the pairwise loser rule costs O(C²) member
+    pairs — on a dup-heavy corpus the difference is the whole cost
+    (the sf1 fixture: 28 M pairs vs 0.5 M docs). Pairwise-equivalent
+    by construction: the loser CASE over every verified member pair
+    picks the same drop set (pinned by tests/test_operators.py::
+    test_priority_flagged_matches_pairs) because "some pair-partner
+    beats me" ⇔ "the best member of my matched families beats me" —
+    reflexive (s, s) rep pairs put each doc's own family in scope.
+
+    NULL priorities sort LAST — an unknown source never outranks a
+    known one; two NULLs tie and fall to doc_id (the ``pn`` boolean
+    leads the rank struct so the nullable field itself never decides
+    a null-vs-non-null comparison).
+
+    Returns ``(doc_id, __prio, kept)`` for every doc that HAS a
+    signature; callers left-join and default docs without tokens to
+    kept=True (they pair with nothing)."""
+
+    def rank_struct():
+        return F.struct(
+            F.col("__prio").isNull().alias("pn"),
+            F.col("__prio").alias("p"),
+            F.col("doc_id").alias("i"),
+        )
+
+    members = _priority_members(
+        df, id_col, text_col, priority_col, broadcast_hints
+    ).persist()
+    fam = (
+        members.groupBy("sig")
+        .agg(F.min(rank_struct()).alias("best"))
+        .persist()
+    )
+    rep_cand = (
+        _sig_bands(fam, "sig_a")
+        .join(
+            _hint(_sig_bands(fam, "sig_b"), broadcast_hints),
+            on=["band_id", "band_val"],
+        )
+        .select("sig_a", "sig_b")
+        .distinct()
+    )
+    verified = rep_cand.where(
+        sig_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold
+    )
+    # Reflexive (s, s) pairs survive (est = 1), so every family
+    # matches at least itself and the inner joins below are total.
+    best_match = (
+        verified.join(
+            _hint(
+                fam.select(F.col("sig").alias("sig_b"), "best"),
+                broadcast_hints,
+            ),
+            "sig_b",
+        )
+        .groupBy("sig_a")
+        .agg(F.min("best").alias("best_match"))
+    )
+    return (
+        members.join(
+            _hint(
+                best_match.withColumnRenamed("sig_a", "sig"), broadcast_hints
+            ),
+            "sig",
+        )
+        .select(
+            "doc_id",
+            "__prio",
+            # best_match <= own rank always (reflexive family membership
+            # puts the doc itself in scope); kept iff nothing beats it.
+            (~(F.col("best_match") < rank_struct())).alias("kept"),
+        )
+    )
+
+
+def priority_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    priority_col: str,
+    threshold: float = 0.8,
+    broadcast_hints: bool = True,
+) -> DataFrame:
+    """Member-pair demo form of :func:`priority_dedup_flagged`: every
+    verified near-dup pair with both sides' priorities —
+    ``(doc_a, doc_b, prio_a, prio_b, est_jaccard)``, ``doc_a <
+    doc_b``. Output is O(clique²) on dup-heavy corpora; a keep/drop
+    consumer should use the flagged form, which never expands these."""
+    members = _priority_members(
+        df, id_col, text_col, priority_col, broadcast_hints
+    ).persist()
+    reps = members.select("sig").distinct()
+    rep_pairs = (
+        _sig_bands(reps, "sig_a")
+        .join(
+            _hint(_sig_bands(reps, "sig_b"), broadcast_hints),
+            on=["band_id", "band_val"],
+        )
+        .select("sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "est_jaccard", sig_est_jaccard(F.col("sig_a"), F.col("sig_b"))
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    ma = members.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__prio").alias("prio_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    mb = members.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__prio").alias("prio_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    return (
+        ma.join(_hint(rep_pairs, broadcast_hints), "sig_a")
+        .join(_hint(mb, broadcast_hints), "sig_b")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "prio_a", "prio_b", "est_jaccard")
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -958,28 +958,68 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # When mixing sources of unequal trust (Wikipedia > books > web), a
 # near-dup across sources must be resolved in the HIGH-priority
 # source's favor — dropping at random (or by doc_id) silently bleeds
-# curated data. Priority here is the deterministic source ordering;
-# a document is dropped when any near-dup pair (the same banded-LSH
-# candidates + exact-Jaccard verify as llm_dedup_near_minhash)
-# connects it to a better document: a strictly higher-priority
-# source, or a lower doc_id within its own source. Single-pass
-# pairwise contract (each batch's flagged set, not the transitive
-# closure — that is llm_dedup_clusters' job); the loser projection
-# is narrow, the distinct-losers set is at most corpus-sized, and
-# everything after pair generation is one keyed shuffle + one join.
+# curated data. Priority here is the deterministic source ordering; a
+# document is dropped when any near-dup connects it to a better
+# document: a strictly higher-priority source, or a lower doc_id
+# within its own source. Single-pass pairwise contract (not the
+# transitive closure — that is llm_dedup_clusters' job).
+#
+# VERDICT r8 re-point: the output is doc-sized (kept per doc), so the
+# plan must never materialize the member-pair set — the same surgery
+# r7 prescribed for llm_dedup_incremental. The decision is made at
+# REP level (operators/dedup.py::priority_dedup_flagged): candidates
+# and signature-estimate verification run once per DISTINCT signature
+# pair, and "some pair-partner beats me" collapses to "the minimum
+# (source, doc_id) struct over my matched signature families beats
+# me". Verification is the signature-agreement estimate (≥ 13/16
+# equal components at the 0.8 threshold) — K stored longs per rep
+# pair, never a token-set intersection per member pair. The pairwise
+# member expansion survives as the demo form priority_dedup_pairs,
+# equivalence-pinned by tests/test_operators.py::
+# test_priority_flagged_matches_pairs.
+
+_XC_THRESHOLD = 0.8  # est-jaccard: >= 13 of K=16 signature components
 
 
 def _cross_corpus_oracle() -> str:
+    hashes = mh.sql_token_hashes("tk")
+    tk = mh.sql_token_set("text")
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, source, {band} AS band_id, "
+        f"{mh.sql_band_value('sig', band)} AS band_val FROM sig"
+        for band in range(mh.BANDS)
+    )
+    eq_frac = (
+        f"list_sum(list_transform(range(1, {mh.K + 1}), "
+        f"i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {mh.K}.0"
+    )
     return f"""
-WITH pairs AS (SELECT * FROM ({_minhash_oracle()}) q),
-srcd AS (SELECT doc_id, source FROM documents),
+WITH toks AS (
+  SELECT doc_id, source, {tk} AS tk
+  FROM documents
+  WHERE text IS NOT NULL AND len({tk}) > 0
+),
+sig AS (SELECT doc_id, source, {mh.sql_minhash_signature(hashes)} AS sig FROM toks),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
 losers AS (
-  SELECT DISTINCT CASE WHEN sa.source < sb.source THEN p.doc_b
-                       WHEN sb.source < sa.source THEN p.doc_a
-                       ELSE p.doc_b END AS loser
-  FROM pairs p
-  JOIN srcd sa ON sa.doc_id = p.doc_a
-  JOIN srcd sb ON sb.doc_id = p.doc_b
+  -- NULL source sorts LAST (loses to any known source); two NULLs
+  -- tie and fall to doc_id — mirrors priority_dedup_flagged's
+  -- (pn, p, i) rank struct
+  SELECT DISTINCT CASE
+    WHEN sa.source IS NOT NULL AND (sb.source IS NULL OR sa.source < sb.source)
+      THEN c.doc_b
+    WHEN sb.source IS NOT NULL AND (sa.source IS NULL OR sb.source < sa.source)
+      THEN c.doc_a
+    ELSE c.doc_b END AS loser
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE {eq_frac} >= {_XC_THRESHOLD}
 )
 SELECT d.doc_id, d.source, l.loser IS NULL AS kept
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.loser
@@ -988,49 +1028,30 @@ FROM documents d LEFT JOIN losers l ON d.doc_id = l.loser
 
 @register("llm_dedup_cross_corpus", oracle=_cross_corpus_oracle())
 def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Priority ("onion") dedup across sources: per near-dup pair the
-    lower-priority side loses (source ordering, doc_id within a
-    source), and the output marks every document kept/dropped — the
-    keep/drop contract a mixing pipeline consumes before weighting
-    sources.
+    """Priority ("onion") dedup across sources, decided at rep level:
+    per document, kept=False iff some near-dup (signature-estimate ≥
+    0.8 within a shared LSH band bucket) comes from a better source,
+    or from the same source with a lower doc_id — the keep/drop
+    contract a mixing pipeline consumes before weighting sources.
 
-    Cost adjudication: this key pays the same candidate generation +
-    exact-Jaccard verify as ``llm_dedup_near_minhash`` (its sf1 cost
-    tracks that key's on the deliberately degenerate 31-token-vocab
-    fixture, where TRUE pairs grow ~quadratically); the verification
-    of every candidate is the irreducible work of a correct pairwise
-    keep/drop decision. At production scale the per-batch shape is
-    ``incremental_minhash_flagged`` (rep-level flagged set, cost
-    independent of pair count) with priority folded into the rep
-    choice."""
-    from delta_lake_play_spark.operators.dedup import minhash_near_dup_pairs
+    Scale shape (the r8 re-point): every table in the plan is sized
+    by distinct SIGNATURES or by docs — candidate generation,
+    estimate verification, and the best-member min all happen once
+    per signature family, and docs join the decision back in one hash
+    join. Cost is therefore independent of how many near-dup PAIRS
+    exist (the previous form materialized the full member-pair set —
+    output-bound at 161 s on the sf1 fixture whose pair count grows
+    ~quadratically). The oracle recomputes the identical drop set
+    pairwise in SQL, which is exactly the equivalence the rep-level
+    min exploits. Docs with no tokens pair with nothing → kept."""
+    from delta_lake_play_spark.operators.dedup import priority_dedup_flagged
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d, "doc_id", "text", _JACCARD_THRESHOLD)
-    src = d.select("doc_id", "source")
-    p = pairs.join(
-        F.broadcast(
-            src.select(
-                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
-            )
-        ),
-        "doc_a",
-    ).join(
-        F.broadcast(
-            src.select(
-                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
-            )
-        ),
-        "doc_b",
-    )
-    loser = (
-        F.when(F.col("src_a") < F.col("src_b"), F.col("doc_b"))
-        .when(F.col("src_b") < F.col("src_a"), F.col("doc_a"))
-        .otherwise(F.col("doc_b"))  # same source: doc_a < doc_b wins
-    )
-    losers = p.select(loser.alias("loser")).distinct()
-    return d.select("doc_id", "source").join(
-        losers, d.doc_id == losers.loser, "left"
-    ).select(
-        "doc_id", "source", F.col("loser").isNull().alias("kept")
+    res = priority_dedup_flagged(d, "doc_id", "text", "source", _XC_THRESHOLD)
+    return (
+        d.select("doc_id", "source")
+        .join(res.select("doc_id", "kept"), "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce("kept", F.lit(True)).alias("kept")
+        )
     )

@@ -647,6 +647,70 @@ def test_incremental_flagged_matches_pairs(spark, sf_dir):
     assert got == expected and len(got) > 0
 
 
+def test_priority_flagged_matches_pairs(spark, sf_dir):
+    """priority_dedup_flagged's drop set must equal the loser set
+    derived pairwise from priority_dedup_pairs' member expansion —
+    same corpus, same threshold — without ever expanding pairs. Also
+    pins the priority direction: at least one cross-source pair must
+    exist, and its winner must be the lexicographically smaller
+    source."""
+    from delta_lake_play_spark.operators.dedup import (
+        priority_dedup_flagged,
+        priority_dedup_pairs,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .where("doc_id < 400")
+    )
+    pairs = priority_dedup_pairs(d, "doc_id", "text", "source", 0.8).persist()
+    # null-last loser rule, mirroring the flagged form's rank struct
+    a_beats = F.col("prio_a").isNotNull() & (
+        F.col("prio_b").isNull() | (F.col("prio_a") < F.col("prio_b"))
+    )
+    b_beats = F.col("prio_b").isNotNull() & (
+        F.col("prio_a").isNull() | (F.col("prio_b") < F.col("prio_a"))
+    )
+    loser = (
+        F.when(a_beats, F.col("doc_b"))
+        .when(b_beats, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))  # tie: lower doc_id wins
+    )
+    expected = {r[0] for r in pairs.select(loser).distinct().collect()}
+    cross = pairs.where(F.col("prio_a") != F.col("prio_b")).count()
+    pairs.unpersist()
+    flagged = priority_dedup_flagged(d, "doc_id", "text", "source", 0.8)
+    got = {r["doc_id"] for r in flagged.collect() if not r["kept"]}
+    assert got == expected and len(got) > 0
+    assert cross > 0  # the fixture exercises the cross-source rule
+
+
+def test_priority_flagged_cross_source_direction(spark):
+    """The higher-priority (smaller) source wins regardless of doc_id:
+    an identical text pair (curated id=9, web id=2) must drop the web
+    doc even though its id is lower."""
+    from delta_lake_play_spark.operators.dedup import priority_dedup_flagged
+
+    df = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog", "web"),
+            (9, "the quick brown fox jumps over the lazy dog", "curated"),
+            (7, "the quick brown fox jumps over the lazy dog", None),
+            (5, "completely unrelated text about spark plans", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: r["kept"]
+        for r in priority_dedup_flagged(
+            df, "doc_id", "text", "source", 0.8
+        ).collect()
+    }
+    # curated beats web beats NULL (unknown source sorts last)
+    assert got == {2: False, 9: True, 7: False, 5: True}
+
+
 def test_pq_trains_on_non_zero_based_ids(spark):
     """ADVICE r5: codebook seeding must use the k smallest ACTUAL ids,
     not `vid < ksub` — a filtered corpus whose ids start at 1000 would
