@@ -1009,11 +1009,16 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix (re-normalized by construction of cosine), overlap = recall.
 # Pure narrow slice + the same fold-order cosine — no new operator,
 # no shuffle beyond the two rankings; both sides exact so the whole
-# evaluation is hash-checked.
+# evaluation is hash-checked. VERDICT r8 ask #5: the candidate corpus
+# is a BOUNDED scope (llm_knn_recall's pattern) — exact evaluation
+# over the full corpus is corpus-linear per anchor query, and a
+# recall monitor must stay constant-cost as the index grows; a
+# bounded sample prices the same trade.
 
 _MATRYOSHKA_DIMS = 16
 _MATRYOSHKA_QUERIES = 40
 _MATRYOSHKA_K = 5
+_MATRYOSHKA_SCOPE = 2000  # queries + candidates all drawn below this id
 
 
 def _matryoshka_oracle() -> str:
@@ -1035,9 +1040,12 @@ WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS de,
          (embedding::DOUBLE[])[1:{_MATRYOSHKA_DIMS}] AS dt
   FROM embeddings
+  WHERE vec_id < {_MATRYOSHKA_SCOPE}
 ),
 qv AS (SELECT * FROM v WHERE vec_id < {_MATRYOSHKA_QUERIES}),
-cv AS (SELECT * FROM v WHERE vec_id >= {_MATRYOSHKA_QUERIES}),
+cv AS (SELECT * FROM v
+       WHERE vec_id >= {_MATRYOSHKA_QUERIES}
+         AND vec_id < {_MATRYOSHKA_SCOPE}),
 full_k AS ({topk('de', 'de')}),
 trunc_k AS ({topk('dt', 'dt')})
 SELECT f.query_id,
@@ -1056,11 +1064,16 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of prefix-truncated embeddings vs the full
     vectors — the evaluation that decides whether a 4× cheaper index
     is shippable. Query set broadcasts (both rankings are the
-    cosine_topk shape); the corpus is scanned twice, never joined to
-    itself."""
+    cosine_topk shape) against a BOUNDED candidate scope
+    (id < ``_MATRYOSHKA_SCOPE``), so the evaluation's cost is a
+    constant at any corpus size — the same sampled-scope contract as
+    ``llm_knn_recall``. The parquet scan prunes to the scope via the
+    pushed-down id filter before either ranking runs."""
     from delta_lake_play_spark.operators.similarity import cosine_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _MATRYOSHKA_SCOPE
+    )
     full = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     trunc = e.select(
         "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, _MATRYOSHKA_DIMS).alias("emb")
