@@ -584,6 +584,71 @@ def dml_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df()
 
 
+# --- dml_type_widening (typeWidening table feature through the mirror) -----
+# Delta type widening: a column's type is widened losslessly (int →
+# long here) and carried files KEEP their narrower physical parquet
+# type — readers upcast at scan. The mirror declares the
+# ``typeWidening`` reader-writer feature in the widening commit and
+# records the change history as ``delta.typeChanges`` field metadata
+# (PROTOCOL.md); both survive checkpointing. The key proves the full
+# round trip: widening merge → classic checkpoint → every commit JSON
+# deleted → snapshot reconstructed by the protocol reader from the
+# checkpoint alone, with values above int range in the widened column.
+
+_TYPE_WIDENING_ORACLE = """
+WITH b AS (
+  SELECT c_custkey, c_name,
+         CAST(c_custkey % 100000 + c_nationkey AS INTEGER) AS iv
+  FROM customer WHERE c_custkey % 20 = 2
+)
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey <= 500 THEN c_custkey * 10000000000
+            ELSE CAST(iv AS BIGINT) END AS iv
+FROM b
+"""
+
+
+@register("dml_type_widening", oracle=_TYPE_WIDENING_ORACLE)
+def dml_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE (iv int, mirrored) → widening MERGE (source iv long,
+    values past int range) → checkpoint → commit JSONs deleted → read
+    back exclusively through the protocol reader. Untouched files are
+    carried by reference under their narrower physical type; the
+    declared (widened) schema upcasts them at scan — zero rewrite,
+    which is the point of the feature at 100 TB."""
+    import os as _os
+
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 == 2)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_custkey") % 100000 + F.col("c_nationkey"))
+            .cast("int")
+            .alias("iv"),
+        )
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("widen"), base, delta_mirror=True
+    )                                                              # v0
+    src = base.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_custkey") * F.lit(10_000_000_000)).alias("iv"),
+    )
+    t.merge(src, key="c_custkey", evolve_schema=True)  # widens iv  # v1
+    v = t.checkpoint_mirror()
+    ddir = _os.path.join(t.path, "_delta_log")
+    for fn in list(_os.listdir(ddir)):
+        if fn.endswith(".json") and not fn.startswith(("_", ".")):
+            if int(fn.split(".")[0]) <= v:
+                _os.remove(_os.path.join(ddir, fn))
+    return read_delta_snapshot(spark, t.path)
+
+
 # --- dml_incremental_gold --------------------------------------------------
 
 # The medallion incremental-maintenance pattern: a silver fact table

@@ -183,6 +183,11 @@ _SUPPORTED_READER_FEATURES = {
     # marker feature: requires VACUUM to run a protocol check before
     # deleting files; imposes nothing on reads (PROTOCOL.md)
     "vacuumProtocolCheck",
+    # widened columns: carried files keep their narrower physical
+    # parquet type; readers upcast at scan using the declared schema
+    # (the replay readers here read with schemaString's types, which
+    # Spark's parquet reader promotes losslessly)
+    "typeWidening",
 }
 
 # Writer features this implementation can honor when VACUUMing a
@@ -308,6 +313,58 @@ def _column_ids(table, entry: dict) -> dict[str, int]:
     return ids
 
 
+def _type_changes(table, entry: dict) -> dict[str, list[dict]]:
+    """Per-column ``delta.typeChanges`` metadata values (PROTOCOL.md
+    Type Widening): every lossless widening a column underwent across
+    the private log up to this version, in order, as
+    ``{"fromType": ..., "toType": ...}`` with the schema-serialization
+    type names. Keyed by LOGICAL field name. Presence must be
+    continuous and the change on the widening whitelist — a column
+    dropped and re-added under a different type is an unrelated
+    column, not a widening. Deterministic re-derivation from the log,
+    like :func:`_column_ids` — no extra state on the commit path."""
+    from pyspark.sql import types as T
+
+    from .versioned import _widen_allowed
+
+    changes: dict[str, list[dict]] = {}
+    prev_types: dict[str, T.DataType] = {}
+    for v in sorted(table._versions()):
+        if v > entry["version"]:
+            break
+        schema = T.StructType.fromJson(table._read_log_raw(v)["schema"])
+        cur = {f.name: f.dataType for f in schema.fields}
+        for name, dt in cur.items():
+            old = prev_types.get(name)
+            if old is not None and old != dt and _widen_allowed(old, dt):
+                changes.setdefault(name, []).append(
+                    {"fromType": old.jsonValue(), "toType": dt.jsonValue()}
+                )
+        prev_types = cur
+    return changes
+
+
+def _widening_between(prev: dict, entry: dict) -> bool:
+    """True when this version widens some column vs the previous one
+    (the protocol must be upgraded in the same commit)."""
+    if prev["schema"] == entry["schema"]:
+        return False
+    from pyspark.sql import types as T
+
+    from .versioned import _widen_allowed
+
+    po = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(prev["schema"]).fields
+    }
+    return any(
+        f.name in po
+        and po[f.name] != f.dataType
+        and _widen_allowed(po[f.name], f.dataType)
+        for f in T.StructType.fromJson(entry["schema"]).fields
+    )
+
+
 def _meta_action(table, entry: dict) -> dict:
     config = {}
     if table.cdf_enabled():
@@ -365,6 +422,23 @@ def _meta_action(table, entry: dict) -> dict:
                     "metadata": {
                         **f.get("metadata", {}),
                         "delta.generationExpression": gen[f["name"]],
+                    },
+                }
+            fields.append(f)
+        schema_dict = {**schema_dict, "fields": fields}
+    tchanges = _type_changes(table, entry)
+    if tchanges:
+        # Type widening (PROTOCOL.md): each widened field records its
+        # change history so external readers know carried files may
+        # hold the narrower physical type and must upcast at scan.
+        fields = []
+        for f in schema_dict["fields"]:
+            if f["name"] in tchanges:
+                f = {
+                    **f,
+                    "metadata": {
+                        **f.get("metadata", {}),
+                        "delta.typeChanges": tchanges[f["name"]],
                     },
                 }
             fields.append(f)
@@ -471,6 +545,12 @@ def _protocol_action(table, entry: dict) -> dict:
         # table's writer features before reclaiming files
         table_features += ["vacuumProtocolCheck"]
         reader_features += ["vacuumProtocolCheck"]
+    if _type_changes(table, entry):
+        # typeWidening is reader-writer: a reader unaware of it would
+        # read carried files' narrower physical parquet types into the
+        # wrong schema (PROTOCOL.md Type Widening)
+        table_features += ["typeWidening"]
+        reader_features += ["typeWidening"]
     if reader_features:
         # Any reader-writer table feature forces minReaderVersion 3
         # with an explicit readerFeatures list (PROTOCOL.md) — which
@@ -1464,11 +1544,14 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         prev_units: dict[str, dict] = {}
     else:
         assert prev is not None
-        if (_is_mapped(entry) and not _is_mapped(prev)) or (
-            entry.get("clusterBy") and not prev.get("clusterBy")
+        if (
+            (_is_mapped(entry) and not _is_mapped(prev))
+            or (entry.get("clusterBy") and not prev.get("clusterBy"))
+            or _widening_between(prev, entry)
         ):
-            # column mapping / clustering first enabled here: upgrade
-            # the protocol in the same commit (legal mid-log per spec)
+            # column mapping / clustering / type widening first
+            # enabled here: upgrade the protocol in the same commit
+            # (legal mid-log per spec)
             actions.append(_protocol_action(table, entry))
         if entry["schema"] != prev["schema"] or entry.get(
             "columnMap"

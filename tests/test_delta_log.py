@@ -309,6 +309,97 @@ def test_schema_evolution_emits_metadata_action(spark):
     assert got.where("tag = 'x'").count() == 1
 
 
+def test_type_widening_feature_declared_and_replays(spark):
+    """A widening merge upgrades the mirror protocol IN the widening
+    commit — typeWidening in BOTH feature lists — and records the
+    change history as delta.typeChanges field metadata; both survive
+    checkpoint + JSON cleanup; and the widened table (carried files
+    keep the narrower physical type) replays identically through the
+    module's protocol reader AND the independent DuckDB-SQL reader."""
+    import duckdb
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    from delta_lake_play_spark.table.delta_log import latest_mirror_protocol
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-widen"),
+        spark.range(0, 60).withColumn("v", F.col("id").cast("int")),
+        delta_mirror=True,
+    )
+    src = spark.createDataFrame(
+        [(3, 10_000_000_000), (100, 7)], "id long, v long"
+    )
+    t.merge(src, key="id", evolve_schema=True)  # widens v: int -> long
+
+    acts = _actions(t, 1)
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos, "the widening commit must upgrade the protocol"
+    assert "typeWidening" in protos[0]["writerFeatures"]
+    assert "typeWidening" in protos[0]["readerFeatures"]
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    vf = next(
+        f
+        for f in json.loads(metas[0]["schemaString"])["fields"]
+        if f["name"] == "v"
+    )
+    assert vf["metadata"]["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+
+    # carried v0 files keep their narrower physical type on disk
+    ddir = os.path.join(t.path, "_delta_log")
+    entry = t._read_log(1)
+    phys_types = {
+        str(
+            pq.read_schema(
+                p if p.startswith("/") else os.path.join(t.path, p)
+            ).field("v").type
+        )
+        for p in (f["path"] for f in entry["files"])
+    }
+    assert phys_types == {"int32", "int64"}
+
+    # checkpoint + JSON cleanup: feature + typeChanges must persist
+    t.checkpoint_mirror()
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and fn[:20].isdigit():
+            os.remove(os.path.join(ddir, fn))
+    p = latest_mirror_protocol(t)
+    assert "typeWidening" in p["writerFeatures"]
+    assert "typeWidening" in (p.get("readerFeatures") or [])
+    got = read_delta_snapshot(spark, t.path)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert _canon(got) == _canon(t.to_df())
+    assert (3, 10_000_000_000) in _canon(got)
+
+    # independent DuckDB-SQL reader: reconcile the checkpoint's live
+    # adds, then read the mixed-physical-type files under the declared
+    # (widened) schema
+    cp = [fn for fn in os.listdir(ddir) if fn.endswith(".checkpoint.parquet")]
+    assert len(cp) == 1
+    con = duckdb.connect()
+    files = con.execute(
+        f"""
+        SELECT add.path FROM read_parquet('{os.path.join(ddir, cp[0])}')
+        WHERE add IS NOT NULL
+        """
+    ).fetchall()
+    paths = [os.path.join(t.path, unquote(p)) for (p,) in files]
+    assert paths
+    duck_rows = sorted(
+        con.execute(
+            "SELECT id, CAST(v AS BIGINT) AS v "
+            "FROM read_parquet($paths, union_by_name=true)",
+            {"paths": paths},
+        ).fetchall()
+    )
+    con.close()
+    assert duck_rows == _canon(t.to_df())
+
+
 def test_export_delta_log_on_unmirrored_table(spark):
     """A table created WITHOUT delta_mirror can still be exported
     wholesale afterwards, and extended incrementally."""
@@ -1295,6 +1386,144 @@ def test_duckdb_sql_reader_compacted_range(spark):
     )
     _duck_compare(con, t, live)
     con.close()
+
+
+def test_duckdb_sql_reader_column_mapping(spark):
+    """SQL replay under column mapping mode "name": the latest
+    metaData's schemaString carries each field's
+    delta.columnMapping.physicalName; the SQL reader resolves the
+    logical→physical map from the JSON actions alone, reads the
+    PHYSICAL parquet columns from the reconciled live set, and
+    aliases them back — zero shared reader code."""
+    import duckdb
+    from urllib.parse import unquote
+
+    df = spark.range(0, 120).withColumn("v", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark, temp_table_path("dl-duck-map"), df.repartition(3), delta_mirror=True
+    )
+    t.rename_column("v", "val")                       # mapping turns on
+    t.update({"val": F.lit(-5).cast("long")}, F.col("id") == 3)
+    t.delete(F.col("id") % 9 == 0)
+    ddir = os.path.join(t.path, "_delta_log")
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    con = duckdb.connect()
+    # logical -> physical, resolved in SQL from the newest metaData
+    # (two statements: DuckDB's range() cannot lateral-join a column,
+    # so the schemaString is fetched first and bound as a parameter)
+    (ss,) = con.execute(
+        f"""
+        SELECT json_extract_string("json", '$.metaData.schemaString') AS ss
+        FROM read_ndjson_objects([{jsons}], filename=true)
+        WHERE json_extract("json", '$.metaData') IS NOT NULL
+        ORDER BY CAST(regexp_extract(filename, '(\\d{{20}})\\.json$', 1) AS BIGINT) DESC
+        LIMIT 1
+        """
+    ).fetchone()
+    mapping = con.execute(
+        """
+        SELECT json_extract_string($ss, '$.fields[' || i || '].name') AS logical,
+               coalesce(
+                 json_extract_string(
+                   $ss, '$.fields[' || i || '].metadata."delta.columnMapping.physicalName"'),
+                 json_extract_string($ss, '$.fields[' || i || '].name')
+               ) AS physical
+        FROM range(CAST(json_array_length($ss, '$.fields') AS BIGINT)) r(i)
+        ORDER BY i
+        """,
+        {"ss": ss},
+    ).fetchall()
+    assert dict(mapping)["val"] == "v", mapping  # rename kept physical name
+    live = _duck_live_paths(con, [("json", jsons)])
+    paths = [os.path.join(t.path, unquote(p)) for p in live]
+    sel = ", ".join(f'"{phys}" AS "{log}"' for log, phys in mapping)
+    duck = sorted(
+        con.execute(
+            f"SELECT {sel} FROM read_parquet($paths)", {"paths": paths}
+        ).fetchall()
+    )
+    con.close()
+    spark_rows = sorted(
+        tuple(r) for r in t.read().select("id", "val").collect()
+    )
+    assert duck == spark_rows
+
+
+def test_duckdb_sql_reader_cdc_replay(spark):
+    """SQL replay of the Change Data Feed: per commit in the range,
+    cdc actions are used EXCLUSIVELY when present (update/delete
+    pre/post images from the change files); a commit with no cdc
+    action derives inserts from its dataChange=true adds (the
+    protocol's append fallback). Row-identical to table_changes."""
+    import duckdb
+    from urllib.parse import unquote
+
+    df = spark.range(0, 120).withColumn("val", (F.col("id") * 3).cast("long"))
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-duck-cdc"),
+        df.repartition(3),
+        delta_mirror=True,
+        enable_cdf=True,
+    )
+    t.update({"val": F.lit(-5).cast("long")}, F.col("id") == 3)      # v1 cdc
+    t.delete(F.col("id") % 9 == 0)                                   # v2 cdc
+    t.append(  # v3: pure append, no cdc action — derive inserts
+        spark.range(200, 220).withColumn("val", (F.col("id") * 3).cast("long"))
+    )
+    ddir = os.path.join(t.path, "_delta_log")
+    jsons = ", ".join(f"'{c}'" for c in _duck_json_sources(ddir))
+    con = duckdb.connect()
+    # extraction stays INLINE on each read_ndjson_objects scan — the
+    # same DuckDB quirk the other SQL-reader tests document (filters
+    # over an aliased scan subquery mis-execute as malformed JSON)
+    v_expr = "CAST(regexp_extract(filename, '(\\d{20})\\.json$', 1) AS BIGINT)"
+    sources = con.execute(
+        f"""
+        WITH cdc AS (
+          SELECT {v_expr} AS v,
+                 json_extract_string("json", '$.cdc.path') AS p,
+                 'cdc' AS kind
+          FROM read_ndjson_objects([{jsons}], filename=true)
+          WHERE json_extract("json", '$.cdc') IS NOT NULL
+            AND {v_expr} BETWEEN 1 AND 3
+        ),
+        ins AS (
+          SELECT {v_expr} AS v,
+                 json_extract_string("json", '$.add.path') AS p,
+                 'insert' AS kind
+          FROM read_ndjson_objects([{jsons}], filename=true)
+          WHERE json_extract("json", '$.add') IS NOT NULL
+            AND CAST(json_extract("json", '$.add.dataChange') AS BOOLEAN)
+            AND {v_expr} BETWEEN 1 AND 3
+            AND {v_expr} NOT IN (SELECT v FROM cdc)
+        )
+        SELECT * FROM cdc UNION ALL SELECT * FROM ins ORDER BY v, p
+        """
+    ).fetchall()
+    assert {k for (_, _, k) in sources} == {"cdc", "insert"}
+    rows = []
+    for v, p, kind in sources:
+        full = os.path.join(t.path, unquote(p))
+        if kind == "cdc":
+            q = (
+                f"SELECT id, val, _change_type, {v} AS _commit_version "
+                f"FROM read_parquet('{full}')"
+            )
+        else:
+            q = (
+                f"SELECT id, val, 'insert' AS _change_type, "
+                f"{v} AS _commit_version FROM read_parquet('{full}')"
+            )
+        rows += con.execute(q).fetchall()
+    con.close()
+    spark_rows = sorted(
+        tuple(r)
+        for r in t.table_changes(1, 3)
+        .select("id", "val", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert sorted(rows) == spark_rows and len(spark_rows) > 20
 
 
 def test_native_dv_mirror_lifecycle(spark):
