@@ -50,23 +50,81 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-8 WINDOW (first 50). Composition (SURVEY §15 records
-    # the rationale): slots 1-11 enforce the new standing rule from
-    # VERDICT r7 ask #1 — any key whose query source or reachable
-    # operator changed in-round gets a window slot THAT round.
-    # 1-4: the four keys whose r7 code change never got a driver row
-    # (the ANSI-overflow DOUBLE-combination fix in the exact moment
-    # aggregates; the IVF cell-count cap and its recall consumer).
-    # 5-8: this round's composite-blocking change to blocked_pairs
-    # (llm_dedup_embedding_cosine re-pointed per ask #3, plus the two
-    # other blocked_pairs consumers whose single-key path is pinned
-    # identical but reaches changed code) and the new dml_cluster_by
-    # key (ask #6). 9-11: the delta_log.py changes (incremental crc,
-    # sidecar GC grace, widest-span selection) through the three
-    # mirror keys that observe those exact paths. Slots 12-50 rotate
-    # the stale-evidence tail (ask #2), stalest first: all 5
-    # remaining r1-vintage rows, then 34 r2-vintage rows — streams,
-    # UDFs, windows, LLM singles and fn batteries before trivia.
+    # --- ROUND-9 WINDOW (first 50). Composition (SURVEY §18):
+    # slots 1-13 enforce the standing changed-code rule — any key
+    # whose query source or reachable operator changed in-round gets
+    # a window slot THAT round. 1-2: the UPDATE SET pre-image fix
+    # (ADVICE medium) through both DML keys that apply SET
+    # expressions. 3-4: the vacuum version-bounds gate and the
+    # multi-part orphan sweep at latest_cp (ADVICE lows). 5-7: the
+    # knn_join broadcast-auto default through its three consumers.
+    # 8: the cross-corpus rep-level re-point (VERDICT ask #2).
+    # 9: the matryoshka scope bound (ask #5). 10: the NEW
+    # dml_type_widening key (ask #4). 11-13: the metaData/protocol
+    # emission change (_type_changes runs for every mirrored table)
+    # through the three mirror keys that most directly observe
+    # schema/metadata re-emission. Slots 14-40 close the r2-vintage
+    # evidence tail FOR GOOD (ask #1 — the 27 keys VERDICT r8 lists;
+    # after this round no hash-checked key's newest driver row
+    # predates r3). Slots 41-50 start on the next-stalest tier
+    # (r3-vintage subqueries + canonical DML singles).
+    "dml_update_where",
+    "dml_update_mor",
+    "dml_vacuum_protocol_check",
+    "dml_checkpoint_multipart",
+    "llm_knn_join",
+    "llm_hard_negatives",
+    "llm_knn_recall",
+    "llm_dedup_cross_corpus",
+    "llm_matryoshka_recall",
+    "dml_type_widening",
+    "dml_merge_evolve",
+    "dml_rename_drop_column",
+    "dml_cdf_mirror_replay",
+    # r2-vintage tail (ask #1): the fn battery
+    "fn_string_basic",
+    "fn_string_split_tokens",
+    "fn_string_regex",
+    "fn_date_trunc_extract",
+    "fn_date_arith",
+    "fn_timestamp_cast_fmt",
+    "fn_cond_case",
+    "fn_array_ops",
+    "fn_array_hof",
+    "fn_explode",
+    "fn_map_json",
+    # the five remaining r2 windows + ntile
+    "win_rank_dense_rank",
+    "win_lag_lead_delta",
+    "win_running_sum_frame",
+    "win_range_frame_moving_avg",
+    "win_ntile",
+    "win_session_id",
+    # sorts / sets / limits
+    "sort_by_key",
+    "sort_multi_col_nulls",
+    "limit_n",
+    "topk_global",
+    "set_union_all",
+    "set_intersect",
+    # remaining r2 singles
+    "create_dataframe_rows",
+    "collect_to_pandas",
+    "json_column_parse",
+    "agg_grouping_sets",
+    # next-stalest tier: r3-vintage subqueries + canonical DML
+    "sub_exists_late_lineitem",
+    "sub_scalar_small_quantity",
+    "sub_in_large_orders",
+    "sub_not_exists_quiet_customers",
+    "sub_lateral_topk_per_nation",
+    "dml_merge_upsert",
+    "dml_delete_where",
+    "dml_insert_append",
+    "dml_restore",
+    "dml_vacuum",
+    # --- TIER 2 (51+): last round's window keys, all re-proven in
+    # r8 (newest evidence r8) — they rotate behind the stale tail.
     "agg_stddev_exact",
     "agg_corr_exact",
     "llm_similarity_ivf",
@@ -74,103 +132,13 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_embedding_cosine",
     "llm_dedup_clusters",
     "llm_dedup_keep_best",
-    "dml_cluster_by",
-    "dml_append_only",
-    "dml_dv_native_protocol",
-    "dml_checkpoint_v2",
-    "dml_log_cleanup",
-    "dml_log_compaction",
-    # r8 sf1-anchor catch: the unbounded recursion tripped Spark's
-    # 1M-row guardrail at 150k customers — seed now bounded by
-    # construction; changed code -> window slot
     "sql_recursive_cte",
-    # late r8 addition: near-dup-cluster-aware train/val/test split
     "llm_split_leakage_safe",
-    # r8 continuation: the large×large blocked k-NN join and its
-    # hard-negative-mining consumer (operators/similarity.py knn_join
-    # + the generalized _sign_bucket_ctes oracle fragment) — new code,
-    # window slots this round per the standing rule
-    "llm_knn_join",
-    "llm_hard_negatives",
     "llm_source_overlap",
     "sql_udf_create",
-    "dml_vacuum_protocol_check",
     "llm_quality_classifier_train",
     "llm_classifier_eval",
     "stream_static_enrich",
-    "llm_dedup_cross_corpus",
-    "llm_knn_recall",
-    "llm_matryoshka_recall",
-    "dml_checkpoint_multipart",
-    "dml_update_mor",
-    # r1-vintage stale rows (newest driver evidence: round 1)
-    "agg_max_by_min_by",
-    "agg_pivot",
-    "filter_null_safe_eq",
-    "join_salted_skew",
-    "sample_hash_mod",
-    # r2-vintage stale rows — stateful/complex machinery first
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_stateful",
-    "udf_python_scalar",
-    "udf_pandas_vectorized",
-    "udaf_pandas_grouped",
-    "udtf_explode_ngrams",
-    "llm_dedup_exact",
-    "llm_dedup_near_minhash",
-    "llm_dedup_simhash",
-    "llm_similarity_topk",
-    "llm_text_stats",
-    "llm_doc_quality_filter",
-    "llm_multimodal_cols",
-    "win_row_number_topk_per_group",
-    # --- TIER 2 (51+): the r2-vintage rows deferred to r9 — trivial
-    # scan/sort/set/map/HOF machinery, least likely to rot (fn_explode,
-    # fn_map_json, fn_array_hof, fn_array_ops displaced by the
-    # late-registered dml_append_only / dml_dv_native_protocol /
-    # llm_split_leakage_safe keys and the sql_recursive_cte re-proof:
-    # new/changed machinery gets driver validation first, the
-    # endorsed trade; fn_string_split_tokens / fn_string_regex /
-    # fn_date_trunc_extract / fn_date_arith / fn_timestamp_cast_fmt
-    # joined this tier when the r8-continuation knn-join /
-    # hard-negatives / source-overlap / sql-udf / vacuum-protocol
-    # keys took slots; fn_string_basic / agg_grouping_sets for the
-    # classifier trainer + eval pair; win_session_id for the
-    # stream-static join; win_ntile for cross-corpus dedup;
-    # win_range_frame_moving_avg for the knn recall harness;
-    # win_running_sum_frame for the matryoshka recall;
-    # win_lag_lead_delta for the multi-part checkpoint key;
-    # win_rank_dense_rank for the MoR update).
-    "win_rank_dense_rank",
-    "win_lag_lead_delta",
-    "win_running_sum_frame",
-    "win_range_frame_moving_avg",
-    "win_ntile",
-    "win_session_id",
-    "agg_grouping_sets",
-    "fn_string_basic",
-    "fn_string_split_tokens",
-    "fn_string_regex",
-    "fn_date_trunc_extract",
-    "fn_date_arith",
-    "fn_timestamp_cast_fmt",
-    "fn_array_ops",
-    "fn_array_hof",
-    "fn_explode",
-    "fn_map_json",
-    "fn_cond_case",
-    "json_column_parse",
-    "collect_to_pandas",
-    "create_dataframe_rows",
-    "sort_by_key",
-    "sort_multi_col_nulls",
-    "limit_n",
-    "topk_global",
-    "set_union_all",
-    "set_intersect",
     # --- TIER 3: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
