@@ -893,6 +893,75 @@ def llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- llm_classifier_calibration ----------------------------------------------
+# The third leg of the classifier lifecycle (train → eval →
+# CALIBRATE): a reliability table binning the predicted score into
+# ten fixed 0.1-wide bins (clamped to the [0, 1] label grid) with the
+# exact positive rate per bin — the diagram that decides whether the
+# score can gate documents at a chosen threshold or needs
+# recalibration first. One corpus aggregate after training, weights a
+# broadcast 1-row relation, everything on the exact integer grid
+# (truncating division both engines), so the whole table hash-checks.
+
+_QC_CAL_BIN = 100_000  # 0.1 on the 1e-6 grid -> 10 bins
+
+
+def _qc_calibration_oracle() -> str:
+    ctes, _selects = _qc_ctes()
+    return f"""{ctes},
+scored AS (
+  SELECT f.t,
+         greatest(least(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3,
+                        999999), 0) AS s
+  FROM feats f CROSS JOIN w{_QC_ITERS} w
+)
+SELECT s // {_QC_CAL_BIN} AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s) AS BIGINT) // count(*) AS mean_score,
+       (CAST(SUM(CASE WHEN t = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000) // count(*) AS pos_ppm
+FROM scored
+GROUP BY s // {_QC_CAL_BIN}"""
+
+
+@register("llm_classifier_calibration", oracle=_qc_calibration_oracle())
+def llm_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the trained quality classifier: predicted
+    score clamped to the label grid, binned 10-wide, with each bin's
+    doc count, exact mean score, and exact positive rate (ppm). A
+    well-calibrated score has pos_ppm tracking mean_score per bin;
+    this is what a pipeline inspects before trusting the eval key's
+    single threshold. Same shared feature builder and trained weights
+    as train/eval (the three surfaces cannot drift); one extra
+    map-side-combined aggregate over ten groups — corpus-linear, no
+    new shuffle shape."""
+    trained = llm_quality_classifier_train(spark, sf_dir)
+    w = trained.where(F.col("iter") == _QC_ITERS).select(
+        "w0", "w1", "w2", "w3"
+    )
+    feats = _qc_feats(spark, sf_dir)
+    s = (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    clamped = F.greatest(F.least(s, F.lit(999_999)), F.lit(0))
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select(
+            clamped.alias("s"),
+            (F.col("t") == 1_000_000).cast("long").alias("pos"),
+        )
+        .groupBy(F.expr(f"s div {_QC_CAL_BIN}").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("sum(s) div count(*)").alias("mean_score"),
+            F.expr("(sum(pos) * 1000000) div count(*)").alias("pos_ppm"),
+        )
+    )
+
+
 # --- llm_knn_recall ---------------------------------------------------------
 # Self-evaluating k-NN JOIN (the llm_ann_recall / llm_dedup_recall
 # pattern applied to the bucket+salt-blocked join): ground truth =

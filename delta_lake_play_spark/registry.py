@@ -81,6 +81,9 @@ _PRIORITY: tuple[str, ...] = (
     "dml_merge_evolve",
     "dml_rename_drop_column",
     "dml_cdf_mirror_replay",
+    # slot 14: NEW key this round (classifier reliability bins) —
+    # displaces dml_vacuum from the r3 top-up tier
+    "llm_classifier_calibration",
     # r2-vintage tail (ask #1): the fn battery
     "fn_string_basic",
     "fn_string_split_tokens",
@@ -122,7 +125,6 @@ _PRIORITY: tuple[str, ...] = (
     "dml_delete_where",
     "dml_insert_append",
     "dml_restore",
-    "dml_vacuum",
     # --- TIER 2 (51+): last round's window keys, all re-proven in
     # r8 (newest evidence r8) — they rotate behind the stale tail.
     "agg_stddev_exact",

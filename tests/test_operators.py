@@ -1179,6 +1179,25 @@ def test_quality_classifier_loss_decreases(spark, sf_dir):
     assert any(rows[3][f"w{k}"] != 0 for k in range(4))
 
 
+def test_classifier_calibration_bins_are_consistent(spark, sf_dir):
+    """The calibration table's invariants: bins live on the 10-bin
+    clamped grid, counts total the scored corpus, per-bin mean_score
+    sits inside its bin's score range, and pos_ppm is a valid ppm."""
+    from delta_lake_play_spark.queries.llm_compose import (
+        _qc_feats,
+        llm_classifier_calibration,
+    )
+
+    rows = llm_classifier_calibration(spark, sf_dir).collect()
+    assert rows
+    n_total = _qc_feats(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert r["bin"] * 100_000 <= r["mean_score"] < (r["bin"] + 1) * 100_000
+        assert 0 <= r["pos_ppm"] <= 1_000_000
+
+
 def test_knn_join_salt_caps_mega_buckets(spark):
     """The skew guard: a bucket holding more vectors than bucket_cap
     must salt-split — per-query candidate counts stay <= ~cap, every
