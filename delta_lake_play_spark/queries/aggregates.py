@@ -55,6 +55,47 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- agg_bitmap_distinct: EXACT distinct via fixed-width bitmaps ----------
+# The third point on the distinct-count spectrum (exact expand /
+# HLL estimate / THIS): Spark 3.5+ bitmap aggregates. Each value maps
+# to (bucket = id >> 15, bit position); bitmap_construct_agg ORs the
+# bits into a fixed ≤4 KB binary per (group, bucket) with map-side
+# partial merge, so the shuffle carries bounded bitmap state instead
+# of every distinct value — exact answers with sketch-like shuffle
+# width. This is how warehouses maintain exact-NDV materialized
+# views; the oracle is plain COUNT(DISTINCT).
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order priority through bitmap
+    aggregation: two hash aggregates, both map-side combined, the
+    first keyed (group, bitmap_bucket_number(v)) with a fixed-size
+    bitmap value — distinct-value traffic never crosses the wire.
+    Hash-checked against COUNT(DISTINCT); the plan contains no
+    Expand node (unlike agg_count_distinct's rewrite)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_custs")
+        )
+    )
+
+
 # --- agg_approx_count_distinct: HLL++ (estimate ≠ oracle → rows-only) ---
 
 

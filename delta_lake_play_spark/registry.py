@@ -81,9 +81,11 @@ _PRIORITY: tuple[str, ...] = (
     "dml_merge_evolve",
     "dml_rename_drop_column",
     "dml_cdf_mirror_replay",
-    # slot 14: NEW key this round (classifier reliability bins) —
-    # displaces dml_vacuum from the r3 top-up tier
+    # slots 14-15: NEW keys this round (classifier reliability bins;
+    # exact-distinct bitmap aggregation) — displace dml_vacuum /
+    # dml_restore from the r3 top-up tier
     "llm_classifier_calibration",
+    "agg_bitmap_distinct",
     # r2-vintage tail (ask #1): the fn battery
     "fn_string_basic",
     "fn_string_split_tokens",
@@ -124,7 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "dml_merge_upsert",
     "dml_delete_where",
     "dml_insert_append",
-    "dml_restore",
     # --- TIER 2 (51+): last round's window keys, all re-proven in
     # r8 (newest evidence r8) — they rotate behind the stale tail.
     "agg_stddev_exact",

@@ -723,3 +723,15 @@ def test_classifier_train_single_scan_per_iteration(spark, sf_dir):
     )
     # the weight relation rides as a 1-row broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    """agg_bitmap_distinct's claim: exact distinct WITHOUT the
+    count-distinct Expand rewrite — two hash aggregates over bounded
+    bitmap state, both with map-side partial merge, and the scan
+    pruned to the two columns involved."""
+    plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "o_orderpriority" in plan and "o_custkey" in plan
+    assert "o_totalprice" not in plan  # column pruning reached the scan
