@@ -175,6 +175,18 @@ def sig_est_jaccard(sig_a, sig_b):
     )
 
 
+def _sig_bands(sig_df: DataFrame, sig_alias: str) -> DataFrame:
+    """``(sig_alias, band_id, band_val)`` per band — map-side fold of
+    a stored ``sig`` array column. The ONE definition of the band
+    projection shared by the incremental and priority dedup paths."""
+    return sig_df.select(
+        F.col("sig").alias(sig_alias),
+        F.posexplode(
+            F.array(*_band_vals_from_array(F.col("sig")))
+        ).alias("band_id", "band_val"),
+    )
+
+
 def _incremental_rep_candidates(
     store_df: DataFrame,
     new_df: DataFrame,
@@ -194,20 +206,11 @@ def _incremental_rep_candidates(
         new_df, id_col, text_col, broadcast_hints
     ).persist()
 
-    def bands_of_sigs(sig_df: DataFrame) -> DataFrame:
-        """(sig, band_id, band_val) per band — map-side fold."""
-        return sig_df.select(
-            "sig",
-            F.posexplode(
-                F.array(*_band_vals_from_array(F.col("sig")))
-            ).alias("band_id", "band_val"),
-        )
-
     # 1. batch bucket keys, broadcast into a semi-join that filters
     #    the streamed store down to docs sharing a bucket with the
     #    batch ("hits")
     batch_buckets = (
-        bands_of_sigs(new_sigs).select("band_id", "band_val").distinct()
+        _sig_bands(new_sigs, "sig").select("band_id", "band_val").distinct()
     )
     store_bands = store_df.select(
         "doc_id", "sig",
@@ -237,13 +240,9 @@ def _incremental_rep_candidates(
         hits.select("sig").distinct().unionByName(batch_reps).distinct()
     )
     rep_cand = (
-        bands_of_sigs(b_reps)
-        .withColumnRenamed("sig", "sig_b")
+        _sig_bands(b_reps, "sig_b")
         .join(
-            _hint(
-                bands_of_sigs(batch_reps).withColumnRenamed("sig", "sig_a"),
-                broadcast_hints,
-            ),
+            _hint(_sig_bands(batch_reps, "sig_a"), broadcast_hints),
             on=["band_id", "band_val"],
         )
         .select("sig_a", "sig_b")
@@ -407,17 +406,6 @@ def incremental_minhash_flagged(
         .distinct()
     )
     return flagged, new_sigs
-
-
-def _sig_bands(sig_df: DataFrame, sig_alias: str) -> DataFrame:
-    """``(sig_alias, band_id, band_val)`` per band — map-side fold of
-    a stored ``sig`` array column."""
-    return sig_df.select(
-        F.col("sig").alias(sig_alias),
-        F.posexplode(
-            F.array(*_band_vals_from_array(F.col("sig")))
-        ).alias("band_id", "band_val"),
-    )
 
 
 def _priority_members(

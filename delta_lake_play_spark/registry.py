@@ -63,11 +63,12 @@ _PRIORITY: tuple[str, ...] = (
     # dml_type_widening key (ask #4). 11-13: the metaData/protocol
     # emission change (_type_changes runs for every mirrored table)
     # through the three mirror keys that most directly observe
-    # schema/metadata re-emission. Slots 14-40 close the r2-vintage
-    # evidence tail FOR GOOD (ask #1 — the 27 keys VERDICT r8 lists;
-    # after this round no hash-checked key's newest driver row
-    # predates r3). Slots 41-50 start on the next-stalest tier
-    # (r3-vintage subqueries + canonical DML singles).
+    # schema/metadata re-emission. Slots 14-15 are this round's two
+    # NEW keys. Slots 16-42 close the r2-vintage evidence tail FOR
+    # GOOD (ask #1 — the 27 keys VERDICT r8 lists; after this round
+    # no hash-checked key's newest driver row predates r3). Slots
+    # 43-50 start on the next-stalest tier (r3-vintage subqueries +
+    # canonical DML singles).
     "dml_update_where",
     "dml_update_mor",
     "dml_vacuum_protocol_check",
@@ -81,8 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     "dml_merge_evolve",
     "dml_rename_drop_column",
     "dml_cdf_mirror_replay",
-    # slots 14-15: NEW keys this round (classifier reliability bins;
-    # exact-distinct bitmap aggregation) — displace dml_vacuum /
+    # slots 14-15: the NEW keys (classifier reliability bins;
+    # exact-distinct bitmap aggregation) — displaced dml_vacuum /
     # dml_restore from the r3 top-up tier
     "llm_classifier_calibration",
     "agg_bitmap_distinct",

@@ -318,30 +318,50 @@ def _type_changes(table, entry: dict) -> dict[str, list[dict]]:
     Type Widening): every lossless widening a column underwent across
     the private log up to this version, in order, as
     ``{"fromType": ..., "toType": ...}`` with the schema-serialization
-    type names. Keyed by LOGICAL field name. Presence must be
-    continuous and the change on the widening whitelist — a column
-    dropped and re-added under a different type is an unrelated
-    column, not a widening. Deterministic re-derivation from the log,
-    like :func:`_column_ids` — no extra state on the commit path."""
+    type names. History is tracked by the column's PHYSICAL identity
+    (its columnMap name — stable across renames, retired-never-reused
+    after a drop) and mapped to the CURRENT logical names at the end,
+    so a renamed widened column keeps its change history and a
+    dropped one stops declaring it; a drop/re-add under a different
+    type gets a fresh physical name and is an unrelated column, not a
+    widening. Presence must be continuous and the change on the
+    widening whitelist. Deterministic re-derivation from the log,
+    like :func:`_column_ids` — no extra state on the commit path;
+    versions whose (schema, columnMap) pair is unchanged are skipped
+    without parsing."""
     from pyspark.sql import types as T
 
     from .versioned import _widen_allowed
 
     changes: dict[str, list[dict]] = {}
     prev_types: dict[str, T.DataType] = {}
+    prev_sig: tuple | None = None
     for v in sorted(table._versions()):
         if v > entry["version"]:
             break
-        schema = T.StructType.fromJson(table._read_log_raw(v)["schema"])
-        cur = {f.name: f.dataType for f in schema.fields}
-        for name, dt in cur.items():
-            old = prev_types.get(name)
+        raw = table._read_log_raw(v)
+        sig = (raw["schema"], raw.get("columnMap"))
+        if sig == prev_sig:
+            continue  # neither types nor identities can have moved
+        cmap = raw.get("columnMap") or {}
+        schema = T.StructType.fromJson(raw["schema"])
+        cur = {cmap.get(f.name, f.name): f.dataType for f in schema.fields}
+        for phys, dt in cur.items():
+            old = prev_types.get(phys)
             if old is not None and old != dt and _widen_allowed(old, dt):
-                changes.setdefault(name, []).append(
+                changes.setdefault(phys, []).append(
                     {"fromType": old.jsonValue(), "toType": dt.jsonValue()}
                 )
         prev_types = cur
-    return changes
+        prev_sig = sig
+    if not changes:
+        return {}
+    ecmap = entry.get("columnMap") or {}
+    return {
+        f["name"]: changes[ecmap.get(f["name"], f["name"])]
+        for f in entry["schema"]["fields"]
+        if ecmap.get(f["name"], f["name"]) in changes
+    }
 
 
 def _widening_between(prev: dict, entry: dict) -> bool:
@@ -365,7 +385,7 @@ def _widening_between(prev: dict, entry: dict) -> bool:
     )
 
 
-def _meta_action(table, entry: dict) -> dict:
+def _meta_action(table, entry: dict, tchanges: dict | None = None) -> dict:
     config = {}
     if table.cdf_enabled():
         config["delta.enableChangeDataFeed"] = "true"
@@ -426,7 +446,8 @@ def _meta_action(table, entry: dict) -> dict:
                 }
             fields.append(f)
         schema_dict = {**schema_dict, "fields": fields}
-    tchanges = _type_changes(table, entry)
+    if tchanges is None:
+        tchanges = _type_changes(table, entry)
     if tchanges:
         # Type widening (PROTOCOL.md): each widened field records its
         # change history so external readers know carried files may
@@ -487,7 +508,7 @@ _LEGACY_WRITER_FEATURES = {
 }
 
 
-def _protocol_action(table, entry: dict) -> dict:
+def _protocol_action(table, entry: dict, tchanges: dict | None = None) -> dict:
     """Protocol (1, 2) normally; CDF needs writer 4; column mapping
     needs reader 2 / writer 5 (versions are cumulative, so (2, 5)
     also covers CDF); identity columns need writer 6. Row tracking is
@@ -545,7 +566,9 @@ def _protocol_action(table, entry: dict) -> dict:
         # table's writer features before reclaiming files
         table_features += ["vacuumProtocolCheck"]
         reader_features += ["vacuumProtocolCheck"]
-    if _type_changes(table, entry):
+    if tchanges is None:
+        tchanges = _type_changes(table, entry)
+    if tchanges:
         # typeWidening is reader-writer: a reader unaware of it would
         # read carried files' narrower physical parquet types into the
         # wrong schema (PROTOCOL.md Type Widening)
@@ -1312,22 +1335,24 @@ def cleanup_expired_logs(
     # the loop above can never reclaim them — without this pass they
     # would leak in a log whose whole cleanup contract is bounded
     # size. Anything below the latest checkpoint is replay-redundant.
-    # At v == latest_cp itself an INCOMPLETE set (a crashed re-split
-    # at a different part total) would otherwise leak until a newer
-    # checkpoint lands: group that version's parts by total and
-    # reclaim sets missing a part. Complete sets at latest_cp are
-    # never touched — one of them may be the live representative, and
-    # any other complete total reconciles to the same snapshot.
-    latest_by_total: dict[int, dict[int, str]] = {}
+    # An INCOMPLETE set (a crashed re-split, at ANY version — at,
+    # below, or above latest_cp) is unusable by every reader and
+    # would otherwise leak forever: group parts by (version, total)
+    # and reclaim expired members of sets missing a part. The
+    # retention-window mtime guard (_expired) is what protects a
+    # write still in flight. Complete sets at or above latest_cp are
+    # never touched — one may be the live representative or a newer
+    # checkpoint; any other complete total reconciles identically.
+    by_set: dict[tuple[int, int], dict[int, str]] = {}
     for fn in os.listdir(ddir):
         mm = _CP_MULTIPART_RE.match(fn)
-        if mm and int(mm.group(1)) == latest_cp:
-            latest_by_total.setdefault(int(mm.group(3)), {})[
-                int(mm.group(2))
-            ] = fn
-    latest_incomplete = {
+        if mm:
+            by_set.setdefault(
+                (int(mm.group(1)), int(mm.group(3))), {}
+            )[int(mm.group(2))] = fn
+    incomplete = {
         fn
-        for total, parts in latest_by_total.items()
+        for (_v, total), parts in by_set.items()
         if set(parts) != set(range(1, total + 1))
         for fn in parts.values()
     }
@@ -1336,7 +1361,7 @@ def cleanup_expired_logs(
         if not mm or fn in deleted:
             continue
         v = int(mm.group(1))
-        if (v < latest_cp or fn in latest_incomplete) and _expired(fn):
+        if (v < latest_cp or fn in incomplete) and _expired(fn):
             try:
                 os.remove(os.path.join(ddir, fn))
                 deleted.append(fn)
@@ -1463,10 +1488,11 @@ def _full_snapshot_actions(table, entry: dict) -> list[dict]:
     commit for a version whose predecessors cannot be exported."""
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
+    tchanges = _type_changes(table, entry)  # computed once, fed to both
     actions = [
         _commit_info(table, entry, ts),
-        _protocol_action(table, entry),
-        _meta_action(table, entry),
+        _protocol_action(table, entry, tchanges),
+        _meta_action(table, entry, tchanges),
     ]
     # carry forward the latest SetTransaction per appId from the
     # private log — idempotent writers must survive a re-base
@@ -1539,24 +1565,29 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
     )
     actions: list[dict] = [_commit_info(table, entry, ts)]
     if version == 0:
-        actions.append(_protocol_action(table, entry))
-        actions.append(_meta_action(table, entry))
+        tchanges = _type_changes(table, entry)
+        actions.append(_protocol_action(table, entry, tchanges))
+        actions.append(_meta_action(table, entry, tchanges))
         prev_units: dict[str, dict] = {}
     else:
         assert prev is not None
-        if (
+        emit_proto = (
             (_is_mapped(entry) and not _is_mapped(prev))
             or (entry.get("clusterBy") and not prev.get("clusterBy"))
             or _widening_between(prev, entry)
-        ):
+        )
+        emit_meta = entry["schema"] != prev["schema"] or entry.get(
+            "columnMap"
+        ) != prev.get("columnMap")
+        if emit_proto or emit_meta:
+            tchanges = _type_changes(table, entry)  # once for both
+        if emit_proto:
             # column mapping / clustering / type widening first
             # enabled here: upgrade the protocol in the same commit
             # (legal mid-log per spec)
-            actions.append(_protocol_action(table, entry))
-        if entry["schema"] != prev["schema"] or entry.get(
-            "columnMap"
-        ) != prev.get("columnMap"):
-            actions.append(_meta_action(table, entry))
+            actions.append(_protocol_action(table, entry, tchanges))
+        if emit_meta:
+            actions.append(_meta_action(table, entry, tchanges))
         prev_units = {_unit_key(f): f for f in prev["files"]}
     cur_units = {_unit_key(f): f for f in entry["files"]}
     for key in sorted(prev_units.keys() - cur_units.keys()):
@@ -1862,11 +1893,12 @@ def _checkpoint_rows(table, ddir: str, version: int, entry: dict) -> list[dict]:
     adds are written with dataChange=false per the spec."""
     ts = _ts_ms(entry["timestamp"])
     part_cols = table.partition_columns()
-    meta = _meta_action(table, entry)["metaData"]
+    tchanges = _type_changes(table, entry)  # computed once, fed to both
+    meta = _meta_action(table, entry, tchanges)["metaData"]
     meta.setdefault("name", None)
     meta.setdefault("description", None)
     rows: list[dict] = [
-        _protocol_action(table, entry),
+        _protocol_action(table, entry, tchanges),
         {"metaData": meta},
     ]
     prior = _prior_checkpoint_rows(ddir, version)

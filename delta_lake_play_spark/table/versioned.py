@@ -220,6 +220,19 @@ def _widens(src_t: T.DataType, tgt_t: T.DataType) -> bool:
     return _widen_allowed(tgt_t, src_t)
 
 
+def _check_set_columns(set_cols: dict, schema: T.StructType) -> None:
+    """UPDATE SET on a column the table does not have must fail fast
+    (the legacy withColumn path raised from Catalyst; the single-select
+    pre-image builder iterates the table's columns, so without this
+    guard a typo'd SET would silently no-op the whole update)."""
+    unknown = sorted(set(set_cols) - {f.name for f in schema.fields})
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET references non-existent column(s) {unknown}; "
+            f"table columns: {[f.name for f in schema.fields]}"
+        )
+
+
 def _identity_expr(idcfg: dict, hwm: int):
     """Identity-value assignment for one write (Delta ``GENERATED
     ALWAYS AS IDENTITY``): ``hwm + step * (1 + partition-unique id)``.
@@ -985,6 +998,7 @@ class VersionedTable:
             base = self.latest_version()
             entry = self._read_log(base)
             schema = self._entry_schema(entry)
+            _check_set_columns(set_cols, schema)
             cmap = entry.get("columnMap")
             cur = self._read_files(
                 entry["files"], schema, keep_path="__file", column_map=cmap
@@ -1223,6 +1237,7 @@ class VersionedTable:
                 [self._abs(f["path"]) for f in files], schema, with_meta=True,
                 column_map=cmap,
             )
+            _check_set_columns(set_cols, schema)
             matched = cur.filter(hit)
             existing = self._dv_df(files)
             if existing is not None:

@@ -400,6 +400,53 @@ def test_type_widening_feature_declared_and_replays(spark):
     assert duck_rows == _canon(t.to_df())
 
 
+def test_type_changes_survive_rename_and_die_with_drop(spark):
+    """delta.typeChanges tracks the column's PHYSICAL identity: a
+    widened column RENAMED keeps its change history under the new
+    logical name (and the protocol keeps declaring typeWidening); a
+    widened column DROPPED stops declaring both."""
+    from delta_lake_play_spark.table.delta_log import latest_mirror_protocol
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-widen-rn"),
+        spark.range(0, 30).withColumn("iv", F.col("id").cast("int")),
+        delta_mirror=True,
+    )
+    src = spark.createDataFrame([(1, 9_000_000_000)], "id long, iv long")
+    t.merge(src, key="id", evolve_schema=True)        # v1: widens iv
+    t.rename_column("iv", "iv2")                      # v2
+
+    acts = _actions(t, 2)
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert metas, "rename re-emits metaData"
+    f2 = next(
+        f
+        for f in json.loads(metas[0]["schemaString"])["fields"]
+        if f["name"] == "iv2"
+    )
+    assert f2["metadata"]["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+    p = latest_mirror_protocol(t)
+    assert "typeWidening" in p["writerFeatures"]
+    got = read_delta_snapshot(spark, t.path)
+    assert (1, 9_000_000_000) in _canon(got)
+
+    # dropping the widened column retires its physical identity: the
+    # next metaData carries no typeChanges and the protocol emitted
+    # for later full-snapshot exports stops declaring the feature
+    t.drop_column("iv2")                              # v3
+    acts3 = _actions(t, 3)
+    metas3 = [a["metaData"] for a in acts3 if "metaData" in a]
+    assert metas3
+    assert all(
+        "delta.typeChanges" not in (f.get("metadata") or {})
+        for f in json.loads(metas3[0]["schemaString"])["fields"]
+    )
+    assert _canon(read_delta_snapshot(spark, t.path)) == _canon(t.to_df())
+
+
 def test_export_delta_log_on_unmirrored_table(spark):
     """A table created WITHOUT delta_mirror can still be exported
     wholesale afterwards, and extended incrementally."""

@@ -1194,6 +1194,17 @@ def test_update_cdf_post_image_is_pre_image_based(spark):
     assert post == [("Bond", "James")]
 
 
+def test_update_unknown_set_column_raises(spark, names):
+    """SET on a non-existent column must fail fast, not silently no-op
+    (regression guard for the single-select pre-image builder, which
+    iterates the TABLE's columns)."""
+    with pytest.raises(ValueError, match="non-existent column"):
+        names.update({"firstnme": F.lit("x")}, F.col("id") == 1)
+    with pytest.raises(ValueError, match="non-existent column"):
+        names.update_mor({"firstnme": F.lit("x")}, F.col("id") == 1)
+    assert rows(names.to_df()) == sorted(SEED)  # nothing committed
+
+
 def test_update_mor_set_swap_evaluates_pre_image(spark, names):
     """MoR UPDATE shares the pre-image SET contract: a=b, b=a swaps."""
     names.update_mor(
