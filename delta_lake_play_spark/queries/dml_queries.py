@@ -649,6 +649,62 @@ def dml_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_snapshot(spark, t.path)
 
 
+# --- dml_column_defaults (allowColumnDefaults writer feature) ---------------
+# ALTER TABLE ADD COLUMN ... DEFAULT: existing rows keep reading NULL
+# (defaults never backfill — Delta CURRENT_DEFAULT semantics), an
+# append that OMITS the column fills the default at write time, an
+# append that supplies it wins. Metadata-only ALTER: zero data bytes
+# move at any table size. The mirror declares the writer-only
+# allowColumnDefaults feature and rides the expression as
+# CURRENT_DEFAULT field metadata; the key reads back through the
+# protocol reader.
+
+_COLUMN_DEFAULTS_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 = 3
+)
+SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS tier FROM base
+UNION ALL
+SELECT c_custkey + 1000000, c_name, 'standard' AS tier FROM base
+UNION ALL
+SELECT c_custkey + 2000000, c_name, 'gold' AS tier FROM base
+WHERE c_custkey <= 500
+"""
+
+
+@register("dml_column_defaults", oracle=_COLUMN_DEFAULTS_ORACLE)
+def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE (mirrored) → ADD COLUMN tier DEFAULT 'standard' →
+    append WITHOUT the column (default fills) → append WITH it
+    (explicit wins) → read back through the protocol reader. The
+    pre-ALTER rows read NULL; only write-time fills ever see the
+    default."""
+    from delta_lake_play_spark.table.delta_log import read_delta_snapshot
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", "c_name")
+    )
+    t = VersionedTable.create(
+        spark, temp_table_path("coldef"), base, delta_mirror=True
+    )                                                              # v0
+    t.add_column("tier", "string", default="'standard'")           # v1
+    t.append(
+        base.select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"), "c_name"
+        )
+    )                                                              # v2
+    t.append(
+        base.filter(F.col("c_custkey") <= 500).select(
+            (F.col("c_custkey") + 2_000_000).alias("c_custkey"),
+            "c_name",
+            F.lit("gold").alias("tier"),
+        )
+    )                                                              # v3
+    return read_delta_snapshot(spark, t.path)
+
+
 # --- dml_incremental_gold --------------------------------------------------
 
 # The medallion incremental-maintenance pattern: a silver fact table

@@ -205,6 +205,9 @@ _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
     "rowTracking",
     "clustering",
     "inCommitTimestamp",
+    # column DEFAULT expressions: writer-only — readers are
+    # unaffected (values are materialized at write time)
+    "allowColumnDefaults",
 }
 
 
@@ -446,6 +449,23 @@ def _meta_action(table, entry: dict, tchanges: dict | None = None) -> dict:
                 }
             fields.append(f)
         schema_dict = {**schema_dict, "fields": fields}
+    defaults = table.column_defaults()
+    if defaults:
+        # Column defaults (PROTOCOL.md allowColumnDefaults): the
+        # expression rides as CURRENT_DEFAULT field metadata so
+        # external writers apply the same fill on omitted columns.
+        fields = []
+        for f in schema_dict["fields"]:
+            if f["name"] in defaults:
+                f = {
+                    **f,
+                    "metadata": {
+                        **f.get("metadata", {}),
+                        "CURRENT_DEFAULT": defaults[f["name"]],
+                    },
+                }
+            fields.append(f)
+        schema_dict = {**schema_dict, "fields": fields}
     if tchanges is None:
         tchanges = _type_changes(table, entry)
     if tchanges:
@@ -574,6 +594,11 @@ def _protocol_action(table, entry: dict, tchanges: dict | None = None) -> dict:
         # wrong schema (PROTOCOL.md Type Widening)
         table_features += ["typeWidening"]
         reader_features += ["typeWidening"]
+    if table.column_defaults():
+        # writer-only feature: readers see materialized values; a
+        # writer unaware of it would fill NULL where the table
+        # declares a DEFAULT (PROTOCOL.md Column Default Values)
+        table_features += ["allowColumnDefaults"]
     if reader_features:
         # Any reader-writer table feature forces minReaderVersion 3
         # with an explicit readerFeatures list (PROTOCOL.md) — which
@@ -1575,6 +1600,11 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
             (_is_mapped(entry) and not _is_mapped(prev))
             or (entry.get("clusterBy") and not prev.get("clusterBy"))
             or _widening_between(prev, entry)
+            # an ALTER recording column defaults upgrades the protocol
+            # in the same commit (re-declaration is idempotent)
+            or bool(
+                entry.get("operationParameters", {}).get("columnDefaults")
+            )
         )
         emit_meta = entry["schema"] != prev["schema"] or entry.get(
             "columnMap"

@@ -640,11 +640,15 @@ class VersionedTable:
                     f"IDENTITY; explicit values are refused — omit it"
                 )
             # generated and identity columns may be omitted — they are
-            # recomputed / assigned at write time regardless
-            if (have - want) or (want - have) - gen - idcols:
+            # recomputed / assigned at write time regardless; so may
+            # DEFAULT-bearing columns (filled below, Delta
+            # allowColumnDefaults semantics)
+            defaults = self.column_defaults()
+            defaulted = {c for c in defaults if c in want and c not in have}
+            if (have - want) or (want - have) - gen - idcols - defaulted:
                 raise MergeSchemaError(
                     f"append schema drift: "
-                    f"missing={sorted(want - have - gen - idcols)} "
+                    f"missing={sorted(want - have - gen - idcols - defaulted)} "
                     f"extra={sorted(have - want)}"
                 )
             wide = [
@@ -658,6 +662,13 @@ class VersionedTable:
                     f"widen the table via merge(evolve_schema=True) first"
                 )
             adf = df
+            if defaulted:
+                field_of = {f.name: f for f in schema.fields}
+                for c in sorted(defaulted):
+                    adf = adf.withColumn(
+                        c, F.expr(defaults[c]).cast(field_of[c].dataType)
+                    )
+                have = have | defaulted
             if idcfg:
                 # assign above the CURRENT high-water mark; a conflict
                 # retry re-reads the entry, so racing appends can
@@ -1620,11 +1631,17 @@ class VersionedTable:
                 ]
             )
             files = [_rekey_file(f, rename={old: new}) for f in entry["files"]]
+            params: dict = {"oldName": old, "newName": new}
+            defaults = self.column_defaults()
+            if old in defaults:  # the default follows the rename
+                params["columnDefaults"] = {
+                    (new if k == old else k): v for k, v in defaults.items()
+                }
             return self._commit_files(
                 None,
                 files,
                 "RENAME_COLUMN",
-                {"oldName": old, "newName": new},
+                params,
                 new_schema,
                 base_version=base,
                 column_map=cmap,
@@ -1658,11 +1675,17 @@ class VersionedTable:
                 [f for f in schema.fields if f.name != name]
             )
             files = [_rekey_file(f, drop={name}) for f in entry["files"]]
+            params: dict = {"name": name}
+            defaults = self.column_defaults()
+            if name in defaults:  # the default dies with the column
+                params["columnDefaults"] = {
+                    k: v for k, v in defaults.items() if k != name
+                }
             return self._commit_files(
                 None,
                 files,
                 "DROP_COLUMN",
-                {"name": name},
+                params,
                 new_schema,
                 base_version=base,
                 column_map=cmap,
@@ -1670,6 +1693,81 @@ class VersionedTable:
             )
 
         return self._retrying(attempt)
+
+    def add_column(
+        self,
+        name: str,
+        dtype: T.DataType | str,
+        default: str | None = None,
+    ) -> int:
+        """ALTER TABLE ADD COLUMN [DEFAULT <sql literal>] —
+        metadata-only at any table size: every existing file is
+        carried by reference and serves NULL for the new column at
+        read time (the same mechanism merge schema evolution uses).
+
+        ``default`` is a SQL expression string (Delta column defaults,
+        writer feature ``allowColumnDefaults``): a later ``append``
+        that OMITS the column fills it with the default instead of
+        NULL; existing rows keep reading NULL (Delta's CURRENT_DEFAULT
+        semantics — defaults apply to future writes, never backfill).
+        The expression must be constant-foldable and cast to the
+        column type — validated here, so a bad default fails the
+        ALTER, not some later ingest."""
+        field_t = (
+            dtype
+            if isinstance(dtype, T.DataType)
+            else T.StructType.fromDDL(f"__c {dtype}")[0].dataType
+        )
+
+        def attempt() -> int:
+            base = self.latest_version()
+            entry = self._read_log(base)
+            schema = self._entry_schema(entry)
+            if name in {f.name for f in schema.fields}:
+                raise ValueError(f"column {name!r} already exists")
+            if default is not None:
+                # constant-fold + cast check on a 1-row plan
+                self.spark.range(1).select(
+                    F.expr(default).cast(field_t)
+                ).collect()
+            cmap = dict(entry.get("columnMap") or {})
+            retired = set(entry.get("retiredPhysical") or [])
+            if name not in cmap and name in retired:
+                # never reuse a retired physical name (Delta rule)
+                cmap[name] = f"{name}-{uuid.uuid4().hex[:8]}"
+            params: dict = {"name": name, "type": field_t.simpleString()}
+            defaults = {
+                k: v for k, v in self.column_defaults().items() if k != name
+            }
+            if default is not None:
+                defaults[name] = default
+            params["columnDefaults"] = defaults
+            new_schema = T.StructType(
+                list(schema.fields) + [T.StructField(name, field_t, True)]
+            )
+            return self._commit_files(
+                None,
+                list(entry["files"]),
+                "ADD_COLUMN",
+                params,
+                new_schema,
+                base_version=base,
+                column_map=cmap or None,
+                retired_physical=entry.get("retiredPhysical"),
+            )
+
+        return self._retrying(attempt)
+
+    def column_defaults(self) -> dict[str, str]:
+        """Per-column DEFAULT expressions (Delta allowColumnDefaults):
+        the newest commit that recorded a ``columnDefaults`` state
+        wins — every ALTER that changes the set (add/rename/drop)
+        writes the complete updated dict."""
+        for v in sorted(self._versions(), reverse=True):
+            params = self._read_log_raw(v).get("operationParameters", {})
+            if "columnDefaults" in params:
+                return dict(params["columnDefaults"])
+        return {}
 
     def _guard_structural(self, col: str, op: str) -> None:
         """Refuse rename/drop of columns other table machinery is

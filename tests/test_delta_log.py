@@ -309,6 +309,48 @@ def test_schema_evolution_emits_metadata_action(spark):
     assert got.where("tag = 'x'").count() == 1
 
 
+def test_column_defaults_feature_declared_and_persists(spark):
+    """ADD COLUMN DEFAULT upgrades the mirror protocol with the
+    writer-only allowColumnDefaults feature (no reader feature), the
+    expression rides as CURRENT_DEFAULT field metadata, both survive
+    checkpoint + JSON cleanup, and replay returns the write-time
+    materialized values."""
+    from delta_lake_play_spark.table.delta_log import latest_mirror_protocol
+
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-coldef"),
+        spark.range(0, 20).withColumn("v", F.lit(1).cast("long")),
+        delta_mirror=True,
+    )
+    t.add_column("src", "string", default="'web'")
+    t.append(spark.range(100, 110).withColumn("v", F.lit(2).cast("long")))
+
+    acts = _actions(t, 1)
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and "allowColumnDefaults" in protos[0]["writerFeatures"]
+    assert "readerFeatures" not in protos[0]  # writer-only feature
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    fld = next(
+        f
+        for f in json.loads(metas[0]["schemaString"])["fields"]
+        if f["name"] == "src"
+    )
+    assert fld["metadata"]["CURRENT_DEFAULT"] == "'web'"
+
+    t.checkpoint_mirror()
+    ddir = os.path.join(t.path, "_delta_log")
+    for fn in list(os.listdir(ddir)):
+        if fn.endswith(".json") and fn[:20].isdigit():
+            os.remove(os.path.join(ddir, fn))
+    p = latest_mirror_protocol(t)
+    assert "allowColumnDefaults" in p["writerFeatures"]
+    got = read_delta_snapshot(spark, t.path)
+    vals = {r["id"]: r["src"] for r in got.collect()}
+    assert vals[5] is None and vals[105] == "web"
+    assert _canon(got) == _canon(t.to_df())
+
+
 def test_type_widening_feature_declared_and_replays(spark):
     """A widening merge upgrades the mirror protocol IN the widening
     commit — typeWidening in BOTH feature lists — and records the

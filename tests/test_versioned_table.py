@@ -1194,6 +1194,40 @@ def test_update_cdf_post_image_is_pre_image_based(spark):
     assert post == [("Bond", "James")]
 
 
+def test_add_column_default_lifecycle(spark, names):
+    """ADD COLUMN DEFAULT: pre-ALTER rows read NULL (no backfill),
+    append omitting the column fills the default, explicit values
+    win, the default follows a RENAME and dies with a DROP, and a
+    default that cannot cast to the column type fails the ALTER."""
+    names.add_column("tier", "string", default="'basic'")
+    assert all(r[3] is None for r in rows(names.to_df()))  # no backfill
+    names.append(
+        spark.createDataFrame([(7, "New", "Guy")], SEED_SCHEMA)
+    )  # tier omitted -> default
+    names.append(
+        spark.createDataFrame(
+            [(8, "Eve", "Adams", "vip")],
+            "id int, firstname string, lastname string, tier string",
+        )
+    )  # explicit wins
+    got = {r[0]: r[3] for r in rows(names.to_df())}
+    assert got[7] == "basic" and got[8] == "vip" and got[1] is None
+
+    names.rename_column("tier", "tier2")
+    assert names.column_defaults() == {"tier2": "'basic'"}
+    names.drop_column("tier2")
+    assert names.column_defaults() == {}
+    # a later append must NOT resurrect the dropped default
+    with pytest.raises(Exception, match="drift"):
+        names.append(spark.createDataFrame([(9, "X", "Y", "z")],
+                     "id int, firstname string, lastname string, tier2 string"))
+
+    with pytest.raises(Exception):
+        names.add_column("n", "int", default="'not-an-int'")
+    with pytest.raises(ValueError, match="already exists"):
+        names.add_column("id", "int")
+
+
 def test_update_unknown_set_column_raises(spark, names):
     """SET on a non-existent column must fail fast, not silently no-op
     (regression guard for the single-select pre-image builder, which
