@@ -408,6 +408,18 @@ def incremental_minhash_flagged(
     return flagged, new_sigs
 
 
+def _priority_rank():
+    """The (pn, p, i) rank struct ordering priority-dedup decisions:
+    NULL priorities sort last (the pn boolean leads so the nullable
+    field never decides a null-vs-non-null comparison); ties fall to
+    doc_id. Shared by the pairwise-flagged and closure forms."""
+    return F.struct(
+        F.col("__prio").isNull().alias("pn"),
+        F.col("__prio").alias("p"),
+        F.col("doc_id").alias("i"),
+    )
+
+
 def _priority_members(
     df: DataFrame,
     id_col: str,
@@ -459,27 +471,17 @@ def priority_dedup_flagged(
     reflexive (s, s) rep pairs put each doc's own family in scope.
 
     NULL priorities sort LAST — an unknown source never outranks a
-    known one; two NULLs tie and fall to doc_id (the ``pn`` boolean
-    leads the rank struct so the nullable field itself never decides
-    a null-vs-non-null comparison).
+    known one; two NULLs tie and fall to doc_id (``_priority_rank``).
 
     Returns ``(doc_id, __prio, kept)`` for every doc that HAS a
     signature; callers left-join and default docs without tokens to
     kept=True (they pair with nothing)."""
-
-    def rank_struct():
-        return F.struct(
-            F.col("__prio").isNull().alias("pn"),
-            F.col("__prio").alias("p"),
-            F.col("doc_id").alias("i"),
-        )
-
     members = _priority_members(
         df, id_col, text_col, priority_col, broadcast_hints
     ).persist()
     fam = (
         members.groupBy("sig")
-        .agg(F.min(rank_struct()).alias("best"))
+        .agg(F.min(_priority_rank()).alias("best"))
         .persist()
     )
     rep_cand = (
@@ -519,7 +521,93 @@ def priority_dedup_flagged(
             "__prio",
             # best_match <= own rank always (reflexive family membership
             # puts the doc itself in scope); kept iff nothing beats it.
-            (~(F.col("best_match") < rank_struct())).alias("kept"),
+            (~(F.col("best_match") < _priority_rank())).alias("kept"),
+        )
+    )
+
+
+def priority_dedup_closure(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    priority_col: str,
+    threshold: float = 0.8,
+    broadcast_hints: bool = True,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Priority ("onion") dedup with TRANSITIVE-CLOSURE semantics:
+    exactly one survivor per connected near-dup FAMILY — the best
+    ``(priority, doc_id)`` member (``_priority_rank`` ordering) of
+    each component of the signature-estimate graph. The pairwise form
+    (:func:`priority_dedup_flagged`) keeps a doc iff no direct
+    neighbor beats it, which can keep several members of one chain
+    (a≈b, b≈c with b best keeps a and c under pairwise but drops them
+    here); a mixing pipeline that wants ONE representative per family
+    composes closure semantics.
+
+    Scale shape: the connected-components run is over FAMILY nodes
+    (one per distinct signature — each represented by its minimum
+    doc_id) and rep-level verified edges, so CC cost is independent
+    of family sizes; docs join their family's component in one hash
+    join and the per-component best is a struct-min aggregate.
+    Nothing in the plan ever materializes member pairs.
+
+    Returns ``(doc_id, __prio, kept)`` for docs WITH a signature;
+    callers default no-token docs to kept=True."""
+    members = _priority_members(
+        df, id_col, text_col, priority_col, broadcast_hints
+    ).persist()
+    fam = (
+        members.groupBy("sig")
+        .agg(
+            F.min(_priority_rank()).alias("best"),
+            F.min("doc_id").alias("node"),  # unique family node id
+        )
+        .persist()
+    )
+    rep_cand = (
+        _sig_bands(fam, "sig_a")
+        .join(
+            _hint(_sig_bands(fam, "sig_b"), broadcast_hints),
+            on=["band_id", "band_val"],
+        )
+        .select("sig_a", "sig_b")
+        .distinct()
+    )
+    verified = rep_cand.where(
+        sig_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold
+    )
+    edges = (
+        verified.join(
+            _hint(
+                fam.select(F.col("sig").alias("sig_a"), F.col("node").alias("a")),
+                broadcast_hints,
+            ),
+            "sig_a",
+        )
+        .join(
+            _hint(
+                fam.select(F.col("sig").alias("sig_b"), F.col("node").alias("b")),
+                broadcast_hints,
+            ),
+            "sig_b",
+        )
+        .where(F.col("a") != F.col("b"))  # reflexive pairs add nothing
+        .select("a", "b")
+        .distinct()
+    )
+    cc = connected_components(
+        fam.select("node"), edges, driver_threshold=driver_threshold
+    )
+    fam_cl = fam.join(cc, "node").select("sig", "best", "cluster")
+    cluster_best = fam_cl.groupBy("cluster").agg(F.min("best").alias("cbest"))
+    return (
+        members.join(_hint(fam_cl.select("sig", "cluster"), broadcast_hints), "sig")
+        .join(_hint(cluster_best, broadcast_hints), "cluster")
+        .select(
+            "doc_id",
+            "__prio",
+            (~(F.col("cbest") < _priority_rank())).alias("kept"),
         )
     )
 

@@ -1026,6 +1026,87 @@ FROM documents d LEFT JOIN losers l ON d.doc_id = l.loser
 """
 
 
+def _cluster_priority_oracle() -> str:
+    hashes = mh.sql_token_hashes("tk")
+    tk = mh.sql_token_set("text")
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        f"{mh.sql_band_value('sig', band)} AS band_val FROM sig"
+        for band in range(mh.BANDS)
+    )
+    eq_frac = (
+        f"list_sum(list_transform(range(1, {mh.K + 1}), "
+        f"i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {mh.K}.0"
+    )
+    return f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, {tk} AS tk
+  FROM documents
+  WHERE text IS NOT NULL AND len({tk}) > 0
+),
+sig AS (SELECT doc_id, {mh.sql_minhash_signature(hashes)} AS sig FROM toks),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.pa, c.pb FROM cand c
+  JOIN sig sa ON sa.doc_id = c.pa
+  JOIN sig sb ON sb.doc_id = c.pb
+  WHERE {eq_frac} >= {_XC_THRESHOLD}
+),
+edges AS (SELECT pa AS ea, pb AS eb FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM sig
+  UNION
+  SELECT e.eb, w.lab FROM walk w JOIN edges e ON e.ea = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+  FROM walk GROUP BY node
+),
+ranked AS (
+  -- best member per component: null-last source, then doc_id
+  SELECT c.doc_id, row_number() OVER (
+           PARTITION BY c.cluster
+           ORDER BY (d.source IS NULL), d.source, c.doc_id
+         ) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT d.doc_id, d.source, coalesce(r.rn = 1, TRUE) AS kept
+FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id
+"""
+
+
+@register("llm_dedup_cluster_priority", oracle=_cluster_priority_oracle())
+def llm_dedup_cluster_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion dedup with CLOSURE semantics: exactly one survivor —
+    the best (source, doc_id) member — per TRANSITIVE near-dup family
+    (a≈b, b≈c ⇒ one of {a,b,c} survives), vs ``llm_dedup_cross_corpus``'s
+    single-pass pairwise contract which can keep chain endpoints. The
+    connected-components run is over FAMILY nodes (one per distinct
+    signature) and rep-level verified edges; docs join their family's
+    component in one hash join — member pairs are never materialized.
+    The oracle recomputes the identical closure as a recursive CTE
+    over the doc-level signature-estimate graph.
+
+    Library form: ``operators/dedup.py::priority_dedup_closure``."""
+    from delta_lake_play_spark.operators.dedup import priority_dedup_closure
+
+    d = load_table(spark, sf_dir, "documents")
+    res = priority_dedup_closure(d, "doc_id", "text", "source", _XC_THRESHOLD)
+    return (
+        d.select("doc_id", "source")
+        .join(res.select("doc_id", "kept"), "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce("kept", F.lit(True)).alias("kept")
+        )
+    )
+
+
 @register("llm_dedup_cross_corpus", oracle=_cross_corpus_oracle())
 def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority ("onion") dedup across sources, decided at rep level:

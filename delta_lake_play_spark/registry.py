@@ -63,12 +63,12 @@ _PRIORITY: tuple[str, ...] = (
     # dml_type_widening key (ask #4). 11-13: the metaData/protocol
     # emission change (_type_changes runs for every mirrored table)
     # through the three mirror keys that most directly observe
-    # schema/metadata re-emission. Slots 14-16 are this round's three
-    # NEW keys. Slots 17-43 close the r2-vintage evidence tail FOR
+    # schema/metadata re-emission. Slots 14-17 are this round's four
+    # NEW keys. Slots 18-44 close the r2-vintage evidence tail FOR
     # GOOD (ask #1 — the 27 keys VERDICT r8 lists; after this round
     # no hash-checked key's newest driver row predates r3). Slots
-    # 44-50 start on the next-stalest tier (r3-vintage subqueries +
-    # canonical DML singles).
+    # 45-50 start on the next-stalest tier (r3-vintage subqueries +
+    # the canonical merge DML single).
     "dml_update_where",
     "dml_update_mor",
     "dml_vacuum_protocol_check",
@@ -82,12 +82,14 @@ _PRIORITY: tuple[str, ...] = (
     "dml_merge_evolve",
     "dml_rename_drop_column",
     "dml_cdf_mirror_replay",
-    # slots 14-16: the NEW keys (classifier reliability bins;
-    # exact-distinct bitmap aggregation; column defaults) — displaced
-    # dml_vacuum / dml_restore / dml_insert_append from the r3 tier
+    # slots 14-17: the NEW keys (classifier reliability bins;
+    # exact-distinct bitmap aggregation; column defaults; closure
+    # onion dedup) — displaced dml_vacuum / dml_restore /
+    # dml_insert_append / dml_delete_where from the r3 top-up tier
     "llm_classifier_calibration",
     "agg_bitmap_distinct",
     "dml_column_defaults",
+    "llm_dedup_cluster_priority",
     # r2-vintage tail (ask #1): the fn battery
     "fn_string_basic",
     "fn_string_split_tokens",
@@ -126,7 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "sub_not_exists_quiet_customers",
     "sub_lateral_topk_per_nation",
     "dml_merge_upsert",
-    "dml_delete_where",
     # --- TIER 2 (51+): last round's window keys, all re-proven in
     # r8 (newest evidence r8) — they rotate behind the stale tail.
     "agg_stddev_exact",

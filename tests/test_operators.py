@@ -686,6 +686,66 @@ def test_priority_flagged_matches_pairs(spark, sf_dir):
     assert cross > 0  # the fixture exercises the cross-source rule
 
 
+def test_priority_closure_matches_pairwise_closure(spark, sf_dir):
+    """priority_dedup_closure must drop exactly the non-best members
+    of each CONNECTED COMPONENT of the member-pair graph (union-find
+    over priority_dedup_pairs' expansion, computed here brute-force),
+    and its drop set must be a superset of the pairwise form's (a
+    direct-neighbor beat implies a component-best beat)."""
+    from delta_lake_play_spark.operators.dedup import (
+        priority_dedup_closure,
+        priority_dedup_flagged,
+        priority_dedup_pairs,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .where("doc_id < 400")
+    )
+    prio = {
+        r["doc_id"]: r["source"]
+        for r in d.select("doc_id", "source").collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in priority_dedup_pairs(d, "doc_id", "text", "source", 0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for x in {n for p in pairs for n in p}:
+        comps.setdefault(find(x), []).append(x)
+    expected_dropped = set()
+    for members in comps.values():
+        members.sort(key=lambda i: (prio[i] is None, prio[i] or "", i))
+        expected_dropped.update(members[1:])
+
+    closure = priority_dedup_closure(d, "doc_id", "text", "source", 0.8)
+    got_dropped = {r["doc_id"] for r in closure.collect() if not r["kept"]}
+    assert got_dropped == expected_dropped and len(got_dropped) > 0
+    pairwise_dropped = {
+        r["doc_id"]
+        for r in priority_dedup_flagged(
+            d, "doc_id", "text", "source", 0.8
+        ).collect()
+        if not r["kept"]
+    }
+    assert got_dropped >= pairwise_dropped
+
+
 def test_priority_flagged_cross_source_direction(spark):
     """The higher-priority (smaller) source wins regardless of doc_id:
     an identical text pair (curated id=9, web id=2) must drop the web
