@@ -96,17 +96,51 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- agg_approx_count_distinct: HLL++ (estimate ≠ oracle → rows-only) ---
+# --- agg_approx_count_distinct: HLL++ with a bounded-error oracle --------
+
+# The estimate itself is engine-specific, so the HASHED contract is
+# {group, exact, within_eps}: Spark computes the estimate AND the
+# boolean |est − exact| ≤ ε·exact; DuckDB computes the exact side and
+# asserts the boolean is TRUE. A blown error bound flips the Spark
+# boolean and hash-mismatches (VERDICT r9 ask #3). ε = 3·rsd (rsd
+# 0.05 requested below — a 3-sigma bound on a deterministic
+# fixed-data estimate) + 2 absolute for near-exact tiny groups.
+_APPROX_CD_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+       TRUE AS users_within_eps,
+       TRUE AS events_within_eps
+FROM events GROUP BY event_type
+"""
 
 
-@register("agg_approx_count_distinct", oracle=None)
+@register("agg_approx_count_distinct", oracle=_APPROX_CD_ORACLE)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch: constant memory per group regardless of
-    cardinality — the 100 TB substitute for exact distinct."""
+    cardinality — the 100 TB substitute for exact distinct. The exact
+    sides here exist only to hash the error-bound contract; a
+    production rollup would keep just the approx columns (no Expand,
+    no per-key shuffle)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
+
+    def within(est: str, exact: str):
+        return F.abs(F.col(est) - F.col(exact)) <= (
+            F.col(exact) * 0.15 + F.lit(2)
+        )
+
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id", 0.05).alias("approx_events"),
+        F.count_distinct("event_id").alias("exact_events"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        "exact_events",
+        within("approx_users", "exact_users").alias("users_within_eps"),
+        within("approx_events", "exact_events").alias("events_within_eps"),
     )
 
 
@@ -500,15 +534,34 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- agg_sketch_hll: mergeable distinct-count sketches ---------------------
 
 
-@register("agg_sketch_hll", oracle=None)
+# Bounded-error oracle (VERDICT r9 ask #3): the sketch estimate is
+# engine-specific, so the hashed row is {segment, exact, within_eps}
+# — DuckDB supplies the exact distinct and TRUE; Spark supplies the
+# real |est − exact| ≤ 5%·exact + 2 boolean (default lgConfigK=12 →
+# rsd ≈ 1.6%, so 5% is a ≥3-sigma bound; +2 covers sparse-mode
+# near-exact tiny segments). A blown bound hash-mismatches.
+_SKETCH_HLL_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_eps
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT '__ALL__' AS c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_eps
+FROM customer
+"""
+
+
+@register("agg_sketch_hll", oracle=_SKETCH_HLL_ORACLE)
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches HLL: per-segment sketches, then a sketch-merge
     rollup — the mergeable-partial-aggregate pattern that replaces
     exact COUNT(DISTINCT) at 100 TB (no key-wide shuffle: each
     partition emits a fixed-size sketch, merges are associative, and
     a segment-level sketch can be reused for any segment rollup
-    without touching the data again). Rows-only: sketch binaries are
-    engine-specific; the ±2% estimate-vs-exact bound is asserted in
+    without touching the data again). The exact side exists only to
+    hash the error-bound contract; the ±2% bound is also asserted in
     ``tests/test_operators.py::test_hll_estimate_error_bound``."""
     c = load_table(spark, sf_dir, "customer")
     seg = c.groupBy("c_mktsegment").agg(
@@ -526,7 +579,14 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("__ALL__").alias("c_mktsegment"), "est_distinct", "exact_distinct"
     )
-    return per_seg.unionByName(total)
+    return per_seg.unionByName(total).select(
+        "c_mktsegment",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05 + F.lit(2)
+        ).alias("within_eps"),
+    )
 
 
 # --- fn_bool_agg: boolean aggregates ---------------------------------------
@@ -713,7 +773,21 @@ def agg_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- agg_sketch_cms: mergeable frequency sketch ----------------------------
 
 
-@register("agg_sketch_cms", oracle=None)
+# Bounded-error oracle (VERDICT r9 ask #3): CMS guarantees est ≥ exact
+# and est ≤ exact + ε·N (ε = 0.001, N = total events) with
+# probability 1−δ; for FIXED data and a fixed seed the estimate is
+# deterministic, so the boolean is a hashable contract. DuckDB
+# supplies the exact per-user counts and TRUE; Spark supplies the
+# real bound check — an over/under-estimating probe hash-mismatches.
+_SKETCH_CMS_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS exact_count,
+       TRUE AS within_bound
+FROM events GROUP BY user_id
+"""
+
+
+@register("agg_sketch_cms", oracle=_SKETCH_CMS_ORACLE)
 def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy-hitter estimation, fully distributed:
     ONE pass builds a fixed-size mergeable frequency sketch over every
@@ -731,8 +805,9 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     No O(#distinct users) collect anywhere — the exact-count side
     stays a distributed groupBy joined against nothing.
 
-    No DuckDB oracle (the sketch layout is Spark-specific); rows-only
-    key, the estimate-error bound is asserted in
+    The sketch layout is Spark-specific, so the hashed contract is
+    the CMS error-bound boolean per user (see _SKETCH_CMS_ORACLE);
+    the estimate-error bound is also asserted in
     ``tests/test_operators.py``."""
     ev = load_table(spark, sf_dir, "events")
     sk = ev.agg(
@@ -753,8 +828,21 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
-    return exact.mapInPandas(
+    probed = exact.mapInPandas(
         probe, "user_id bigint, exact_count bigint, est_count bigint"
+    )
+    # ε·N slack: N via a broadcast 1-row aggregate (no driver action)
+    n_total = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return probed.crossJoin(F.broadcast(n_total)).select(
+        "user_id",
+        "exact_count",
+        (
+            (F.col("est_count") >= F.col("exact_count"))
+            & (
+                F.col("est_count")
+                <= F.col("exact_count") + F.ceil(F.col("n_total") * 0.001)
+            )
+        ).alias("within_bound"),
     )
 
 

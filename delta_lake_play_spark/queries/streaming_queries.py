@@ -129,15 +129,25 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es.dedup_events(load_table(spark, sf_dir, "events"), watermark=es.WATERMARK)
 
 
-# --- stream_foreachBatch_upsert (rows-only: runs a real stream) -----------
+# --- stream_foreachBatch_upsert ---------------------------------------------
+
+# Batch boundaries are runtime-dependent, but the FINAL table state is
+# not: event_id is unique in the source, so whatever the batch split,
+# the converged MERGE-by-event_id table is exactly the events table —
+# the same final-state-oracle idea as dml_merge_upsert (VERDICT r9
+# ask #3 flipped this from rows-only to hash-checked).
+_FOREACH_UPSERT_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
 
 
-@register("stream_foreachBatch_upsert")
+@register("stream_foreachBatch_upsert", oracle=_FOREACH_UPSERT_ORACLE)
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs an actual availableNow stream whose every micro-batch
-    MERGEs into a versioned table; returns the final snapshot
-    (rows-only: batch boundaries are runtime-dependent)."""
-    return es.run_foreach_batch_upsert(spark, sf_dir)
+    MERGEs into a versioned table; returns the final snapshot."""
+    return es.run_foreach_batch_upsert(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
 
 
 # --- stream_stateful_count (applyInPandasWithState) -----------------------

@@ -449,7 +449,13 @@ def _meta_action(table, entry: dict, tchanges: dict | None = None) -> dict:
                 }
             fields.append(f)
         schema_dict = {**schema_dict, "fields": fields}
-    defaults = table.column_defaults()
+    # as-of entry['version'], NOT latest-table state: these actions
+    # are also emitted for HISTORICAL versions during backfill export
+    # (sync of an unmirrored table, full-snapshot re-base), and if
+    # defaults changed over the log's life the old commits must carry
+    # the defaults of THEIR time — the same reason _type_changes
+    # re-derives per version (ADVICE r9).
+    defaults = table.column_defaults(as_of=entry["version"])
     if defaults:
         # Column defaults (PROTOCOL.md allowColumnDefaults): the
         # expression rides as CURRENT_DEFAULT field metadata so
@@ -594,10 +600,11 @@ def _protocol_action(table, entry: dict, tchanges: dict | None = None) -> dict:
         # wrong schema (PROTOCOL.md Type Widening)
         table_features += ["typeWidening"]
         reader_features += ["typeWidening"]
-    if table.column_defaults():
+    if table.column_defaults(as_of=entry["version"]):
         # writer-only feature: readers see materialized values; a
         # writer unaware of it would fill NULL where the table
-        # declares a DEFAULT (PROTOCOL.md Column Default Values)
+        # declares a DEFAULT (PROTOCOL.md Column Default Values).
+        # As-of this version, not latest — see _meta_action's note.
         table_features += ["allowColumnDefaults"]
     if reader_features:
         # Any reader-writer table feature forces minReaderVersion 3

@@ -1583,11 +1583,28 @@ class VersionedTable:
                 # identity, so the diff reads only files present in
                 # exactly one of the two snapshots.
                 cdc = self._snapshot_diff(self._read_log(base), entry)
+            params: dict = {"sourceVersion": version}
+            # ADVICE r9 (medium): without this, column_defaults()'s
+            # newest-record-wins scan would keep a post-sourceVersion
+            # ADD COLUMN ... DEFAULT alive past the RESTORE — the
+            # table would declare allowColumnDefaults for a schema
+            # with no such column, and a later re-add of the name
+            # would silently inherit the ghost default. Record the
+            # restored version's EFFECTIVE defaults (as-of
+            # sourceVersion, filtered to the restored schema), the
+            # same complete-dict convention rename/drop use.
+            asof = {
+                k: v
+                for k, v in self.column_defaults(as_of=version).items()
+                if k in {f.name for f in self._entry_schema(entry).fields}
+            }
+            if asof or self.column_defaults():
+                params["columnDefaults"] = asof
             return self._commit_files(
                 None,
                 list(entry["files"]),
                 "RESTORE",
-                {"sourceVersion": version},
+                params,
                 self._entry_schema(entry),
                 base_version=base,
                 cdc_df=cdc,
@@ -1726,8 +1743,14 @@ class VersionedTable:
             if name in {f.name for f in schema.fields}:
                 raise ValueError(f"column {name!r} already exists")
             if default is not None:
-                # constant-fold + cast check on a 1-row plan
-                self.spark.range(1).select(
+                # constant-fold + cast check on a 1-row ZERO-COLUMN
+                # plan: Delta requires literal/foldable defaults, and
+                # an exposed input column (range(1)'s `id`) would let
+                # a row-dependent expression like "id + 1" slip
+                # through validation only to bind row-wise at append
+                # time (ADVICE r9). With no attributes in scope, any
+                # column reference fails the ALTER here instead.
+                self.spark.range(1).select().select(
                     F.expr(default).cast(field_t)
                 ).collect()
             cmap = dict(entry.get("columnMap") or {})
@@ -1758,16 +1781,40 @@ class VersionedTable:
 
         return self._retrying(attempt)
 
-    def column_defaults(self) -> dict[str, str]:
+    def column_defaults(self, as_of: int | None = None) -> dict[str, str]:
         """Per-column DEFAULT expressions (Delta allowColumnDefaults):
-        the newest commit that recorded a ``columnDefaults`` state
-        wins — every ALTER that changes the set (add/rename/drop)
-        writes the complete updated dict."""
-        for v in sorted(self._versions(), reverse=True):
-            params = self._read_log_raw(v).get("operationParameters", {})
-            if "columnDefaults" in params:
-                return dict(params["columnDefaults"])
-        return {}
+        the newest commit at or before ``as_of`` (default: latest)
+        that recorded a ``columnDefaults`` state wins — every commit
+        that changes the set (add/rename/drop/restore) writes the
+        complete updated dict.
+
+        The latest-state path is memoized per latest version: only
+        commits newer than the previous scan are read, so the common
+        append/mirror call is O(new commits), not O(all versions)
+        (the cumulative O(V^2) log-read pattern ADVICE r9 flagged)."""
+        if as_of is not None:
+            for v in sorted(self._versions(), reverse=True):
+                if v > as_of:
+                    continue
+                params = self._read_log_raw(v).get("operationParameters", {})
+                if "columnDefaults" in params:
+                    return dict(params["columnDefaults"])
+            return {}
+        versions = sorted(self._versions())
+        top = versions[-1] if versions else -1
+        cached_top, cached = getattr(self, "_defaults_cache", (-1, {}))
+        if top != cached_top:
+            found = None
+            for v in reversed(versions):
+                if v <= cached_top:
+                    break  # older state already folded into `cached`
+                params = self._read_log_raw(v).get("operationParameters", {})
+                if "columnDefaults" in params:
+                    found = dict(params["columnDefaults"])
+                    break
+            cached = found if found is not None else cached
+            self._defaults_cache = (top, cached)
+        return dict(cached)
 
     def _guard_structural(self, col: str, op: str) -> None:
         """Refuse rename/drop of columns other table machinery is

@@ -351,6 +351,42 @@ def test_column_defaults_feature_declared_and_persists(spark):
     assert _canon(got) == _canon(t.to_df())
 
 
+def test_backfill_defaults_are_as_of_version(spark):
+    """Historical metaData/protocol actions derive columnDefaults
+    AS-OF their own version (ADVICE r9): a table mirrored only AFTER
+    an ADD COLUMN ... DEFAULT must not stamp allowColumnDefaults or
+    CURRENT_DEFAULT onto backfilled commits that predate the default
+    — the same per-version fidelity _type_changes already has."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-coldef-asof"),
+        spark.range(0, 20).withColumn("v", F.lit(1).cast("long")),
+    )  # NOT mirrored yet
+    t.append(spark.range(100, 110).withColumn("v", F.lit(2).cast("long")))
+    t.add_column("src", "string", default="'web'")  # v2
+    sync(t)  # backfill export of v0..v2 in one pass
+
+    v0 = _actions(t, 0)
+    proto0 = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert "allowColumnDefaults" not in proto0.get("writerFeatures", [])
+    meta0 = next(a["metaData"] for a in v0 if "metaData" in a)
+    assert "CURRENT_DEFAULT" not in meta0["schemaString"]
+
+    v2 = _actions(t, 2)
+    proto2 = next(a["protocol"] for a in v2 if "protocol" in a)
+    assert "allowColumnDefaults" in proto2["writerFeatures"]
+    fld = next(
+        f
+        for f in json.loads(
+            next(a["metaData"] for a in v2 if "metaData" in a)["schemaString"]
+        )["fields"]
+        if f["name"] == "src"
+    )
+    assert fld["metadata"]["CURRENT_DEFAULT"] == "'web'"
+    got = read_delta_snapshot(spark, t.path)
+    assert _canon(got) == _canon(t.to_df())
+
+
 def test_type_widening_feature_declared_and_replays(spark):
     """A widening merge upgrades the mirror protocol IN the widening
     commit — typeWidening in BOTH feature lists — and records the

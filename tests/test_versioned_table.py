@@ -1228,6 +1228,73 @@ def test_add_column_default_lifecycle(spark, names):
         names.add_column("id", "int")
 
 
+def test_restore_resets_column_defaults(spark, names):
+    """RESTORE to a version before ADD COLUMN ... DEFAULT resets the
+    effective defaults to the restored version's state (ADVICE r9
+    medium): otherwise the newest-record-wins scan keeps the ghost
+    default alive and a later re-add of the same name silently
+    inherits the fill instead of NULL."""
+    names.add_column("tier", "string", default="'basic'")  # v1
+    names.restore(version=0)  # v2
+    assert names.column_defaults() == {}
+    names.add_column("tier", "string")  # v3: re-introduced, NO default
+    # pre-fix, the ghost default made this omit-append silently fill
+    # 'basic'; with the defaults reset it is plain schema drift
+    with pytest.raises(MergeSchemaError, match="drift"):
+        names.append(spark.createDataFrame([(7, "New", "Guy")], SEED_SCHEMA))
+    names.append(
+        spark.createDataFrame(
+            [(7, "New", "Guy", None)],
+            "id int, firstname string, lastname string, tier string",
+        )
+    )
+    got = {r[0]: r[3] for r in rows(names.to_df())}
+    assert got[7] is None, "re-added column must not inherit ghost default"
+    # restoring INTO a defaulted state brings the default back
+    names.restore(version=1)
+    assert names.column_defaults() == {"tier": "'basic'"}
+
+
+def test_add_column_default_rejects_column_refs(spark, names):
+    """Delta requires literal/foldable defaults: an expression that
+    references any column must fail the ALTER (ADVICE r9: validating
+    over range(1) exposed `id`, so "id + 1" passed validation and
+    then bound row-wise at append time)."""
+    with pytest.raises(Exception):
+        names.add_column("n", "int", default="id + 1")
+    assert names.column_defaults() == {}
+    names.add_column("n", "int", default="1 + 1")  # foldable still fine
+    names.append(spark.createDataFrame([(7, "New", "Guy")], SEED_SCHEMA))
+    assert {r[0]: r[3] for r in rows(names.to_df())}[7] == 2
+
+
+def test_column_defaults_latest_path_is_memoized(spark, names):
+    """column_defaults() latest-state lookups read only commits newer
+    than the previous scan (ADVICE r9: the O(versions) reverse scan
+    per append compounded to O(V^2) log reads as the table aged)."""
+    names.add_column("tier", "string", default="'basic'")
+    assert names.column_defaults() == {"tier": "'basic'"}  # warm cache
+    reads = {"n": 0}
+    orig = names._read_log_raw
+
+    def counting(v):
+        reads["n"] += 1
+        return orig(v)
+
+    names._read_log_raw = counting
+    assert names.column_defaults() == {"tier": "'basic'"}
+    assert reads["n"] == 0, "same latest version must not rescan the log"
+    names._read_log_raw = orig
+    names.append(spark.createDataFrame([(7, "New", "Guy")], SEED_SCHEMA))
+    names._read_log_raw = counting
+    reads["n"] = 0
+    assert names.column_defaults() == {"tier": "'basic'"}
+    assert reads["n"] <= 1, "only commits newer than the cache are read"
+    names._read_log_raw = orig
+    # as-of path stays un-cached and correct
+    assert names.column_defaults(as_of=0) == {}
+
+
 def test_update_unknown_set_column_raises(spark, names):
     """SET on a non-existent column must fail fast, not silently no-op
     (regression guard for the single-select pre-image builder, which
