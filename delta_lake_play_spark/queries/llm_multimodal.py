@@ -58,17 +58,65 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
-# --- llm_multimodal_decode: Arrow-batched decode/feature-extract ----------
-# rows-only: the fake byte-level decode has no DuckDB equivalent.
+def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid uncompressed images (even doc_id → 24-bit top-down BMP,
+    odd → binary PPM) whose pixel data is the document's UTF-8 bytes
+    zero-padded to the last row. The driver's fixture schema is fixed
+    (no binary media column), so the images are BUILT deterministically
+    from ``documents.text`` en route — a real encode — which lets the
+    DuckDB oracle recompute every decoded field from byte arithmetic
+    on the same text."""
+    return _payloads(spark, sf_dir).mapInPandas(
+        mm.encode_image_batches, schema="doc_id bigint, payload binary"
+    )
 
 
-@register("llm_multimodal_decode")
+# --- llm_multimodal_decode: REAL BMP/PPM decode, hash-checked --------------
+
+# Oracle = pure byte arithmetic on documents.text (VERDICT r9 ask #4):
+# width is the encoder's fixed 16 px, height = ceil(n/48), payload
+# size is header + pixel bytes (BMP: 54 + 48h; PPM: "P6\n16 {h}\n255\n"
+# = 11 + digits(h) + 48h), and pixel_sum is the text's byte sum (the
+# zero padding adds nothing), computed in DuckDB with a
+# list_transform over the string's code units (pure-ASCII fixture
+# contract: code point == byte).
+_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         COALESCE(octet_length(encode(text)), 0) AS n,
+         CAST(COALESCE(list_aggregate(
+             list_transform(generate_series(1, length(text)),
+                            i -> ascii(substr(text, CAST(i AS INT), 1))),
+             'sum'), 0) AS BIGINT) AS bsum
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, bsum,
+         GREATEST(1, CAST(ceil(n / 48.0) AS BIGINT)) AS h
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CAST(16 AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS depth,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + h * 48
+            ELSE 11 + length(CAST(h AS VARCHAR)) + h * 48 END AS BIGINT)
+         AS n_bytes,
+       bsum AS pixel_sum
+FROM s
+"""
+
+
+@register("llm_multimodal_decode", oracle=_DECODE_ORACLE)
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over the binary column via
-    mapInPandas (real codec stubbed — ``llm/multimodal.py``). No
+    """Encode documents into valid BMP/PPM payloads, then run the REAL
+    pure-numpy decoder over the binary column via mapInPandas
+    (``llm/multimodal.py::decode_batches`` — header parse + vectorized
+    pixel statistics; only compressed codecs remain stubbed). No
     shuffle: each partition streams Arrow batches through Python
     once; output is narrow typed features."""
-    return _payloads(spark, sf_dir).mapInPandas(
+    return _image_payloads(spark, sf_dir).mapInPandas(
         mm.decode_batches, schema=mm.DECODE_SCHEMA
     )
 
@@ -87,31 +135,66 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- llm_multimodal_resize: fixed-size thumbnail stage (rows-only) ---------
+# --- llm_multimodal_resize: REAL nearest-neighbor thumbnail, hash-checked --
+
+# Thumbnail pixel (r, c) samples source pixel (⌊r·h/4⌋, ⌊c·16/4⌋);
+# its byte index inside the (top-down) pixel data is
+# ⌊r·h/4⌋·48 + c·12 + ch, which is a text byte when < n and a zero
+# pad otherwise — so DuckDB can recompute the exact thumbnail byte
+# sum from the string alone. k below enumerates the 4·4·3 = 48
+# sampled positions: r = k//12, c = (k%12)//3, ch = k%3.
+_RESIZE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         text,
+         COALESCE(octet_length(encode(text)), 0) AS n,
+         GREATEST(1, CAST(ceil(COALESCE(octet_length(encode(text)), 0)
+                               / 48.0) AS BIGINT)) AS h
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(4 AS INTEGER) AS thumb_w,
+       CAST(4 AS INTEGER) AS thumb_h,
+       CAST(COALESCE(list_aggregate(
+           list_transform(generate_series(0, 47), k ->
+               CASE WHEN (((k // 12) * h) // 4) * 48
+                         + ((k % 12) // 3) * 12 + (k % 3) < n
+                    THEN ascii(substr(text,
+                        CAST((((k // 12) * h) // 4) * 48
+                             + ((k % 12) // 3) * 12 + (k % 3) + 1 AS INT),
+                        1))
+                    ELSE 0 END),
+           'sum'), 0) AS BIGINT) AS thumb_pixel_sum
+FROM s
+"""
 
 
-@register("llm_multimodal_resize")
+@register("llm_multimodal_resize", oracle=_RESIZE_ORACLE)
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/thumbnail stage over the binary column via mapInPandas
-    (scaler stubbed; see ``llm/multimodal.py``) — output width is
-    bounded regardless of payload size, which is what keeps the
-    downstream columnar layout predictable."""
-    return _payloads(spark, sf_dir).mapInPandas(
+    """Resize/thumbnail stage over the binary image column via
+    mapInPandas — a REAL nearest-neighbor 4×4 RGB downsample of each
+    decoded BMP/PPM (``llm/multimodal.py::resize_batches``, one
+    fancy-indexed gather per batch). Output width is bounded
+    regardless of payload size, which is what keeps the downstream
+    columnar layout predictable."""
+    return _image_payloads(spark, sf_dir).mapInPandas(
         mm.resize_batches, schema=mm.RESIZE_SCHEMA
     )
 
 
-# --- llm_multimodal_manifest: hash-checked mapInPandas plumbing -----------
+# --- llm_multimodal_manifest: hash-checked 1→N explosion plumbing ---------
 #
-# The three keys above are rows-only because their checksum columns
-# are byte-level. But the frame sampler's SHAPE — how many frames it
-# emits per doc, which indices, how many bytes each — is pure
-# arithmetic of the payload length (FRAME_SIZE/FRAME_STRIDE in
-# llm/multimodal.py), so aggregating the REAL mapInPandas output per
-# doc gives a result DuckDB can recompute from octet_length alone.
-# This is the driver-hash check for the multimodal batch plumbing:
-# if the 1→N explosion mis-indexes, over- or under-samples, or
-# mangles a batch boundary, the per-doc sums diverge.
+# The frame sampler stays rows-only (its per-frame checksums are
+# byte-level), but its SHAPE — how many frames it emits per doc,
+# which indices, how many bytes each — is pure arithmetic of the
+# payload length (FRAME_SIZE/FRAME_STRIDE in llm/multimodal.py), so
+# aggregating the REAL mapInPandas output per doc gives a result
+# DuckDB can recompute from octet_length alone. This is the
+# driver-hash check for the 1→N batch plumbing: if the explosion
+# mis-indexes, over- or under-samples, or mangles a batch boundary,
+# the per-doc sums diverge. (Decode/resize plumbing is now
+# hash-checked directly by their own keys — the width/height columns
+# this manifest used to carry moved there.)
 
 _MANIFEST_ORACLE = """
 WITH p AS (
@@ -127,9 +210,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(sampled AS BIGINT) AS n_frames_sampled,
        CAST(2 * sampled * (sampled - 1) AS BIGINT) AS sum_frame_idx,
        CAST(CASE WHEN n_bytes < 64 THEN n_bytes
-                 ELSE 64 * sampled END AS BIGINT) AS sum_frame_bytes,
-       CAST(n_bytes % 640 + 1 AS INTEGER) AS width,
-       CAST(n_bytes % 480 + 1 AS INTEGER) AS height
+                 ELSE 64 * sampled END AS BIGINT) AS sum_frame_bytes
 FROM s
 """
 
@@ -137,19 +218,14 @@ FROM s
 @register("llm_multimodal_manifest", oracle=_MANIFEST_ORACLE)
 def llm_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc manifest of the frame-sampling stage: run the real
-    Arrow-batched sampler AND decoder, then aggregate counts/index
-    sums/byte sums per doc — the mapInPandas plumbing, hash-checked
-    against a pure-arithmetic oracle."""
-    payloads = _payloads(spark, sf_dir)
-    frames = payloads.mapInPandas(
+    Arrow-batched sampler, then aggregate counts/index sums/byte sums
+    per doc — the 1→N mapInPandas plumbing, hash-checked against a
+    pure-arithmetic oracle."""
+    frames = _payloads(spark, sf_dir).mapInPandas(
         mm.frame_sample_batches, schema=mm.FRAME_SCHEMA
     )
-    per_doc = frames.groupBy("doc_id").agg(
+    return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames_sampled"),
         F.sum("frame_idx").alias("sum_frame_idx"),
         F.sum("frame_bytes").alias("sum_frame_bytes"),
     )
-    decoded = payloads.mapInPandas(
-        mm.decode_batches, schema=mm.DECODE_SCHEMA
-    ).select("doc_id", "width", "height")
-    return per_doc.join(decoded, "doc_id")

@@ -1,0 +1,115 @@
+"""Pure-numpy BMP/PPM codec (llm/multimodal.py — VERDICT r9 ask #4).
+
+The driver keys cover the encoder's own output (width 16, top-down
+BMP, no row padding); these tests feed the decoder hand-built
+payloads exercising the paths the fixtures never produce: non-4-
+aligned BMP widths (row padding must be excluded from pixel sums),
+bottom-up BMPs (positive biHeight), multi-digit PPM dims, and the
+compressed-codec / unknown-magic refusals.
+"""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from delta_lake_play_spark.llm import multimodal as mm
+
+
+def _bmp(width: int, height: int, pix_rows: list[bytes], top_down: bool) -> bytes:
+    """24-bit BMP with explicit per-row pixel bytes (caller pads)."""
+    rowsize = ((width * 3 + 3) // 4) * 4
+    assert all(len(r) == rowsize for r in pix_rows) and len(pix_rows) == height
+    pix = b"".join(pix_rows)
+    h = -height if top_down else height
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        + pix
+    )
+
+
+def _decode(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    return next(iter(mm.decode_batches(iter([pdf]))))
+
+
+def test_bmp_row_padding_excluded_from_pixel_sum():
+    """Width 5 → 15 pixel bytes + 1 pad byte per row; the pad bytes
+    (set to 0xFF to be loud) must NOT appear in pixel_sum."""
+    rows = [bytes([1] * 15) + b"\xff", bytes([2] * 15) + b"\xff"]
+    out = _decode([_bmp(5, 2, rows, top_down=True)])
+    assert out.loc[0, "width"] == 5 and out.loc[0, "height"] == 2
+    assert out.loc[0, "pixel_sum"] == 15 * 1 + 15 * 2
+
+
+def test_bmp_bottom_up_height_normalized():
+    """Positive biHeight (bottom-up storage) decodes with the same
+    positive height and the same order-independent pixel sum."""
+    rows = [bytes([7] * 12), bytes([9] * 12)]  # width 4 → 12 B, 4-aligned
+    td = _decode([_bmp(4, 2, rows, top_down=True)])
+    bu = _decode([_bmp(4, 2, rows[::-1], top_down=False)])
+    assert td.loc[0, "height"] == bu.loc[0, "height"] == 2
+    assert td.loc[0, "pixel_sum"] == bu.loc[0, "pixel_sum"] == 12 * 7 + 12 * 9
+
+
+def test_ppm_multi_digit_dims_and_255_height():
+    """PPM header parse must anchor tokens positionally — a height
+    equal to the maxval literal ('255') must not confuse the
+    header-length computation."""
+    w, h = 2, 255
+    pix = bytes(range(256)) * ((w * 3 * h) // 256) + bytes(range((w * 3 * h) % 256))
+    payload = f"P6\n{w} {h}\n255\n".encode() + pix
+    out = _decode([payload])
+    assert out.loc[0, "width"] == w and out.loc[0, "height"] == h
+    assert out.loc[0, "pixel_sum"] == int(np.frombuffer(pix, np.uint8).sum())
+
+
+def test_mixed_formats_one_batch():
+    rows = [bytes([3] * 12)]
+    bmp = _bmp(4, 1, rows, top_down=True)
+    ppm = b"P6\n1 1\n255\n\x05\x06\x07"
+    out = _decode([bmp, ppm])
+    assert list(out["fmt"]) == ["bmp", "ppm"]
+    assert list(out["pixel_sum"]) == [36, 18]
+
+
+def test_compressed_magic_routes_to_stub():
+    with pytest.raises(NotImplementedError, match="compressed"):
+        _decode([b"\xff\xd8\xff\xe0fakejpeg"])
+
+
+def test_unknown_magic_raises_loudly():
+    with pytest.raises(ValueError, match="undecodable"):
+        _decode([b"GIF89a..."])
+
+
+def test_resize_matches_reference_nearest_neighbor():
+    """4×4 thumbnail sum equals a straightforward per-pixel reference
+    loop (distinct byte values per pixel so mis-indexing shows)."""
+    w, h = 16, 6
+    pix = bytes((i * 7 + 3) % 251 for i in range(w * 3 * h))
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "payload": [f"P6\n{w} {h}\n255\n".encode() + pix]}
+    )
+    out = next(iter(mm.resize_batches(iter([pdf]))))
+    expect = 0
+    for r in range(4):
+        for c in range(4):
+            base = ((r * h) // 4) * w * 3 + ((c * w) // 4) * 3
+            expect += sum(pix[base : base + 3])
+    assert out.loc[0, "thumb_pixel_sum"] == expect
+    assert out.loc[0, "thumb_w"] == out.loc[0, "thumb_h"] == 4
+
+
+def test_encoder_emits_valid_images_roundtrip():
+    texts = [b"hello world" * 7, b"x", b"a" * 48, b"q" * 49, b""]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "payload": texts})
+    enc = next(iter(mm.encode_image_batches(iter([pdf]))))
+    dec = next(iter(mm.decode_batches(iter([enc]))))
+    for t, (_, row) in zip(texts, dec.iterrows()):
+        exp_h = max(1, -(-len(t) // 48))
+        assert row["width"] == 16 and row["height"] == exp_h
+        assert row["pixel_sum"] == sum(t)
+        assert row["fmt"] == ("bmp" if row["doc_id"] % 2 == 0 else "ppm")
