@@ -16,6 +16,23 @@ The session is warmed with one throwaway action first so JVM/codegen
 startup is not attributed to the first query. Per-key figures are the
 MEDIAN of up to 3 runs (BASELINE.md protocol; heavy keys >10s run
 once); ``bench_full.json`` keeps every sample under ``run_detail``.
+
+Self-adjudication (VERDICT r9 ask #1 — three rounds of driver-record
+drift each needed an after-the-fact environment explanation):
+
+- a PINNED CALIBRATION PROBE — a fixed CPU+shuffle microbench that
+  never changes with the query code — runs at suite start, middle,
+  and end; its three samples ride in the JSON (``calib``), so machine
+  state and within-run drift are visible inside the artifact itself.
+- the headline set gets a SECOND PASS at suite end (``headline_sum``
+  vs ``headline_repass_sum``): if the repass is materially faster or
+  slower than the first pass, the delta is in-run state (JVM/GC/page
+  cache), not code.
+- ``headline_norm`` = first-pass headline sum × (CALIB_REF /
+  median(calib)) — the headline figure normalized to the pinned
+  reference machine state, comparable across rounds without prose.
+  CALIB_REF was measured on a quiet VM when the probe landed (r10)
+  and must NOT be re-tuned afterwards.
 """
 
 from __future__ import annotations
@@ -28,6 +45,34 @@ import time
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if _REPO_DIR not in sys.path:
     sys.path.insert(0, _REPO_DIR)
+
+
+#: Calibration-probe wall-clock on this VM, quiet state, local[32]
+#: (median of 5, measured 2026-08-16 when the probe was introduced:
+#: [0.403, 0.453, 0.460, 0.467, 0.531]). Pinned forever — re-tuning
+#: it would defeat cross-round comparison.
+CALIB_REF = 0.46
+
+
+def _calibration(spark) -> float:
+    """Fixed CPU+shuffle microbench, independent of all query code:
+    20M-row range → modulo key → 200-group hash aggregate, forced
+    through the noop sink. Exercises codegen, whole-stage CPU, and
+    one shuffle — the same resources the suite contends for."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .withColumn("k", F.col("id") % 200)
+        .withColumn("v", (F.col("id") * 2654435761) % 1_000_003)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"), F.max("v").alias("m"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 4)
 
 
 def main() -> None:
@@ -50,6 +95,10 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer cache for the big table.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    _calibration(spark)  # its own codegen warm-up, never measured
+    calib = [_calibration(spark)]
+    mid_at = len(keys) // 2
+
     # BASELINE.md protocol: median of 3. VM timer noise ran ±2x on
     # sub-second keys in rounds 1-2 (SURVEY §10), so single-run
     # round-over-round comparison was polluted. Each key runs up to 3
@@ -64,7 +113,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     run_detail: dict[str, dict] = {}
     failures: dict[str, str] = {}
-    for key in keys:
+    for key_i, key in enumerate(keys):
+        if key_i == mid_at:
+            calib.append(_calibration(spark))
         samples: list[float] = []
         for _ in range(max(1, runs_per_key)):
             t0 = time.perf_counter()
@@ -107,6 +158,32 @@ def main() -> None:
                 "all_runs": samples,
             }
 
+    calib.append(_calibration(spark))
+
+    # End-of-suite second pass over the headline set: one run per key
+    # (the JVM is as warm as it will ever be), so first-pass-vs-repass
+    # separates in-run machine state from code cost.
+    repass: dict[str, float] = {}
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_REPASS", "1") != "0":
+        for key in _HEADLINE:
+            if key not in timings:
+                continue
+            t0 = time.perf_counter()
+            try:
+                queries[key](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                continue  # first-pass failure already recorded
+            repass[key] = round(time.perf_counter() - t0, 4)
+            spark.catalog.clearCache()
+        calib.append(_calibration(spark))
+
+    calib_med = sorted(calib)[len(calib) // 2]
+    headline_sum = round(sum(timings[k] for k in _HEADLINE if k in timings), 3)
+    repass_sum = round(sum(repass.values()), 3) if repass else None
+    headline_norm = round(headline_sum * (CALIB_REF / calib_med), 3)
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:
         sf = float(sf_name.replace("sf", ""))
@@ -128,6 +205,12 @@ def main() -> None:
         "run_detail": run_detail,  # per-key {median_s, runs, all_runs}
         "sf": sf,
         "n_queries": len(timings),
+        "calib": calib,  # pinned probe at suite start/middle/end[/post-repass]
+        "calib_ref": CALIB_REF,
+        "headline_sum": headline_sum,
+        "headline_repass": repass,  # per-key end-of-suite second pass
+        "headline_repass_sum": repass_sum,
+        "headline_norm": headline_norm,  # headline_sum × CALIB_REF/median(calib)
     }
     if failures:
         full["failures"] = failures
@@ -144,6 +227,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "calib": [round(c, 2) for c in calib],
+        "calib_ref": CALIB_REF,
+        "headline_sum": headline_sum,
+        "headline_repass_sum": repass_sum,
+        "headline_norm": headline_norm,
     }
     print(json.dumps(compact, separators=(",", ":")))
 
