@@ -687,12 +687,14 @@ def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([], "doc_id bigint"),
     )
 
-    # two ascending-id commits on bronze = two stream batches (batch-
-    # boundary invariance itself is pinned at the operator level by
-    # tests/test_operators.py::test_incremental_minhash_two_batches_
-    # match_one_shot; two batches exercise the store ADVANCING between
-    # batches — the semantics — at ~2/3 the per-batch fixed cost of
-    # the previous three-way demo split)
+    # two ascending-id commits on bronze; under availableNow the
+    # un-anchored first latestOffset() deliberately delivers BOTH as
+    # one initial-snapshot batch (SURVEY §10 r10 decomposition —
+    # pacing from a guessed anchor could regress offsets after a
+    # checkpoint resume). Store-advance-across-batches semantics are
+    # pinned at the operator level by tests/test_operators.py::
+    # test_incremental_minhash_two_batches_match_one_shot and the
+    # steady-state pacing by tests/test_streaming.py.
     (b1,) = arrivals.agg(F.expr("percentile(doc_id, 0.5)")).first()
     bronze = VersionedTable.create(
         spark,

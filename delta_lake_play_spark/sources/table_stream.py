@@ -177,7 +177,17 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         latest = max(_log_entries(self.path))
         if self.max_versions is not None and self._progress is not None:
             # pace from the engine-acknowledged anchor; never below it
-            # (the log only grows), so offsets cannot regress
+            # (the log only grows), so offsets cannot regress.
+            # When NO anchor exists (availableNow snapshots
+            # latestOffset before initialOffset reaches this
+            # instance), deliberately return the full latest instead
+            # of pacing from a guessed anchor: a guessed -1 could
+            # emit an offset BELOW a checkpoint-restored commit and
+            # double-deliver after resume. Net effect: the first
+            # cycle delivers the whole backlog as one
+            # initial-snapshot batch (Delta's own initial-batch
+            # shape); maxVersionsPerTrigger engages from the next
+            # cycle on (steady state). Measured in SURVEY §10 (r10).
             latest = min(latest, self._progress + self.max_versions)
         self._progress = latest
         return {"version": latest}
