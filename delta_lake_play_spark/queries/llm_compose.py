@@ -1182,3 +1182,78 @@ def llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- llm_source_capping -----------------------------------------------------
+# Source-mixture capping: the pre-training mixture step that stops a
+# dominant crawl source from swamping the mixture — each source's
+# contribution is capped at 2x the mean source size (pure integer
+# arithmetic: cap = 2 * (total DIV n_sources)), and the final mixture
+# weight is capped_docs / total_capped. The alternative temperature
+# form (w ~ c^alpha) needs libm pow and is not hash-parity-safe;
+# capping is the integer-exact variant production mixes actually use
+# for the same goal. Every column is an int64 or ONE IEEE division of
+# two exact int64s — order-independent, bit-identical in DuckDB.
+#
+# Scale shape: one map-side-combined groupBy(source) (output rows =
+# #sources, not #docs), two 1-row broadcast aggregates — no wide
+# shuffle ever sees the corpus; at 100 TB this is a metadata-cheap
+# planning query over a pre-aggregated manifest or the raw table
+# alike.
+
+_CAPPING_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per
+),
+capped AS (
+  SELECT per.source, per.n_docs,
+         LEAST(per.n_docs, 2 * (tot.total // tot.n_sources)) AS capped_docs
+  FROM per, tot
+),
+tc AS (SELECT CAST(SUM(capped_docs) AS BIGINT) AS total_capped FROM capped)
+SELECT c.source,
+       c.n_docs,
+       CAST(c.capped_docs AS BIGINT) AS capped_docs,
+       CAST(c.capped_docs AS DOUBLE) / tc.total_capped AS weight,
+       CAST(c.n_docs - c.capped_docs AS DOUBLE) / c.n_docs AS drop_frac
+FROM capped c, tc
+"""
+
+
+@register("llm_source_capping", oracle=_CAPPING_ORACLE)
+def llm_source_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capped mixture weights (cap = 2x mean source size)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    capped = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "capped_docs",
+            F.least(
+                F.col("n_docs"), 2 * F.expr("total DIV n_sources")
+            ),
+        )
+        .select("source", "n_docs", "capped_docs")
+    )
+    tc = capped.agg(F.sum("capped_docs").alias("total_capped"))
+    return capped.crossJoin(F.broadcast(tc)).select(
+        "source",
+        "n_docs",
+        "capped_docs",
+        (F.col("capped_docs").cast("double") / F.col("total_capped")).alias(
+            "weight"
+        ),
+        (
+            (F.col("n_docs") - F.col("capped_docs")).cast("double")
+            / F.col("n_docs")
+        ).alias("drop_frac"),
+    )

@@ -1416,3 +1416,79 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - n_text).cast("double") / F.count(F.lit(1))
         ).alias("null_rate"),
     )
+
+
+# --- llm_ngram_novelty ------------------------------------------------------
+# First-occurrence n-gram novelty: for each document, the fraction of
+# its DISTINCT bigrams whose first corpus occurrence (minimum doc_id)
+# is this document — the freshness signal curation pipelines use to
+# rank late-crawled pages against the existing corpus (a cheap,
+# exact complement to near-dup flags: a doc can be 0% novel without
+# being a near-dup of any single doc). Docs with fewer than two
+# tokens have no bigrams and are absent on both sides; NULL text is
+# filtered identically on both sides.
+#
+# Scale shape: explode -> distinct (doc_id, bigram) -> one
+# bigram-keyed min aggregate (map-side combined; vocabulary-sized,
+# not corpus-sized) -> a bigram-keyed join back (same key, same
+# partitioning: AQE reuses the exchange) -> per-doc count aggregate.
+# Nothing all-pairs; the single division per doc is the only float.
+
+_NOVELTY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]))
+           AS bigram
+  FROM tok
+),
+firsts AS (
+  SELECT bigram, MIN(doc_id) AS first_doc FROM bg GROUP BY bigram
+)
+SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty
+FROM bg JOIN firsts f USING (bigram)
+GROUP BY bg.doc_id
+"""
+
+
+@register("llm_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct bigrams first seen in that doc."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ts = tx.tokens("text")
+    pairs = F.transform(
+        F.slice(ts, 1, F.size(ts) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(ts, i + F.lit(2))),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("bigram")).distinct()
+    )
+    firsts = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        (F.col("first_doc") == F.col("doc_id")).cast("long")
+    )
+    return (
+        bg.join(firsts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_bigrams")
+            ).alias("novelty"),
+        )
+    )

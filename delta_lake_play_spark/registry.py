@@ -50,25 +50,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-9 WINDOW (first 50). Composition (SURVEY §18):
-    # slots 1-13 enforce the standing changed-code rule — any key
-    # whose query source or reachable operator changed in-round gets
-    # a window slot THAT round. 1-2: the UPDATE SET pre-image fix
-    # (ADVICE medium) through both DML keys that apply SET
-    # expressions. 3-4: the vacuum version-bounds gate and the
-    # multi-part orphan sweep at latest_cp (ADVICE lows). 5-7: the
-    # knn_join broadcast-auto default through its three consumers.
-    # 8: the cross-corpus rep-level re-point (VERDICT ask #2).
-    # 9: the matryoshka scope bound (ask #5). 10: the NEW
-    # dml_type_widening key (ask #4). 11-13: the metaData/protocol
-    # emission change (_type_changes runs for every mirrored table)
-    # through the three mirror keys that most directly observe
-    # schema/metadata re-emission. Slots 14-17 are this round's four
-    # NEW keys. Slots 18-44 close the r2-vintage evidence tail FOR
-    # GOOD (ask #1 — the 27 keys VERDICT r8 lists; after this round
-    # no hash-checked key's newest driver row predates r3). Slots
-    # 45-50 start on the next-stalest tier (r3-vintage subqueries +
-    # the canonical merge DML single).
+    # --- ROUND-10 WINDOW (first 50). Composition (SURVEY §19):
+    # slots 1-9 enforce the standing changed-code rule. 1-4: the four
+    # rows-only→hash conversions (VERDICT r9 ask #3 — new oracles,
+    # new output shapes). 5-7: the real BMP/PPM codec (ask #4 — new
+    # oracles for decode/resize; manifest's shape slimmed). 8-9: the
+    # column-defaults lifecycle fixes (ADVICE r9: RESTORE reset,
+    # as-of mirror emission, memoized lookup) through the defaults
+    # key and the mirror-replay key that re-emits metaData/protocol
+    # per historical version (dml_restore itself sits in the stale
+    # tail below). Slots 10-11 are this round's NEW keys. Slots
+    # 12-50 retire the r3-vintage evidence tail FOR GOOD (ask #2 —
+    # the 39 keys whose newest driver row predates the r4
+    # dtype-faithful harness; after r10 no hash-checked key's newest
+    # driver evidence predates r4).
+    "agg_approx_count_distinct",
+    "agg_sketch_hll",
+    "agg_sketch_cms",
+    "stream_foreachBatch_upsert",
+    "llm_multimodal_decode",
+    "llm_multimodal_resize",
+    "llm_multimodal_manifest",
+    "dml_column_defaults",
+    "dml_cdf_mirror_replay",
+    "llm_ngram_novelty",
+    "llm_source_capping",
+    # r3-vintage tail (ask #2): scans/sinks
+    "scan_latest_snapshot",
+    "scan_data_skipping",
+    "scan_partition_pruning",
+    "scan_schema_merge",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "sink_orc_roundtrip",
+    "sink_text_roundtrip",
+    "write_table_create",
+    "create_if_absent",
+    # time travel / snapshot diff
+    "time_travel_version",
+    "time_travel_timestamp",
+    "set_except_snapshot_diff",
+    # the r3 DML battery
+    "dml_delete_where",
+    "dml_delete_mor",
+    "dml_insert_append",
+    "dml_history",
+    "dml_vacuum",
+    "dml_restore",
+    "dml_change_feed",
+    "dml_merge_cdc",
+    "dml_clone_shallow",
+    "dml_convert_in_place",
+    "dml_optimize_compact",
+    "dml_optimize_zorder",
+    "dml_replace_where",
+    "dml_incremental_gold",
+    # r3 TPC-H closers + aggregates
+    "join_region_revenue",
+    "join_volume_shipping",
+    "join_returned_topcust",
+    "join_shipping_priority",
+    "join_market_share",
+    "join_disjunctive_pred",
+    "agg_promo_revenue",
+    "agg_supplier_part_counts",
+    # r3 subqueries + LLM singles
+    "sub_any_all",
+    "sub_not_in_null_semantics",
+    "sub_top_supplier",
+    "llm_decontaminate",
+    # --- TIER 2 (51+): the round-9 window keys, all re-proven r9
+    # (duplicates of round-10 head keys collapse to their first
+    # position in _ordered). They rotate behind the r10 window.
     "dml_update_where",
     "dml_update_mor",
     "dml_vacuum_protocol_check",
@@ -82,10 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     "dml_merge_evolve",
     "dml_rename_drop_column",
     "dml_cdf_mirror_replay",
-    # slots 14-17: the NEW keys (classifier reliability bins;
-    # exact-distinct bitmap aggregation; column defaults; closure
-    # onion dedup) — displaced dml_vacuum / dml_restore /
-    # dml_insert_append / dml_delete_where from the r3 top-up tier
+    # the r9 NEW keys (classifier reliability bins; exact-distinct
+    # bitmap aggregation; column defaults; closure onion dedup)
     "llm_classifier_calibration",
     "agg_bitmap_distinct",
     "dml_column_defaults",
@@ -128,8 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "sub_not_exists_quiet_customers",
     "sub_lateral_topk_per_nation",
     "dml_merge_upsert",
-    # --- TIER 2 (51+): last round's window keys, all re-proven in
-    # r8 (newest evidence r8) — they rotate behind the stale tail.
+    # --- TIER 3: the r8 window keys (newest evidence r8).
     "agg_stddev_exact",
     "agg_corr_exact",
     "llm_similarity_ivf",
@@ -144,7 +194,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_quality_classifier_train",
     "llm_classifier_eval",
     "stream_static_enrich",
-    # --- TIER 3: everything already hash-proven by a driver round
+    # --- TIER 4: everything already hash-proven by a driver round
     # follows in registration order via _ordered()'s tail.
 )
 
