@@ -1228,30 +1228,36 @@ FROM capped c, tc
 
 @register("llm_source_capping", oracle=_CAPPING_ORACLE)
 def llm_source_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source capped mixture weights (cap = 2x mean source size)."""
+    """Per-source capped mixture weights (cap = 2x mean source size).
+
+    One scan, one groupBy(source), then the three corpus-level
+    scalars (total, n_sources, total_capped) as unpartitioned window
+    aggregates over the #sources-row aggregate output — the
+    crossJoin-two-broadcast-aggregates formulation re-read the
+    corpus four times (four Scan nodes in the formatted plan); this
+    shape scans it once and the single-partition window sees only
+    #sources rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = per.agg(
-        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    # integer DIV as floor(a/b): counts are positive and far below
+    # 2^53, so the double division is exact (matches DuckDB's `//`)
+    mean_src = F.floor(
+        F.sum("n_docs").over(w) / F.count(F.lit(1)).over(w)
+    ).cast("long")
+    capped = per.withColumn(
+        "capped_docs", F.least(F.col("n_docs"), 2 * mean_src)
     )
-    capped = (
-        per.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "capped_docs",
-            F.least(
-                F.col("n_docs"), 2 * F.expr("total DIV n_sources")
-            ),
-        )
-        .select("source", "n_docs", "capped_docs")
-    )
-    tc = capped.agg(F.sum("capped_docs").alias("total_capped"))
-    return capped.crossJoin(F.broadcast(tc)).select(
+    return capped.select(
         "source",
         "n_docs",
         "capped_docs",
-        (F.col("capped_docs").cast("double") / F.col("total_capped")).alias(
-            "weight"
-        ),
+        (
+            F.col("capped_docs").cast("double")
+            / F.sum("capped_docs").over(w)
+        ).alias("weight"),
         (
             (F.col("n_docs") - F.col("capped_docs")).cast("double")
             / F.col("n_docs")

@@ -1428,11 +1428,12 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokens have no bigrams and are absent on both sides; NULL text is
 # filtered identically on both sides.
 #
-# Scale shape: explode -> distinct (doc_id, bigram) -> one
-# bigram-keyed min aggregate (map-side combined; vocabulary-sized,
-# not corpus-sized) -> a bigram-keyed join back (same key, same
-# partitioning: AQE reuses the exchange) -> per-doc count aggregate.
-# Nothing all-pairs; the single division per doc is the only float.
+# Scale shape: ONE scan -> explode -> distinct (doc_id, bigram) ->
+# first_doc as a bigram-partitioned window MIN (no self-join: the
+# agg+join-back formulation re-reads the corpus twice, visible as a
+# doubled Scan/Generate subtree in the formatted plan) -> per-doc
+# count aggregate. Three key-partitioned shuffles, nothing all-pairs;
+# the single division per doc is the only float.
 
 _NOVELTY_ORACLE = """
 WITH tok AS (
@@ -1472,13 +1473,14 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = (
         d.select("doc_id", F.explode(pairs).alias("bigram")).distinct()
     )
-    firsts = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    firsts = bg.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("bigram"))
+    )
     novel = F.sum(
         (F.col("first_doc") == F.col("doc_id")).cast("long")
     )
     return (
-        bg.join(firsts, "bigram")
-        .groupBy("doc_id")
+        firsts.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             novel.alias("n_novel"),

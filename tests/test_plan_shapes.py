@@ -735,3 +735,21 @@ def test_bitmap_distinct_avoids_expand(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
     assert "o_orderpriority" in plan and "o_custkey" in plan
     assert "o_totalprice" not in plan  # column pruning reached the scan
+
+
+def test_ngram_novelty_single_scan(spark, sf_dir):
+    # first_doc via a bigram-partitioned window MIN, not an agg +
+    # self-join: the join formulation re-reads the corpus (two Scan
+    # subtrees). One scan, no join at all.
+    s = summarize(QUERIES["llm_ngram_novelty"](spark, sf_dir))
+    assert len(s.read_schemas) == 1, "novelty must scan documents once"
+    assert "Join" not in _plan(spark, sf_dir, "llm_ngram_novelty")
+
+
+def test_source_capping_single_scan(spark, sf_dir):
+    # corpus scalars (total/n_sources/total_capped) as unpartitioned
+    # window aggregates over the #sources-row aggregate, not
+    # crossJoin'd broadcast aggregates (which re-scanned 4x).
+    s = summarize(QUERIES["llm_source_capping"](spark, sf_dir))
+    assert len(s.read_schemas) == 1, "capping must scan documents once"
+    assert "Join" not in _plan(spark, sf_dir, "llm_source_capping")
