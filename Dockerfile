@@ -15,11 +15,16 @@ ENV PYSPARK_PYTHON=python3
 VOLUME /data
 WORKDIR /app
 
+# A venv sidesteps PEP 668 (the temurin base is Ubuntu noble, whose
+# system python marks itself externally-managed and refuses bare
+# `pip install`).
 COPY requirements.txt requirements.txt
 RUN apt-get update && \
-    apt-get install -y --no-install-recommends python3 python3-pip && \
+    apt-get install -y --no-install-recommends python3 python3-venv && \
     rm -rf /var/lib/apt/lists/* && \
-    pip3 install --no-cache-dir -r requirements.txt
+    python3 -m venv /opt/venv && \
+    /opt/venv/bin/pip install --no-cache-dir -r requirements.txt
+ENV PATH="/opt/venv/bin:$PATH"
 
 COPY delta_lake_play_spark delta_lake_play_spark
 

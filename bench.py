@@ -181,10 +181,22 @@ def main() -> None:
             spark.catalog.clearCache()
         calib.append(_calibration(spark))
 
-    calib_med = sorted(calib)[len(calib) // 2]
-    headline_sum = round(sum(timings[k] for k in _HEADLINE if k in timings), 3)
-    repass_sum = round(sum(repass.values()), 3) if repass else None
-    headline_norm = round(headline_sum * (CALIB_REF / calib_med), 3)
+    import statistics
+
+    calib_med = statistics.median(calib)  # true median (4-sample path
+    # after the repass: mean of the middle two, not the upper-middle —
+    # the post-repass sample is typically the warmest and would bias
+    # a positional pick)
+    if only:
+        # partial runs aren't comparable: suppress the headline block
+        # rather than emit a number that LOOKS like a full-suite one
+        headline_sum = repass_sum = headline_norm = None
+    else:
+        headline_sum = round(
+            sum(timings[k] for k in _HEADLINE if k in timings), 3
+        )
+        repass_sum = round(sum(repass.values()), 3) if repass else None
+        headline_norm = round(headline_sum * (CALIB_REF / calib_med), 3)
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     try:

@@ -117,17 +117,90 @@ def _le32(j: np.ndarray, at: np.ndarray) -> np.ndarray:
     return v.astype(np.uint32).astype(np.int32)  # two's-complement sign
 
 
+_PPM_HEADER_RE = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _parse_images(joined, lens, starts, doc_ids):
+    """Shared header parser for the two real stages (decode + resize):
+    one pass over the batch returning per-row
+    ``(is_bmp, width, height, depth, pix_off, rowsize, top_down)``.
+
+    BMP headers are fixed-layout little-endian words, read for the
+    whole batch at once with fancy-indexed ``np.frombuffer`` views
+    (bfOffBits at byte 10 — honored, so V4/V5 headers and palettes
+    work, never a hardcoded 54); PPM's few-byte ASCII header is
+    parsed per row (O(rows) tiny). Validates that each payload
+    actually CONTAINS its declared pixel data — a header claiming
+    more rows than the payload carries would otherwise read a
+    neighboring document's bytes out of the batch's concatenated
+    buffer. Compressed magics (JPEG/PNG) route to the documented
+    stub; anything else raises loudly rather than mis-decoding."""
+    n = len(lens)
+    if joined.size == 0:
+        raise ValueError("all payloads empty: nothing decodable")
+    b0 = np.where(lens >= 1, joined[np.minimum(starts, len(joined) - 1)], 0)
+    b1 = np.where(lens >= 2, joined[np.minimum(starts + 1, len(joined) - 1)], 0)
+    is_bmp = (b0 == 0x42) & (b1 == 0x4D) & (lens >= 54)
+    is_ppm = (b0 == 0x50) & (b1 == 0x36)
+    if not bool(np.all(is_bmp | is_ppm)):
+        bad = int(np.argmax(~(is_bmp | is_ppm)))
+        magic = bytes(joined[starts[bad] : starts[bad] + 2])
+        if magic in (b"\xff\xd8", b"\x89P"):  # JPEG / PNG
+            decode_image(bytes(joined[starts[bad] : starts[bad] + lens[bad]]))
+        raise ValueError(
+            f"undecodable payload for doc_id={doc_ids[bad]}: magic={magic!r}"
+        )
+
+    width = np.zeros(n, dtype=np.int64)
+    height = np.zeros(n, dtype=np.int64)
+    pix_off = np.zeros(n, dtype=np.int64)
+    rowsize = np.zeros(n, dtype=np.int64)
+    depth = np.full(n, 3, dtype=np.int64)
+    top_down = np.ones(n, dtype=bool)  # PPM is always top-down
+
+    bi = np.flatnonzero(is_bmp)
+    if bi.size:
+        width[bi] = _le32(joined, starts[bi] + 18)
+        raw_h = _le32(joined, starts[bi] + 22)
+        height[bi] = np.abs(raw_h)
+        top_down[bi] = raw_h < 0  # negative biHeight = top-down
+        bpp = (
+            joined[starts[bi] + 28].astype(np.int64)
+            | (joined[starts[bi] + 29].astype(np.int64) << 8)
+        )
+        depth[bi] = bpp // 8
+        pix_off[bi] = _le32(joined, starts[bi] + 10)  # bfOffBits
+        rowsize[bi] = ((width[bi] * depth[bi] + 3) // 4) * 4
+
+    for k in np.flatnonzero(is_ppm):  # O(rows): headers ≤ ~20 ASCII bytes
+        head = bytes(joined[starts[k] : starts[k] + min(32, lens[k])])
+        m = _PPM_HEADER_RE.match(head)
+        if m is None:
+            raise ValueError(
+                f"malformed PPM header for doc_id={doc_ids[k]}: {head!r}"
+            )
+        # P6 <width> <height> <maxval> then ONE whitespace byte
+        width[k], height[k] = int(m.group(1)), int(m.group(2))
+        pix_off[k] = m.end()
+        rowsize[k] = width[k] * 3  # PPM has no row padding
+
+    short = np.flatnonzero(pix_off + rowsize * height > lens)
+    if short.size:
+        k = int(short[0])
+        raise ValueError(
+            f"truncated image for doc_id={doc_ids[k]}: header declares "
+            f"{int(pix_off[k] + rowsize[k] * height[k])} bytes, payload "
+            f"has {int(lens[k])}"
+        )
+    return is_bmp, width, height, depth, pix_off, rowsize, top_down
+
+
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: binary image column → decoded header fields
-    + pixel statistics (1→1). A REAL decoder for the uncompressed
-    formats: BMP headers are fixed-layout little-endian words, read
-    for the whole batch at once with fancy-indexed ``np.frombuffer``
-    views; PPM's few-byte ASCII header is parsed per row (O(rows)
-    tiny) while the O(bytes) pixel sums stay one cumulative-sum pass
-    for the whole batch. BMP row padding (rows align to 4 bytes) is
-    excluded from the pixel sum by position arithmetic, not a per-row
-    loop. Compressed magics (JPEG/PNG) route to the documented stub;
-    anything else raises loudly rather than mis-decoding."""
+    + pixel statistics (1→1). Header parse via :func:`_parse_images`;
+    the O(bytes) pixel sums stay one cumulative-sum pass for the
+    whole batch, with BMP row padding (rows align to 4 bytes)
+    excluded by position arithmetic, not a per-row loop."""
     for pdf in batches:
         joined, lens, starts = _np_batch(pdf["payload"])
         n = len(lens)
@@ -144,63 +217,12 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 }
             )
             continue
-        if joined.size == 0:
-            raise ValueError("all payloads empty: nothing decodable")
-        b0 = np.where(lens >= 1, joined[np.minimum(starts, len(joined) - 1)], 0)
-        b1 = np.where(
-            lens >= 2, joined[np.minimum(starts + 1, len(joined) - 1)], 0
+        is_bmp, width, height, depth, pix_off, rowsize, _td = _parse_images(
+            joined, lens, starts, pdf["doc_id"].values
         )
-        is_bmp = (b0 == 0x42) & (b1 == 0x4D) & (lens >= 54)
-        is_ppm = (b0 == 0x50) & (b1 == 0x36)
-        if not bool(np.all(is_bmp | is_ppm)):
-            bad = int(np.argmax(~(is_bmp | is_ppm)))
-            magic = bytes(joined[starts[bad] : starts[bad] + 2])
-            if magic in (b"\xff\xd8", b"\x89P"):  # JPEG / PNG
-                decode_image(bytes(joined[starts[bad] : starts[bad] + lens[bad]]))
-            raise ValueError(
-                f"undecodable payload for doc_id="
-                f"{pdf['doc_id'].values[bad]}: magic={magic!r}"
-            )
 
-        width = np.zeros(n, dtype=np.int64)
-        height = np.zeros(n, dtype=np.int64)
-        pix_off = np.zeros(n, dtype=np.int64)
-        rowsize = np.zeros(n, dtype=np.int64)
-        depth = np.full(n, 3, dtype=np.int64)
-
-        bi = np.flatnonzero(is_bmp)
-        if bi.size:
-            width[bi] = _le32(joined, starts[bi] + 18)
-            raw_h = _le32(joined, starts[bi] + 22)
-            height[bi] = np.abs(raw_h)  # negative = top-down
-            bpp = (
-                joined[starts[bi] + 28].astype(np.int64)
-                | (joined[starts[bi] + 29].astype(np.int64) << 8)
-            )
-            depth[bi] = bpp // 8
-            pix_off[bi] = _le32(joined, starts[bi] + 10)
-            rowsize[bi] = ((width[bi] * depth[bi] + 3) // 4) * 4
-
-        pi = np.flatnonzero(is_ppm)
-        ppm_re = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
-        for k in pi:  # O(rows): headers are ≤ ~20 ASCII bytes
-            head = bytes(joined[starts[k] : starts[k] + min(32, lens[k])])
-            m = ppm_re.match(head)
-            if m is None:
-                raise ValueError(
-                    f"malformed PPM header for doc_id="
-                    f"{pdf['doc_id'].values[k]}: {head!r}"
-                )
-            # P6 <width> <height> <maxval> then ONE whitespace byte
-            width[k], height[k] = int(m.group(1)), int(m.group(2))
-            pix_off[k] = m.end()
-            rowsize[k] = width[k] * 3  # PPM has no row padding
-
-        # pixel sums, padding-aware: BMP rows are padded to 4 bytes —
-        # drop positions whose within-row offset >= width*depth via a
-        # vectorized position mask over only the padded rows' bytes.
         pix_start = starts + pix_off
-        pix_end = np.minimum(pix_start + rowsize * height, starts + lens)
+        pix_end = pix_start + rowsize * height
         sums = _segment_sums(joined, pix_start, pix_end)
         padded = np.flatnonzero(rowsize > width * depth)
         for k in padded:  # rare: only non-4-aligned BMP widths
@@ -262,12 +284,12 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (shape (rows, T, T, 3) broadcast), so no per-row Python in the
     pixel path. Output width is bounded regardless of payload size,
     which is what keeps the downstream columnar layout predictable.
-    Assumes top-down pixel order (the encoder's negative-biHeight
-    BMPs and PPM's native order); a bottom-up BMP flips the row
-    index first."""
+    Shares :func:`_parse_images` with decode (one header pass, no
+    wasted pixel-sum work, honored bfOffBits); bottom-up BMPs
+    (positive biHeight) get their sampled row index flipped so the
+    thumbnail is in image orientation either way."""
     T = THUMB_DIM
     for pdf in batches:
-        decoded = next(iter(decode_batches(iter([pdf]))))
         joined, lens, starts = _np_batch(pdf["payload"])
         n = len(lens)
         if n == 0:
@@ -280,21 +302,20 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 }
             )
             continue
-        width = decoded["width"].to_numpy(dtype=np.int64)
-        height = decoded["height"].to_numpy(dtype=np.int64)
-        depth = decoded["depth"].to_numpy(dtype=np.int64)
-        is_bmp = (decoded["fmt"] == "bmp").to_numpy()
-        rowsize = np.where(
-            is_bmp, ((width * depth + 3) // 4) * 4, width * depth
+        _bmp, width, height, depth, pix_off, rowsize, top_down = _parse_images(
+            joined, lens, starts, pdf["doc_id"].values
         )
-        hdr = np.where(is_bmp, 54, lens - rowsize * height)  # PPM: total−pixels
         r = np.arange(T)
-        src_r = (r[None, :] * height[:, None]) // T  # (n, T)
+        src_r = (r[None, :] * height[:, None]) // T  # (n, T), image rows
         src_c = (r[None, :] * width[:, None]) // T  # (n, T)
-        # byte index of channel ch of pixel (r, c), top-down
+        # storage row: bottom-up BMPs store image row r at h-1-r
+        stored_r = np.where(
+            top_down[:, None], src_r, height[:, None] - 1 - src_r
+        )
+        # byte index of channel ch of pixel (r, c)
         idx = (
-            (starts + hdr)[:, None, None, None]
-            + src_r[:, :, None, None] * rowsize[:, None, None, None]
+            (starts + pix_off)[:, None, None, None]
+            + stored_r[:, :, None, None] * rowsize[:, None, None, None]
             + src_c[:, None, :, None] * depth[:, None, None, None]
             + np.arange(3)[None, None, None, :]
         ).reshape(n, -1)

@@ -1603,19 +1603,30 @@ def _actions_for(table, version: int, prev: dict | None, entry: dict) -> list[di
         prev_units: dict[str, dict] = {}
     else:
         assert prev is not None
+        # ANY commit that records a columnDefaults state (ALTERs, and
+        # RESTOREs since r10) may change the effective defaults
+        # without changing the schema shape — e.g. RESTORE back into
+        # (or out of) a defaulted state with identical column
+        # names/types. The mirror's CURRENT_DEFAULT metadata lives in
+        # metaData, so such a commit must re-emit metaData too, and a
+        # reset-to-{} record must as well (the mirror would otherwise
+        # keep advertising a ghost default forever).
+        defaults_recorded = (
+            "columnDefaults" in entry.get("operationParameters", {})
+        )
         emit_proto = (
             (_is_mapped(entry) and not _is_mapped(prev))
             or (entry.get("clusterBy") and not prev.get("clusterBy"))
             or _widening_between(prev, entry)
             # an ALTER recording column defaults upgrades the protocol
             # in the same commit (re-declaration is idempotent)
-            or bool(
-                entry.get("operationParameters", {}).get("columnDefaults")
-            )
+            or defaults_recorded
         )
-        emit_meta = entry["schema"] != prev["schema"] or entry.get(
-            "columnMap"
-        ) != prev.get("columnMap")
+        emit_meta = (
+            entry["schema"] != prev["schema"]
+            or entry.get("columnMap") != prev.get("columnMap")
+            or defaults_recorded
+        )
         if emit_proto or emit_meta:
             tchanges = _type_changes(table, entry)  # once for both
         if emit_proto:

@@ -1793,13 +1793,30 @@ class VersionedTable:
         append/mirror call is O(new commits), not O(all versions)
         (the cumulative O(V^2) log-read pattern ADVICE r9 flagged)."""
         if as_of is not None:
+            # memoized per as_of: historical versions are immutable,
+            # so a cached answer never goes stale. The walk ALSO
+            # stops at any version with a cached answer, so a full
+            # backfill export (which asks for every version, twice —
+            # metaData + protocol) costs O(V) log reads total instead
+            # of the O(V^2) pattern ADVICE r9 flagged on the append
+            # path (self-review r10 found it re-created here).
+            cache: dict[int, dict] = getattr(self, "_defaults_asof_cache", {})
+            self._defaults_asof_cache = cache
+            if as_of in cache:
+                return dict(cache[as_of])
+            result: dict[str, str] = {}
             for v in sorted(self._versions(), reverse=True):
                 if v > as_of:
                     continue
+                if v != as_of and v in cache:
+                    result = cache[v]
+                    break
                 params = self._read_log_raw(v).get("operationParameters", {})
                 if "columnDefaults" in params:
-                    return dict(params["columnDefaults"])
-            return {}
+                    result = dict(params["columnDefaults"])
+                    break
+            cache[as_of] = result
+            return dict(result)
         versions = sorted(self._versions())
         top = versions[-1] if versions else -1
         cached_top, cached = getattr(self, "_defaults_cache", (-1, {}))

@@ -387,6 +387,45 @@ def test_backfill_defaults_are_as_of_version(spark):
     assert _canon(got) == _canon(t.to_df())
 
 
+def test_restore_defaults_only_change_reemits_metadata(spark):
+    """A RESTORE that changes the EFFECTIVE defaults without changing
+    the schema shape must re-emit metaData (self-review r10: the
+    emit_meta trigger only watched schema/columnMap, so the mirror's
+    CURRENT_DEFAULT went stale while the private table changed fill
+    behavior — silent private/mirror divergence)."""
+    t = VersionedTable.create(
+        spark,
+        temp_table_path("dl-coldef-restore"),
+        spark.range(0, 10).withColumn("v", F.lit(1).cast("long")),
+        delta_mirror=True,
+    )
+    t.add_column("src", "string", default="'web'")  # v1
+    t.restore(version=0)  # v2: defaults reset to {}
+    t.add_column("src", "string")  # v3: same shape as v1, NO default
+    t.restore(version=1)  # v4: same shape as v3, default IS back
+
+    # v4 changed nothing about the schema shape, only the defaults —
+    # metaData must still re-emit, with CURRENT_DEFAULT restored
+    v4 = _actions(t, 4)
+    metas = [a["metaData"] for a in v4 if "metaData" in a]
+    assert metas, "defaults-only change must re-emit metaData"
+    fld = next(
+        f
+        for f in json.loads(metas[0]["schemaString"])["fields"]
+        if f["name"] == "src"
+    )
+    assert fld["metadata"]["CURRENT_DEFAULT"] == "'web'"
+
+    # and the reset at v2 must also have re-emitted (ghost default
+    # would otherwise live in the mirror forever)
+    v2 = _actions(t, 2)
+    metas2 = [a["metaData"] for a in v2 if "metaData" in a]
+    assert metas2, "defaults reset must re-emit metaData"
+    assert "CURRENT_DEFAULT" not in metas2[0]["schemaString"]
+    got = read_delta_snapshot(spark, t.path)
+    assert _canon(got) == _canon(t.to_df())
+
+
 def test_type_widening_feature_declared_and_replays(spark):
     """A widening merge upgrades the mirror protocol IN the widening
     commit — typeWidening in BOTH feature lists — and records the

@@ -103,6 +103,66 @@ def test_resize_matches_reference_nearest_neighbor():
     assert out.loc[0, "thumb_w"] == out.loc[0, "thumb_h"] == 4
 
 
+def test_resize_flips_bottom_up_bmp_rows():
+    """A bottom-up BMP (positive biHeight) and its top-down twin hold
+    the same IMAGE, stored in opposite row order — the thumbnail must
+    sample identical image pixels for both (self-review r10: the
+    top-down-only map silently read row h-1-r)."""
+    w, h = 4, 6
+    img_rows = [bytes([(10 * r + c) for c in range(w * 3)]) for r in range(h)]
+    td = _bmp(w, h, img_rows, top_down=True)
+    bu = _bmp(w, h, img_rows[::-1], top_down=False)  # same image
+    pdf = pd.DataFrame({"doc_id": [0, 2], "payload": [td, bu]})
+    out = next(iter(mm.resize_batches(iter([pdf]))))
+    assert out.loc[0, "thumb_pixel_sum"] == out.loc[1, "thumb_pixel_sum"]
+    expect = 0
+    for r in range(4):
+        for c in range(4):
+            base = ((r * h) // 4) * w * 3 + ((c * w) // 4) * 3
+            expect += sum(b"".join(img_rows)[base : base + 3])
+    assert out.loc[0, "thumb_pixel_sum"] == expect
+
+
+def test_resize_honors_bmp_pixel_offset():
+    """bfOffBits > 54 (V4/V5 headers, palettes): resize must start at
+    the declared pixel offset, exactly like decode (self-review r10:
+    it hardcoded 54 and summed header bytes as pixels)."""
+    w, h = 4, 2
+    rows = [bytes([5] * 12), bytes([9] * 12)]
+    base = _bmp(w, h, rows, top_down=True)
+    # splice 16 bytes of 0xEE gap between header and pixels, bump
+    # bfOffBits (byte 10) and bfSize accordingly
+    gap = b"\xee" * 16
+    moved = bytearray(base[:54] + gap + base[54:])
+    moved[10:14] = (54 + 16).to_bytes(4, "little")
+    moved[2:6] = len(moved).to_bytes(4, "little")
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [bytes(moved)]})
+    dec = next(iter(mm.decode_batches(iter([pdf]))))
+    assert dec.loc[0, "pixel_sum"] == 12 * 5 + 12 * 9
+    out = next(iter(mm.resize_batches(iter([pdf]))))
+    ref = next(
+        iter(
+            mm.resize_batches(
+                iter([pd.DataFrame({"doc_id": [0], "payload": [base]})])
+            )
+        )
+    )
+    assert out.loc[0, "thumb_pixel_sum"] == ref.loc[0, "thumb_pixel_sum"]
+
+
+def test_truncated_image_raises_not_neighbor_read():
+    """A header claiming more pixel rows than the payload carries must
+    raise, not silently read the NEXT document's bytes out of the
+    batch's concatenated buffer (self-review r10)."""
+    lying = b"P6\n4 1000\n255\n" + bytes([1] * 12)
+    victim = b"P6\n4 1\n255\n" + bytes([200] * 12)
+    pdf = pd.DataFrame({"doc_id": [0, 1], "payload": [lying, victim]})
+    with pytest.raises(ValueError, match="truncated"):
+        list(mm.decode_batches(iter([pdf])))
+    with pytest.raises(ValueError, match="truncated"):
+        list(mm.resize_batches(iter([pdf])))
+
+
 def test_encoder_emits_valid_images_roundtrip():
     texts = [b"hello world" * 7, b"x", b"a" * 48, b"q" * 49, b""]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "payload": texts})

@@ -105,9 +105,27 @@ def test_hll_estimate_error_bound(spark, sf_dir):
     assert len(rows) >= 2
     for r in rows:
         assert r["exact_distinct"] > 0
-        # the estimate now rides only inside the hashed within_eps
-        # boolean (5% + 2 bound — see _SKETCH_HLL_ORACLE)
+        # the hashed contract is the looser 5%+2 boolean
+        # (_SKETCH_HLL_ORACLE); the estimate itself is checked below
         assert r["within_eps"], r
+    # direct ±2% estimate-vs-exact assertion (the docstring's claim):
+    # recompute the same per-segment sketch estimates the key folds
+    # into its boolean and hold them to the tighter bound
+    from pyspark.sql import functions as F
+
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    est = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("est"),
+            F.count_distinct("c_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in est:
+        assert abs(r["est"] - r["exact"]) / r["exact"] < 0.02, r
 
 
 def test_null_split_left_join_matches_plain_join(spark):
