@@ -46,3 +46,25 @@ def test_no_fractional_round_in_query_sources():
         "columns; snap to an integer grid instead (functions/exact.py):\n"
         + "\n".join(offenders)
     )
+
+
+def test_priority_window_keys_are_hash_checked():
+    """Every key in the driver-window prefix (the first 50 of
+    _PRIORITY) must carry an oracle: a rows-only key in a window slot
+    burns correctness signal the round cannot get back."""
+    from delta_lake_play_spark.registry import _PRIORITY, all_queries
+
+    oracles = all_oracles()
+    assert all_queries()  # force module load so _PRIORITY is validated
+    window = list(dict.fromkeys(_PRIORITY))[:50]
+    missing = [k for k in window if k not in oracles]
+    assert not missing, f"window keys without oracles: {missing}"
+
+
+def test_priority_head_has_no_duplicate_slots():
+    """Duplicates inside the FIRST-50 prefix would silently shrink the
+    effective window (dict.fromkeys collapses them)."""
+    from delta_lake_play_spark.registry import _PRIORITY
+
+    head = _PRIORITY[:50]
+    assert len(set(head)) == len(head), "duplicate keys in window prefix"
