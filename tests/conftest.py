@@ -14,6 +14,12 @@ from delta_lake_play_spark.sources.catalog import TABLES  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running sweep tests (several minutes)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("delta_lake_play_spark-tests", cpus=8)

@@ -753,3 +753,46 @@ def test_source_capping_single_scan(spark, sf_dir):
     s = summarize(QUERIES["llm_source_capping"](spark, sf_dir))
     assert len(s.read_schemas) == 1, "capping must scan documents once"
     assert "Join" not in _plan(spark, sf_dir, "llm_source_capping")
+
+
+@pytest.mark.slow
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Automated anti-pattern sweep (r10): NO registered pure-query
+    key may plan a true CartesianProduct. The deliberate cross joins
+    in the registry are all broadcast-bounded 1-row/k-row relations
+    (weights, centroids, scalar stats) and plan as
+    BroadcastNestedLoopJoin — an unbounded CartesianProduct sneaking
+    in via a dropped join condition would pass a small-fixture
+    correctness check and detonate at scale. Table-building and
+    stream-running keys are excluded (their query functions execute
+    commits as a side effect; their plan shapes are pinned by their
+    own tests)."""
+    skip_prefix = (
+        "dml_",
+        "stream_",
+        "serve_",
+        "sink_",
+        "write_",
+        "create_if",
+        "time_travel",
+        "set_except",
+        "scan_latest",
+        "history_scan",
+    )
+    skip_exact = {
+        "llm_dedup_streaming",
+        "llm_dedup_incremental",
+        "llm_pipeline_end2end",
+    }
+    from delta_lake_play_spark.plans import formatted_plan
+
+    offenders, checked = [], 0
+    for key, fn in QUERIES.items():
+        if key.startswith(skip_prefix) or key in skip_exact:
+            continue
+        plan = formatted_plan(fn(spark, sf_dir))
+        checked += 1
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert checked > 200, f"sweep shrank unexpectedly: {checked} keys"
+    assert not offenders, f"true cartesian products in: {offenders}"
