@@ -783,3 +783,53 @@ def sql_udf_create(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, b.band_label
         """
     )
+
+
+# --- sql_scripting (Spark 4 SQL scripting: BEGIN/DECLARE/WHILE) -------------
+# Multi-statement SQL with control flow (SQL/PSM-shaped, Spark 4.0+,
+# behind spark.sql.scripting.enabled): session variables + a WHILE
+# loop compute a parameter the final statement then uses. The script
+# runs ON THE DRIVER as plan orchestration — each SELECT inside is a
+# normal Catalyst plan, so nothing here weakens the distributed
+# story; it replaces the external-driver-program glue (bash/Python
+# around spark-sql) that multi-step jobs otherwise need. The loop
+# result is closed-form (floor = 2^n·50000·(2^n−1)/... unrolled:
+# 50000 → 150000 → 350000), so the oracle is the conventional
+# aggregate with the literal folded in.
+
+_SCRIPTING_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+FROM orders
+WHERE o_totalprice > 350000
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_scripting", oracle=_SCRIPTING_ORACLE)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN/DECLARE/WHILE script whose loop-computed threshold
+    parameterizes the final aggregate."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE price_floor DOUBLE DEFAULT 0;
+              DECLARE i INT DEFAULT 0;
+              WHILE i < 3 DO
+                SET price_floor = price_floor * 2 + 50000;
+                SET i = i + 1;
+              END WHILE;
+              SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+              FROM orders
+              WHERE o_totalprice > price_floor
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
