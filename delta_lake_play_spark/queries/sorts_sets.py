@@ -217,3 +217,33 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_shipdate", "l_quantity").sortWithinPartitions(
         "l_shipdate"
     )
+
+
+# --- limit_offset_page: ordered pagination ---------------------------------
+# OFFSET pagination (SQL:2008 / Spark 3.4+ DataFrame.offset): page 3
+# of the price-ranked orders. The plan is the global-top-(k+offset)
+# shape — CollectLimit with a skip — which is fine for shallow pages
+# but O(offset + k) per page and re-sorts the head every request; at
+# 100 TB deep pagination uses KEYSET predicates instead (WHERE
+# (price, key) < last-seen, an indexable/pushable filter — the same
+# rows, constant cost per page). This key demonstrates the OFFSET
+# surface; the docstring is the scale warning.
+
+_OFFSET_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 20
+"""
+
+
+@register("limit_offset_page", oracle=_OFFSET_ORACLE)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 (rows 21-30) of orders by price: ORDER BY ... LIMIT 10
+    OFFSET 20 via the DataFrame offset() API."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -277,3 +277,60 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(batch_stats, schema="doc_id bigint, n_bytes bigint, n_tokens bigint")
+
+
+# --- udaf_arrow_grouped: groupBy().applyInArrow (Spark 4) -------------------
+
+# The grouped twin of mapInArrow (Spark 4.0+): each group arrives as
+# ONE pyarrow.Table in the Python worker — no pandas materialization
+# — and the function returns a Table. Same shuffle/scale story as
+# applyInPandas (state bounded by the largest single group, groups
+# processed independently per partition), minus the pandas copy; the
+# arithmetic stays on the exact cent grid so the oracle hash-checks
+# bit-for-bit.
+
+_ARROW_GROUPED_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_bal_cents,
+       CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS max_bal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("udaf_arrow_grouped", oracle=_ARROW_GROUPED_ORACLE)
+def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact stats computed with pyarrow compute kernels
+    inside applyInArrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def seg_stats(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.round(pc.multiply(table.column("c_acctbal"), 100)), pa.int64())
+        return pa.table(
+            {
+                "c_mktsegment": [table.column("c_mktsegment")[0].as_py()],
+                "n_custs": [table.num_rows],
+                "sum_bal_cents": [pc.sum(cents).as_py()],
+                "max_bal_cents": [pc.max(cents).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("c_mktsegment", pa.string()),
+                    ("n_custs", pa.int64()),
+                    ("sum_bal_cents", pa.int64()),
+                    ("max_bal_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInArrow(
+        seg_stats,
+        schema=(
+            "c_mktsegment string, n_custs bigint, "
+            "sum_bal_cents bigint, max_bal_cents bigint"
+        ),
+    )
