@@ -1151,3 +1151,63 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.coalesce(F.col("k"), F.lit(-1)) >= 50)
     )
+
+
+# --- fn_transpose (Spark 4 DataFrame.transpose) -----------------------------
+
+# Rows→columns flip (Spark 4.0): the first column's VALUES become the
+# output column names; every remaining column becomes one output row
+# keyed by its name. Inherently driver-bounded — the output width IS
+# the input row count — so the right input is always a small
+# aggregate (here: 5 regions), never a raw table; that bound is the
+# scale contract. The TPC-H region names are part of the declared
+# fixture contract (the standard 5-constant list), so the oracle can
+# name the transposed columns literally; a renamed region would fail
+# LOUDLY as a missing column, not silently mis-hash.
+
+_TRANSPOSE_ORACLE = """
+WITH per AS (
+  SELECT r_name,
+         CAST(COUNT(*) AS BIGINT) AS n_custs,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_bal_cents
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+)
+SELECT 'n_custs' AS key,
+       (SELECT n_custs FROM per WHERE r_name = 'AFRICA') AS "AFRICA",
+       (SELECT n_custs FROM per WHERE r_name = 'AMERICA') AS "AMERICA",
+       (SELECT n_custs FROM per WHERE r_name = 'ASIA') AS "ASIA",
+       (SELECT n_custs FROM per WHERE r_name = 'EUROPE') AS "EUROPE",
+       (SELECT n_custs FROM per WHERE r_name = 'MIDDLE EAST') AS "MIDDLE EAST"
+UNION ALL
+SELECT 'sum_bal_cents',
+       (SELECT sum_bal_cents FROM per WHERE r_name = 'AFRICA'),
+       (SELECT sum_bal_cents FROM per WHERE r_name = 'AMERICA'),
+       (SELECT sum_bal_cents FROM per WHERE r_name = 'ASIA'),
+       (SELECT sum_bal_cents FROM per WHERE r_name = 'EUROPE'),
+       (SELECT sum_bal_cents FROM per WHERE r_name = 'MIDDLE EAST')
+"""
+
+
+@register("fn_transpose", oracle=_TRANSPOSE_ORACLE)
+def fn_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region customer stats flipped rows→columns via
+    DataFrame.transpose (region becomes the header row)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    per = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_bal_cents"),
+        )
+    )
+    return per.transpose()
