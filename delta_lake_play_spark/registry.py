@@ -119,6 +119,11 @@ _PRIORITY: tuple[str, ...] = (
     "sub_not_in_null_semantics",
     "sub_top_supplier",
     "llm_decontaminate",
+    # --- R11 WINDOW QUEUE: keys registered after the r10 window was
+    # spent on the stale-tail retirement, each with six-fixture local
+    # MATCH evidence but no driver row yet — slot these FIRST next
+    # round (alongside the changed-code rule): sql_scripting,
+    # limit_offset_page, udaf_arrow_grouped, fn_transpose.
     # --- TIER 2 (51+): the round-9 window keys, all re-proven r9
     # (duplicates of round-10 head keys collapse to their first
     # position in _ordered). They rotate behind the r10 window.
