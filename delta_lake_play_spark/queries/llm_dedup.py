@@ -233,8 +233,13 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.try_divide(
         inter.cast("double"), F.size("bg_a") + F.size("bg_b") - inter
     )
+    # explicit broadcast: the b-side is the bounded ≤150-doc scope by
+    # CONSTRUCTION, so the theta join must plan as a broadcast
+    # nested-loop at any threshold/stats setting — unhinted it
+    # degrades to a true CartesianProduct the moment auto-broadcast
+    # is off (caught by test_plan_shapes' r10 cartesian sweep).
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(_NGRAM_TOPN)

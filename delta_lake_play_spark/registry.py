@@ -123,7 +123,9 @@ _PRIORITY: tuple[str, ...] = (
     # spent on the stale-tail retirement, each with six-fixture local
     # MATCH evidence but no driver row yet — slot these FIRST next
     # round (alongside the changed-code rule): sql_scripting,
-    # limit_offset_page, udaf_arrow_grouped, fn_transpose.
+    # limit_offset_page, udaf_arrow_grouped, fn_transpose; plus
+    # llm_dedup_ngram_jaccard (changed code: explicit broadcast hint
+    # on the bounded-scope theta join, r10 cartesian-sweep catch).
     # --- TIER 2 (51+): the round-9 window keys, all re-proven r9
     # (duplicates of round-10 head keys collapse to their first
     # position in _ordered). They rotate behind the r10 window.

@@ -177,44 +177,38 @@ def test_encoder_emits_valid_images_roundtrip():
 
 # --- property-based roundtrip (hypothesis) ---------------------------------
 
-try:
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
-
-    _HAVE_HYPOTHESIS = True
-except ImportError:  # pragma: no cover
-    _HAVE_HYPOTHESIS = False
+hypothesis = pytest.importorskip("hypothesis")  # SKIP visibly if absent
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
 
 
-if _HAVE_HYPOTHESIS:
-
-    @settings(max_examples=60, deadline=None)
-    @given(
-        payloads=st.lists(
-            st.binary(min_size=0, max_size=400), min_size=1, max_size=8
-        ),
-        start_id=st.integers(min_value=0, max_value=10_000),
-    )
-    def test_property_encode_decode_roundtrip(payloads, start_id):
-        """For ANY byte payloads: encode → decode recovers exact
-        dimensions and the payload byte sum; the thumbnail sum equals
-        an independent per-pixel reference loop. Exercises both
-        formats (doc_id parity), empty payloads, and row-boundary
-        sizes the example tests can't enumerate."""
-        ids = list(range(start_id, start_id + len(payloads)))
-        pdf = pd.DataFrame({"doc_id": ids, "payload": payloads})
-        enc = next(iter(mm.encode_image_batches(iter([pdf]))))
-        dec = next(iter(mm.decode_batches(iter([enc]))))
-        res = next(iter(mm.resize_batches(iter([enc]))))
-        for p, (_, d), (_, r) in zip(payloads, dec.iterrows(), res.iterrows()):
-            h = max(1, -(-len(p) // 48))
-            assert d["width"] == 16 and d["height"] == h and d["depth"] == 3
-            assert d["fmt"] == ("bmp" if d["doc_id"] % 2 == 0 else "ppm")
-            assert d["pixel_sum"] == sum(p)
-            pix = p + b"\0" * (h * 48 - len(p))
-            expect = 0
-            for rr in range(4):
-                for cc in range(4):
-                    base = ((rr * h) // 4) * 48 + ((cc * 16) // 4) * 3
-                    expect += sum(pix[base : base + 3])
-            assert r["thumb_pixel_sum"] == expect
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=8
+    ),
+    start_id=st.integers(min_value=0, max_value=10_000),
+)
+def test_property_encode_decode_roundtrip(payloads, start_id):
+    """For ANY byte payloads: encode → decode recovers exact
+    dimensions and the payload byte sum; the thumbnail sum equals
+    an independent per-pixel reference loop. Exercises both
+    formats (doc_id parity), empty payloads, and row-boundary
+    sizes the example tests can't enumerate."""
+    ids = list(range(start_id, start_id + len(payloads)))
+    pdf = pd.DataFrame({"doc_id": ids, "payload": payloads})
+    enc = next(iter(mm.encode_image_batches(iter([pdf]))))
+    dec = next(iter(mm.decode_batches(iter([enc]))))
+    res = next(iter(mm.resize_batches(iter([enc]))))
+    for p, (_, d), (_, r) in zip(payloads, dec.iterrows(), res.iterrows()):
+        h = max(1, -(-len(p) // 48))
+        assert d["width"] == 16 and d["height"] == h and d["depth"] == 3
+        assert d["fmt"] == ("bmp" if d["doc_id"] % 2 == 0 else "ppm")
+        assert d["pixel_sum"] == sum(p)
+        pix = p + b"\0" * (h * 48 - len(p))
+        expect = 0
+        for rr in range(4):
+            for cc in range(4):
+                base = ((rr * h) // 4) * 48 + ((cc * 16) // 4) * 3
+                expect += sum(pix[base : base + 3])
+        assert r["thumb_pixel_sum"] == expect

@@ -783,16 +783,30 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         "llm_dedup_streaming",
         "llm_dedup_incremental",
         "llm_pipeline_end2end",
+        # the ONE declared cartesian: bounded region × nation grid
+        # (its docstring declares the intent; everything else must
+        # carry an explicit broadcast hint or a join condition)
+        "join_cross_small",
     }
-    from delta_lake_play_spark.plans import formatted_plan
-
+    # auto-broadcast DISABLED for the sweep: at fixture scale every
+    # relation fits the 10 MB threshold, so a dropped join condition
+    # would plan as BroadcastNestedLoopJoin and the sweep would be
+    # vacuous (self-review r10). With the threshold off, only
+    # F.broadcast-HINTED bounded cross joins stay BNLJ — an unhinted
+    # conditionless join surfaces as the CartesianProduct this
+    # asserts against.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     offenders, checked = [], 0
-    for key, fn in QUERIES.items():
-        if key.startswith(skip_prefix) or key in skip_exact:
-            continue
-        plan = formatted_plan(fn(spark, sf_dir))
-        checked += 1
-        if "CartesianProduct" in plan:
-            offenders.append(key)
+    try:
+        for key, fn in QUERIES.items():
+            if key.startswith(skip_prefix) or key in skip_exact:
+                continue
+            plan = formatted_plan(fn(spark, sf_dir))
+            checked += 1
+            if "CartesianProduct" in plan:
+                offenders.append(key)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert checked > 200, f"sweep shrank unexpectedly: {checked} keys"
     assert not offenders, f"true cartesian products in: {offenders}"

@@ -52,10 +52,9 @@ def test_priority_window_keys_are_hash_checked():
     """Every key in the driver-window prefix (the first 50 of
     _PRIORITY) must carry an oracle: a rows-only key in a window slot
     burns correctness signal the round cannot get back."""
-    from delta_lake_play_spark.registry import _PRIORITY, all_queries
+    from delta_lake_play_spark.registry import _PRIORITY
 
-    oracles = all_oracles()
-    assert all_queries()  # force module load so _PRIORITY is validated
+    oracles = all_oracles()  # loads query modules + validates _PRIORITY
     window = list(dict.fromkeys(_PRIORITY))[:50]
     missing = [k for k in window if k not in oracles]
     assert not missing, f"window keys without oracles: {missing}"
