@@ -25,9 +25,15 @@ drift each needed an after-the-fact environment explanation):
   and end; its three samples ride in the JSON (``calib``), so machine
   state and within-run drift are visible inside the artifact itself.
 - the headline set gets a SECOND PASS at suite end (``headline_sum``
-  vs ``headline_repass_sum``): if the repass is materially faster or
-  slower than the first pass, the delta is in-run state (JVM/GC/page
-  cache), not code.
+  vs ``headline_repass_sum``). Interpretation, calibrated on the r10
+  close runs: repass ≈ first pass on a short suite; after a full
+  300+-key session the repass reads ~1.5-1.7× UNIFORMLY across key
+  types while the calibration probe stays flat — that is in-SESSION
+  aging (catalog/listener growth, old-gen pressure on complex
+  plans), not machine state and not code. So: calib moves → machine;
+  repass moves with flat calib → session age; per-key medians move
+  with both flat → code. The first-pass ``headline_norm`` is the
+  cross-round comparator.
 - ``headline_norm`` = first-pass headline sum × (CALIB_REF /
   median(calib)) — the headline figure normalized to the pinned
   reference machine state, comparable across rounds without prose.
