@@ -1263,3 +1263,88 @@ def llm_source_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs")
         ).alias("drop_frac"),
     )
+
+
+# --- llm_dpo_pair_mining ----------------------------------------------------
+# Preference-pair construction (the DPO/RLHF data stage): within each
+# (source, lang) stratum, pair the best against the worst document by
+# a quality feature, emitting (chosen, rejected, margin). The ranking
+# feature is the INTEGER distinct-token count with doc_id as a total
+# tiebreaker, so chosen/rejected selection is deterministic and
+# hash-parity-safe (a float score would rank identically only until
+# two docs tie within an ulp). Groups with a single distinct doc (or
+# where best == worst) emit nothing — a pair needs a real contrast.
+#
+# Scale shape: one scan → narrow per-doc feature map → ONE shuffle on
+# the stratum key feeding two window row_numbers (same partitioning,
+# two sort orders) → group-sized conditional aggregate. At 100 TB the
+# state per stratum is two rows; nothing is ever all-pairs.
+
+_DPO_ORACLE = """
+WITH f AS (
+  SELECT source, lang, doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dt
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY dt DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY dt ASC, doc_id) AS rw
+  FROM f
+)
+SELECT source, lang,
+       MAX(CASE WHEN rb = 1 THEN doc_id END) AS chosen_doc,
+       MAX(CASE WHEN rw = 1 THEN doc_id END) AS rejected_doc,
+       CAST(MAX(CASE WHEN rb = 1 THEN dt END)
+            - MAX(CASE WHEN rw = 1 THEN dt END) AS BIGINT) AS margin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM r
+GROUP BY source, lang
+HAVING MAX(CASE WHEN rb = 1 THEN doc_id END)
+       <> MAX(CASE WHEN rw = 1 THEN doc_id END)
+"""
+
+
+@register("llm_dpo_pair_mining", oracle=_DPO_ORACLE)
+def llm_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-vs-worst preference pairs per (source, lang) stratum on
+    the integer distinct-token feature."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    f = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("dt"),
+    )
+    wb = Window.partitionBy("source", "lang").orderBy(
+        F.col("dt").desc(), "doc_id"
+    )
+    ww = Window.partitionBy("source", "lang").orderBy(
+        F.col("dt").asc(), "doc_id"
+    )
+    r = f.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rw", F.row_number().over(ww)
+    )
+    best = F.max(F.when(F.col("rb") == 1, F.col("doc_id")))
+    worst = F.max(F.when(F.col("rw") == 1, F.col("doc_id")))
+    return (
+        r.groupBy("source", "lang")
+        .agg(
+            best.alias("chosen_doc"),
+            worst.alias("rejected_doc"),
+            (
+                F.max(F.when(F.col("rb") == 1, F.col("dt")))
+                - F.max(F.when(F.col("rw") == 1, F.col("dt")))
+            )
+            .cast("bigint")
+            .alias("margin"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("chosen_doc") != F.col("rejected_doc"))
+    )

@@ -123,7 +123,8 @@ _PRIORITY: tuple[str, ...] = (
     # spent on the stale-tail retirement, each with six-fixture local
     # MATCH evidence but no driver row yet — slot these FIRST next
     # round (alongside the changed-code rule): sql_scripting,
-    # limit_offset_page, udaf_arrow_grouped, fn_transpose; plus
+    # limit_offset_page, udaf_arrow_grouped, fn_transpose,
+    # llm_dpo_pair_mining; plus
     # llm_dedup_ngram_jaccard (changed code: explicit broadcast hint
     # on the bounded-scope theta join, r10 cartesian-sweep catch).
     # --- TIER 2 (51+): the round-9 window keys, all re-proven r9
