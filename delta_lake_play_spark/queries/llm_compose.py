@@ -1348,3 +1348,105 @@ def llm_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("chosen_doc") != F.col("rejected_doc"))
     )
+
+
+# --- llm_embedding_drift ----------------------------------------------------
+# Distribution-drift monitor: cosine of each source's MEAN embedding
+# against the corpus mean — the cheap first-alarm for "this crawl
+# source's embedding distribution moved" (ingest regressions, encoder
+# version skew). Per-dim sums are EXACT int64 on a floor(x·1e6) grid
+# (a double sum over rows would be partition-order-dependent; floor is
+# unambiguous in both engines, unlike round's tie rules), so the only
+# float ops are one division per dim and the fixed left-to-right
+# cosine fold both engines share.
+#
+# Scale shape: ONE scan → explode to (source, dim) → one
+# map-side-combined aggregate keyed (source, dim) (rows = sources×64,
+# not vectors×64 after partial agg) → global derived from the
+# per-source rows (no second scan) → per-source array assembly +
+# one broadcast of the 1-row global mean.
+
+_DRIFT_ORACLE = """
+WITH joined AS (
+  SELECT d.source, e.embedding::DOUBLE[] AS de
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+ex AS (
+  SELECT source, u.p['dim'] AS dim, u.p['g'] AS g
+  FROM joined,
+       LATERAL (SELECT unnest(list_transform(range(1, len(de)+1),
+                    i -> {'dim': i,
+                          'g': CAST(floor(de[i] * 1000000) AS BIGINT)}))
+                AS p) u
+),
+per AS (
+  SELECT source, dim, CAST(SUM(g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY source, dim
+),
+src_vec AS (
+  SELECT source,
+         list(CAST(s AS DOUBLE) / n ORDER BY dim) AS mv,
+         MAX(n) AS n_vecs
+  FROM per GROUP BY source
+),
+glob AS (
+  SELECT list(CAST(s AS DOUBLE) / n ORDER BY dim) AS gv
+  FROM (SELECT dim, CAST(SUM(s) AS BIGINT) AS s,
+               CAST(SUM(n) AS BIGINT) AS n
+        FROM per GROUP BY dim)
+)
+SELECT s.source, s.n_vecs,
+       __COS__ AS drift_cos
+FROM src_vec s, glob g
+"""
+
+
+def _drift_oracle() -> str:
+    from delta_lake_play_spark.queries.llm_similarity import _sql_cos
+
+    return _DRIFT_ORACLE.replace("__COS__", _sql_cos("s.mv", "g.gv"))
+
+
+@register("llm_embedding_drift", oracle=_drift_oracle())
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of each source's mean embedding vs the corpus mean."""
+    from delta_lake_play_spark.functions.vectors import cosine_sim
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = e.join(d, e.vec_id == d.doc_id).select(
+        "source", F.col("embedding").cast("array<double>").alias("de")
+    )
+    ex = joined.select(
+        "source", F.posexplode("de").alias("dim", "val")
+    ).select(
+        "source",
+        "dim",
+        F.floor(F.col("val") * 1000000).cast("bigint").alias("g"),
+    )
+    per = ex.groupBy("source", "dim").agg(
+        F.sum("g").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+
+    def mean_vec(df, keys):
+        sorted_pairs = F.sort_array(F.collect_list(F.struct("dim", "s", "n")))
+        return df.groupBy(*keys).agg(
+            F.transform(
+                sorted_pairs, lambda x: x["s"].cast("double") / x["n"]
+            ).alias("mv"),
+            F.max("n").alias("n_vecs"),
+        )
+
+    src_vec = mean_vec(per, ["source"])
+    glob = mean_vec(
+        per.groupBy("dim").agg(
+            F.sum("s").alias("s"), F.sum("n").alias("n")
+        ),
+        [],
+    ).select(F.col("mv").alias("gv"))
+    return src_vec.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_vecs",
+        cosine_sim("mv", "gv").alias("drift_cos"),
+    )
