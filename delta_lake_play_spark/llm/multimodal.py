@@ -171,6 +171,25 @@ def _parse_images(joined, lens, starts, doc_ids):
         depth[bi] = bpp // 8
         pix_off[bi] = _le32(joined, starts[bi] + 10)  # bfOffBits
         rowsize[bi] = ((width[bi] * depth[bi] + 3) // 4) * 4
+        # Validate the signed header words BEFORE segment-bounds math:
+        # a negative bfOffBits/biWidth or a sub-byte palettized depth
+        # (bpp 1/4 → depth 0, rowsize 0) would otherwise pass the
+        # containment check below and silently gather a NEIGHBORING
+        # document's bytes from the batch's concatenated buffer.
+        bad_bpp = np.flatnonzero(~np.isin(bpp, (24, 32)))
+        if bad_bpp.size:
+            k = int(bi[bad_bpp[0]])
+            raise ValueError(
+                f"unsupported BMP bit depth for doc_id={doc_ids[k]}: "
+                f"bpp={int(bpp[bad_bpp[0]])} (only 24/32 uncompressed)"
+            )
+        bad_off = np.flatnonzero(pix_off[bi] < 54)
+        if bad_off.size:
+            k = int(bi[bad_off[0]])
+            raise ValueError(
+                f"invalid BMP bfOffBits for doc_id={doc_ids[k]}: "
+                f"{int(pix_off[k])} (must be >= 54)"
+            )
 
     for k in np.flatnonzero(is_ppm):  # O(rows): headers ≤ ~20 ASCII bytes
         head = bytes(joined[starts[k] : starts[k] + min(32, lens[k])])
@@ -184,6 +203,18 @@ def _parse_images(joined, lens, starts, doc_ids):
         pix_off[k] = m.end()
         rowsize[k] = width[k] * 3  # PPM has no row padding
 
+    # Zero/negative dimensions (BMP biWidth is signed; a 0 height
+    # declares 0 pixel bytes) would pass containment yet the 4x4
+    # thumbnail gather still reads pix_off+2 and, for bottom-up BMPs,
+    # height-1-src_r = -1 wraps to the payload tail — reject for both
+    # decode and resize here, loudly, like every other malformation.
+    bad_dim = np.flatnonzero((width < 1) | (height < 1))
+    if bad_dim.size:
+        k = int(bad_dim[0])
+        raise ValueError(
+            f"degenerate image dimensions for doc_id={doc_ids[k]}: "
+            f"{int(width[k])}x{int(height[k])}"
+        )
     short = np.flatnonzero(pix_off + rowsize * height > lens)
     if short.size:
         k = int(short[0])

@@ -1390,7 +1390,7 @@ src_vec AS (
          MAX(n) AS n_vecs
   FROM per GROUP BY source
 ),
-glob AS (
+gmean AS (
   SELECT list(CAST(s AS DOUBLE) / n ORDER BY dim) AS gv
   FROM (SELECT dim, CAST(SUM(s) AS BIGINT) AS s,
                CAST(SUM(n) AS BIGINT) AS n
@@ -1398,7 +1398,7 @@ glob AS (
 )
 SELECT s.source, s.n_vecs,
        __COS__ AS drift_cos
-FROM src_vec s, glob g
+FROM src_vec s, gmean g
 """
 
 

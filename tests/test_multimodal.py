@@ -163,6 +163,82 @@ def test_truncated_image_raises_not_neighbor_read():
         list(mm.resize_batches(iter([pdf])))
 
 
+def test_bmp_rejects_negative_or_tiny_bfoffbits():
+    """ADVICE r10: a negative bfOffBits (signed _le32 read) or one
+    pointing inside the header yields a negative/overlapping pixel
+    segment that passes the upper-bound containment check — it must
+    raise, never gather a neighbor's bytes."""
+    base = bytearray(_bmp(4, 1, [bytes([1] * 12)], top_down=True))
+    for off in (0xFFFFFFF0, 0, 10, 53):  # negative-as-signed, in-header
+        bad = bytearray(base)
+        bad[10:14] = off.to_bytes(4, "little")
+        with pytest.raises(ValueError, match="bfOffBits"):
+            _decode([bytes(bad)])
+        with pytest.raises(ValueError, match="bfOffBits"):
+            list(
+                mm.resize_batches(
+                    iter([pd.DataFrame({"doc_id": [0], "payload": [bytes(bad)]})])
+                )
+            )
+
+
+def test_bmp_rejects_palettized_bit_depths():
+    """ADVICE r10: bpp 1/4 gives depth = bpp//8 = 0 and rowsize 0 —
+    the payload passes containment and 'decodes' to pixel_sum 0
+    instead of raising. 8/16-bit are likewise unsupported."""
+    base = bytearray(_bmp(4, 1, [bytes([1] * 12)], top_down=True))
+    for bpp in (1, 4, 8, 16):
+        bad = bytearray(base)
+        bad[28:30] = bpp.to_bytes(2, "little")
+        with pytest.raises(ValueError, match="bit depth"):
+            _decode([bytes(bad)])
+    ok = bytearray(base)
+    ok[28:30] = (32).to_bytes(2, "little")  # 32-bit stays accepted
+    ok[18:22] = (3).to_bytes(4, "little")  # 3 px * 4 B = 12 B row
+    assert _decode([bytes(ok)]).loc[0, "depth"] == 4
+
+
+def test_zero_dimension_headers_raise_in_decode_and_resize():
+    """ADVICE r10: width/height 0 declares 0 pixel bytes (passes
+    containment) but the 4x4 thumbnail gather still reads pix_off+2
+    and, bottom-up, wraps via height-1-src_r = -1 — both stages must
+    refuse degenerate dims (the real encoder emits height >= 1)."""
+    zh = bytearray(_bmp(4, 1, [bytes([1] * 12)], top_down=False))
+    zh[22:26] = (0).to_bytes(4, "little")  # biHeight = 0, bottom-up
+    zw = b"P6\n0 3\n255\n"  # PPM width 0
+    for bad in (bytes(zh), zw):
+        pdf = pd.DataFrame({"doc_id": [0], "payload": [bad]})
+        with pytest.raises(ValueError, match="degenerate"):
+            list(mm.decode_batches(iter([pdf])))
+        with pytest.raises(ValueError, match="degenerate"):
+            list(mm.resize_batches(iter([pdf])))
+
+
+def test_fixture_documents_text_is_ascii_only():
+    """ADVICE r10: llm_multimodal_decode's DuckDB oracle equates
+    pixel_sum = sum(ascii(code unit)) and n = octet_length(encode),
+    which only holds for pure-ASCII text. Guard the fixture CONTRACT
+    here so a regenerated fixture with multi-byte chars fails loudly
+    as a contract break, not as a mysterious codec hash mismatch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(path):
+            continue
+        texts = pq.read_table(path, columns=["text"]).column("text")
+        for chunk in texts.chunks:
+            for t in chunk.to_pylist():
+                assert t is None or t.isascii(), (
+                    f"non-ASCII documents.text in {path}: {t[:80]!r}"
+                )
+        checked += 1
+    assert checked, "no documents.parquet fixture found to check"
+
+
 def test_encoder_emits_valid_images_roundtrip():
     texts = [b"hello world" * 7, b"x", b"a" * 48, b"q" * 49, b""]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "payload": texts})
