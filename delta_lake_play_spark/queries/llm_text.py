@@ -17,11 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from delta_lake_play_spark.llm import ngrams as ng
 from delta_lake_play_spark.llm import text as tx
-from delta_lake_play_spark.llm.minhash import P as NOVELTY_P
-from delta_lake_play_spark.llm.minhash import (
-    sql_token_hashes as sql_token_hashes_novelty,
-)
 from delta_lake_play_spark.registry import register
 from delta_lake_play_spark.sources.catalog import load_table
 
@@ -390,12 +387,10 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REP_THRESHOLD = 0.18
 
 _REP_ORACLE = f"""
-WITH grams AS (
-  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-), counts AS (
+WITH {ng.sql_bigram_hashes_ctes()},
+counts AS (
   SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c
-  FROM grams GROUP BY doc_id, bigram
+  FROM bg GROUP BY doc_id, bigram
 )
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_bigrams,
@@ -409,21 +404,17 @@ FROM counts GROUP BY doc_id
 @register("llm_repetition_filter", oracle=_REP_ORACLE)
 def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram repetition ratio per document with a Gopher-style
-    flag. Two map-side-combined shuffles keyed on (doc, bigram) then
-    doc — both high-cardinality, no skew beyond genuinely repetitive
-    documents. The production battery adds the 2-4-gram and
-    duplicate-line variants of the same shape."""
+    flag. Two map-side-combined shuffles keyed on (doc, bigram-hash)
+    then doc — both high-cardinality, no skew beyond genuinely
+    repetitive documents. Bigram keys from the shared hashed-bigram
+    relation (``llm/ngrams.py`` — int64 keys, not ~40-byte strings;
+    the old per-element ``element_at(split(text), i)`` expression
+    also re-split the text per bigram, O(len²) per doc). sf1
+    measured 38.2 s (r10) → ~5 s. The production battery adds the
+    2-4-gram and duplicate-line variants of the same shape."""
     d = load_table(spark, sf_dir, "documents")
-    # sequence(1, 0) would DESCEND in Spark — guard the 1-token case
-    bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1))) "
-        "ELSE array() END"
-    )
     counts = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        ng.doc_bigram_hashes(d)
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
     )
@@ -833,57 +824,40 @@ def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join it back to score — is identical), so the whole chain stays
 # hash-checkable: int64 sums plus one IEEE division.
 
-_LM_ORACLE = """
-WITH ex AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           generate_series(1, len(toks) - 1),
-           i -> toks[i] || ' ' || toks[i + 1])) AS bg
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
-), model AS (
-  SELECT bg, COUNT(*) AS freq FROM ex GROUP BY bg
+_LM_ORACLE = f"""
+WITH {ng.sql_bigram_hashes_ctes()},
+model AS (
+  SELECT bigram, COUNT(*) AS freq FROM bg GROUP BY bigram
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(freq) AS BIGINT) AS total_freq,
        CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS avg_freq
-FROM ex JOIN model USING (bg)
+FROM bg JOIN model USING (bigram)
 GROUP BY doc_id
 """
 
 
 @register("llm_ngram_lm_score", oracle=_LM_ORACLE)
 def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-frequency LM scoring: one explode pass builds the
-    training stream, a map-side-combined aggregate builds the model
-    (bigram -> corpus count), a join keyed by bigram scores every
-    document, and a doc-keyed aggregate averages. At 100 TB the model
-    table is vocabulary-sized (<< corpus-sized); both shuffles are on
-    high-cardinality keys with partial aggregation — no broadcast
-    assumption, no driver materialization."""
+    """Bigram-frequency LM scoring: the shared hashed-bigram relation
+    (``llm/ngrams.py`` — int64 keys) builds the training stream, a
+    map-side-combined aggregate builds the model (bigram-hash ->
+    corpus count), a join keyed by bigram-hash scores every document,
+    and a doc-keyed aggregate averages. At 100 TB the model table is
+    vocabulary-sized (<< corpus-sized); both shuffles are on
+    high-cardinality int64 keys with partial aggregation — no
+    broadcast assumption, no driver materialization. sf1 measured
+    37.7 s (string keys, r10) → ~5 s."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # Guard the 1-token doc: Spark's sequence(1, 0) DESCENDS to [1, 0]
-    # and element_at(toks, 0) is a runtime error, where DuckDB's
-    # generate_series(1, 0) is empty. when-null explodes to no rows,
-    # matching the oracle.
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    )
-    ex = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    ex = ng.doc_bigram_hashes(d)
     # Pre-combine to distinct (doc, bigram) pairs BEFORE the model
     # join: the scored stream shrinks from every occurrence to every
     # distinct pair, and the model aggregate rides the same exchange.
-    perdoc = ex.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
-    model = perdoc.groupBy("bg").agg(F.sum("c").alias("freq"))
+    perdoc = ex.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    model = perdoc.groupBy("bigram").agg(F.sum("c").alias("freq"))
     return (
-        perdoc.join(model, "bg")
+        perdoc.join(model, "bigram")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
@@ -1441,38 +1415,24 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Shuffle key (r11, VERDICT r10 ask #4): the three shuffles carry an
 # int64 bigram hash, not the ~40-byte bigram string — the shared
-# mod-prime polynomial hashes each token (llm/minhash.py::char_hash,
-# engine-identical, so the DuckDB oracle recomputes the same keys and
-# hash parity holds) and the pair combines INJECTIVELY as
-# h1*P + h2 (< P² ≈ 1.0e18 < 2^63; each h < P), so hashing adds no
-# new collision class beyond the token-level char hash itself —
-# distinct (h1, h2) pairs never merge.
+# hashed-bigram relation (llm/ngrams.py: vocabulary-level polynomial
+# signing, injective h1*P + h2 pair combine, engine-identical SQL
+# twin) feeds this key, llm_repetition_filter and llm_ngram_lm_score.
 
 _NOVELTY_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id,
-         {sql_token_hashes_novelty("string_split(text, ' ')")} AS hs
-  FROM documents WHERE text IS NOT NULL
-),
-bg AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, len(hs) - 1),
-                i -> hs[CAST(i AS INT)] * {NOVELTY_P}
-                     + hs[CAST(i + 1 AS INT)]))
-           AS bigram
-  FROM tok
-),
+WITH {ng.sql_bigram_hashes_ctes()},
+bgd AS (SELECT DISTINCT doc_id, bigram FROM bg),
 firsts AS (
-  SELECT bigram, MIN(doc_id) AS first_doc FROM bg GROUP BY bigram
+  SELECT bigram, MIN(doc_id) AS first_doc FROM bgd GROUP BY bigram
 )
-SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+SELECT CAST(bgd.doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN f.first_doc = bgd.doc_id THEN 1 ELSE 0 END)
             AS BIGINT) AS n_novel,
-       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN f.first_doc = bgd.doc_id THEN 1 ELSE 0 END)
             AS DOUBLE) / COUNT(*) AS novelty
-FROM bg JOIN firsts f USING (bigram)
-GROUP BY bg.doc_id
+FROM bgd JOIN firsts f USING (bigram)
+GROUP BY bgd.doc_id
 """
 
 
@@ -1480,40 +1440,12 @@ GROUP BY bg.doc_id
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of distinct bigrams first seen in that doc.
 
-    Token hashing runs at VOCABULARY level (hash each distinct token
-    once — the interpreted char-fold HOF never touches the
-    per-occurrence hot path; hashing per occurrence was measured ~7×
-    SLOWER than the string version it replaced), then joins back by
-    token string. The vocabulary is broadcast — distinct tokens are
-    tiny relative to occurrences on any natural-language corpus; at
-    scales where the vocabulary outgrows broadcast, drop the hint and
-    the join degrades to its shuffle form (same contract as
-    ``operators/dedup.py::minhash_near_dup_pairs``). Consecutive
-    pairs form via one ``lead`` over (doc_id, pos) — plain int64
-    arithmetic inside codegen."""
-    from delta_lake_play_spark.llm import minhash as mh
-
-    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    tok = d.select(
-        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "tok")
-    )
-    vocab = (
-        tok.select("tok")
-        .distinct()
-        .select("tok", mh.char_hash(F.col("tok")).alias("h"))
-    )
-    th = tok.join(F.broadcast(vocab), "tok").select("doc_id", "pos", "h")
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        th.select(
-            "doc_id",
-            (
-                F.col("h") * F.lit(NOVELTY_P) + F.lead("h", 1).over(wseq)
-            ).alias("bigram"),
-        )
-        .where(F.col("bigram").isNotNull())
-        .distinct()
-    )
+    Bigram keys come from the shared hashed-bigram relation
+    (``llm/ngrams.py::doc_bigram_hashes`` — vocabulary-level token
+    signing, broadcast-gated join-back, one ``lead`` over
+    (doc_id, pos)); sf1 measured 28.0 s (string keys, r10) → ~5 s."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = ng.doc_bigram_hashes(d).distinct()
     firsts = bg.withColumn(
         "first_doc", F.min("doc_id").over(Window.partitionBy("bigram"))
     )

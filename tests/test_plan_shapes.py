@@ -737,13 +737,38 @@ def test_bitmap_distinct_avoids_expand(spark, sf_dir):
     assert "o_totalprice" not in plan  # column pruning reached the scan
 
 
-def test_ngram_novelty_single_scan(spark, sf_dir):
-    # first_doc via a bigram-partitioned window MIN, not an agg +
-    # self-join: the join formulation re-reads the corpus (two Scan
-    # subtrees). One scan, no join at all.
-    s = summarize(QUERIES["llm_ngram_novelty"](spark, sf_dir))
-    assert len(s.read_schemas) == 1, "novelty must scan documents once"
-    assert "Join" not in _plan(spark, sf_dir, "llm_ngram_novelty")
+@pytest.mark.parametrize(
+    "key", ["llm_ngram_novelty", "llm_repetition_filter", "llm_ngram_lm_score"]
+)
+def test_hashed_bigram_relation_shape(spark, sf_dir, key):
+    """The three bigram keys share llm/ngrams.py::doc_bigram_hashes
+    (r11): ONE parquet scan of documents feeding a persisted token
+    relation (both the vocabulary branch and the join probe read the
+    cache, never the parquet twice), the vocabulary joins back as a
+    BROADCAST hash join (never a shuffled sort-merge on the token
+    string), and every downstream exchange keys on the int64 bigram
+    hash — the shuffled `bigram` attribute must be bigint (#..L),
+    never a string (r10 sf1: 28-38 s/key shuffling ~40-byte strings;
+    r11: ~5 s)."""
+    plan = _plan(spark, sf_dir, key)
+    s = summarize(QUERIES[key](spark, sf_dir))
+    assert not s.has_cartesian
+    assert "InMemoryRelation" in plan, "token relation must be persisted"
+    assert len(s.read_schemas) == 1, f"{key} must scan only documents"
+    assert s.n_broadcast_joins >= 1, "vocabulary join-back must broadcast"
+    import re
+
+    ex_keys = re.findall(r"hashpartitioning\((\w+)#\d+(L?)", plan)
+    assert ("bigram", "") not in ex_keys, "bigram shuffled as non-long"
+    if key == "llm_repetition_filter":
+        # Catalyst partitions the (doc_id, bigram) aggregate by doc_id
+        # ALONE so the follow-on per-doc aggregate reuses the exchange
+        # — one shuffle total, nothing keyed on the bigram at all.
+        assert ex_keys.count(("doc_id", "L")) == 1
+    else:
+        assert ("bigram", "L") in ex_keys, (
+            f"no exchange keyed on int64 bigram in {key}: {ex_keys}"
+        )
 
 
 def test_source_capping_single_scan(spark, sf_dir):
