@@ -50,32 +50,96 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # the first 50 keys in registration order in both rounds so far), so
 # ordering is a correctness-signal lever, not cosmetics.
 _PRIORITY: tuple[str, ...] = (
-    # --- ROUND-10 WINDOW (first 50). Composition (SURVEY §19):
-    # slots 1-9 enforce the standing changed-code rule. 1-4: the four
-    # rows-only→hash conversions (VERDICT r9 ask #3 — new oracles,
-    # new output shapes). 5-7: the real BMP/PPM codec (ask #4 — new
-    # oracles for decode/resize; manifest's shape slimmed). 8-9: the
-    # column-defaults lifecycle fixes (ADVICE r9: RESTORE reset,
-    # as-of mirror emission, memoized lookup) through the defaults
-    # key and the mirror-replay key that re-emits metaData/protocol
-    # per historical version (dml_restore itself sits in the stale
-    # tail below). Slots 10-11 are this round's NEW keys. Slots
-    # 12-50 retire the r3-vintage evidence tail FOR GOOD (ask #2 —
-    # the 39 keys whose newest driver row predates the r4
-    # dtype-faithful harness; after r10 no hash-checked key's newest
-    # driver evidence predates r4).
+    # --- ROUND-11 WINDOW (first 50). Composition (SURVEY §20):
+    # slots 1-7 are the changed-code keys (standing rule): the fixed
+    # llm_embedding_drift oracle (VERDICT r10 #1), the two codec
+    # consumers reaching the hardened _parse_images validation
+    # (ADVICE r10; manifest/framesample use frame_sample_batches,
+    # which did NOT change), the three hashed-bigram rewrites
+    # (ask #4, llm/ngrams.py), and llm_dedup_ngram_jaccard (r10's
+    # explicit-broadcast fix, never re-driven). Slots 8-12 are the
+    # five R10-registered keys with six-fixture local MATCH but no
+    # driver row (ask #2). Slots 13-50 retire 38 keys of the
+    # r4-vintage evidence tail (ask #3). WINDOW ARITHMETIC: the tail
+    # held 46 keys, two of which (ngram_jaccard, ngram_lm_score) ride
+    # in the changed-code slots, and 50 - 12 = 38 slots remain — so 6
+    # r4 keys (the narrow-map/simple-agg ones least exposed to
+    # harness drift) defer to the R12 HEAD QUEUE below. Full
+    # retirement this round is arithmetically impossible: 12
+    # mandatory slots + 44 remaining tail keys = 56 > 50.
+    "llm_embedding_drift",
+    "llm_multimodal_decode",
+    "llm_multimodal_resize",
+    "llm_ngram_novelty",
+    "llm_repetition_filter",
+    "llm_ngram_lm_score",
+    "llm_dedup_ngram_jaccard",
+    # first-driver-row keys (ask #2)
+    "sql_scripting",
+    "limit_offset_page",
+    "udaf_arrow_grouped",
+    "fn_transpose",
+    "llm_dpo_pair_mining",
+    # r4-vintage tail (ask #3): filters / projections
+    "project_columns",
+    "filter_equality",
+    "filter_in_list",
+    "filter_like",
+    "filter_null_handling",
+    "filter_range",
+    # r4 joins + aggregates
+    "join_inner_equi",
+    "join_left_semi",
+    "join_left_anti",
+    "agg_count_distinct",
+    "agg_max_scalar",
+    "agg_profit_by_nation_year",
+    "agg_revenue_band",
+    "agg_shipmode_priority",
+    "agg_sketch_quantile",
+    "fn_math",
+    # r4 DML / scans / sinks
+    "dml_constraints_enforced",
+    "dml_delta_export",
+    "dml_generated_columns",
+    "dml_partitioned_table",
+    "dml_symlink_manifest",
+    "scan_bloom_point",
+    "sink_partitioned_parquet",
+    "sql_api_entry",
+    "stream_medallion_gold",
+    # r4 subqueries
+    "sub_excess_shippers",
+    "sub_important_stock",
+    "sub_min_cost_supplier",
+    "sub_waiting_orders",
+    # r4 LLM battery
+    "llm_bm25_search",
+    "llm_kmeans_train",
+    "llm_leakage_report",
+    "llm_line_dedup",
+    "llm_pagerank_sources",
+    "llm_pipeline_end2end",
+    "llm_semdedup",
+    "llm_similarity_lsh",
+    "udf_arrow_batch",
+    # --- R12 HEAD QUEUE: the six r4-vintage keys the 50-slot window
+    # could not hold this round — slot these FIRST next round (after
+    # any changed-code keys): agg_median, agg_order_count_dist,
+    # llm_context_chunking, llm_mad_outlier_filter, win_gap_islands,
+    # fn_try_arith. After they land, no hash-checked key's newest
+    # driver row predates r5.
+    # --- TIER 2 (51+): the round-10 window keys, all re-proven r10
+    # (duplicates of the head collapse to their first position in
+    # _ordered). They rotate behind the r11 window.
     "agg_approx_count_distinct",
     "agg_sketch_hll",
     "agg_sketch_cms",
     "stream_foreachBatch_upsert",
-    "llm_multimodal_decode",
-    "llm_multimodal_resize",
     "llm_multimodal_manifest",
     "dml_column_defaults",
     "dml_cdf_mirror_replay",
-    "llm_ngram_novelty",
     "llm_source_capping",
-    # r3-vintage tail (ask #2): scans/sinks
     "scan_latest_snapshot",
     "scan_data_skipping",
     "scan_partition_pruning",
@@ -86,11 +150,9 @@ _PRIORITY: tuple[str, ...] = (
     "sink_text_roundtrip",
     "write_table_create",
     "create_if_absent",
-    # time travel / snapshot diff
     "time_travel_version",
     "time_travel_timestamp",
     "set_except_snapshot_diff",
-    # the r3 DML battery
     "dml_delete_where",
     "dml_delete_mor",
     "dml_insert_append",
@@ -105,7 +167,6 @@ _PRIORITY: tuple[str, ...] = (
     "dml_optimize_zorder",
     "dml_replace_where",
     "dml_incremental_gold",
-    # r3 TPC-H closers + aggregates
     "join_region_revenue",
     "join_volume_shipping",
     "join_returned_topcust",
@@ -114,22 +175,11 @@ _PRIORITY: tuple[str, ...] = (
     "join_disjunctive_pred",
     "agg_promo_revenue",
     "agg_supplier_part_counts",
-    # r3 subqueries + LLM singles
     "sub_any_all",
     "sub_not_in_null_semantics",
     "sub_top_supplier",
     "llm_decontaminate",
-    # --- R11 WINDOW QUEUE: keys registered after the r10 window was
-    # spent on the stale-tail retirement, each with six-fixture local
-    # MATCH evidence but no driver row yet — slot these FIRST next
-    # round (alongside the changed-code rule): sql_scripting,
-    # limit_offset_page, udaf_arrow_grouped, fn_transpose,
-    # llm_dpo_pair_mining; plus
-    # llm_dedup_ngram_jaccard (changed code: explicit broadcast hint
-    # on the bounded-scope theta join, r10 cartesian-sweep catch).
-    # --- TIER 2 (51+): the round-9 window keys, all re-proven r9
-    # (duplicates of round-10 head keys collapse to their first
-    # position in _ordered). They rotate behind the r10 window.
+    # --- TIER 3 (the round-9 window keys, newest evidence r9)
     "dml_update_where",
     "dml_update_mor",
     "dml_vacuum_protocol_check",
