@@ -1467,3 +1467,199 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --- llm_tokenizer_fertility ------------------------------------------------
+# Tokenizer fertility (bytes per token) per (source, lang) stratum —
+# the standard health metric for tokenizer/corpus fit (a stratum
+# whose fertility spikes is either non-linguistic content or a
+# tokenizer mismatch). Whitespace tokens stand in for the trained
+# tokenizer exactly as in llm_text_stats; both legs of the ratio are
+# exact int64 sums, divided once.
+#
+# Scale shape: one scan → one map-side-combined aggregate keyed on
+# the (source, lang) grid (bounded: sources × langs rows). No joins,
+# no windows, nothing corpus-sized leaves the scan stage.
+
+_FERTILITY_ORACLE = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(octet_length(encode(text))) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS bytes_per_token
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source, lang
+"""
+
+
+@register("llm_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-token fertility per (source, lang) stratum."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select(
+        "source",
+        "lang",
+        F.octet_length("text").cast("long").alias("nb"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    return t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("total_bytes"),
+        F.sum("nt").alias("total_tokens"),
+        (F.sum("nb").cast("double") / F.sum("nt")).alias("bytes_per_token"),
+    )
+
+
+# --- llm_zipf_head_coverage ---------------------------------------------
+# Zipf head coverage: how much of the corpus' bigram mass the top-K
+# most frequent bigrams carry — the curation signal for boilerplate
+# saturation (a natural corpus follows a Zipf curve; a template-heavy
+# crawl front-loads it). Keys ride the shared hashed-bigram relation
+# (llm/ngrams.py), so the count table is vocabulary-sized with int64
+# keys and the top-K is a bounded-K TakeOrdered, never a global sort.
+# cum_share is exact-int cumulative sums divided by the exact total —
+# one IEEE division per output row.
+
+_ZIPF_K = 100
+
+_ZIPF_ORACLE = f"""
+WITH {{ctes}},
+counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bigram
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+top AS (
+  SELECT bigram, c,
+         CAST(row_number() OVER (ORDER BY c DESC, bigram) AS BIGINT) AS rank
+  FROM counts
+  QUALIFY rank <= {_ZIPF_K}
+)
+SELECT rank, bigram, c,
+       CAST(SUM(c) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_c,
+       CAST(SUM(c) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / total AS cum_share
+FROM top, tot
+"""
+
+
+def _zipf_oracle() -> str:
+    return _ZIPF_ORACLE.format(ctes=ng.sql_bigram_hashes_ctes())
+
+
+@register("llm_zipf_head_coverage", oracle=_zipf_oracle())
+def llm_zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus-mass share of the top-K bigrams."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        ng.doc_bigram_hashes(d).groupBy("bigram").agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("total"))  # 1 row
+    top = counts.orderBy(F.col("c").desc(), "bigram").limit(_ZIPF_K)
+    # rank/cumsum windows run over the bounded K-row relation only —
+    # the single-partition window is K-sized by construction, never
+    # vocabulary- or corpus-sized.
+    wrank = Window.orderBy(F.col("c").desc(), "bigram")
+    wcum = wrank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(tot))  # broadcast-bounded 1-row scalar
+        .select(
+            F.row_number().over(wrank).cast("long").alias("rank"),
+            "bigram",
+            "c",
+            F.sum("c").over(wcum).alias("cum_c"),
+            (F.sum("c").over(wcum).cast("double") / F.col("total")).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+# --- llm_source_token_shift -------------------------------------------------
+# Distribution shift per source: L1 distance between the source's
+# unigram distribution and the corpus unigram distribution — the
+# data-mixing diagnostic for "which source is lexically unlike the
+# rest" (feeds sampling-weight decisions). Exact arithmetic: for the
+# source's own vocabulary the per-term |n_st*N - n_t*N_s| numerators
+# are exact int64 (products < 2^63 up to ~sf100 corpus sizes; the
+# docstringed limit), summed in DECIMAL(38,0) so the total cannot
+# overflow, converted to DOUBLE once; tokens absent from the source
+# contribute (N - Σ_{t∈vocab_s} n_t) / N in closed form — no
+# per-term float sums anywhere, so the result is
+# accumulation-order-independent and engine-identical.
+#
+# Scale shape: occurrence explode → (source, token)-keyed aggregate
+# (map-side combined) → vocabulary-keyed join of the per-token corpus
+# counts → source-keyed final aggregate. The per-source and corpus
+# totals are #sources-row / 1-row broadcasts. Unigram keys stay
+# strings here: they are ~7 bytes and the count table is
+# vocabulary-sized, so the bigram-hash trick buys nothing.
+
+_TOKEN_SHIFT_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+nst AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM t GROUP BY source, tok
+),
+nt AS (SELECT tok, CAST(SUM(n_st) AS BIGINT) AS n_t FROM nst GROUP BY tok),
+ns AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM nst GROUP BY source),
+ntot AS (SELECT CAST(SUM(n_st) AS BIGINT) AS n_tot FROM nst),
+per AS (
+  SELECT nst.source, ns.n_s, ntot.n_tot,
+         SUM(CAST(abs(nst.n_st * ntot.n_tot - nt.n_t * ns.n_s)
+                  AS DECIMAL(38,0))) AS sd,
+         CAST(SUM(nt.n_t) AS BIGINT) AS cov,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM nst
+  JOIN nt USING (tok)
+  JOIN ns USING (source)
+  CROSS JOIN ntot
+  GROUP BY nst.source, ns.n_s, ntot.n_tot
+)
+SELECT source,
+       n_s AS n_tokens,
+       vocab,
+       CAST(sd AS DOUBLE) / CAST(n_s * n_tot AS DOUBLE)
+         + CAST(n_tot - cov AS DOUBLE) / CAST(n_tot AS DOUBLE) AS l1_shift
+FROM per
+"""
+
+
+@register("llm_source_token_shift", oracle=_TOKEN_SHIFT_ORACLE)
+def llm_source_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source L1 unigram-distribution distance from the corpus."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    nst = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n_st"))
+    nt = nst.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    ns = nst.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    ntot = nst.agg(F.sum("n_st").alias("n_tot"))  # 1 row
+    j = (
+        nst.join(nt, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ntot))  # broadcast-bounded 1-row scalar
+    )
+    term = F.abs(
+        F.col("n_st") * F.col("n_tot") - F.col("n_t") * F.col("n_s")
+    )
+    per = j.groupBy("source", "n_s", "n_tot").agg(
+        F.sum(term.cast("decimal(38,0)")).alias("sd"),
+        F.sum("n_t").alias("cov"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return per.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "vocab",
+        (
+            F.col("sd").cast("double")
+            / (F.col("n_s") * F.col("n_tot")).cast("double")
+            + (F.col("n_tot") - F.col("cov")).cast("double")
+            / F.col("n_tot").cast("double")
+        ).alias("l1_shift"),
+    )

@@ -833,3 +833,51 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# --- sql_pivot_syntax (SQL PIVOT clause) ------------------------------------
+# The SQL-surface twin of agg_pivot (queries/aggregates.py — the
+# DataFrame .pivot path): Spark's `FROM ... PIVOT (agg FOR col IN
+# (...))` clause must parse and plan to the same single
+# partial+final aggregate. Values are DECLARED in the IN list (an
+# undiscovered pivot would add a distinct pass and risk unbounded
+# column explosion at scale). PIVOT emits NULL for an empty
+# (status, priority) cell where conditional aggregation emits 0, so
+# the oracle NULLifies empty cells to mirror the clause's semantics.
+
+_PIVOT_PRIORITIES = [
+    ("1-URGENT", "p_urgent"),
+    ("2-HIGH", "p_high"),
+    ("3-MEDIUM", "p_medium"),
+    ("4-NOT SPECIFIED", "p_notspec"),
+    ("5-LOW", "p_low"),
+]
+
+_PIVOT_SQL_ORACLE = """
+SELECT o_orderstatus,
+       {cols}
+FROM orders
+GROUP BY o_orderstatus
+""".format(
+    cols=",\n       ".join(
+        f"CASE WHEN count(*) FILTER (o_orderpriority = '{v}') = 0 THEN NULL "
+        f"ELSE count(*) FILTER (o_orderpriority = '{v}') END AS {a}"
+        for v, a in _PIVOT_PRIORITIES
+    )
+)
+
+
+@register("sql_pivot_syntax", oracle=_PIVOT_SQL_ORACLE)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per status × priority through the SQL PIVOT
+    clause (declared value list)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    in_list = ", ".join(f"'{v}' AS {a}" for v, a in _PIVOT_PRIORITIES)
+    return spark.sql(
+        f"""
+        SELECT * FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+        PIVOT (CAST(COUNT(*) AS BIGINT) FOR o_orderpriority IN ({in_list}))
+        """
+    )

@@ -123,12 +123,16 @@ _PRIORITY: tuple[str, ...] = (
     "llm_semdedup",
     "llm_similarity_lsh",
     "udf_arrow_batch",
-    # --- R12 HEAD QUEUE: the six r4-vintage keys the 50-slot window
-    # could not hold this round — slot these FIRST next round (after
-    # any changed-code keys): agg_median, agg_order_count_dist,
-    # llm_context_chunking, llm_mad_outlier_filter, win_gap_islands,
-    # fn_try_arith. After they land, no hash-checked key's newest
-    # driver row predates r5.
+    # --- R12 HEAD QUEUE (slot these FIRST next round, after any
+    # changed-code keys): (a) the six r4-vintage keys the 50-slot
+    # window could not hold this round — agg_median,
+    # agg_order_count_dist, llm_context_chunking,
+    # llm_mad_outlier_filter, win_gap_islands, fn_try_arith (after
+    # they land, no hash-checked key's newest driver row predates
+    # r5); (b) the four NEW r11 keys, each with six-fixture local
+    # MATCH evidence, registered BEFORE the r11 close sweep —
+    # llm_tokenizer_fertility, llm_zipf_head_coverage,
+    # llm_source_token_shift, sql_pivot_syntax.
     # --- TIER 2 (51+): the round-10 window keys, all re-proven r10
     # (duplicates of the head collapse to their first position in
     # _ordered). They rotate behind the r11 window.
