@@ -215,13 +215,24 @@ def _parse_images(joined, lens, starts, doc_ids):
             f"degenerate image dimensions for doc_id={doc_ids[k]}: "
             f"{int(width[k])}x{int(height[k])}"
         )
-    short = np.flatnonzero(pix_off + rowsize * height > lens)
+    # Containment check in float64, NOT int64: a forged header with
+    # biWidth/biHeight near 2^31 makes rowsize*height wrap mod 2^64
+    # and a negative product would pass the > comparison (self-review
+    # r11). float64 is exact to 2^53 and any true need beyond that is
+    # astronomically larger than a real payload (< 2^31 bytes), so the
+    # comparison can never under-read; the message recomputes exactly
+    # in Python's unbounded ints.
+    need = (
+        pix_off.astype(np.float64)
+        + rowsize.astype(np.float64) * height.astype(np.float64)
+    )
+    short = np.flatnonzero(need > lens)
     if short.size:
         k = int(short[0])
         raise ValueError(
             f"truncated image for doc_id={doc_ids[k]}: header declares "
-            f"{int(pix_off[k] + rowsize[k] * height[k])} bytes, payload "
-            f"has {int(lens[k])}"
+            f"{int(pix_off[k]) + int(rowsize[k]) * int(height[k])} bytes, "
+            f"payload has {int(lens[k])}"
         )
     return is_bmp, width, height, depth, pix_off, rowsize, top_down
 

@@ -29,6 +29,14 @@ probe (same contract as ``operators/dedup.py::minhash_near_dup_pairs``;
 at 100 TB the persist becomes a checkpoint of the token table, and
 the vocabulary broadcast is dropped when the vocabulary outgrows an
 executor — the join degrades to its shuffle form).
+
+Cache lifetime: the helper returns a lazy DataFrame, so it cannot
+pair the persist with an unpersist. That is bounded by design:
+Spark's CacheManager dedups by logical plan, so repeated invocations
+over the same fixture dir share ONE cached token relation
+("already cached" in the logs), i.e. the session footprint is one
+entry per distinct input, spilling to disk — and bench.py clears the
+cache between keys anyway.
 """
 
 from __future__ import annotations

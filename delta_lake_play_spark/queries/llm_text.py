@@ -1525,7 +1525,7 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIPF_K = 100
 
 _ZIPF_ORACLE = f"""
-WITH {{ctes}},
+WITH {ng.sql_bigram_hashes_ctes()},
 counts AS (
   SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY bigram
 ),
@@ -1545,11 +1545,7 @@ FROM top, tot
 """
 
 
-def _zipf_oracle() -> str:
-    return _ZIPF_ORACLE.format(ctes=ng.sql_bigram_hashes_ctes())
-
-
-@register("llm_zipf_head_coverage", oracle=_zipf_oracle())
+@register("llm_zipf_head_coverage", oracle=_ZIPF_ORACLE)
 def llm_zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative corpus-mass share of the top-K bigrams."""
     d = load_table(spark, sf_dir, "documents")

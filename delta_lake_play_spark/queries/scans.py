@@ -860,8 +860,7 @@ FROM orders
 GROUP BY o_orderstatus
 """.format(
     cols=",\n       ".join(
-        f"CASE WHEN count(*) FILTER (o_orderpriority = '{v}') = 0 THEN NULL "
-        f"ELSE count(*) FILTER (o_orderpriority = '{v}') END AS {a}"
+        f"NULLIF(count(*) FILTER (o_orderpriority = '{v}'), 0) AS {a}"
         for v, a in _PIVOT_PRIORITIES
     )
 )

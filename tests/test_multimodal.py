@@ -198,6 +198,23 @@ def test_bmp_rejects_palettized_bit_depths():
     assert _decode([bytes(ok)]).loc[0, "depth"] == 4
 
 
+def test_huge_dimension_header_cannot_wrap_containment():
+    """Self-review r11: biWidth/biHeight near 2^31 make
+    rowsize*height wrap mod 2^64 to a NEGATIVE int64, which would
+    pass the `> lens` containment check and let resize gather far
+    outside the payload — the check must compute overflow-safely and
+    report the image as truncated."""
+    base = bytearray(_bmp(4, 1, [bytes([1] * 12)], top_down=True))
+    base[28:30] = (32).to_bytes(2, "little")  # bpp 32 (depth 4)
+    base[18:22] = (0x7FFFFFFF).to_bytes(4, "little")  # biWidth
+    base[22:26] = (0x7FFFFFFF).to_bytes(4, "little")  # biHeight
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [bytes(base)]})
+    with pytest.raises(ValueError, match="truncated"):
+        list(mm.decode_batches(iter([pdf])))
+    with pytest.raises(ValueError, match="truncated"):
+        list(mm.resize_batches(iter([pdf])))
+
+
 def test_zero_dimension_headers_raise_in_decode_and_resize():
     """ADVICE r10: width/height 0 declares 0 pixel bytes (passes
     containment) but the 4x4 thumbnail gather still reads pix_off+2
@@ -224,8 +241,13 @@ def test_fixture_documents_text_is_ascii_only():
 
     import pyarrow.parquet as pq
 
+    from tests.conftest import SF_DIR
+
     checked = 0
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    # the configured suite fixture FIRST (honors SPARK_GRAFT_TEST_SF_DIR
+    # — self-review r11), plus the two driver fixtures when present
+    dirs = dict.fromkeys((SF_DIR, "/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    for sf_dir in dirs:
         path = os.path.join(sf_dir, "documents.parquet")
         if not os.path.exists(path):
             continue

@@ -758,7 +758,14 @@ def test_hashed_bigram_relation_shape(spark, sf_dir, key):
     assert s.n_broadcast_joins >= 1, "vocabulary join-back must broadcast"
     import re
 
-    ex_keys = re.findall(r"hashpartitioning\((\w+)#\d+(L?)", plan)
+    # ALL key columns of every exchange, not just the first (a
+    # compound hashpartitioning(doc_id, bigram) must not hide a
+    # string-typed bigram in second position — self-review r11)
+    ex_keys = [
+        kv
+        for grp in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        for kv in re.findall(r"(\w+)#\d+(L?)", grp)
+    ]
     assert ("bigram", "") not in ex_keys, "bigram shuffled as non-long"
     if key == "llm_repetition_filter":
         # Catalyst partitions the (doc_id, bigram) aggregate by doc_id
