@@ -1057,3 +1057,142 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _nation_la GROUP BY n_regionkey
         """
     )
+
+
+# --- agg_higher_moments: exact skewness / kurtosis -------------------------
+# Third and fourth standardized moments from exact integer power sums
+# on the 2-dp value grid — the order-independence pattern of
+# agg_stddev_exact extended to x³/x⁴. The built-ins are out: Spark's
+# skewness/kurtosis use a partition-order-dependent float update, and
+# DuckDB's apply sample-bias corrections Spark does not, so neither
+# pair hash-matches across engines.
+#
+# Overflow discipline: Σx³ and Σx⁴ exceed int64 long before 100 TB,
+# and the obvious escape hatch — DECIMAL(38,0) sums — hash-diverges,
+# because DuckDB's DECIMAL→DOUBLE cast is not correctly rounded above
+# 2⁶³ (measured here: 31293724858271074718 casts to ...312e16 in
+# DuckDB vs the true nearest double ...314e16 from Spark/Python). So
+# each power is split per-row into legs that stay exact in int64:
+# with B = 10⁵ and a = c² div B, b = c² mod B (c² ≥ 0, so div/mod
+# agree across engines),
+#   x³ = (a·c)·B + (b·c)      x⁴ = a²·B² + (2ab)·B + b²
+# and each leg sum is < 2⁶³ up to ~sf1000 for |c| ≤ 5·10⁴ cents.
+# BIGINT→DOUBLE is correctly rounded in both engines, and the
+# recombination runs in DOUBLE with a token-for-token mirrored
+# expression tree (sqrt, not pow — libm pow may differ in the last
+# ulp), so the finished statistics are bit-identical. Skewness and
+# kurtosis are scale-invariant: the cent grid needs no descaling.
+# Scale shape: one partial+final HashAggregate; shuffle volume is
+# #event_types, not #rows.
+
+_MOMENTS_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(round(value * 100) AS BIGINT)
+           * CAST(round(value * 100) AS BIGINT) AS c2
+  FROM events WHERE value IS NOT NULL
+),
+l AS (
+  SELECT event_type, c, c2, c2 // 100000 AS a, c2 % 100000 AS b FROM g
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c2) AS BIGINT) AS sxx,
+         CAST(SUM(a * c) AS BIGINT) AS sac,
+         CAST(SUM(b * c) AS BIGINT) AS sbc,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(b * b) AS BIGINT) AS sbb
+  FROM l GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(sx AS DOUBLE) / n / 100.0 AS mean_value,
+       ((CAST(sac AS DOUBLE) * 100000.0 + CAST(sbc AS DOUBLE)) / n
+        - 3.0 * (CAST(sx AS DOUBLE) / n) * (CAST(sxx AS DOUBLE) / n)
+        + 2.0 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+              * (CAST(sx AS DOUBLE) / n))
+       / (((CAST(sxx AS DOUBLE) / n)
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+          * sqrt((CAST(sxx AS DOUBLE) / n)
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+       AS skewness,
+       ((CAST(saa AS DOUBLE) * 10000000000.0
+         + 2.0 * CAST(sab AS DOUBLE) * 100000.0
+         + CAST(sbb AS DOUBLE)) / n
+        - 4.0 * (CAST(sx AS DOUBLE) / n)
+              * ((CAST(sac AS DOUBLE) * 100000.0 + CAST(sbc AS DOUBLE)) / n)
+        + 6.0 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+              * (CAST(sxx AS DOUBLE) / n)
+        - 3.0 * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+              * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       / (((CAST(sxx AS DOUBLE) / n)
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+          * ((CAST(sxx AS DOUBLE) / n)
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+       - 3.0 AS kurtosis_excess
+FROM s
+"""
+
+
+@register("agg_higher_moments", oracle=_MOMENTS_ORACLE)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event_type from
+    exact integer power sums (leg-split against int64 overflow and
+    non-correctly-rounded wide casts; see the comment above the
+    oracle)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    legs = ev.select(
+        "event_type", c.alias("c"), (c * c).alias("c2")
+    ).select(
+        "event_type",
+        "c",
+        "c2",
+        F.expr("c2 div 100000").alias("a"),
+        (F.col("c2") % 100000).alias("b"),
+    )
+    agg = legs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("c2").alias("sxx"),
+        F.sum(F.col("a") * F.col("c")).alias("sac"),
+        F.sum(F.col("b") * F.col("c")).alias("sbc"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    n = F.col("n")
+    # Raw moments written as leg recombinations over n, with the same
+    # left-associated token order as the oracle — the only way DOUBLE
+    # results hash-match.
+    mu = F.col("sx").cast("double") / n
+    r2 = F.col("sxx").cast("double") / n
+    r3 = (
+        F.col("sac").cast("double") * F.lit(100000.0)
+        + F.col("sbc").cast("double")
+    ) / n
+    r4 = (
+        F.col("saa").cast("double") * F.lit(10000000000.0)
+        + F.lit(2.0) * F.col("sab").cast("double") * F.lit(100000.0)
+        + F.col("sbb").cast("double")
+    ) / n
+    m2 = r2 - mu * mu
+    skew = (r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu) / (
+        m2 * F.sqrt(m2)
+    )
+    kurt = (
+        r4
+        - F.lit(4.0) * mu * r3
+        + F.lit(6.0) * mu * mu * r2
+        - F.lit(3.0) * mu * mu * mu * mu
+    ) / (m2 * m2) - F.lit(3.0)
+    return agg.select(
+        "event_type",
+        "n",
+        (mu / F.lit(100.0)).alias("mean_value"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis_excess"),
+    )

@@ -1450,3 +1450,84 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         cosine_sim("mv", "gv").alias("drift_cos"),
     )
+
+
+# --- llm_sft_pair_assembly --------------------------------------------------
+# Supervised-fine-tuning record construction: each selected document
+# is split at its token midpoint into a templated prompt ("Continue
+# the document:" + first half) and a completion (second half, capped
+# at MAX_COMPLETION_TOKENS with an explicit truncation flag) — the
+# deterministic string-assembly stage that turns a raw corpus into
+# SFT training rows, with the token accounting the packer downstream
+# (llm_pack_sequences) consumes. A deterministic doc_id % 10 slice
+# bounds the output; the plan itself is a pure narrow map over the
+# documents scan (no shuffle, no UDF — split/slice/array_join are all
+# codegen intrinsics), so the full-corpus variant is the same plan at
+# any scale. Midpoint split + cap run token-for-token identically in
+# the oracle (Spark slice(start, LENGTH) vs DuckDB list_slice(start,
+# END-inclusive) reconciled as [k+1, k+cap]).
+
+_SFT_MAX_COMPLETION = 24
+
+_SFT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 = 3
+),
+m AS (
+  SELECT doc_id, source, toks,
+         CAST(len(toks) AS BIGINT) AS n,
+         CAST(floor(len(toks) / 2) AS BIGINT) AS k
+  FROM t WHERE len(toks) >= 2
+),
+c AS (
+  SELECT doc_id, source, toks, n, k,
+         least(n - k, {_SFT_MAX_COMPLETION}) AS cap
+  FROM m
+)
+SELECT doc_id, source,
+       'Continue the document:' || chr(10)
+         || array_to_string(list_slice(toks, 1, k), ' ') AS prompt,
+       array_to_string(list_slice(toks, k + 1, k + cap), ' ') AS completion,
+       k AS prompt_tokens,
+       cap AS completion_tokens,
+       n - k > {_SFT_MAX_COMPLETION} AS truncated
+FROM c
+"""
+
+
+@register("llm_sft_pair_assembly", oracle=_SFT_ORACLE)
+def llm_sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble prompt/completion SFT records by splitting each
+    selected document at its token midpoint, with capped completions
+    and truncation accounting (see comment above the oracle)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 10 == 3))
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+    )
+    m = d.select(
+        "doc_id",
+        "source",
+        "toks",
+        F.size("toks").cast("long").alias("n"),
+        F.floor(F.size("toks") / F.lit(2)).cast("long").alias("k"),
+    ).where(F.col("n") >= 2)
+    c = m.withColumn(
+        "cap", F.least(F.col("n") - F.col("k"), F.lit(_SFT_MAX_COMPLETION).cast("long"))
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("Continue the document:\n"),
+            F.array_join(F.slice("toks", 1, F.col("k").cast("int")), " "),
+        ).alias("prompt"),
+        F.array_join(
+            F.expr("slice(toks, cast(k + 1 as int), cast(cap as int))"), " "
+        ).alias("completion"),
+        F.col("k").alias("prompt_tokens"),
+        F.col("cap").alias("completion_tokens"),
+        (F.col("n") - F.col("k") > _SFT_MAX_COMPLETION).alias("truncated"),
+    )

@@ -1659,3 +1659,171 @@ def llm_source_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tot").cast("double")
         ).alias("l1_shift"),
     )
+
+
+# --- llm_decontaminate_bloom ------------------------------------------------
+# Bloom-filter decontamination: the constant-memory scale path for
+# the same benchmark-containment question llm_decontaminate answers
+# with an exact gram join. The benchmark's word-trigram hashes set
+# k=2 positions each in an m-bit array; a corpus shingle is flagged
+# when BOTH its positions are set. The filter is m rows at most —
+# INDEPENDENT of corpus size — so at 100 TB the probe is a broadcast
+# of a few KB against a narrow map, where the exact join must ship
+# (or at least broadcast) the full benchmark gram set. The price is
+# false positives, and the key measures them honestly: it runs the
+# exact containment check alongside and reports per-source
+# bloom-vs-exact shingle and document counts (bloom ⊇ exact always —
+# no false negatives by construction). m is fixed small here so the
+# FP mechanism is actually exercised at fixture scale; production
+# sizes m ≈ 10× the benchmark gram count (the plan shape is
+# unchanged). All arithmetic is int64 mod-prime (shared
+# llm/minhash.py polynomial; trigram combine stays < 2^63), so the
+# DuckDB oracle is value-exact.
+
+_BLOOM_M = 4096      # bits in the filter (kept small: see above)
+_BLOOM_A2 = 131      # second position: ((t*131 + 7) % P) % m
+_BLOOM_B2 = 7
+
+
+def _bloom_trigram_sql() -> str:
+    from delta_lake_play_spark.llm import minhash as mh
+
+    comb = (
+        f"((h[CAST(i AS INT)] * 31 + h[CAST(i + 1 AS INT)]) % {mh.P} * 37"
+        f" + h[CAST(i + 2 AS INT)]) % {mh.P}"
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(h) - 2, 0) + 1), i -> {comb}))"
+    )
+
+
+def _bloom_oracle() -> str:
+    from delta_lake_play_spark.llm import minhash as mh
+
+    hashes = mh.sql_token_hashes(
+        "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+    )
+    m, a2, b2, p = _BLOOM_M, _BLOOM_A2, _BLOOM_B2, mh.P
+    return f"""
+WITH hs AS (
+  SELECT doc_id, source, {hashes} AS h
+  FROM documents WHERE text IS NOT NULL
+),
+tg AS (SELECT doc_id, source, {_bloom_trigram_sql()} AS tgs FROM hs),
+ev AS (SELECT DISTINCT unnest(tgs) AS t FROM tg WHERE doc_id % {_DECON_STRIDE} = 0),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT t % {m} AS pos FROM ev
+    UNION ALL
+    SELECT ((t * {a2} + {b2}) % {p}) % {m} AS pos FROM ev
+  )
+),
+pr AS (
+  SELECT doc_id, source, unnest(tgs) AS t
+  FROM tg WHERE doc_id % {_DECON_STRIDE} <> 0
+),
+fl AS (
+  SELECT doc_id, source,
+         CAST(t % {m} IN (SELECT pos FROM bits)
+              AND ((t * {a2} + {b2}) % {p}) % {m} IN (SELECT pos FROM bits)
+              AS INT) AS bloom_hit,
+         CAST(t IN (SELECT t FROM ev) AS INT) AS exact_hit
+  FROM pr
+),
+pd AS (
+  SELECT source, doc_id,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(SUM(bloom_hit) AS BIGINT) AS bh,
+         CAST(SUM(exact_hit) AS BIGINT) AS eh
+  FROM fl GROUP BY source, doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+       CAST(SUM(bh) AS BIGINT) AS bloom_hit_shingles,
+       CAST(SUM(eh) AS BIGINT) AS exact_hit_shingles,
+       CAST(SUM(bh) - SUM(eh) AS BIGINT) AS false_positive_shingles,
+       CAST(SUM(CASE WHEN bh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bloom_flagged_docs,
+       CAST(SUM(CASE WHEN eh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_flagged_docs
+FROM pd GROUP BY source
+"""
+
+
+@register("llm_decontaminate_bloom", oracle=_bloom_oracle())
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination with measured false
+    positives against the exact containment join (see the comment
+    above the oracle builder for the scale argument)."""
+    from delta_lake_play_spark.llm import minhash as mh
+
+    m, a2, b2, p = _BLOOM_M, _BLOOM_A2, _BLOOM_B2, mh.P
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+        )
+        .where(F.length("tk") > 0)
+    )
+    vocab = F.broadcast(
+        tok.select("tk").distinct().select("tk", mh.char_hash(F.col("tk")).alias("h"))
+    )
+    th = tok.join(vocab, "tk").select("doc_id", "source", "pos", "h")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    h1, h2, h3 = F.col("h"), F.lead("h", 1).over(wseq), F.lead("h", 2).over(wseq)
+    tri = ((h1 * 31 + h2) % p * 37 + h3) % p
+    # Persisted: tg feeds the benchmark branch (ev → bits/evf) AND the
+    # corpus probe — same contract as llm/ngrams.py (CacheManager
+    # dedups by logical plan; bench.py clears caches between keys).
+    tg = (
+        th.select("doc_id", "source", tri.alias("t"))
+        .where(F.col("t").isNotNull())
+        .distinct()
+        .persist()
+    )
+    ev = tg.where(F.col("doc_id") % _DECON_STRIDE == 0).select("t").distinct()
+    bits = F.broadcast(
+        ev.select(
+            F.explode(
+                F.array(F.col("t") % m, ((F.col("t") * a2 + b2) % p) % m)
+            ).alias("pos")
+        ).distinct()
+    )
+    pr = tg.where(F.col("doc_id") % _DECON_STRIDE != 0)
+    b1 = bits.select(F.col("pos").alias("pos1"), F.lit(1).alias("hit1"))
+    b2_rel = bits.select(F.col("pos").alias("pos2"), F.lit(1).alias("hit2"))
+    evf = F.broadcast(ev.select(F.col("t").alias("ev_t"), F.lit(1).alias("ex")))
+    fl = (
+        pr.withColumn("pos1", F.col("t") % m)
+        .withColumn("pos2", ((F.col("t") * a2 + b2) % p) % m)
+        .join(b1, "pos1", "left")
+        .join(b2_rel, "pos2", "left")
+        .join(evf, F.col("t") == F.col("ev_t"), "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("hit1").isNotNull() & F.col("hit2").isNotNull())
+            .cast("int")
+            .alias("bloom_hit"),
+            F.col("ex").isNotNull().cast("int").alias("exact_hit"),
+        )
+    )
+    pd_ = fl.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum("bloom_hit").alias("bh"),
+        F.sum("exact_hit").alias("eh"),
+    )
+    return pd_.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sh").alias("n_shingles"),
+        F.sum("bh").alias("bloom_hit_shingles"),
+        F.sum("eh").alias("exact_hit_shingles"),
+        (F.sum("bh") - F.sum("eh")).alias("false_positive_shingles"),
+        F.sum((F.col("bh") > 0).cast("long")).alias("bloom_flagged_docs"),
+        F.sum((F.col("eh") > 0).cast("long")).alias("exact_flagged_docs"),
+    )

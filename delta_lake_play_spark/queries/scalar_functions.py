@@ -1211,3 +1211,44 @@ def fn_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.transpose()
+
+
+# --- fn_digest_codec --------------------------------------------------------
+# Cryptographic digests and binary codecs over part names. Unlike
+# fn_hash (rows-only by design: Spark's xxhash64/murmur3 families
+# have no DuckDB counterpart), MD5, SHA-256, base64 and hex are
+# standardized byte-level algorithms — every engine must produce the
+# same octets — so this key is fully hash-checked. The row-level
+# roundtrip flag (unbase64∘base64 = identity) pins the decoder too.
+# Scale shape: a pure narrow map over the scan, no shuffle at all;
+# digest UDFs are JVM intrinsics inside WholeStageCodegen, the exact
+# pattern for content-addressing / dedup-keying 100 TB of documents.
+
+_DIGEST_ORACLE = """
+SELECT p_partkey,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256,
+       to_base64(encode(p_name)) AS name_b64,
+       hex(encode(p_name)) AS name_hex,
+       decode(from_base64(to_base64(encode(p_name)))) = p_name AS roundtrip_ok
+FROM part
+"""
+
+
+@register("fn_digest_codec", oracle=_DIGEST_ORACLE)
+def fn_digest_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD5 / SHA-256 digests and base64 / hex codecs of p_name, with
+    a base64 decode-roundtrip check (all standardized byte-level
+    algorithms, so the DuckDB oracle hash-matches octet-for-octet)."""
+    p = load_table(spark, sf_dir, "part")
+    name_bin = F.col("p_name").cast("binary")
+    return p.select(
+        "p_partkey",
+        F.md5(name_bin).alias("name_md5"),
+        F.sha2(name_bin, 256).alias("name_sha256"),
+        F.base64(name_bin).alias("name_b64"),
+        F.hex(name_bin).alias("name_hex"),
+        (F.unbase64(F.base64(name_bin)).cast("string") == F.col("p_name")).alias(
+            "roundtrip_ok"
+        ),
+    )

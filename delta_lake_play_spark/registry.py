@@ -129,10 +129,11 @@ _PRIORITY: tuple[str, ...] = (
     # agg_order_count_dist, llm_context_chunking,
     # llm_mad_outlier_filter, win_gap_islands, fn_try_arith (after
     # they land, no hash-checked key's newest driver row predates
-    # r5); (b) the four NEW r11 keys, each with six-fixture local
+    # r5); (b) the eight NEW r11 keys, each with six-fixture local
     # MATCH evidence, registered BEFORE the r11 close sweep —
     # llm_tokenizer_fertility, llm_zipf_head_coverage,
-    # llm_source_token_shift, sql_pivot_syntax.
+    # llm_source_token_shift, sql_pivot_syntax, agg_higher_moments,
+    # fn_digest_codec, llm_sft_pair_assembly, llm_decontaminate_bloom.
     # --- TIER 2 (51+): the round-10 window keys, all re-proven r10
     # (duplicates of the head collapse to their first position in
     # _ordered). They rotate behind the r11 window.
