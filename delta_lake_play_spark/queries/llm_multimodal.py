@@ -229,3 +229,88 @@ def llm_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_idx").alias("sum_frame_idx"),
         F.sum("frame_bytes").alias("sum_frame_bytes"),
     )
+
+
+# --- llm_image_dedup_phash: perceptual (difference-hash) image dedup -------
+#
+# Image-level near-dedup over the binary column: decode each BMP/PPM
+# through the REAL codec path, reduce its 4×4 nearest-neighbor
+# luminance grid to a 24-bit gradient-sign fingerprint
+# (``llm/multimodal.py::dhash_batches`` — 12 horizontal + 12 vertical
+# bits), then group by the fingerprint: family_size and an is_dup
+# flag against the min-doc_id representative. Gradient SIGNS are
+# invariant to brightness/contrast shifts, which is what
+# distinguishes perceptual dedup from byte-exact dedup
+# (llm_dedup_exact/fingerprint). At 100 TB the plan is one
+# zero-shuffle mapInPandas (decode+hash) and ONE hash exchange on the
+# int64 fingerprint — the same shape as exact dedup, because the
+# perceptual part is folded into the map stage. The encoder is
+# top-down for both formats, so the oracle recomputes every sampled
+# luminance from documents.text byte arithmetic exactly like the
+# resize oracle: byte(r, c, ch) = text[⌊r·h/4⌋·48 + c·12 + ch] when
+# inside the text, else a zero pad.
+
+
+def _phash_lum_term(ch: int) -> str:
+    pos = f"((((k // 4) * h) // 4) * 48 + (k % 4) * 12 + {ch})"
+    return (
+        f"CASE WHEN {pos} < n THEN "
+        f"ascii(substr(text, CAST({pos} + 1 AS INT), 1)) ELSE 0 END"
+    )
+
+
+_PHASH_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         text,
+         COALESCE(octet_length(encode(text)), 0) AS n,
+         GREATEST(1, CAST(ceil(COALESCE(octet_length(encode(text)), 0)
+                               / 48.0) AS BIGINT)) AS h
+  FROM documents
+),
+lums AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15), k ->
+           {_phash_lum_term(0)}
+         + {_phash_lum_term(1)}
+         + {_phash_lum_term(2)}) AS lum
+  FROM s
+),
+dh AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_aggregate(list_transform(generate_series(0, 11), b ->
+             CASE WHEN lum[CAST((b // 3) * 4 + (b % 3) + 2 AS INT)]
+                       > lum[CAST((b // 3) * 4 + (b % 3) + 1 AS INT)]
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END),
+           'sum'), 0)
+       + COALESCE(list_aggregate(list_transform(generate_series(0, 11), b ->
+             CASE WHEN lum[CAST((b // 4) * 4 + (b % 4) + 5 AS INT)]
+                       > lum[CAST((b // 4) * 4 + (b % 4) + 1 AS INT)]
+                  THEN CAST(1 AS BIGINT) << (12 + b) ELSE CAST(0 AS BIGINT) END),
+           'sum'), 0) AS BIGINT) AS dhash
+  FROM lums
+)
+SELECT doc_id, dhash,
+       CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS family_size,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY dhash) AS INT) AS is_dup
+FROM dh
+"""
+
+
+@register("llm_image_dedup_phash", oracle=_PHASH_ORACLE)
+def llm_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: real decode → 24-bit dHash via
+    mapInPandas, then one window shuffle on the fingerprint for
+    family size + representative flag."""
+    from pyspark.sql.window import Window
+
+    dh = _image_payloads(spark, sf_dir).mapInPandas(
+        mm.dhash_batches, schema=mm.DHASH_SCHEMA
+    )
+    w = Window.partitionBy("dhash")
+    return dh.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1)).over(w).alias("family_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
+    )

@@ -880,3 +880,174 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         PIVOT (CAST(COUNT(*) AS BIGINT) FOR o_orderpriority IN ({in_list}))
         """
     )
+
+
+# --- sql_group_order_all (GROUP BY ALL / ORDER BY ALL) ----------------------
+# Spark 3.4+/4 resolves GROUP BY ALL to every non-aggregate select
+# item and ORDER BY ALL to the full select list — the modern
+# exploratory-SQL surface DuckDB popularized. The oracle spells the
+# resolved form out explicitly, so the hash proves the resolution
+# semantics (a mis-resolved ALL would group on the wrong columns and
+# change every aggregate). Plan-wise this is still one partial+final
+# hash aggregate; ALL is pure analysis-time sugar.
+
+_GROUP_ALL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_group_order_all", oracle=_GROUP_ALL_ORACLE)
+def sql_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem status rollup through GROUP BY ALL + ORDER BY ALL
+    (hash-checked against the explicitly-resolved oracle)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# --- sql_lateral_alias (lateral column aliases in SELECT) -------------------
+# Spark 3.4+ lets a select item reference an alias defined earlier in
+# the SAME select list (spark.sql.lateralColumnAlias) — previously a
+# subquery-or-repeat-the-expression choice. The chain below is three
+# dependent computed columns; both engines evaluate the identical
+# IEEE double expression tree, so the hash is exact. Catalyst inlines
+# the aliases into one Project — no extra plan node, nothing changes
+# at scale.
+
+_LATERAL_ALIAS_ORACLE = """
+SELECT o_orderkey,
+       o_totalprice,
+       o_totalprice * (1.0 - 0.04) AS net_price,
+       o_totalprice * (1.0 - 0.04) * 1.06 AS taxed_price,
+       o_totalprice * (1.0 - 0.04) * 1.06 - o_totalprice AS price_delta
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("sql_lateral_alias", oracle=_LATERAL_ALIAS_ORACLE)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependent computed columns via lateral column aliases (the
+    oracle repeats each expression, proving the aliases resolve to
+    exactly the chained expression tree)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_totalprice,
+               o_totalprice * (1.0 - 0.04) AS net_price,
+               net_price * 1.06 AS taxed_price,
+               taxed_price - o_totalprice AS price_delta
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+# --- sql_unpivot_syntax (SQL UNPIVOT clause) --------------------------------
+# The wide→long twin of sql_pivot_syntax: Spark's `UNPIVOT (val FOR
+# name IN (...))` clause over a two-measure nation aggregate. The
+# clause requires a common value type (the count is cast to DOUBLE)
+# and by default DROPS NULL measure values — mirrored in the oracle's
+# UNION ALL expansion with an IS NOT NULL guard, so the hash pins the
+# default null semantics too. UNPIVOT is a per-row expand (Catalyst
+# Expand node), no shuffle beyond the feeding aggregate.
+
+_UNPIVOT_SQL_ORACLE = """
+WITH m AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS cust_bal,
+         CAST(COUNT(*) AS DOUBLE) AS cust_n
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, measure, amount FROM (
+  SELECT n_name, 'cust_bal' AS measure, cust_bal AS amount FROM m
+  UNION ALL
+  SELECT n_name, 'cust_n' AS measure, cust_n AS amount FROM m
+)
+WHERE amount IS NOT NULL
+"""
+
+
+@register("sql_unpivot_syntax", oracle=_UNPIVOT_SQL_ORACLE)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation balance/count measures folded long through the SQL
+    UNPIVOT clause (default null-dropping semantics)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT n.n_name,
+                 CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+                   AS cust_bal,
+                 CAST(COUNT(*) AS DOUBLE) AS cust_n
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        ) UNPIVOT (amount FOR measure IN (cust_bal, cust_n))
+        """
+    )
+
+
+# --- sql_values_clause (inline VALUES as a joined relation) -----------------
+# An inline VALUES constructor as a first-class relation: the
+# five-row segment→tier mapping joins customer as a dimension —
+# the zero-IO way to attach a small lookup (feature flags, tier
+# maps, manual overrides) without materializing a table. Catalyst
+# folds VALUES to a LocalRelation and auto-broadcasts it, so at
+# 100 TB the join is a broadcast hash join against the scan with no
+# shuffle of the fact side.
+
+_VALUES_CLAUSE_ORACLE = """
+SELECT t.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS bal
+FROM customer c
+JOIN (VALUES ('AUTOMOBILE', 'retail'), ('FURNITURE', 'retail'),
+             ('HOUSEHOLD', 'retail'), ('MACHINERY', 'industrial'),
+             ('BUILDING', 'industrial')) t(c_mktsegment, tier)
+  ON c.c_mktsegment = t.c_mktsegment
+GROUP BY t.tier
+"""
+
+
+@register("sql_values_clause", oracle=_VALUES_CLAUSE_ORACLE)
+def sql_values_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tier rollup against an inline VALUES dimension
+    (LocalRelation → broadcast join, no fact-side shuffle)."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT t.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS bal
+        FROM customer c
+        JOIN (VALUES ('AUTOMOBILE', 'retail'), ('FURNITURE', 'retail'),
+                     ('HOUSEHOLD', 'retail'), ('MACHINERY', 'industrial'),
+                     ('BUILDING', 'industrial')) t(c_mktsegment, tier)
+          ON c.c_mktsegment = t.c_mktsegment
+        GROUP BY t.tier
+        """
+    )

@@ -133,7 +133,11 @@ _PRIORITY: tuple[str, ...] = (
     # MATCH evidence, registered BEFORE the r11 close sweep —
     # llm_tokenizer_fertility, llm_zipf_head_coverage,
     # llm_source_token_shift, sql_pivot_syntax, agg_higher_moments,
-    # fn_digest_codec, llm_sft_pair_assembly, llm_decontaminate_bloom.
+    # fn_digest_codec, llm_sft_pair_assembly, llm_decontaminate_bloom;
+    # (c) the r11-continuation keys, each six-fixture MATCH before
+    # registration was committed — sql_group_order_all,
+    # sql_lateral_alias, sql_unpivot_syntax, sql_values_clause,
+    # llm_image_dedup_phash.
     # --- TIER 2 (51+): the round-10 window keys, all re-proven r10
     # (duplicates of the head collapse to their first position in
     # _ordered). They rotate behind the r11 window.
