@@ -1531,3 +1531,96 @@ def llm_sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cap").alias("completion_tokens"),
         (F.col("n") - F.col("k") > _SFT_MAX_COMPLETION).alias("truncated"),
     )
+
+
+# --- llm_curriculum_order ---------------------------------------------------
+#
+# Deterministic curriculum schedule: band each document into a
+# difficulty stage by token count (fixed declared thresholds — a
+# narrow map, NOT a global ntile: any exact global quantile staging
+# needs a total sort, which is the one shape this pipeline bans at
+# 100 TB), shard within stage by doc_id, and interleave sources
+# round-robin inside each (stage, shard) so a sequential reader of
+# any shard sees easy→hard progression with source diversity. Every
+# window is partitioned by (stage, shard[, source]) — bounded
+# partitions, no single-reducer sort anywhere. All ordering keys are
+# exact ints with doc_id tiebreaks, so the schedule is reproducible
+# run-to-run and engine-exact.
+
+_CURR_SHARDS = 8
+_CURR_BANDS = (45, 55, 65)  # n_tok band edges: <45, <55, <65, rest
+
+
+def _curriculum_oracle() -> str:
+    b0, b1, b2 = _CURR_BANDS
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+              AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (
+  SELECT doc_id, source, n_tok,
+         CASE WHEN n_tok < {b0} THEN 0 WHEN n_tok < {b1} THEN 1
+              WHEN n_tok < {b2} THEN 2 ELSE 3 END AS stage,
+         doc_id % {_CURR_SHARDS} AS shard
+  FROM d
+),
+rs AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY stage, shard, source
+           ORDER BY n_tok, doc_id) AS rn_src
+  FROM st
+)
+SELECT doc_id, source, n_tok,
+       CAST(stage AS INTEGER) AS stage,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY stage, shard
+           ORDER BY rn_src, source NULLS FIRST, doc_id) AS BIGINT) AS seq
+FROM rs
+"""
+
+
+@register("llm_curriculum_order", oracle=_curriculum_oracle())
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded difficulty stages + per-(stage, shard) source-interleaved
+    sequence numbers — a reproducible curriculum with only
+    bounded-partition windows."""
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    b0, b1, b2 = _CURR_BANDS
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+            ).cast("long").alias("n_tok"),
+        )
+        .withColumn(
+            "stage",
+            F.when(F.col("n_tok") < b0, 0)
+            .when(F.col("n_tok") < b1, 1)
+            .when(F.col("n_tok") < b2, 2)
+            .otherwise(3)
+            .cast("int"),
+        )
+        .withColumn("shard", (F.col("doc_id") % _CURR_SHARDS).cast("long"))
+    )
+    w_src = Window.partitionBy("stage", "shard", "source").orderBy("n_tok", "doc_id")
+    rs = st.withColumn("rn_src", F.row_number().over(w_src))
+    w_seq = Window.partitionBy("stage", "shard").orderBy(
+        "rn_src", F.col("source").asc_nulls_first(), "doc_id"
+    )
+    return rs.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "stage",
+        "shard",
+        F.row_number().over(w_seq).cast("long").alias("seq"),
+    )

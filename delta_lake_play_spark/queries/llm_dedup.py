@@ -1143,3 +1143,122 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.coalesce("kept", F.lit(True)).alias("kept")
         )
     )
+
+
+# --- llm_dedup_containment -------------------------------------------------
+#
+# ASYMMETRIC near-dup detection: doc A is (near-)contained in doc B
+# when C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ θ over word-trigram shingle
+# SETS — the quote-expansion / boilerplate-wrapper case that
+# symmetric Jaccard underrates (a short doc pasted into a long one
+# has tiny Jaccard but containment ≈ 1). Candidates come from an
+# INVERTED shingle index (one keyed self-join on the int64 trigram
+# hash), never an all-pairs join; shingles above a document-frequency
+# cap are dropped from the index first (the standard stop-shingle /
+# boilerplate guard — Σ df² is what blows up an inverted index, and
+# the cap bounds it to df_cap × index size). Containment is then
+# EXACT over the capped shingle vocabulary — declared semantics,
+# mirrored in the oracle. Trigram hashing is the shared mod-prime
+# polynomial (llm/minhash.py), so every count is engine-exact.
+
+_CONT_THETA_NUM, _CONT_THETA_DEN = 1, 2  # θ = 1/2, exact integer compare
+_CONT_MIN_SH = 5    # ignore docs with < 5 indexed shingles
+_CONT_DF_CAP = 100  # stop-shingle document-frequency cap
+
+
+def _containment_oracle() -> str:
+    hashes = mh.sql_token_hashes(
+        "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+    )
+    comb = (
+        f"((h[CAST(i AS INT)] * 31 + h[CAST(i + 1 AS INT)]) % {mh.P} * 37"
+        f" + h[CAST(i + 2 AS INT)]) % {mh.P}"
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hashes} AS h FROM documents WHERE text IS NOT NULL
+),
+tg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(h) - 2, 0) + 1), i -> {comb}))) AS t
+  FROM hs
+),
+df AS (SELECT t FROM tg GROUP BY t HAVING COUNT(*) <= {_CONT_DF_CAP}),
+shf AS (SELECT tg.doc_id, tg.t FROM tg JOIN df USING (t)),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shf GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM shf a JOIN shf b ON a.t = b.t AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ov.doc_a, ov.doc_b,
+       sz.n AS n_shingles_a, ov.shared,
+       CAST(ov.shared AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+FROM ov JOIN sz ON ov.doc_a = sz.doc_id
+WHERE sz.n >= {_CONT_MIN_SH}
+  AND ov.shared * {_CONT_THETA_DEN} >= sz.n * {_CONT_THETA_NUM}
+"""
+
+
+@register("llm_dedup_containment", oracle=_containment_oracle())
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs C(A→B) ≥ ½ via a
+    df-capped inverted trigram index (see the module comment above
+    for the scale argument; the threshold compare is exact integer
+    arithmetic, the reported ratio a mirrored double division)."""
+    from pyspark.sql import Window
+
+    p = mh.P
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+        )
+        .where(F.length("tk") > 0)
+    )
+    vocab = F.broadcast(
+        tok.select("tk").distinct().select("tk", mh.char_hash(F.col("tk")).alias("h"))
+    )
+    th = tok.join(vocab, "tk").select("doc_id", "pos", "h")
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        (F.col("h") * 31 + F.lead("h", 1).over(wseq)) % p * 37
+        + F.lead("h", 2).over(wseq)
+    ) % p
+    tg = (
+        th.select("doc_id", tri.alias("t"))
+        .where(F.col("t").isNotNull())
+        .distinct()
+        .persist()  # feeds the df filter AND both join sides
+    )
+    df_ok = tg.groupBy("t").count().where(F.col("count") <= _CONT_DF_CAP).select("t")
+    shf = tg.join(df_ok, "t").persist()
+    sz = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shf.select(F.col("doc_id").alias("doc_a"), "t")
+    b = shf.select(F.col("doc_id").alias("doc_b"), "t")
+    ov = (
+        a.join(b, "t")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        ov.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .where(
+            (F.col("n") >= _CONT_MIN_SH)
+            & (F.col("shared") * _CONT_THETA_DEN >= F.col("n") * _CONT_THETA_NUM)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n").alias("n_shingles_a"),
+            "shared",
+            (F.col("shared").cast("double") / F.col("n").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -1827,3 +1827,129 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("bh") > 0).cast("long")).alias("bloom_flagged_docs"),
         F.sum((F.col("eh") > 0).cast("long")).alias("exact_flagged_docs"),
     )
+
+
+# --- llm_collocation_lift ---------------------------------------------------
+#
+# Collocation mining for tokenizer/phrase-vocabulary prep: rank
+# consecutive token pairs by LIFT = P(ab) / (P(a)·P(b)) — computed as
+# the exact integer ratio n_ab·T / (n_a·n_b), the monotone equivalent
+# of PMI without the cross-engine ln() hazard (see the tf-idf note at
+# the top of this file). Counting keys on the injective int64 pair
+# hash (llm/ngrams.py design: vocabulary-level signing, h1·P + h2),
+# so the aggregate shuffles fixed-width ints; the human-readable
+# token strings are joined back ONLY for the top-K rows (the K-row
+# side is broadcast against the vocabulary — at 100 TB the vocabulary
+# outgrows an executor, the top-K never does). The top-K boundary is
+# a total order (support, lift, then the two hashes), so the cut is
+# deterministic in both engines.
+
+_COLL_TOPK = 30
+_COLL_MIN_SUPPORT = 3
+
+
+def _collocation_oracle() -> str:
+    from delta_lake_play_spark.llm import minhash as mh
+
+    hashes = mh.sql_token_hashes(
+        "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {hashes} AS h,
+         list_filter(string_split(text, ' '), x -> len(x) > 0) AS tks
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT unnest(h) AS hu FROM hs
+),
+uc AS (SELECT hu, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY hu),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM uni),
+tr AS (
+  SELECT h[CAST(i AS INT)] AS h1, h[CAST(i + 1 AS INT)] AS h2
+  FROM hs, UNNEST(range(1, greatest(len(h) - 1, 0) + 1)) AS u(i)
+),
+bc AS (
+  SELECT h1, h2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM tr GROUP BY h1, h2 HAVING COUNT(*) >= {_COLL_MIN_SUPPORT}
+),
+vocab AS (
+  SELECT tk, {mh.sql_char_hash('tk')} AS hv
+  FROM (SELECT DISTINCT unnest(tks) AS tk FROM hs)
+),
+top AS (
+  SELECT bc.h1, bc.h2, bc.n_ab, a.n AS n_a, b.n AS n_b,
+         CAST(bc.n_ab AS DOUBLE) * CAST(tot.t AS DOUBLE)
+           / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+  FROM bc JOIN uc a ON bc.h1 = a.hu JOIN uc b ON bc.h2 = b.hu, tot
+  ORDER BY bc.n_ab DESC, lift DESC, bc.h1, bc.h2
+  LIMIT {_COLL_TOPK}
+)
+SELECT va.tk || ' ' || vb.tk AS bigram, top.n_ab, top.n_a, top.n_b, top.lift
+FROM top JOIN vocab va ON top.h1 = va.hv JOIN vocab vb ON top.h2 = vb.hv
+"""
+
+
+@register("llm_collocation_lift", oracle=_collocation_oracle())
+def llm_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by exact integer lift over int64 pair
+    hashes; token strings joined back for the K-row result only."""
+    from delta_lake_play_spark.llm import minhash as mh
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+        )
+        .where(F.length("tk") > 0)
+        .persist()  # feeds vocabulary, unigram counts, and transitions
+    )
+    vocab = F.broadcast(
+        tok.select("tk").distinct().select("tk", mh.char_hash(F.col("tk")).alias("hv"))
+    )
+    th = tok.join(vocab, "tk").select("doc_id", "pos", F.col("hv").alias("h"))
+    uc = th.groupBy(F.col("h").alias("hu")).agg(F.count(F.lit(1)).alias("n"))
+    tot = th.agg(F.count(F.lit(1)).alias("t"))
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    tr = th.select(
+        F.col("h").alias("h1"), F.lead("h", 1).over(wseq).alias("h2")
+    ).where(F.col("h2").isNotNull())
+    bc = (
+        tr.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _COLL_MIN_SUPPORT)
+    )
+    top = (
+        bc.join(uc.select(F.col("hu").alias("h1"), F.col("n").alias("n_a")), "h1")
+        .join(uc.select(F.col("hu").alias("h2"), F.col("n").alias("n_b")), "h2")
+        .crossJoin(F.broadcast(tot))  # broadcast-bounded 1-row scalar
+        .select(
+            "h1",
+            "h2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") * F.col("t").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("lift").desc(), "h1", "h2")
+        .limit(_COLL_TOPK)
+    )
+    va = vocab.select(F.col("tk").alias("tk_a"), F.col("hv").alias("h1"))
+    vb = vocab.select(F.col("tk").alias("tk_b"), F.col("hv").alias("h2"))
+    # the K-row side broadcasts; the vocabulary streams
+    return (
+        va.join(F.broadcast(top), "h1")
+        .join(vb, "h2")
+        .select(
+            F.concat_ws(" ", "tk_a", "tk_b").alias("bigram"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            "lift",
+        )
+    )
