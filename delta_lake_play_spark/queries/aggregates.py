@@ -1196,3 +1196,69 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         skew.alias("skewness"),
         kurt.alias("kurtosis_excess"),
     )
+
+
+# --- agg_weighted_median ----------------------------------------------------
+# Exact weighted median per group: smallest price whose cumulative
+# weight reaches half the group total, weights = l_quantity (the
+# fixture's integral-quantity contract makes the BIGINT cast exact).
+# Two-phase shape: weights first collapse per (group, price) — the
+# partial aggregate does the heavy lifting and the window then runs
+# over DISTINCT prices only, not raw rows — then one cumulative-sum
+# window per group and an integer 2·cum ≥ total threshold (no
+# division, no float compare). The per-group window partitions by
+# l_returnflag, so no global sort anywhere.
+
+_WMEDIAN_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+  SELECT l_returnflag, l_extendedprice, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS weighted_median,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM c
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact median extended price per return flag
+    (integer threshold, distinct-price window)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+    )

@@ -1624,3 +1624,90 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w_seq).cast("long").alias("seq"),
     )
+
+
+# --- llm_annotator_agreement ------------------------------------------------
+#
+# Inter-annotator agreement (Cohen's κ) per source between two
+# deterministic rule annotators — the reliability gate run before
+# trusting any labeling scheme (human or classifier) in a training-
+# data pipeline. Annotator A labels by length (n_tok ≥ 55), B by
+# lexical diversity (2·distinct_tokens ≥ n_tok); the confusion
+# counts are exact integers, and κ = (pₒ − pₑ)/(1 − pₑ) is a
+# mirrored double expression over those counts (1 − pₑ = 0 — perfect
+# chance agreement — yields NULL via try_divide/NULLIF on both
+# engines). One scan, one keyed aggregate: scale-trivial.
+
+_AGREE_A_MIN_TOK = 55
+
+
+def _agreement_oracle() -> str:
+    return f"""
+WITH lab AS (
+  SELECT source,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0)) >= {_AGREE_A_MIN_TOK}
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN 2 * len(list_distinct(list_filter(string_split(text, ' '),
+                                                     x -> len(x) > 0)))
+                   >= len(list_filter(string_split(text, ' '),
+                                      x -> len(x) > 0))
+              THEN 1 ELSE 0 END AS b
+  FROM documents WHERE text IS NOT NULL
+),
+cm AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM lab GROUP BY source
+)
+SELECT source, n, n11, n10, n01, n00,
+       (CAST(n11 + n00 AS DOUBLE) / n
+        - (CAST((n11 + n10) * (n11 + n01)
+                + (n01 + n00) * (n10 + n00) AS DOUBLE)) / (CAST(n AS DOUBLE) * n))
+       / NULLIF(1.0 - (CAST((n11 + n10) * (n11 + n01)
+                + (n01 + n00) * (n10 + n00) AS DOUBLE)) / (CAST(n AS DOUBLE) * n), 0.0)
+         AS kappa
+FROM cm
+"""
+
+
+@register("llm_annotator_agreement", oracle=_agreement_oracle())
+def llm_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's κ between the length and lexical-diversity
+    rule annotators (exact confusion counts, mirrored κ)."""
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    lab = d.where(F.col("text").isNotNull()).select(
+        "source",
+        (F.size(tk) >= _AGREE_A_MIN_TOK).cast("int").alias("a"),
+        (2 * F.size(F.array_distinct(tk)) >= F.size(tk)).cast("int").alias("b"),
+    )
+    cm = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    pe = (
+        ((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+         + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")))
+        .cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    return cm.select(
+        "source",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.try_divide(po - pe, F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
+    )

@@ -1051,3 +1051,40 @@ def sql_values_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.tier
         """
     )
+
+
+# --- sql_identifier_clause (parameterized identifiers) ----------------------
+# Spark 3.5+/4 IDENTIFIER(): table and column names supplied as
+# PARAMETERS (spark.sql(..., args=...)) instead of f-string splicing
+# — the injection-safe way to write reusable jobs over configurable
+# table/column names (constant-folded at analysis, so the resolved
+# plan is identical to the literal query — which is exactly what the
+# oracle hash proves).
+
+_IDENTIFIER_ORACLE = """
+SELECT o_orderpriority AS dim_value,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql_identifier_clause", oracle=_IDENTIFIER_ORACLE)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a table/column pair bound through
+    IDENTIFIER(:param) named parameters."""
+    from delta_lake_play_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dim) AS dim_value,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:measure) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:dim)
+        """,
+        args={"tbl": "orders", "dim": "o_orderpriority", "measure": "o_totalprice"},
+    )
