@@ -422,3 +422,72 @@ def dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             vw[None] * (lum[:, 1:, :] > lum[:, :-1, :])
         ).sum(axis=(1, 2))
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "dhash": dh})
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_frames bigint, "
+    "total_abs_energy bigint, peak_frame_energy bigint"
+)
+
+AUDIO_FRAME = 256  # samples per analysis frame
+
+
+def audio_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: treat each payload as 16-bit little-endian
+    mono PCM (a trailing odd byte is truncated) and compute per-frame
+    absolute-amplitude energies — the audio twin of the image codec
+    path: whole-batch vectorized (one global sample-index arange →
+    fancy-indexed low/high byte gathers, ``np.add.reduceat`` per
+    AUDIO_FRAME-sample frame), zero per-sample Python. Emits per-doc
+    sample/frame counts, total |amplitude|, and the loudest frame's
+    energy — the features a VAD / loudness-normalization stage keys
+    on. Empty payloads yield 0 frames and 0 energy."""
+    for pdf in batches:
+        joined, lens, starts = _np_batch(pdf["payload"])
+        n = len(lens)
+        n_samples = lens // 2
+        n_frames = (n_samples + AUDIO_FRAME - 1) // AUDIO_FRAME
+        S = int(n_samples.sum())
+        if S == 0:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_samples": n_samples,
+                    "n_frames": n_frames,
+                    "total_abs_energy": np.zeros(n, dtype=np.int64),
+                    "peak_frame_energy": np.zeros(n, dtype=np.int64),
+                }
+            )
+            continue
+        first = np.cumsum(n_samples) - n_samples  # global index of row's sample 0
+        within = np.arange(S) - np.repeat(first, n_samples)
+        off = np.repeat(starts, n_samples) + 2 * within
+        s = joined[off].astype(np.int64) | (joined[off + 1].astype(np.int64) << 8)
+        s -= 65536 * (s >= 32768)  # two's-complement int16
+        amp = np.abs(s)
+        # frames are contiguous per row: reduceat over each frame start
+        frame_first = np.cumsum(n_frames) - n_frames
+        fid = np.repeat(frame_first, n_samples) + within // AUDIO_FRAME
+        fe = np.bincount(fid, weights=amp, minlength=int(n_frames.sum())).astype(
+            np.int64
+        )
+        tot = np.zeros(n, dtype=np.int64)
+        peak = np.zeros(n, dtype=np.int64)
+        has = np.flatnonzero(n_frames > 0)
+        if has.size:
+            csum = np.concatenate(([0], np.cumsum(fe)))
+            ends = frame_first + n_frames
+            tot[has] = csum[ends[has]] - csum[frame_first[has]]
+            # zero-frame rows occupy zero fe slots, so consecutive
+            # frame_first[has] values delimit exactly each kept row's
+            # frame span — reduceat needs no gap handling
+            peak[has] = np.maximum.reduceat(fe, frame_first[has])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_samples": n_samples,
+                "n_frames": n_frames,
+                "total_abs_energy": tot,
+                "peak_frame_energy": peak,
+            }
+        )

@@ -1262,3 +1262,76 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").alias("total_weight"),
         )
     )
+
+
+# --- agg_sketch_setops ------------------------------------------------------
+# Sketch ALGEBRA: distinct-count set operations without re-touching
+# the data. Year-over-year repeat-buyer analysis — |buyers(1995)|,
+# |buyers(1996)|, their union and intersection — from TWO fixed-size
+# HLL sketches: the union is a native sketch merge, the intersection
+# comes from inclusion–exclusion (est_a + est_b − est_union). At
+# 100 TB each yearly sketch is built once in that year's partition
+# scan and every pairwise/rolling overlap question afterwards is a
+# KB-sized sketch computation — the pattern behind cross-snapshot
+# audience-overlap and dedup-rate dashboards. The oracle supplies
+# the exact counts and TRUE for the two error-bound contracts
+# (union: direct HLL bound; intersection: the three-term
+# inclusion–exclusion compounds to a bound scaled by the UNION
+# size — ±5% + 3 covers ≥3σ of lgConfigK=12's 1.6% rsd per term).
+
+_SKETCH_SETOPS_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+            AS BIGINT) AS exact_union,
+       CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+         AS exact_inter,
+       TRUE AS union_within_eps,
+       TRUE AS inter_within_eps
+"""
+
+
+@register("agg_sketch_setops", oracle=_SKETCH_SETOPS_ORACLE)
+def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-buyer overlap from two HLL sketches: native union
+    merge + inclusion–exclusion intersection, error-bound-checked
+    against the exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    sk = o.agg(
+        F.hll_sketch_agg(F.when(yr == 1995, F.col("o_custkey"))).alias("sk_a"),
+        F.hll_sketch_agg(F.when(yr == 1996, F.col("o_custkey"))).alias("sk_b"),
+        F.count_distinct(F.when(yr == 1995, F.col("o_custkey"))).alias("exact_a"),
+        F.count_distinct(F.when(yr == 1996, F.col("o_custkey"))).alias("exact_b"),
+        F.count_distinct(
+            F.when(yr.isin(1995, 1996), F.col("o_custkey"))
+        ).alias("exact_union"),
+    )
+    est = sk.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+    )
+    exact_inter = (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+        "exact_inter"
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return est.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        exact_inter,
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= F.col("exact_union") * 0.05 + F.lit(2)
+        ).alias("union_within_eps"),
+        (
+            F.abs(est_inter - exact_inter)
+            <= F.col("exact_union") * 0.05 + F.lit(3)
+        ).alias("inter_within_eps"),
+    )

@@ -314,3 +314,134 @@ def llm_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("family_size"),
         (F.col("doc_id") != F.min("doc_id").over(w)).cast("int").alias("is_dup"),
     )
+
+
+# --- llm_multimodal_audio_energy: PCM frame energies, hash-checked ---------
+#
+# The audio leg of the multimodal battery: payloads (the documents'
+# UTF-8 bytes — same opaque-binary contract as the image keys) are
+# read as 16-bit little-endian mono PCM and reduced to per-doc
+# loudness features by ``llm/multimodal.py::audio_energy_batches``
+# (whole-batch sample gather + bincount per 256-sample frame). A
+# real soundfile/ffmpeg decoder slots in front of this stage for
+# compressed codecs (absent here — see decode_image's documented
+# stub); the judged artifact is the Arrow-batched sample/frame
+# plumbing and exact features. The oracle rebuilds every int16
+# sample from byte pairs of documents.text (pure-ASCII fixture
+# contract), so total and peak frame energies are value-exact.
+
+_AUDIO_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         text,
+         COALESCE(octet_length(encode(text)), 0) // 2 AS ns
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ns, (ns + 255) // 256 AS nf,
+         list_transform(generate_series(0, ns - 1), k ->
+           abs(CASE WHEN ascii(substr(text, CAST(2 * k + 2 AS INT), 1)) >= 128
+                    THEN ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+                         + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1))
+                         - 65536
+                    ELSE ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+                         + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1))
+               END)) AS amps
+  FROM p
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(list_aggregate(amps, 'sum'), 0) AS BIGINT)
+         AS total_abs_energy,
+       CAST(COALESCE(list_aggregate(
+           list_transform(generate_series(0, nf - 1), f ->
+             list_aggregate(amps[CAST(256 * f + 1 AS INT)
+                                 : CAST(LEAST(256 * (f + 1), ns) AS INT)],
+                            'sum')),
+           'max'), 0) AS BIGINT) AS peak_frame_energy
+FROM s
+"""
+
+
+@register("llm_multimodal_audio_energy", oracle=_AUDIO_ORACLE)
+def llm_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 frame-energy features over the binary column via
+    mapInPandas (zero shuffle; bounded-width typed output)."""
+    return _payloads(spark, sf_dir).mapInPandas(
+        mm.audio_energy_batches, schema=mm.AUDIO_SCHEMA
+    )
+
+
+# --- llm_multimodal_scene_cuts: temporal deltas over sampled frames --------
+#
+# The video temporal-analysis shape: run the REAL 1→N frame sampler
+# (every 4th 64-byte block → one frame row with a byte checksum),
+# then a per-doc lag window over frame_idx turns checksums into
+# frame-to-frame deltas — a scene-cut detector's exact plan (decode →
+# per-frame feature → bounded-partition window → per-asset aggregate;
+# swapping the checksum for a perceptual frame feature changes no
+# plan shape). The oracle rebuilds each sampled frame's checksum from
+# documents.text byte arithmetic (frame i covers bytes
+# [256·i, min(256·i + 64, n))), so cut counts and max deltas are
+# value-exact.
+
+_CUT_THRESHOLD = 300  # |checksum delta| above this = a "cut"
+
+_SCENE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text,
+         COALESCE(octet_length(encode(text)), 0) AS n,
+         (GREATEST(1, COALESCE(octet_length(encode(text)), 0) // 64) + 3) // 4
+           AS nf
+  FROM documents
+),
+fs AS (
+  SELECT doc_id, n, nf,
+         list_transform(generate_series(0, nf - 1), i ->
+           COALESCE(list_aggregate(
+             list_transform(generate_series(256 * i, LEAST(256 * i + 64, n) - 1),
+                            j -> ascii(substr(text, CAST(j + 1 AS INT), 1))),
+             'sum'), 0)) AS cs
+  FROM p
+),
+d AS (
+  SELECT doc_id, nf,
+         list_transform(generate_series(1, nf - 1), i ->
+           abs(cs[CAST(i + 1 AS INT)] - cs[CAST(i AS INT)])) AS deltas
+  FROM fs
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(len(list_filter(deltas, x -> x > {_CUT_THRESHOLD})) AS BIGINT)
+         AS n_cuts,
+       CAST(COALESCE(list_aggregate(deltas, 'max'), 0) AS BIGINT) AS max_delta
+FROM d
+"""
+
+
+@register("llm_multimodal_scene_cuts", oracle=_SCENE_ORACLE)
+def llm_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frame stream: real
+    mapInPandas sampler → per-doc lag window on frame_idx → cut
+    count + max frame delta per asset."""
+    from pyspark.sql import Window
+
+    frames = _payloads(spark, sf_dir).mapInPandas(
+        mm.frame_sample_batches, schema=mm.FRAME_SCHEMA
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(
+        F.col("frame_checksum") - F.lag("frame_checksum", 1).over(w)
+    )
+    return (
+        frames.select("doc_id", delta.alias("delta"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                F.when(F.col("delta") > _CUT_THRESHOLD, 1).otherwise(0)
+            ).alias("n_cuts"),
+            F.coalesce(F.max("delta"), F.lit(0)).alias("max_delta"),
+        )
+    )

@@ -139,7 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     # sql_lateral_alias, sql_unpivot_syntax, sql_values_clause,
     # llm_image_dedup_phash, llm_dedup_containment,
     # llm_collocation_lift, llm_curriculum_order, agg_weighted_median,
-    # sql_identifier_clause, llm_annotator_agreement.
+    # sql_identifier_clause, llm_annotator_agreement,
+    # llm_multimodal_audio_energy, llm_multimodal_scene_cuts,
+    # agg_sketch_setops.
     # --- TIER 2 (51+): the round-10 window keys, all re-proven r10
     # (duplicates of the head collapse to their first position in
     # _ordered). They rotate behind the r11 window.
