@@ -842,3 +842,42 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert checked > 200, f"sweep shrank unexpectedly: {checked} keys"
     assert not offenders, f"true cartesian products in: {offenders}"
+
+
+def test_phash_dedup_single_fingerprint_exchange(spark, sf_dir):
+    # decode+hash is a zero-shuffle map stage; the ONLY exchange in
+    # the plan is the window's hashpartitioning on the fingerprint.
+    plan = _plan(spark, sf_dir, "llm_image_dedup_phash")
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(dhash" in plan
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_containment_vocab_broadcasts(spark, sf_dir):
+    # token→hash signing joins through a broadcast vocabulary; the
+    # inverted-index self-join shuffles on the int64 shingle key.
+    plan = _plan(spark, sf_dir, "llm_dedup_containment")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(t#" in plan or "hashpartitioning(t," in plan
+
+
+def test_collocation_topk_joins_back_broadcast(spark, sf_dir):
+    # the K-row top list must broadcast against the vocabulary —
+    # never the other way around.
+    plan = _plan(spark, sf_dir, "llm_collocation_lift")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-K is not a global sort
+
+
+def test_audio_energy_is_pure_map(spark, sf_dir):
+    # PCM feature extraction must not shuffle at all.
+    plan = _plan(spark, sf_dir, "llm_multimodal_audio_energy")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_weighted_median_windows_are_partitioned(spark, sf_dir):
+    # cumulative-weight window partitions by group — a
+    # single-partition window would serialize the whole table.
+    plan = _plan(spark, sf_dir, "agg_weighted_median")
+    assert "SinglePartition" not in plan, plan
