@@ -519,3 +519,99 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+# --- graph_label_propagation ------------------------------------------------
+#
+# Community detection by synchronous label propagation over the
+# sparse minute-bucket co-occurrence graph (same capped edge builder
+# as graph_connected_components): every node starts as its own
+# label; each round it adopts the most frequent label among its
+# neighbors (ties → smallest label, so every round is deterministic
+# — vanilla LPA's random tie-break is exactly what a judged parity
+# gate cannot allow). Three unrolled rounds: each is ONE keyed join
+# (edges ⋈ labels on the neighbor end) + one count aggregate + one
+# per-node argmax window — O(m) shuffle per round, the textbook
+# distributed-LPA cost, with localCheckpoint truncating the lineage
+# between rounds. The oracle unrolls the same three rounds as CTE
+# layers (a recursive CTE cannot host the per-round aggregate).
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+c{i + 1} AS (
+  SELECT bi.u AS node, l{i}.lab, COUNT(*) AS c
+  FROM bi JOIN l{i} ON bi.v = l{i}.node GROUP BY bi.u, l{i}.lab
+),
+l{i + 1} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{i + 1})
+  WHERE rn = 1
+)"""
+
+
+_LPA_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, mi, user_id,
+         row_number() OVER (PARTITION BY event_type, mi ORDER BY user_id) AS rn
+  FROM (SELECT DISTINCT event_type,
+               time_bucket(INTERVAL 1 MINUTE, ts) AS mi, user_id
+        FROM events)
+),
+capped AS (SELECT * FROM b WHERE rn <= 4),
+edges AS (
+  SELECT DISTINCT a.user_id AS u, c.user_id AS v
+  FROM capped a JOIN capped c
+    ON a.event_type = c.event_type AND a.mi = c.mi AND a.user_id < c.user_id
+),
+bi AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT user_id AS node FROM events),
+l0 AS (SELECT node, node AS lab FROM nodes),
+{",".join(_lpa_round_sql(i) for i in range(_LPA_ROUNDS))}
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(COALESCE(l.lab, n.node) AS BIGINT) AS community,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(l.lab, n.node)) AS BIGINT)
+         AS community_size
+FROM nodes n LEFT JOIN l{_LPA_ROUNDS} l ON n.node = l.node
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic LPA rounds (min-label argmax) over the
+    capped minute-bucket co-occurrence graph; output is each node's
+    community plus the community size."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = _minute_edges(ev, 4)
+    bi = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    w_arg = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+    # rounds relabel edge ENDPOINTS only (an isolated node has no
+    # argmax row); the final left join restores singletons
+    for _ in range(_LPA_ROUNDS):
+        nb = bi.join(lab, bi.v == lab.node).select(
+            F.col("u").alias("node"), "lab"
+        )
+        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w_arg))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint()
+        )
+    com = F.coalesce(F.col("lab"), F.col("node"))
+    w_sz = Window.partitionBy(com)
+    return nodes.join(lab, "node", "left").select(
+        F.col("node").cast("long").alias("node"),
+        com.cast("long").alias("community"),
+        F.count(F.lit(1)).over(w_sz).cast("long").alias("community_size"),
+    )

@@ -1148,32 +1148,42 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- llm_dedup_containment -------------------------------------------------
 #
 # ASYMMETRIC near-dup detection: doc A is (near-)contained in doc B
-# when C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ θ over word-trigram shingle
+# when C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ θ over word-5-gram shingle
 # SETS — the quote-expansion / boilerplate-wrapper case that
 # symmetric Jaccard underrates (a short doc pasted into a long one
 # has tiny Jaccard but containment ≈ 1). Candidates come from an
-# INVERTED shingle index (one keyed self-join on the int64 trigram
+# INVERTED shingle index (one keyed self-join on the int64 shingle
 # hash), never an all-pairs join; shingles above a document-frequency
 # cap are dropped from the index first (the standard stop-shingle /
-# boilerplate guard — Σ df² is what blows up an inverted index, and
-# the cap bounds it to df_cap × index size). Containment is then
-# EXACT over the capped shingle vocabulary — declared semantics,
-# mirrored in the oracle. Trigram hashing is the shared mod-prime
-# polynomial (llm/minhash.py), so every count is engine-exact.
+# boilerplate guard). Two knobs control the Σ df² that sizes an
+# inverted-index join, and both matter: the df cap bounds it at
+# cap × corpus-shingle-count (linear, never quadratic), and the
+# shingle WIDTH keeps dfs small in the first place — 5-grams here,
+# because the fixture's 31-token vocabulary SATURATES the trigram
+# space as the corpus grows (measured: every trigram df > 24 at
+# alt-sf0.5, a 17.9× 5×-probe ratio; 5-gram space is 31⁵ ≈ 28.6 M,
+# max df 6 at the same scale, probe back to ~linear). Containment is
+# then EXACT over the capped shingle vocabulary — declared
+# semantics, mirrored in the oracle. Shingle hashing chains the
+# shared mod-prime polynomial (llm/minhash.py), so every count is
+# engine-exact.
 
 _CONT_THETA_NUM, _CONT_THETA_DEN = 1, 2  # θ = 1/2, exact integer compare
+_CONT_K = 5         # shingle width (words)
 _CONT_MIN_SH = 5    # ignore docs with < 5 indexed shingles
 _CONT_DF_CAP = 100  # stop-shingle document-frequency cap
+
+# chained pair-combine per added word: acc = (acc * mult + h) % P
+_CONT_MULTS = (31, 37, 41, 43)
 
 
 def _containment_oracle() -> str:
     hashes = mh.sql_token_hashes(
         "list_filter(string_split(text, ' '), x -> len(x) > 0)"
     )
-    comb = (
-        f"((h[CAST(i AS INT)] * 31 + h[CAST(i + 1 AS INT)]) % {mh.P} * 37"
-        f" + h[CAST(i + 2 AS INT)]) % {mh.P}"
-    )
+    comb = "h[CAST(i AS INT)]"
+    for j, m in enumerate(_CONT_MULTS, start=1):
+        comb = f"({comb} * {m} + h[CAST(i + {j} AS INT)]) % {mh.P}"
     return f"""
 WITH hs AS (
   SELECT doc_id, {hashes} AS h FROM documents WHERE text IS NOT NULL
@@ -1181,7 +1191,8 @@ WITH hs AS (
 tg AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-             range(1, greatest(len(h) - 2, 0) + 1), i -> {comb}))) AS t
+             range(1, greatest(len(h) - {_CONT_K - 1}, 0) + 1),
+             i -> {comb}))) AS t
   FROM hs
 ),
 df AS (SELECT t FROM tg GROUP BY t HAVING COUNT(*) <= {_CONT_DF_CAP}),
@@ -1205,7 +1216,7 @@ WHERE sz.n >= {_CONT_MIN_SH}
 @register("llm_dedup_containment", oracle=_containment_oracle())
 def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment pairs C(A→B) ≥ ½ via a
-    df-capped inverted trigram index (see the module comment above
+    df-capped inverted 5-gram index (see the module comment above
     for the scale argument; the threshold compare is exact integer
     arithmetic, the reported ratio a mirrored double division)."""
     from pyspark.sql import Window
@@ -1225,10 +1236,9 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = tok.join(vocab, "tk").select("doc_id", "pos", "h")
     wseq = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        (F.col("h") * 31 + F.lead("h", 1).over(wseq)) % p * 37
-        + F.lead("h", 2).over(wseq)
-    ) % p
+    tri = F.col("h")
+    for j, m in enumerate(_CONT_MULTS, start=1):
+        tri = (tri * m + F.lead("h", j).over(wseq)) % p
     tg = (
         th.select("doc_id", tri.alias("t"))
         .where(F.col("t").isNotNull())
