@@ -122,9 +122,36 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- llm_multimodal_framesample: 1→N frame sampling -----------------------
+#
+# Hash-checked since r11-continuation (previously the last multimodal
+# rows-only key): every sampled frame's byte span is pure arithmetic
+# of the payload length — frame i covers bytes
+# [256·i, min(256·i + 64, n)) — so DuckDB recomputes each row's
+# index, byte count, AND checksum from documents.text (the same byte
+# arithmetic the scene-cut oracle uses, per-frame instead of
+# per-delta).
+
+_FRAMESAMPLE_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         COALESCE(octet_length(encode(text)), 0) AS n,
+         (GREATEST(1, COALESCE(octet_length(encode(text)), 0) // 64) + 3) // 4
+           AS sampled
+  FROM documents
+)
+SELECT doc_id,
+       CAST(4 * i AS INTEGER) AS frame_idx,
+       CAST(LEAST(256 * i + 64, n) - LEAST(256 * i, n) AS INTEGER)
+         AS frame_bytes,
+       CAST(COALESCE(list_aggregate(
+           list_transform(generate_series(256 * i, LEAST(256 * i + 64, n) - 1),
+                          j -> ascii(substr(text, CAST(j + 1 AS INT), 1))),
+           'sum'), 0) AS BIGINT) AS frame_checksum
+FROM s, UNNEST(range(0, sampled)) AS u(i)
+"""
 
 
-@register("llm_multimodal_framesample")
+@register("llm_multimodal_framesample", oracle=_FRAMESAMPLE_ORACLE)
 def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: every 4th 64-byte block of the
     payload becomes a frame row (1→N mapInPandas explosion). The
