@@ -472,3 +472,94 @@ def llm_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max("delta"), F.lit(0)).alias("max_delta"),
         )
     )
+
+
+# --- llm_dedup_phash_hamming: NEAR-duplicate images (hamming <= 2) ---------
+#
+# Upgrades perceptual image dedup from exact-fingerprint buckets
+# (llm_image_dedup_phash) to hamming-radius pairs: two images whose
+# 24-bit dHashes differ in at most 2 bits. Same LSH design as the
+# text simhash key, instantiated over image fingerprints: split the
+# hash into 3 disjoint 8-bit blocks — by pigeonhole, <= 2 differing
+# bits cannot touch all 3 blocks, so bucketing on (block_id,
+# block_value) has PERFECT recall at this radius — then verify
+# candidates exactly with bit_count(xor). The verify runs BEFORE the
+# pair-distinct, so the distinct's shuffle carries surviving pairs
+# only; bucket population tracks true near-dup families, never
+# O(n²). Everything is int64 bit arithmetic, mirrored exactly in
+# DuckDB.
+
+_PH_BLOCK_BITS = 8
+_PH_NBLOCKS = 3
+_PH_HAMMING_MAX = 2
+
+
+def _phash_hamming_oracle() -> str:
+    # reuse the dhash CTEs from the exact-bucket key up to `dh`
+    base = _PHASH_ORACLE.split("SELECT doc_id, dhash,")[0].rstrip().rstrip(")")
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, dhash, {b} AS blk,"
+        f" (dhash >> {b * _PH_BLOCK_BITS}) & 255 AS bval FROM dh"
+        for b in range(_PH_NBLOCKS)
+    )
+    return f"""{base}),
+bk AS ({blocks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.dhash AS ha,
+                  b.doc_id AS doc_b, b.dhash AS hb
+  FROM bk a JOIN bk b
+    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {_PH_HAMMING_MAX}
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+"""
+
+
+@register("llm_dedup_phash_hamming", oracle=_phash_hamming_oracle())
+def llm_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs at hamming <= 2 on the 24-bit
+    dHash via 3x8-bit block LSH (perfect recall by pigeonhole) +
+    exact bit_count verify inside the buckets."""
+    dh = _image_payloads(spark, sf_dir).mapInPandas(
+        mm.dhash_batches, schema=mm.DHASH_SCHEMA
+    )
+    blocks = None
+    for b in range(_PH_NBLOCKS):
+        part = dh.select(
+            "doc_id",
+            "dhash",
+            F.lit(b).alias("blk"),
+            F.shiftright("dhash", b * _PH_BLOCK_BITS)
+            .bitwiseAND(F.lit(255))
+            .alias("bval"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash").alias("ha"),
+        "blk",
+        "bval",
+    )
+    b_rel = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash").alias("hb"),
+        "blk",
+        "bval",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b_rel, ["blk", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(ham <= _PH_HAMMING_MAX)  # verify BEFORE the pair-distinct
+        .select("doc_a", "ha", "doc_b", "hb")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )

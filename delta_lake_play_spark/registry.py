@@ -141,7 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     # llm_collocation_lift, llm_curriculum_order, agg_weighted_median,
     # sql_identifier_clause, llm_annotator_agreement,
     # llm_multimodal_audio_energy, llm_multimodal_scene_cuts,
-    # agg_sketch_setops, graph_label_propagation, plus
+    # agg_sketch_setops, graph_label_propagation,
+    # llm_dedup_phash_hamming, plus
     # llm_multimodal_framesample (rows-only → hash-checked this
     # round: the scene-cut oracle proved per-frame checksums are
     # byte-arithmetic-expressible).
