@@ -310,3 +310,68 @@ def test_property_encode_decode_roundtrip(payloads, start_id):
                 base = ((rr * h) // 4) * 48 + ((cc * 16) // 4) * 3
                 expect += sum(pix[base : base + 3])
         assert r["thumb_pixel_sum"] == expect
+
+
+def _dhash(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    return next(iter(mm.dhash_batches(iter([pdf]))))
+
+
+def test_dhash_brightness_invariance():
+    """dHash keys on gradient SIGNS: adding a constant to every pixel
+    byte (no clipping) must not change the fingerprint, while
+    reversing the gradient must."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(20, 120, size=(8, 16 * 3), dtype=np.uint8)
+    rows = [bytes(r) for r in base]
+    brighter = [bytes((np.frombuffer(r, np.uint8) + 100).astype(np.uint8)) for r in rows]
+    p1 = _bmp(16, 8, rows, top_down=True)
+    p2 = _bmp(16, 8, brighter, top_down=True)
+    p3 = _bmp(16, 8, rows[::-1], top_down=True)  # vertical flip
+    out = _dhash([p1, p2, p3])
+    assert out.loc[0, "dhash"] == out.loc[1, "dhash"]
+    assert out.loc[0, "dhash"] != out.loc[2, "dhash"]
+    assert 0 <= out["dhash"].max() < (1 << 24)
+
+
+def test_dhash_bottom_up_matches_top_down():
+    """The same image stored bottom-up (positive biHeight, reversed
+    row order) must produce the identical fingerprint."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, size=(8, 16 * 3), dtype=np.uint8)
+    rows = [bytes(r) for r in base]
+    td = _bmp(16, 8, rows, top_down=True)
+    bu = _bmp(16, 8, rows[::-1], top_down=False)
+    out = _dhash([td, bu])
+    assert out.loc[0, "dhash"] == out.loc[1, "dhash"]
+
+
+def _audio(payloads: list[bytes]) -> pd.DataFrame:
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    return next(iter(mm.audio_energy_batches(iter([pdf]))))
+
+
+def test_audio_energy_signed_samples_and_odd_tail():
+    """int16 LE decoding: 0x8000 = -32768, 0xFFFF = -1; a trailing
+    odd byte is truncated, empty payloads yield zero frames."""
+    p = struct.pack("<4h", 100, -100, -32768, -1) + b"\x7f"  # odd tail byte
+    out = _audio([p, b""])
+    assert int(out.loc[0, "n_samples"]) == 4
+    assert int(out.loc[0, "n_frames"]) == 1
+    assert int(out.loc[0, "total_abs_energy"]) == 100 + 100 + 32768 + 1
+    assert int(out.loc[0, "peak_frame_energy"]) == 32969  # one frame: == total
+    assert int(out.loc[1, "n_samples"]) == 0
+    assert int(out.loc[1, "n_frames"]) == 0
+    assert int(out.loc[1, "total_abs_energy"]) == 0
+    assert int(out.loc[1, "peak_frame_energy"]) == 0
+
+
+def test_audio_energy_peak_is_per_frame_max():
+    """Two full frames with different energies: peak = the louder
+    frame, total = their sum (frame boundary at 256 samples)."""
+    quiet = struct.pack("<256h", *([1] * 256))
+    loud = struct.pack("<256h", *([-10] * 256))
+    out = _audio([quiet + loud])
+    assert int(out.loc[0, "n_frames"]) == 2
+    assert int(out.loc[0, "total_abs_energy"]) == 256 + 2560
+    assert int(out.loc[0, "peak_frame_energy"]) == 2560
