@@ -839,3 +839,81 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("matched_id"),
         F.col("lev").cast("int").alias("lev"),
     )
+
+
+# --- join_asof_nearest --------------------------------------------------------
+#
+# The third as-of direction (after last_event/backward and
+# next_event/forward): attach the click NEAREST in time to each
+# purchase, whichever side it falls on — merge_asof
+# direction='nearest' / sensor-alignment semantics, ties to the
+# earlier row. One shuffle, two window functions over the SAME sort
+# (operators/asof.py::asof_join_nearest): the backward carry is
+# last(ignorenulls) over unbounded-preceding, the forward carry
+# first(ignorenulls) from the current row on; same-ts right rows
+# sort before the left row, land in the backward carry with Δ = 0,
+# and win every tie by construction. Deltas compare as integer
+# microseconds on both engines.
+
+_ASOF_NEAREST_ORACLE = """
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ats, event_id, 1 AS side,
+         value AS purchase_value,
+         NULL::STRUCT(v DOUBLE, t TIMESTAMP) AS carry
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts::TIMESTAMP, event_id, 0, NULL,
+         struct_pack(v := value, t := ts::TIMESTAMP)
+  FROM events WHERE event_type = 'click'
+), g AS (
+  SELECT user_id, ats, event_id, side, purchase_value,
+         last_value(carry IGNORE NULLS) OVER wb AS back,
+         first_value(carry IGNORE NULLS) OVER wf AS fwd
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ats, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ats, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), p AS (
+  SELECT *,
+         (fwd IS NULL OR (back IS NOT NULL
+            AND epoch_us(ats) - epoch_us(back.t)
+                <= epoch_us(fwd.t) - epoch_us(ats))) AS pick_back
+  FROM g WHERE side = 1
+)
+SELECT event_id, user_id, ats AS ts, purchase_value,
+       CASE WHEN pick_back THEN back.v ELSE fwd.v END AS nearest_value,
+       CASE WHEN pick_back THEN back.t ELSE fwd.t END AS nearest_ts,
+       CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+            WHEN pick_back THEN 'backward' ELSE 'forward' END
+         AS nearest_direction
+FROM p
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest same-user click to each purchase, either direction,
+    ties to the earlier click."""
+    from delta_lake_play_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("v")
+    )
+    out = asof_join_nearest(
+        purchases, clicks, on=["user_id"], ts="ts",
+        right_values=["v"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("nearest_v").alias("nearest_value"),
+        F.col("nearest_ts"),
+        "nearest_direction",
+    )

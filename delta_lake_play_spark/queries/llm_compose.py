@@ -1711,3 +1711,85 @@ def llm_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         F.try_divide(po - pe, F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
     )
+
+
+# --- llm_padding_waste ------------------------------------------------------
+#
+# Batch-shape planning audit: under bucketed batching (every sequence
+# pads up to its bucket's boundary), how many computed tokens are
+# padding? Each doc lands in the smallest declared bucket that holds
+# it (longer docs truncate INTO the top bucket — the usual max-seq-len
+# cap, counted separately as truncated tokens); per bucket the key
+# reports doc count, real tokens, padding tokens, and the padding
+# fraction. This is the number that decides bucket boundaries and
+# pack-vs-pad for a training run (compare llm_pack_sequences, which
+# eliminates the waste this key measures). One narrow map + one
+# keyed aggregate; integer everywhere except the final mirrored
+# division.
+
+_PAD_BUCKETS = (32, 48, 64, 96)  # token boundaries; top = hard cap
+
+
+def _padding_oracle() -> str:
+    b = _PAD_BUCKETS
+    bucket = "CASE " + " ".join(
+        f"WHEN n_tok <= {e} THEN {e}" for e in b
+    ) + f" ELSE {b[-1]} END"
+    return f"""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+              AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+bk AS (
+  SELECT n_tok, {bucket} AS bucket,
+         LEAST(n_tok, {b[-1]}) AS kept,
+         n_tok - LEAST(n_tok, {b[-1]}) AS truncated
+  FROM d
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS real_tokens,
+       CAST(SUM(bucket - kept) AS BIGINT) AS padding_tokens,
+       CAST(SUM(truncated) AS BIGINT) AS truncated_tokens,
+       CAST(SUM(bucket - kept) AS DOUBLE)
+         / CAST(SUM(CAST(bucket AS BIGINT) * 1) AS DOUBLE) AS padding_frac
+FROM bk GROUP BY bucket
+"""
+
+
+@register("llm_padding_waste", oracle=_padding_oracle())
+def llm_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/truncation accounting per declared length bucket."""
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    b = _PAD_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    n_tok_expr = F.size(
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    ).cast("long")
+    n_tok = F.col("n_tok")
+    bucket = F.lit(b[-1])
+    for e in reversed(b):
+        bucket = F.when(n_tok <= e, F.lit(e)).otherwise(bucket)
+    kept = F.least(n_tok, F.lit(b[-1]))
+    bk = (
+        d.where(F.col("text").isNotNull())
+        .select(n_tok_expr.alias("n_tok"))
+        .select(
+            "n_tok",
+            bucket.cast("long").alias("bucket"),
+            kept.alias("kept"),
+            (F.col("n_tok") - kept).alias("truncated"),
+        )
+    )
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("real_tokens"),
+        F.sum(F.col("bucket") - F.col("kept")).alias("padding_tokens"),
+        F.sum("truncated").alias("truncated_tokens"),
+        (
+            F.sum(F.col("bucket") - F.col("kept")).cast("double")
+            / F.sum("bucket").cast("double")
+        ).alias("padding_frac"),
+    )

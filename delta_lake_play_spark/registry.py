@@ -142,7 +142,8 @@ _PRIORITY: tuple[str, ...] = (
     # sql_identifier_clause, llm_annotator_agreement,
     # llm_multimodal_audio_energy, llm_multimodal_scene_cuts,
     # agg_sketch_setops, graph_label_propagation,
-    # llm_dedup_phash_hamming, plus
+    # llm_dedup_phash_hamming, join_asof_nearest, llm_padding_waste,
+    # plus
     # llm_multimodal_framesample (rows-only → hash-checked this
     # round: the scene-cut oracle proved per-frame checksums are
     # byte-arithmetic-expressible).
