@@ -524,7 +524,7 @@ def llm_dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bit_count verify inside the buckets."""
     dh = _image_payloads(spark, sf_dir).mapInPandas(
         mm.dhash_batches, schema=mm.DHASH_SCHEMA
-    )
+    ).persist()  # both join sides derive from it: decode+hash once
     blocks = None
     for b in range(_PH_NBLOCKS):
         part = dh.select(
