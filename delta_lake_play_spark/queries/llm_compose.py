@@ -1753,7 +1753,7 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(SUM(bucket - kept) AS BIGINT) AS padding_tokens,
        CAST(SUM(truncated) AS BIGINT) AS truncated_tokens,
        CAST(SUM(bucket - kept) AS DOUBLE)
-         / CAST(SUM(CAST(bucket AS BIGINT) * 1) AS DOUBLE) AS padding_frac
+         / CAST(SUM(CAST(bucket AS BIGINT)) AS DOUBLE) AS padding_frac
 FROM bk GROUP BY bucket
 """
 
