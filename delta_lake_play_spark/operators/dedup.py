@@ -89,19 +89,30 @@ def minhash_near_dup_pairs(
         .agg(*mh.sig_min_aggs("h"), F.collect_set("h").alias("hs"))
         .persist()
     )
+    bvs = F.array(*mh.band_cols_from_sig())
     bands = sig.select(
         "doc_id",
-        F.posexplode(F.array(*mh.band_cols_from_sig())).alias("band_id", "band_val"),
+        bvs.alias("bvs"),
+        F.posexplode(bvs).alias("band_id", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # Emit each colliding pair from its FIRST matching band only (a
+    # codegen CASE chain over the BANDS band values both sides carry):
+    # every true pair surfaces exactly once, so the global pair
+    # .distinct() — a full exchange + hash aggregate over the LARGEST
+    # relation in the query, the raw bucket pairs (~2x the distinct
+    # count on this corpus) — disappears outright. Cost: BANDS extra
+    # longs per skinny band row.
+    first_band = F.when(F.col("a.bvs")[0] == F.col("b.bvs")[0], 0)
+    for _j in range(1, mh.BANDS):
+        first_band = first_band.when(F.col("a.bvs")[_j] == F.col("b.bvs")[_j], _j)
     cand = (
         # Broadcast the build side: bands is docs×BANDS skinny rows,
         # so the bucket self-join needs no shuffle at all — pair
         # generation becomes map-side over the probe partitions.
         a.join(_hint(b, broadcast_hints), on=["band_id", "band_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & (F.col("band_id") == first_band))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
     # Broadcast the signature table into the verify join: candidates
     # outnumber documents ~1000:1 on a near-dup-heavy corpus, and the
