@@ -198,6 +198,36 @@ def _sig_bands(sig_df: DataFrame, sig_alias: str) -> DataFrame:
     )
 
 
+def _rep_band_pairs(
+    probe_df: DataFrame,
+    probe_alias: str,
+    build_df: DataFrame,
+    build_alias: str,
+    broadcast_hints: bool,
+) -> DataFrame:
+    """``(sig_a, sig_b)`` rep pairs sharing ≥1 LSH band, each pair
+    emitted from its FIRST matching band only. Both sides carry the
+    full ``sig`` array, so the band values are re-derivable inside
+    the join filter (a codegen CASE chain over the BANDS folds):
+    every pair surfaces exactly once and the global ``.distinct()``
+    — an exchange + hash aggregate over array-keyed pair rows, the
+    widest relation in each rep-dedup plan — disappears outright."""
+    va = _band_vals_from_array(F.col(probe_alias))
+    vb = _band_vals_from_array(F.col(build_alias))
+    first = F.when(va[0] == vb[0], 0)
+    for j in range(1, mh.BANDS):
+        first = first.when(va[j] == vb[j], j)
+    return (
+        _sig_bands(probe_df, probe_alias)
+        .join(
+            _hint(_sig_bands(build_df, build_alias), broadcast_hints),
+            on=["band_id", "band_val"],
+        )
+        .where(F.col("band_id") == first)
+        .select("sig_a", "sig_b")
+    )
+
+
 def _incremental_rep_candidates(
     store_df: DataFrame,
     new_df: DataFrame,
@@ -250,14 +280,8 @@ def _incremental_rep_candidates(
     b_reps = (
         hits.select("sig").distinct().unionByName(batch_reps).distinct()
     )
-    rep_cand = (
-        _sig_bands(b_reps, "sig_b")
-        .join(
-            _hint(_sig_bands(batch_reps, "sig_a"), broadcast_hints),
-            on=["band_id", "band_val"],
-        )
-        .select("sig_a", "sig_b")
-        .distinct()
+    rep_cand = _rep_band_pairs(
+        b_reps, "sig_b", batch_reps, "sig_a", broadcast_hints
     )
     est = sig_est_jaccard(F.col("sig_a"), F.col("sig_b"))
     rep_pairs = rep_cand.select(
@@ -495,15 +519,7 @@ def priority_dedup_flagged(
         .agg(F.min(_priority_rank()).alias("best"))
         .persist()
     )
-    rep_cand = (
-        _sig_bands(fam, "sig_a")
-        .join(
-            _hint(_sig_bands(fam, "sig_b"), broadcast_hints),
-            on=["band_id", "band_val"],
-        )
-        .select("sig_a", "sig_b")
-        .distinct()
-    )
+    rep_cand = _rep_band_pairs(fam, "sig_a", fam, "sig_b", broadcast_hints)
     verified = rep_cand.where(
         sig_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold
     )
@@ -576,15 +592,7 @@ def priority_dedup_closure(
         )
         .persist()
     )
-    rep_cand = (
-        _sig_bands(fam, "sig_a")
-        .join(
-            _hint(_sig_bands(fam, "sig_b"), broadcast_hints),
-            on=["band_id", "band_val"],
-        )
-        .select("sig_a", "sig_b")
-        .distinct()
-    )
+    rep_cand = _rep_band_pairs(fam, "sig_a", fam, "sig_b", broadcast_hints)
     verified = rep_cand.where(
         sig_est_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold
     )
@@ -641,13 +649,7 @@ def priority_dedup_pairs(
     ).persist()
     reps = members.select("sig").distinct()
     rep_pairs = (
-        _sig_bands(reps, "sig_a")
-        .join(
-            _hint(_sig_bands(reps, "sig_b"), broadcast_hints),
-            on=["band_id", "band_val"],
-        )
-        .select("sig_a", "sig_b")
-        .distinct()
+        _rep_band_pairs(reps, "sig_a", reps, "sig_b", broadcast_hints)
         .withColumn(
             "est_jaccard", sig_est_jaccard(F.col("sig_a"), F.col("sig_b"))
         )
@@ -709,19 +711,32 @@ def simhash_near_dup_pairs(
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    # Both sides carry the full signature, so the block values are
+    # derivable in place: emit each colliding pair from its FIRST
+    # matching block only (codegen CASE chain over NBLOCKS shifted
+    # comparisons) and the global pair .distinct() — an exchange +
+    # hash aggregate over the raw collision relation — disappears
+    # at zero extra shuffle bytes.
+    blks_a = mh.simhash_blocks(F.col("a.sim"))
+    blks_b = mh.simhash_blocks(F.col("b.sim"))
+    first_blk = F.when(blks_a[0] == blks_b[0], 0)
+    for _k in range(1, mh.NBLOCKS):
+        first_blk = first_blk.when(blks_a[_k] == blks_b[_k], _k)
     return (
         # Same broadcast rationale as the minhash bucket join: blocks
         # is docs×NBLOCKS skinny rows, so pair generation runs
         # map-side with no shuffle of either side.
         a.join(_hint(b, broadcast_hints), on=["blk_id", "blk_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("blk_id") == first_blk)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
