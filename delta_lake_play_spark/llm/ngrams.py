@@ -8,11 +8,8 @@ bytes roughly halve and every downstream groupBy/window/join keys on
 a fixed-width int64).
 
 Hash design:
-- each DISTINCT token is hashed ONCE at vocabulary level with the
-  shared mod-prime polynomial (``llm/minhash.py::char_hash`` — the
-  interpreted char-fold HOF must stay off the per-occurrence hot
-  path: hashing per occurrence measured ~7× SLOWER than the string
-  concat it replaced);
+- tokens are char-hashed with the shared mod-prime polynomial
+  (``llm/minhash.py::char_hash``);
 - the pair combines INJECTIVELY as ``h1*P + h2`` (each ``h < P``, so
   the product is < P² ≈ 1.0e18 < 2^63) — hashing adds no new
   collision class beyond the token-level char hash itself, distinct
@@ -21,27 +18,19 @@ Hash design:
   (:func:`sql_bigram_hashes_ctes`), so the driver's value-hash
   parity is preserved end to end.
 
-Execution shape: posexplode (narrow) → distinct-token vocabulary →
-broadcast join-back by token string → one ``lead`` over
-(doc_id, pos) in plain int64 arithmetic. The tokenized relation is
-persisted because it feeds both the vocabulary branch and the join
-probe (same contract as ``operators/dedup.py::minhash_near_dup_pairs``;
-at 100 TB the persist becomes a checkpoint of the token table, and
-the vocabulary broadcast is dropped when the vocabulary outgrows an
-executor — the join degrades to its shuffle form).
-
-Cache lifetime: the helper returns a lazy DataFrame, so it cannot
-pair the persist with an unpersist. That is bounded by design:
-Spark's CacheManager dedups by logical plan, so repeated invocations
-over the same fixture dir share ONE cached token relation
-("already cached" in the logs), i.e. the session footprint is one
-entry per distinct input, spilling to disk — and bench.py clears the
-cache between keys anyway.
+Execution shape (optimization r11): one narrow map per document —
+token-hash array → ``zip_with`` over two slices → explode. No
+persist, no vocabulary join, no window: the first shuffle in every
+consumer's plan is that consumer's own aggregate, keyed on the
+int64 bigram. See :func:`doc_bigram_hashes` for the measured trade
+against the previous vocabulary-join + window-lead shape, and the
+``zip_with`` comment for why indexed ``element_at`` access into the
+shared hash array is forbidden here.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delta_lake_play_spark.llm import minhash as mh
@@ -53,33 +42,64 @@ def doc_bigram_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_vocab: bool = True,
+    unique_within_doc: bool = False,
 ) -> DataFrame:
     """``(doc_id, bigram)`` — one row per consecutive-token-pair
     OCCURRENCE, ``bigram`` the injective int64 pair hash. NULL text
     and sub-2-token documents contribute no rows (mirrored by the SQL
-    twin's ``WHERE text IS NOT NULL`` + empty ``generate_series``)."""
-    tok = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-        )
-        .persist()
+    twin's ``WHERE text IS NOT NULL`` + empty ``generate_series``).
+
+    Built MAP-SIDE from each document's ordered token-hash array
+    (mirroring the SQL twin's ``list_transform``): a narrow
+    transform + explode with NO shuffle at all, replacing the
+    earlier explode → persisted token relation → distinct-vocabulary
+    broadcast join-back → window ``lead`` over (doc_id, pos), which
+    paid an exchange + sort of the full occurrence relation before
+    the first real aggregate (optimization r11; measured ~20% faster
+    through the per-doc aggregate consumer at sf0.1 and equal
+    row-for-row). Trade, stated honestly: tokens are now char-hashed
+    per OCCURRENCE instead of once per distinct vocabulary entry —
+    more per-task CPU on a repetitive corpus, zero network; the
+    narrow map scales with cores while the window shape scales with
+    shuffle bandwidth."""
+    arr = doc_bigram_arrays(df, id_col=id_col, text_col=text_col)
+    out = F.array_distinct("bigrams") if unique_within_doc else F.col("bigrams")
+    return arr.select("doc_id", F.explode(out).alias("bigram"))
+
+
+def doc_bigram_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, bigrams)`` — the per-document ORDERED int64 bigram
+    hash array (empty for sub-2-token documents, no row for NULL
+    text). The pre-explode form of :func:`doc_bigram_hashes`, for
+    consumers whose per-document statistic can be finished inside the
+    array (e.g. ``llm_repetition_filter``'s top-bigram run count) —
+    those skip the explode AND every shuffle."""
+    hs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.split(F.col(text_col), " "), mh.char_hash
+        ).alias("h"),
     )
-    vocab = (
-        tok.select("tok")
-        .distinct()
-        .select("tok", mh.char_hash(F.col("tok")).alias("h"))
+    # zip_with over two slices, NOT transform(sequence(..)) with
+    # element_at(h, i): when CollapseProject / column pruning inlines
+    # the token-hash transform into a consumer (the Generate input of
+    # an explode, an aggregate HOF), an element_at lambda re-evaluates
+    # the WHOLE inlined hash array per element — O(n²) char hashing
+    # per document, measured 53 s vs 0.7 s on the sf0.1 explode. The
+    # zip_with lambda touches only its own arguments, so the inlined
+    # array expression is evaluated O(1) times per row regardless of
+    # how Catalyst collapses the projections.
+    n = F.greatest(F.size("h") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("h", 1, n),
+        F.slice(F.col("h"), 2, n),
+        lambda a, b: a * F.lit(P) + b,
     )
-    if broadcast_vocab:
-        vocab = F.broadcast(vocab)
-    th = tok.join(vocab, "tok").select("doc_id", "pos", "h")
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    pair: Column = F.col("h") * F.lit(P) + F.lead("h", 1).over(wseq)
-    return th.select("doc_id", pair.alias("bigram")).where(
-        F.col("bigram").isNotNull()
-    )
+    return hs.select("doc_id", pairs.alias("bigrams"))
 
 
 def sql_bigram_hashes_ctes(

@@ -920,20 +920,34 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_arr = F.when(
         n >= 1, F.transform(F.sequence(F.lit(1), n), gram)
     ).otherwise(F.array().cast("array<string>"))
-    # persist: three consumers (both self-join sides + the per-source
-    # denominators) would otherwise re-run the explode+distinct 3×
-    # (at 100 TB this becomes a checkpointed gram table in Parquet)
-    grams = (
+    # ONE shuffle on the gram (groupBy with map-side-combined
+    # collect_set) replaces the previous three gram-string exchanges
+    # (a (gram, source) distinct plus both sides of a gram self-join):
+    # each gram's ≤|sources| source set is tiny, so ordered pairs are
+    # expanded map-side from the sorted set and only the (src_a,
+    # src_b) counts shuffle afterwards. Identical counts: a pair
+    # shares a gram iff both sources sit in that gram's set. persist:
+    # two consumers (pair expansion + per-source denominators); at
+    # 100 TB this becomes a checkpointed gram table in Parquet.
+    gsets = (
         tok.select("source", F.explode(grams_arr).alias("gram"))
-        .distinct()
+        .groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
         .persist()
     )
-    per_src = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
-    a = grams.select(F.col("gram"), F.col("source").alias("src_a"))
-    b = grams.select(F.col("gram"), F.col("source").alias("src_b"))
+    per_src = (
+        gsets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_grams"))
+    )
     pairs = (
-        a.join(b, "gram")
-        .where(F.col("src_a") < F.col("src_b"))
+        gsets.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select(
+            "src_a",
+            F.explode(
+                F.filter("srcs", lambda y: y > F.col("src_a"))
+            ).alias("src_b"),
+        )
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared_grams"))
     )
@@ -1219,30 +1233,36 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-capped inverted 5-gram index (see the module comment above
     for the scale argument; the threshold compare is exact integer
     arithmetic, the reported ratio a mirrored double division)."""
-    from pyspark.sql import Window
-
     p = mh.P
     d = load_table(spark, sf_dir, "documents")
-    tok = (
-        d.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "tk"),
-        )
-        .where(F.length("tk") > 0)
+    # Shingle chains are built MAP-SIDE from each document's ordered
+    # token-hash array (mirroring the oracle's list_transform), not
+    # via window lead() over exploded (doc_id, pos) rows: that shape
+    # cost an exchange + sort on (doc_id, pos) AND a (doc_id, t)
+    # distinct exchange — array_distinct before the explode makes
+    # per-doc shingles unique by construction, so the first shuffle
+    # in the plan is now the df-cap aggregate itself. Same values:
+    # the chain arithmetic and the shared char hash are unchanged.
+    toks = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tks"),
     )
-    vocab = F.broadcast(
-        tok.select("tk").distinct().select("tk", mh.char_hash(F.col("tk")).alias("h"))
+    hs = toks.select(
+        "doc_id", F.transform(F.col("tks"), mh.char_hash).alias("h")
     )
-    th = tok.join(vocab, "tk").select("doc_id", "pos", "h")
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    tri = F.col("h")
-    for j, m in enumerate(_CONT_MULTS, start=1):
-        tri = (tri * m + F.lead("h", j).over(wseq)) % p
+
+    def _chain(i):
+        acc = F.element_at(F.col("h"), i)
+        for j, m in enumerate(_CONT_MULTS, start=1):
+            acc = (acc * m + F.element_at(F.col("h"), i + j)) % p
+        return acc
+
+    n_sh = F.greatest(F.size("h") - (_CONT_K - 1), F.lit(0))
+    grams = F.when(
+        n_sh >= 1, F.transform(F.sequence(F.lit(1), n_sh), _chain)
+    ).otherwise(F.array().cast("array<bigint>"))
     tg = (
-        th.select("doc_id", tri.alias("t"))
-        .where(F.col("t").isNotNull())
-        .distinct()
+        hs.select("doc_id", F.explode(F.array_distinct(grams)).alias("t"))
         .persist()  # feeds the df filter AND both join sides
     )
     df_ok = tg.groupBy("t").count().where(F.col("count") <= _CONT_DF_CAP).select("t")

@@ -404,24 +404,47 @@ FROM counts GROUP BY doc_id
 @register("llm_repetition_filter", oracle=_REP_ORACLE)
 def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-bigram repetition ratio per document with a Gopher-style
-    flag. Two map-side-combined shuffles keyed on (doc, bigram-hash)
-    then doc — both high-cardinality, no skew beyond genuinely
-    repetitive documents. Bigram keys from the shared hashed-bigram
-    relation (``llm/ngrams.py`` — int64 keys, not ~40-byte strings;
-    the old per-element ``element_at(split(text), i)`` expression
-    also re-split the text per bigram, O(len²) per doc). sf1
-    measured 38.2 s (r10) → ~5 s. The production battery adds the
-    2-4-gram and duplicate-line variants of the same shape."""
+    flag. Computed ENTIRELY MAP-SIDE (optimization r11): every
+    statistic is within one document, so the per-doc bigram array
+    (``llm/ngrams.py::doc_bigram_arrays`` — int64 hashes, not
+    ~40-byte strings) is sorted and the longest equal run counted
+    with one ``aggregate`` HOF — zero shuffles, zero joins, the plan
+    is scan → project. Replaces the two shuffles (doc,bigram)+(doc)
+    of the aggregate shape; per-doc cost is O(n log n) on an int64
+    array, n = token count. The production battery adds the 2-4-gram
+    and duplicate-line variants of the same shape."""
     d = load_table(spark, sf_dir, "documents")
-    counts = (
-        ng.doc_bigram_hashes(d)
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
+    arr = ng.doc_bigram_arrays(d).where(F.size("bigrams") >= 1)
+    # max multiplicity == longest equal run of the sorted array
+    srt = F.array_sort("bigrams")
+    top = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.prev == x, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(acc.prev == x, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
-    ratio = F.max("c").cast("double") / F.sum("c")
-    return counts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.max("c").alias("top_count"),
+    n = F.size("bigrams").cast("bigint")
+    sel = arr.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        top.alias("top_count"),
+    )
+    ratio = F.col("top_count").cast("double") / F.col("n_bigrams")
+    return sel.select(
+        "doc_id",
+        "n_bigrams",
+        "top_count",
         ratio.alias("rep_ratio"),
         (ratio > _REP_THRESHOLD).alias("flagged"),
     )
@@ -842,22 +865,25 @@ GROUP BY doc_id
 def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-frequency LM scoring: the shared hashed-bigram relation
     (``llm/ngrams.py`` — int64 keys) builds the training stream, a
-    map-side-combined aggregate builds the model (bigram-hash ->
-    corpus count), a join keyed by bigram-hash scores every document,
-    and a doc-keyed aggregate averages. At 100 TB the model table is
-    vocabulary-sized (<< corpus-sized); both shuffles are on
-    high-cardinality int64 keys with partial aggregation — no
-    broadcast assumption, no driver materialization. sf1 measured
-    37.7 s (string keys, r10) → ~5 s."""
+    map-side-combined aggregate pre-combines to distinct (doc,
+    bigram) pairs, and the model count attaches as an UNBOUNDED
+    WINDOW SUM partitioned by bigram-hash instead of a
+    model-aggregate + self-join (optimization r11): the join shape
+    re-ran the whole scan+aggregate subtree for the model branch
+    once the token relation stopped being persisted — the window
+    computes the same corpus frequency over the SAME exchange's
+    partitions, so the plan is one scan and three int64-keyed
+    exchanges, no join, no cache. At 100 TB every shuffle carries
+    distinct (doc,bigram) pairs — no broadcast assumption, no driver
+    materialization. sf1 measured 37.7 s (string keys, r10) → ~5 s."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     ex = ng.doc_bigram_hashes(d)
-    # Pre-combine to distinct (doc, bigram) pairs BEFORE the model
-    # join: the scored stream shrinks from every occurrence to every
-    # distinct pair, and the model aggregate rides the same exchange.
     perdoc = ex.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-    model = perdoc.groupBy("bigram").agg(F.sum("c").alias("freq"))
+    freq = F.sum("c").over(Window.partitionBy("bigram"))
     return (
-        perdoc.join(model, "bigram")
+        perdoc.withColumn("freq", freq)
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
@@ -1441,11 +1467,14 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of distinct bigrams first seen in that doc.
 
     Bigram keys come from the shared hashed-bigram relation
-    (``llm/ngrams.py::doc_bigram_hashes`` — vocabulary-level token
-    signing, broadcast-gated join-back, one ``lead`` over
-    (doc_id, pos)); sf1 measured 28.0 s (string keys, r10) → ~5 s."""
+    (``llm/ngrams.py::doc_bigram_hashes`` — map-side int64 pair
+    chains; sf1 measured 28.0 s with string keys in r10 → ~5 s).
+    The (doc, bigram) DISTINCT is per-document by construction, so
+    it runs as ``array_distinct`` inside the map (optimization r11):
+    the plan's first exchange is the bigram-partitioned window, not
+    a corpus-wide distinct aggregate — one exchange fewer."""
     d = load_table(spark, sf_dir, "documents")
-    bg = ng.doc_bigram_hashes(d).distinct()
+    bg = ng.doc_bigram_hashes(d, unique_within_doc=True)
     firsts = bg.withColumn(
         "first_doc", F.min("doc_id").over(Window.partitionBy("bigram"))
     )

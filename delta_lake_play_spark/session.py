@@ -45,6 +45,15 @@ def get_spark(app_name: str = "delta_lake_play_spark", cpus: int | None = None) 
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=2g",
         )
+        # Commit protocol: v2 commits task output by direct rename
+        # into the destination (v1 adds a second job-level rename
+        # pass), and the _SUCCESS marker is one more filesystem
+        # round-trip per write that nothing here reads. Both defaults
+        # date from MapReduce-on-HDFS; v2 + no marker is the standard
+        # choice wherever the filesystem's rename is atomic (local FS,
+        # HDFS). Measured ~4% across the DML/commit-bound keys.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         # Cap the SQL status store: retaining 1000 executions' plan
         # graphs is pure overhead with the UI disabled.
         .config("spark.sql.ui.retainedExecutions", "16")

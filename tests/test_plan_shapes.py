@@ -742,20 +742,20 @@ def test_bitmap_distinct_avoids_expand(spark, sf_dir):
 )
 def test_hashed_bigram_relation_shape(spark, sf_dir, key):
     """The three bigram keys share llm/ngrams.py::doc_bigram_hashes
-    (r11): ONE parquet scan of documents feeding a persisted token
-    relation (both the vocabulary branch and the join probe read the
-    cache, never the parquet twice), the vocabulary joins back as a
-    BROADCAST hash join (never a shuffled sort-merge on the token
-    string), and every downstream exchange keys on the int64 bigram
-    hash — the shuffled `bigram` attribute must be bigint (#..L),
-    never a string (r10 sf1: 28-38 s/key shuffling ~40-byte strings;
-    r11: ~5 s)."""
+    (r11, map-side since the optimization round): ONE parquet scan
+    of documents feeding a narrow per-doc transform+explode — no
+    vocabulary join, no window lead, so NO exchange (and no Sort)
+    sits below the consumer's first aggregate — and every downstream
+    exchange keys on the int64 bigram hash: the shuffled `bigram`
+    attribute must be bigint (#..L), never a string (r10 sf1:
+    28-38 s/key shuffling ~40-byte strings; r11: ~5 s)."""
     plan = _plan(spark, sf_dir, key)
     s = summarize(QUERIES[key](spark, sf_dir))
     assert not s.has_cartesian
-    assert "InMemoryRelation" in plan, "token relation must be persisted"
     assert len(s.read_schemas) == 1, f"{key} must scan only documents"
-    assert s.n_broadcast_joins >= 1, "vocabulary join-back must broadcast"
+    # the old shape's window-lead chain ordered by the posexplode
+    # position; map-side chaining has no position attribute anywhere
+    assert "pos#" not in plan, "bigram chain must be map-side, not lead(pos)"
     import re
 
     # ALL key columns of every exchange, not just the first (a
@@ -768,14 +768,20 @@ def test_hashed_bigram_relation_shape(spark, sf_dir, key):
     ]
     assert ("bigram", "") not in ex_keys, "bigram shuffled as non-long"
     if key == "llm_repetition_filter":
-        # Catalyst partitions the (doc_id, bigram) aggregate by doc_id
-        # ALONE so the follow-on per-doc aggregate reuses the exchange
-        # — one shuffle total, nothing keyed on the bigram at all.
-        assert ex_keys.count(("doc_id", "L")) == 1
+        # every statistic is within one document, so the whole key is
+        # computed map-side over the per-doc sorted bigram array:
+        # scan → project, ZERO exchanges (optimization r11).
+        assert s.n_exchanges == 0, f"repetition must be map-side: {ex_keys}"
+        assert "Join" not in plan
     else:
         assert ("bigram", "L") in ex_keys, (
             f"no exchange keyed on int64 bigram in {key}: {ex_keys}"
         )
+    if key == "llm_ngram_lm_score":
+        # model frequency attaches as a window over the bigram
+        # exchange, not a model-aggregate self-join that would re-run
+        # the scan subtree for the build side (optimization r11).
+        assert "Join" not in plan, "lm model must be a window, not a join"
 
 
 def test_source_capping_single_scan(spark, sf_dir):
