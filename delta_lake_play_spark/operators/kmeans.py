@@ -1,13 +1,15 @@
 """Quantized Lloyd k-means over an embedding column.
 
 The iterative-training shape the reference's pipeline lacks: each
-iteration is one broadcast join + one map-side-combined aggregate over
-the vectors; only the k×d centroid matrix ever reaches the driver
-(that collect is the textbook Lloyd loop, not a data collect). At
-100 TB the per-iteration cost is a single streaming pass — no
-vector-sized shuffle: the k-row centroid table broadcasts, the
-per-vector argmin partials combine map-side, and the centroid update
-aggregates k×d cells.
+iteration is one streaming pass — the k-row centroid table (already
+driver-resident: that collect is the textbook Lloyd loop, not a data
+collect) ships back as a LITERAL array expression, the per-vector
+argmin is a per-row ``array_min`` over it (no join, no exchange —
+optimization r11: the earlier crossJoin + groupBy(vid) argmin
+shuffled every vector's qv array once per iteration), and the
+centroid update aggregates k×d cells map-side-combined. At 100 TB
+the per-iteration cost is that single pass; no vector-sized shuffle
+exists anywhere in the loop.
 
 Determinism contract (what makes the key hash-checkable against
 DuckDB): embeddings are quantized to a 1e-3 integer grid with
@@ -24,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _quantize(vec_col: str, grid: int) -> F.Column:
@@ -34,21 +35,33 @@ def _quantize(vec_col: str, grid: int) -> F.Column:
     )
 
 
-def _sq_dist(a: str, b: str) -> F.Column:
+def _sq_dist(a: str | F.Column, b: str | F.Column) -> F.Column:
     """Exact squared L2 distance between two int64-grid arrays."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
 
 
-_CENTROID_SCHEMA = T.StructType(
-    [
-        T.StructField("cl", T.LongType()),
-        T.StructField("cv", T.ArrayType(T.LongType())),
-    ]
-)
+def _lit_centroid_arrays(
+    centroids: list[tuple[int, list[int]]],
+) -> tuple[F.Column, F.Column]:
+    """The k-row centroid table as TWO parallel nested-list literal
+    columns ``(ids array<bigint>, vectors array<array<bigint>>)``.
+    The Lloyd driver loop already holds the centroids in Python (that
+    collect IS the algorithm), so shipping them back as literals
+    instead of a broadcast DataFrame lets the argmin run per-row with
+    no join and no exchange. Each literal is ONE Literal node —
+    building the same table from per-value ``F.lit`` + ``F.struct``
+    composition produced a ~4,000-node expression tree whose
+    ANALYSIS alone cost ~1.2 s per iteration query (measured; the
+    whole point of the rewrite is to spend that nowhere)."""
+    ids = F.lit([cl for cl, _ in centroids]).cast("array<bigint>")
+    vecs = F.lit([cv for _, cv in centroids]).cast("array<array<bigint>>")
+    return ids, vecs
 
 
 def kmeans_train(
@@ -98,23 +111,36 @@ def kmeans_assignments(
         for r in q.filter(F.col("vid") < k).collect()
     ]
 
-    def assign(cdf: DataFrame) -> DataFrame:
-        scored = q.crossJoin(F.broadcast(cdf)).withColumn(
-            "dist", _sq_dist("qv", "cv")
+    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        # Per-row argmin over the k centroids as a LITERAL array
+        # expression (optimization r11): the previous crossJoin +
+        # groupBy(vid).agg(min(struct(dist, cl, qv))) shuffled the
+        # ENTIRE corpus — k rows per vector, each carrying the full
+        # d-dim qv array — once per Lloyd iteration plus once for the
+        # final assignment, only to merge candidates that were never
+        # split across partitions in the first place. array_min over
+        # struct(dist, cl) is the identical (dist, then cl) tie-break
+        # with zero exchanges.
+        ids, vecs = _lit_centroid_arrays(cents)
+        best = F.array_min(
+            F.zip_with(
+                vecs,
+                ids,
+                lambda cv, cl: F.struct(
+                    _sq_dist(F.col("qv"), cv).alias("dist"),
+                    cl.alias("cl"),
+                ),
+            )
         )
-        best = scored.groupBy("vid").agg(
-            F.min(F.struct(F.col("dist"), F.col("cl"), F.col("qv"))).alias("b")
-        )
-        return best.select(
+        return q.withColumn("b", best).select(
             "vid",
             F.col("b.cl").alias("cl"),
             F.col("b.dist").alias("dist"),
-            F.col("b.qv").alias("qv"),
+            "qv",
         )
 
     for _ in range(iters):
-        cdf = spark.createDataFrame(centroids, _CENTROID_SCHEMA)
-        assigned = assign(cdf)
+        assigned = assign(centroids)
         cells = (
             assigned.select("cl", F.posexplode("qv").alias("d", "val"))
             .groupBy("cl", "d")
@@ -134,6 +160,6 @@ def kmeans_assignments(
             (cl, [dims[d] for d in sorted(dims)]) for cl, dims in sorted(by_cl.items())
         ]
 
-    final = assign(spark.createDataFrame(centroids, _CENTROID_SCHEMA))
+    final = assign(centroids)
     q.unpersist()
     return final

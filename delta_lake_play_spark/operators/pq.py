@@ -85,7 +85,18 @@ def pq_adc_topk(
             for r in sub.filter(F.col("vid").isin(seed_ids)).collect()
         ]
 
-        def assign(cdf: DataFrame) -> DataFrame:
+        def assign(cbs: list[tuple[int, int, list[int]]]) -> DataFrame:
+            # Measured note (optimization r11): a per-row literal
+            # argmin (the operators/kmeans.py shape — nested-list
+            # literal codebook indexed by m, zip_with + array_min)
+            # was tried here and LOST to this broadcast-join form in
+            # an interleaved same-session A/B at sf0.1 (median 11.1 s
+            # vs 8.0 s end-to-end): with M=4 subvector rows per
+            # vector the extra nested-HOF interpretation per row
+            # outweighs the removed groupBy(vid, m) exchange, whose
+            # partial argmin already combines map-side. The join
+            # stays.
+            cdf = spark.createDataFrame(cbs, _CODEBOOK_SCHEMA)
             scored = sub.join(F.broadcast(cdf), "m").withColumn(
                 "dist", _sq_dist("sv", "cv")
             )
@@ -101,9 +112,8 @@ def pq_adc_topk(
             )
 
         for _ in range(iters):
-            cdf = spark.createDataFrame(codebooks, _CODEBOOK_SCHEMA)
             cells = (
-                assign(cdf)
+                assign(codebooks)
                 .select("m", "cl", F.posexplode("sv").alias("d", "val"))
                 .groupBy("m", "cl", "d")
                 .agg(
@@ -125,16 +135,17 @@ def pq_adc_topk(
                 for (m, cl), dims in sorted(by_key.items())
             ]
 
-        enc = assign(spark.createDataFrame(codebooks, _CODEBOOK_SCHEMA))
+        enc = assign(codebooks)
 
         # ADC lookup table: exact per-subspace distance from the query
         # (min-id vector, kept exact/uncompressed) to each codeword —
         # M×k rows, computed driver-side from the collected codebooks.
+        # seed_ids[0] IS the smallest actual vid (ordered limit above),
+        # so the min-vid row filters directly — no extra global-min
+        # aggregate + join job (optimization r11).
         query = {
             int(r["m"]): list(r["sv"])
-            for r in sub.join(
-                sub.groupBy().agg(F.min("vid").alias("vid")), "vid"
-            ).collect()
+            for r in sub.filter(F.col("vid") == seed_ids[0]).collect()
         }
         lut_rows = [
             (m, cl, sum((a - b) * (a - b) for a, b in zip(query[m], cv)))
