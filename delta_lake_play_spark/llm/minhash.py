@@ -92,6 +92,35 @@ def token_hashes(text: Column | str) -> Column:
     return F.transform(token_set(text), char_hash)
 
 
+def signature_from_hashes(hs: Column) -> Column:
+    """The K-long minhash signature array from a document's
+    token-hash array, computed MAP-SIDE (optimization r11): one
+    ``aggregate`` fold over the hashes, each step zip_with-ing the
+    K-vector accumulator against the token's K affine rehashes built
+    from two nested-list LITERAL coefficient arrays. Replaces the
+    exploded-rows shape (token explode → distinct-vocabulary
+    broadcast join-back → K-min hash aggregate): identical values —
+    ``sig[j] = min((A_j*h + B_j) % P)`` over the same distinct token
+    hashes — with ZERO exchanges and no persisted token relation.
+    Init is P: every rehash is < P, so P acts as +infinity. Measured
+    interleaved at sf0.1: 0.90 s vs 1.17 s per signature-table pass,
+    plus the two removed exchanges. The lambda touches only its own
+    arguments and literals, so projection collapse cannot
+    re-evaluate the hash array per element (the ngrams.py zip_with
+    rule)."""
+    a_lit = F.lit([_a(j) for j in range(K)]).cast("array<bigint>")
+    b_lit = F.lit([_b(j) for j in range(K)]).cast("array<bigint>")
+    return F.aggregate(
+        hs,
+        F.lit([P] * K).cast("array<bigint>"),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_lit, b_lit, lambda a, b: (a * h + b) % F.lit(P)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
 def sig_min_aggs(h: str = "h") -> list[Column]:
     """The K minhash-signature aggregates over a flat ``(doc, h)``
     relation: ``min((A_j*h + B_j) % P) AS s<j>``.

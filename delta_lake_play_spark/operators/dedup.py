@@ -58,11 +58,10 @@ def minhash_near_dup_pairs(
     """MinHash + banded-LSH candidate pairs, verified by exact set
     Jaccard ≥ ``threshold`` over distinct token-hash sets.
 
-    One codegen'd hash aggregate over ``(doc_id, h)`` rows computes
-    all K signature mins AND the verify-stage hash set per document;
-    the aggregate output (persisted — it feeds the band explosion and
-    both verify sides; at 100 TB this becomes a checkpointed
-    signature table) is BANDS rows per doc into the bucket join.
+    One MAP-SIDE projection computes all K signature mins AND the
+    verify-stage hash set per document (optimization r11 — see the
+    builder comment below); the persisted signature table is BANDS
+    rows per doc into the bucket join.
     Never an all-pairs join; the only quadratic term is bucket size.
     (A further refinement — collapsing identical hash sets into
     exact-dup families before LSH and re-expanding pairs at the end —
@@ -81,15 +80,26 @@ def minhash_near_dup_pairs(
     join degrades gracefully to its shuffle form instead of failing
     the broadcast build.
     """
-    # persisted: feeds both the vocabulary branch and the join probe
-    toks = _doc_tokens(df, id_col, text_col).persist()
-    rows = toks.join(_hint(_vocab_hashes(toks), broadcast_hints), "tok")
+    # Signatures and the verify-stage hash sets are built MAP-SIDE
+    # from each document's token-hash array (optimization r11,
+    # llm/minhash.py::signature_from_hashes): the persisted token
+    # relation, the distinct-vocabulary exchange and its broadcast
+    # join-back, and the K-min signature aggregate's exchange are all
+    # gone — the signature table is one narrow projection off the
+    # scan. persisted: feeds the band explosion and both verify sides
+    # (at 100 TB this becomes a checkpointed signature table).
+    th = mh.token_hashes(F.col(text_col))
     sig = (
-        rows.groupBy("doc_id")
-        .agg(*mh.sig_min_aggs("h"), F.collect_set("h").alias("hs"))
+        df.select(F.col(id_col).alias("doc_id"), th.alias("th"))
+        .where(F.size("th") > 0)
+        .select(
+            "doc_id",
+            mh.signature_from_hashes(F.col("th")).alias("sig"),
+            F.array_distinct("th").alias("hs"),
+        )
         .persist()
     )
-    bvs = F.array(*mh.band_cols_from_sig())
+    bvs = F.array(*_band_vals_from_array(F.col("sig")))
     bands = sig.select(
         "doc_id",
         bvs.alias("bvs"),
@@ -141,20 +151,18 @@ def minhash_signature_table(
     broadcast_hints: bool = True,
 ) -> DataFrame:
     """``(doc_id, sig array<long>)`` — the persisted signature-store
-    row: K int64s per document (~128 B), computed by the same
-    one-hash-aggregate plan as ``minhash_near_dup_pairs``. This is
-    what an incremental pipeline CHECKPOINTS so later batches dedup
-    against the corpus without ever re-reading its text."""
-    # persisted: feeds the vocabulary branch and the join probe
-    toks = _doc_tokens(df, id_col, text_col).persist()
-    rows = toks.join(_hint(_vocab_hashes(toks), broadcast_hints), "tok")
+    row: K int64s per document (~128 B), computed MAP-SIDE by the
+    same ``llm/minhash.py::signature_from_hashes`` fold as
+    ``minhash_near_dup_pairs`` — one narrow projection off the scan,
+    no token explode, no vocabulary exchange, no signature aggregate
+    (optimization r11). This is what an incremental pipeline
+    CHECKPOINTS so later batches dedup against the corpus without
+    ever re-reading its text."""
+    th = mh.token_hashes(F.col(text_col))
     return (
-        rows.groupBy("doc_id")
-        .agg(*mh.sig_min_aggs("h"))
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"s{j}") for j in range(mh.K)]).alias("sig"),
-        )
+        df.select(F.col(id_col).alias("doc_id"), th.alias("th"))
+        .where(F.size("th") > 0)
+        .select("doc_id", mh.signature_from_hashes(F.col("th")).alias("sig"))
     )
 
 
