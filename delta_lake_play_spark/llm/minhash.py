@@ -19,12 +19,17 @@ stage. Bounds: char fold keeps the accumulator < P ≈ 2^30, so
 ``acc*131 + 255 < 2^38``; the affine rehash ``(A*h + B) % P`` with
 A,B < 2^7 stays < 2^38; the band fold likewise. No overflow anywhere.
 
-Execution shape: higher-order functions (``split`` / ``transform`` /
-``aggregate``) run interpreted, OUTSIDE whole-stage codegen — so they
-are confined to the tiny distinct-token vocabulary (hash each token
-ONCE), while the per-document work (signature mins, simhash bit
-votes) is plain column arithmetic inside one codegen'd hash
-aggregate over exploded token rows. Zero Python in any path.
+Execution shape (optimization r11): signatures — minhash K-vector
+and the 60-bit simhash alike — are computed MAP-SIDE per document
+with ``aggregate``/``zip_with`` folds over the token-hash array
+(:func:`signature_from_hashes`, :func:`simhash_from_hashes`), so no
+token explode, vocabulary exchange, or per-doc aggregate exchange
+exists anywhere before the first LSH band. The folds follow the
+zip_with-only discipline (lambdas touch only their own arguments and
+literals): indexed ``element_at`` access into a shared array column
+re-evaluates the inlined array expression per element under
+projection collapse — the O(n²) trap measured and documented in
+``llm/ngrams.py``. Zero Python in any path.
 
 Every Spark builder has a ``sql_*`` twin that renders the same
 computation as DuckDB SQL for the driver's t2 oracle.
@@ -121,63 +126,52 @@ def signature_from_hashes(hs: Column) -> Column:
     )
 
 
-def sig_min_aggs(h: str = "h") -> list[Column]:
-    """The K minhash-signature aggregates over a flat ``(doc, h)``
-    relation: ``min((A_j*h + B_j) % P) AS s<j>``.
+def simhash_from_hashes(hs: Column) -> Column:
+    """The 60-bit simhash from a document's token-hash array,
+    computed MAP-SIDE (optimization r11): one ``aggregate`` fold
+    accumulating the SIMHASH_BITS ±1 vote counters (zip_with against
+    each token's vote vector — NBLOCKS affine rehashes, 15 bits
+    each), then one fold over (counter, 2^j) pairs to set the sign
+    bits. Bit extraction is ``g mod 2^(b+1) >= 2^b`` — plain int64
+    arithmetic (``F.shiftright`` requires a literal shift, and
+    float-division bit tricks would break exactness). Identical
+    values to the exploded-rows vote aggregate it replaces (verified
+    row-for-row); interleaved A/B at sf0.1: 4.54 → 2.30 s median for
+    the signature stage, and the token explode, vocabulary exchange
+    + broadcast join-back, and per-doc vote aggregate exchange all
+    disappear. Same zip_with-only discipline as
+    :func:`signature_from_hashes`."""
+    pow_lit = F.lit([1 << b for b in range(BLOCK_BITS)]).cast("array<bigint>")
 
-    This is the scale-shape of the signature computation: per-doc
-    signatures come out of ONE codegen'd hash aggregate (map-side
-    combined) over exploded token rows — no higher-order-function
-    lambdas in the hot path (Spark evaluates those interpreted,
-    outside whole-stage codegen; measured ~10× slower at bench
-    scale). ``h*A < 2^60`` so the arithmetic never overflows."""
-    col = F.col(h)
-    return [
-        F.min((col * _a(j) + _b(j)) % P).alias(f"s{j}") for j in range(K)
-    ]
+    def _votes(h: Column) -> Column:
+        blocks = []
+        for k in range(NBLOCKS):
+            g = (h * _a(k) + _b(k)) % F.lit(P)
+            blocks.append(
+                F.transform(
+                    pow_lit,
+                    lambda p: F.when(g % (p * 2) >= p, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("bigint"),
+                )
+            )
+        return F.concat(*blocks)
 
-
-def band_cols_from_sig(prefix: str = "s") -> list[Column]:
-    """Fold each band's ROWS signature columns into one bucket value
-    (plain int64 arithmetic over the ``s<j>`` aggregate outputs)."""
-    vals = []
-    for band in range(BANDS):
-        acc = F.col(f"{prefix}{band * ROWS}")
-        for r in range(1, ROWS):
-            acc = (acc * B + F.col(f"{prefix}{band * ROWS + r}")) % P
-        vals.append(acc)
-    return vals
-
-
-def simhash_g_cols(h: Column) -> list[Column]:
-    """The NBLOCKS per-token rehashes feeding the simhash bit families:
-    family k supplies signature bits [15k, 15k+15) from the low bits
-    of ``g_k = (A_k*h + B_k) % P``. Computed once per DISTINCT token
-    (vocabulary table), not per occurrence."""
-    return [(h * _a(k) + _b(k)) % P for k in range(NBLOCKS)]
-
-
-def simhash_score_aggs(g_prefix: str = "g") -> list[Column]:
-    """The SIMHASH_BITS per-bit ±1 vote sums over a flat
-    ``(doc, g_0..g_{NBLOCKS-1})`` relation — one codegen'd hash
-    aggregate computes every bit's score."""
-    aggs = []
-    for j in range(SIMHASH_BITS):
-        k, b = divmod(j, BLOCK_BITS)
-        bit = F.shiftright(F.col(f"{g_prefix}{k}"), b).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit * 2 - 1).alias(f"sc{j}"))
-    return aggs
-
-
-def simhash_from_scores(sc_prefix: str = "sc") -> Column:
-    """Assemble the SIMHASH_BITS-bit signature from the vote sums:
-    bit j set iff more tokens voted 1 than 0."""
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        out = out + F.when(F.col(f"{sc_prefix}{j}") > 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
-    return out
+    scores = F.aggregate(
+        hs,
+        F.lit([0] * SIMHASH_BITS).cast("array<bigint>"),
+        lambda acc, h: F.zip_with(acc, _votes(h), lambda x, y: x + y),
+    )
+    bit_pows = F.lit([1 << j for j in range(SIMHASH_BITS)]).cast("array<bigint>")
+    return F.aggregate(
+        F.zip_with(
+            scores,
+            bit_pows,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_blocks(sim: Column) -> Column:

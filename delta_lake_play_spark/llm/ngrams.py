@@ -78,11 +78,21 @@ def doc_bigram_arrays(
     consumers whose per-document statistic can be finished inside the
     array (e.g. ``llm_repetition_filter``'s top-bigram run count) —
     those skip the explode AND every shuffle."""
-    hs = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.split(F.col(text_col), " "), mh.char_hash
-        ).alias("h"),
+    from delta_lake_play_spark.functions.fanout import fan_out
+
+    # fan_out BEFORE the hash fold: the map-side shape inherits the
+    # scan's partitioning, and a local single-file scan would run
+    # the char hashing on one core (functions/fanout.py; no-op on
+    # any multi-split input).
+    base = fan_out(
+        df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        ),
+        "doc_id",
+    )
+    hs = base.select(
+        "doc_id",
+        F.transform(F.split("__text", " "), mh.char_hash).alias("h"),
     )
     # zip_with over two slices, NOT transform(sequence(..)) with
     # element_at(h, i): when CollapseProject / column pruning inlines

@@ -17,35 +17,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_play_spark.functions.fanout import fan_out
 from delta_lake_play_spark.llm import minhash as mh
-
-
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """``(doc_id, tok)`` — one row per distinct token per document."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(mh.token_set(text_col)).alias("tok"),
-    )
-
-
-def _vocab_hashes(toks: DataFrame) -> DataFrame:
-    """``(tok, h)`` — each DISTINCT token char-hashed exactly once.
-
-    The char-level polynomial fold is the only interpreted
-    (higher-order-function) expression in the pipeline, so it runs
-    over the vocabulary, not over every token occurrence of every
-    document — at corpus scale vocabulary is millions where token
-    occurrences are trillions. Broadcast back onto the token rows
-    (a natural-language vocabulary fits an executor; were it not,
-    the same join runs as a shuffle join)."""
-    return toks.select("tok").distinct().select(
-        "tok", mh.char_hash(F.col("tok")).alias("h")
-    )
 
 
 def _hint(df: DataFrame, broadcast_hints: bool) -> DataFrame:
     """Wrap in a broadcast hint unless the caller disabled hints."""
     return F.broadcast(df) if broadcast_hints else df
+
+
+def _spread_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, __text)`` widened to session parallelism BEFORE the
+    map-side signature fold (functions/fanout.py — the fold must sit
+    ABOVE the conditional exchange or a single-file local scan runs
+    it on one core)."""
+    return fan_out(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        ),
+        "doc_id",
+    )
 
 
 def minhash_near_dup_pairs(
@@ -88,9 +79,10 @@ def minhash_near_dup_pairs(
     # gone — the signature table is one narrow projection off the
     # scan. persisted: feeds the band explosion and both verify sides
     # (at 100 TB this becomes a checkpointed signature table).
-    th = mh.token_hashes(F.col(text_col))
+    th = mh.token_hashes(F.col("__text"))
     sig = (
-        df.select(F.col(id_col).alias("doc_id"), th.alias("th"))
+        _spread_ids(df, id_col, text_col)
+        .select("doc_id", th.alias("th"))
         .where(F.size("th") > 0)
         .select(
             "doc_id",
@@ -158,18 +150,19 @@ def minhash_signature_table(
     (optimization r11). This is what an incremental pipeline
     CHECKPOINTS so later batches dedup against the corpus without
     ever re-reading its text."""
-    th = mh.token_hashes(F.col(text_col))
+    th = mh.token_hashes(F.col("__text"))
     return (
-        df.select(F.col(id_col).alias("doc_id"), th.alias("th"))
+        _spread_ids(df, id_col, text_col)
+        .select("doc_id", th.alias("th"))
         .where(F.size("th") > 0)
         .select("doc_id", mh.signature_from_hashes(F.col("th")).alias("sig"))
     )
 
 
 def _band_vals_from_array(sig) -> list:
-    """Band bucket values folded from a stored ``sig`` array column
-    (array twin of ``mh.band_cols_from_sig``, which reads the s<j>
-    aggregate columns)."""
+    """Band bucket values folded from a ``sig`` array column — the
+    BANDS-way split of the K-long signature, each band's ROWS entries
+    folded to one bucket value in plain int64 arithmetic."""
     vals = []
     for band in range(mh.BANDS):
         acc = sig[band * mh.ROWS]
@@ -698,19 +691,18 @@ def simhash_near_dup_pairs(
     4×2^15 — bucket population tracks true near-dup families, so the
     within-bucket join stays linear-ish at 100× data. (A 16-bit
     signature's 4-nibble blocks give 64 total buckets: O(n²/64).)
-    Per-bit votes are summed in one codegen'd hash aggregate over
-    ``(doc_id, g_0..g_3)`` token rows; no interpreted lambdas.
+    The signature is computed MAP-SIDE per document
+    (``llm/minhash.py::simhash_from_hashes`` — optimization r11): the
+    token explode, vocabulary exchange + broadcast join-back, and the
+    per-doc vote aggregate exchange are all gone; the persisted
+    signature table is one narrow projection off the scan.
     ``broadcast_hints`` as in :func:`minhash_near_dup_pairs`."""
-    toks = _doc_tokens(df, id_col, text_col).persist()
-    vocab = _vocab_hashes(toks).select(
-        "tok",
-        *[g.alias(f"g{k}") for k, g in enumerate(mh.simhash_g_cols(F.col("h")))],
-    )
-    rows = toks.join(_hint(vocab, broadcast_hints), "tok")
+    th = mh.token_hashes(F.col("__text"))
     sims = (
-        rows.groupBy("doc_id")
-        .agg(*mh.simhash_score_aggs())
-        .select("doc_id", mh.simhash_from_scores().alias("sim"))
+        _spread_ids(df, id_col, text_col)
+        .select("doc_id", th.alias("th"))
+        .where(F.size("th") > 0)
+        .select("doc_id", mh.simhash_from_hashes(F.col("th")).alias("sim"))
         .persist()
     )
     blocks = sims.select(

@@ -102,9 +102,20 @@ def kmeans_assignments(
     assignment ``(vid, cl, dist, qv)`` — the building block for
     cluster-aware curation operators (SemDeDup-style dedup, stratified
     refresh). Same determinism contract as :func:`kmeans_train`."""
-    q = vectors.select(
-        F.col(id_col).alias("vid"), _quantize(vec_col, grid).alias("qv")
-    ).persist()
+    from delta_lake_play_spark.functions.fanout import fan_out
+
+    # fan_out BEFORE the quantize/argmin maps: with the assignment
+    # fully map-side, a single-file local scan would otherwise run
+    # every Lloyd pass on one core (functions/fanout.py; no-op on
+    # multi-split inputs).
+    q = (
+        fan_out(
+            vectors.select(F.col(id_col).alias("vid"), F.col(vec_col)),
+            "vid",
+        )
+        .select("vid", _quantize(vec_col, grid).alias("qv"))
+        .persist()
+    )
 
     centroids = [
         (int(r["vid"]), list(r["qv"]))

@@ -907,8 +907,13 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators broadcast back in. No doc×doc join anywhere;
     everything after the distinct is sized by the shingle vocabulary,
     not the corpus."""
+    from delta_lake_play_spark.functions.fanout import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    # fan_out keyed on doc_id (NOT source — ≤ #sources partitions
+    # would cap and skew the width) before the per-occurrence gram
+    # concat, the query's most expensive map (functions/fanout.py).
+    tok = fan_out(d.select("doc_id", "source", "text"), "doc_id").select(
         "source",
         F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("t"),
     )
@@ -1243,7 +1248,15 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc shingles unique by construction, so the first shuffle
     # in the plan is now the df-cap aggregate itself. Same values:
     # the chain arithmetic and the shared char hash are unchanged.
-    toks = d.where(F.col("text").isNotNull()).select(
+    from delta_lake_play_spark.functions.fanout import fan_out
+
+    # fan_out BEFORE the char-hash fold (functions/fanout.py): the
+    # map-side shingle build inherits the scan's partitioning, and a
+    # local single-file scan would hash every document on one core.
+    toks = fan_out(
+        d.where(F.col("text").isNotNull()).select("doc_id", "text"),
+        "doc_id",
+    ).select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tks"),
     )

@@ -770,9 +770,11 @@ def test_hashed_bigram_relation_shape(spark, sf_dir, key):
     if key == "llm_repetition_filter":
         # every statistic is within one document, so the whole key is
         # computed map-side over the per-doc sorted bigram array:
-        # scan → project, ZERO exchanges (optimization r11).
-        assert s.n_exchanges == 0, f"repetition must be map-side: {ex_keys}"
-        assert "Join" not in plan
+        # scan → (conditional fan_out exchange on a narrow local
+        # input — functions/fanout.py) → project. Never an aggregate
+        # or join exchange.
+        assert s.n_exchanges <= 1, f"repetition must be map-side: {ex_keys}"
+        assert "Join" not in plan and "HashAggregate" not in plan
     else:
         assert ("bigram", "L") in ex_keys, (
             f"no exchange keyed on int64 bigram in {key}: {ex_keys}"
