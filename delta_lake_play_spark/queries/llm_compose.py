@@ -401,9 +401,12 @@ def llm_curation_shardplan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c = gated.select("doc_id", F.explode(chunks).alias("chunk"))
-    owners = c.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    # owner as a window MIN over the chunk partition instead of a
+    # min-aggregate + join back (optimization r11): one chunk
+    # exchange instead of two, no join. Identical rows.
+    owner = F.min("doc_id").over(Window.partitionBy("chunk"))
     survival = (
-        c.join(owners, "chunk")
+        c.withColumn("owner", owner)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),

@@ -948,10 +948,15 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c = d.select("doc_id", F.explode(chunks).alias("chunk"))
-    owners = c.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    # owner attaches as a window MIN over the chunk partition, not a
+    # min-aggregate + join back onto c (optimization r11): the join
+    # shape exchanged the chunk relation TWICE (aggregate build +
+    # sort-merge probe); the window computes the same owner on one
+    # chunk exchange. Identical rows: every c row survives either way.
+    owner = F.min("doc_id").over(Window.partitionBy("chunk"))
     kept = F.col("doc_id") == F.col("owner")
     return (
-        c.join(owners, "chunk")
+        c.withColumn("owner", owner)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
