@@ -64,7 +64,13 @@ def cooccurrence_edges(events: DataFrame, cap: int = 10) -> DataFrame:
     distinct then runs on the capped (tiny) set. A separate
     3-column pre-distinct before the window was the single biggest
     cost of every graph key (measured 1.5-2× on the whole builder) —
-    and the window's sort-based shuffle dedups just as exactly."""
+    and the window's sort-based shuffle dedups just as exactly.
+    (Measured note, optimization r11: a collect_set + slice + map-side
+    pair expansion variant — the llm_source_overlap shape — LOST an
+    interleaved A/B here ~2×: dense buckets make collect_set gather
+    the FULL distinct user set per bucket before the cap slices it,
+    where dense_rank caps during the sorted window pass. The window
+    stays.)"""
     from pyspark.sql.window import Window
 
     base = events.select(
@@ -94,7 +100,9 @@ def _minute_edges(events: DataFrame, cap: int = 4) -> DataFrame:
     """Sparse co-occurrence edges: users active in the same
     (event_type, minute) bucket, capped to the ``cap`` smallest
     user_ids per bucket — at most cap·(cap-1)/2 edges per bucket, so
-    edge count is O(#buckets) at any corpus size."""
+    edge count is O(#buckets) at any corpus size. Same window-capped
+    shape as :func:`cooccurrence_edges` (and the same r11
+    measured note: the collect_set variant lost)."""
     from pyspark.sql.window import Window
 
     base = events.select(
@@ -158,6 +166,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         ).persist()
+        # (Measured note, optimization r11: building per-pivot
+        # adjacency arrays — groupBy(src).collect_list + map-side
+        # ordered-pair expansion — LOST an interleaved A/B ~2× (10.4
+        # vs 5.5 s): the codegen'd self-join generates wedge pairs
+        # faster than interpreted struct-filter HOFs even paying its
+        # second exchange. The join stays.)
         o2 = oriented.select(
             F.col("src").alias("src2"),
             F.col("dst").alias("b"),
