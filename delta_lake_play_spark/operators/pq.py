@@ -55,9 +55,15 @@ def pq_adc_topk(
     corpus against the min-id vector as query. Returns the top-k
     ``(vec_id, adist, rnk)`` by approximate distance (ties broken on
     vec_id) — rank 1 is the query itself at distance 0."""
-    q = vectors.select(
-        F.col(id_col).alias("vid"), _quantize(vec_col, grid).alias("qv")
-    )
+    from delta_lake_play_spark.functions.fanout import fan_out
+
+    # fan_out BEFORE the quantize map and subvector explode: a local
+    # single-file scan would otherwise run every training pass's
+    # map-side stage on one core (functions/fanout.py; no-op on
+    # multi-split inputs).
+    q = fan_out(
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col)), "vid"
+    ).select("vid", _quantize(vec_col, grid).alias("qv"))
     # One exploded subvector table drives training, encoding and ADC.
     dim = len(q.select("qv").first()["qv"])
     subdim = dim // n_sub
