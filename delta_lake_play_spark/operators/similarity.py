@@ -54,6 +54,12 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("__emb_c"),
         l2_norm(vec_col).alias("__nc"),
     )
+    # same under-split-scan guard as ivf_assign/knn_join: the n×|q|
+    # scoring is the map stage; a single-file local scan would run
+    # it on one core (no-op on multi-split inputs).
+    want = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < want:
+        c = c.repartition(want)
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
