@@ -26,17 +26,19 @@ def _hint(df: DataFrame, broadcast_hints: bool) -> DataFrame:
     return F.broadcast(df) if broadcast_hints else df
 
 
-def _spread_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """``(doc_id, __text)`` widened to session parallelism BEFORE the
-    map-side signature fold (functions/fanout.py — the fold must sit
-    ABOVE the conditional exchange or a single-file local scan runs
-    it on one core)."""
-    return fan_out(
-        df.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-        ),
-        "doc_id",
-    )
+def _spread_ids(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple = ()
+) -> DataFrame:
+    """``(doc_id, __text, *carry)`` widened to session parallelism
+    BEFORE the map-side signature fold (functions/fanout.py — the
+    fold must sit ABOVE the conditional exchange or a single-file
+    local scan runs it on one core). ``carry`` is (src, alias)
+    pairs riding along so callers need no join-back."""
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+    ] + [F.col(c).alias(a) for c, a in carry]
+    return fan_out(df.select(*cols), "doc_id")
 
 
 def minhash_near_dup_pairs(
@@ -141,6 +143,7 @@ def minhash_signature_table(
     id_col: str,
     text_col: str,
     broadcast_hints: bool = True,
+    carry: tuple = (),
 ) -> DataFrame:
     """``(doc_id, sig array<long>)`` — the persisted signature-store
     row: K int64s per document (~128 B), computed MAP-SIDE by the
@@ -151,11 +154,16 @@ def minhash_signature_table(
     CHECKPOINTS so later batches dedup against the corpus without
     ever re-reading its text."""
     th = mh.token_hashes(F.col("__text"))
+    aliases = [a for _, a in carry]
     return (
-        _spread_ids(df, id_col, text_col)
-        .select("doc_id", th.alias("th"))
+        _spread_ids(df, id_col, text_col, carry)
+        .select("doc_id", *aliases, th.alias("th"))
         .where(F.size("th") > 0)
-        .select("doc_id", mh.signature_from_hashes(F.col("th")).alias("sig"))
+        .select(
+            "doc_id",
+            *aliases,
+            mh.signature_from_hashes(F.col("th")).alias("sig"),
+        )
     )
 
 
@@ -464,15 +472,17 @@ def _priority_members(
     broadcast_hints: bool,
 ) -> DataFrame:
     """``(doc_id, __prio, sig)`` — each doc's priority and minhash
-    signature (docs with no tokens emit no row)."""
-    sigs = minhash_signature_table(df, id_col, text_col, broadcast_hints)
-    return sigs.join(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(priority_col).alias("__prio"),
-        ),
-        "doc_id",
-    )
+    signature (docs with no tokens emit no row). The priority CARRIES
+    through the map-side signature projection (optimization r11) —
+    the previous doc_id join-back existed only because the aggregate
+    signature shape had dropped the column."""
+    return minhash_signature_table(
+        df,
+        id_col,
+        text_col,
+        broadcast_hints,
+        carry=((priority_col, "__prio"),),
+    ).select("doc_id", "__prio", "sig")
 
 
 def priority_dedup_flagged(
