@@ -374,7 +374,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df, key in [("b_lineitem", li, "l_orderkey"), ("b_orders", o, "o_orderkey")]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            df.write.bucketBy(8, key)
+            # repartition on the BUCKET key to the bucket count first
+            # (optimization r11): partitions then align 1:1 with
+            # buckets, so the layout write runs bucket-parallel and
+            # emits exactly one file per bucket — a single-partition
+            # input otherwise writes all 8 buckets from one task
+            # (guide §6: writer parallelism + file sizing together).
+            df.repartition(8, F.col(key))
+            .write.bucketBy(8, key)
             .sortBy(key)
             .option("path", tempfile.mkdtemp(prefix=f"bucket_{name}_"))
             .mode("overwrite")
