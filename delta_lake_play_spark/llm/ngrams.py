@@ -80,8 +80,8 @@ def doc_bigram_arrays(
     those skip the explode AND every shuffle."""
     from delta_lake_play_spark.functions.fanout import fan_out
 
-    # fan_out BEFORE the hash fold: the map-side shape inherits the
-    # scan's partitioning, and a local single-file scan would run
+    # fan_out BEFORE the hash map build: the map-side shape inherits
+    # the scan's partitioning, and a local single-file scan would run
     # the char hashing on one core (functions/fanout.py; no-op on
     # any multi-split input).
     base = fan_out(
@@ -90,9 +90,20 @@ def doc_bigram_arrays(
         ),
         "doc_id",
     )
-    hs = base.select(
+    # hash per DISTINCT token via the per-doc lookup map (its own
+    # projection — see mh.char_hash_map for why it must not inline),
+    # then attach hashes per occurrence by map lookup: measured 10×
+    # cheaper than the per-occurrence polynomial fold (sf1 15.5 →
+    # 1.45 s), and the values are identical.
+    withm = base.select(
+        "doc_id", "__text", mh.char_hash_map(F.col("__text")).alias("__m")
+    )
+    hs = withm.select(
         "doc_id",
-        F.transform(F.split("__text", " "), mh.char_hash).alias("h"),
+        F.transform(
+            F.split("__text", " "),
+            lambda t: F.element_at(F.col("__m"), t),
+        ).alias("h"),
     )
     # zip_with over two slices, NOT transform(sequence(..)) with
     # element_at(h, i): when CollapseProject / column pruning inlines
