@@ -1793,31 +1793,54 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     above the oracle builder for the scale argument)."""
     from delta_lake_play_spark.llm import minhash as mh
 
+    from delta_lake_play_spark.functions.fanout import fan_out
+
     m, a2, b2, p = _BLOOM_M, _BLOOM_A2, _BLOOM_B2, mh.P
     d = load_table(spark, sf_dir, "documents")
-    tok = (
-        d.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.posexplode(F.split("text", " ")).alias("pos", "tk"),
-        )
-        .where(F.length("tk") > 0)
+    # Trigram chains built MAP-SIDE (optimization r11): per-doc
+    # token→hash lookup map (mh.char_hash_map — own projection, must
+    # not inline) + zip_with over three slices replaces the token
+    # posexplode → distinct-vocabulary broadcast join → two window
+    # leads, whose exchange + sort preceded every downstream stage.
+    # array_distinct makes per-doc trigrams unique by construction
+    # (doc_id is unique, source is constant per doc), replacing the
+    # corpus-wide 3-column distinct.
+    base = fan_out(
+        d.where(F.col("text").isNotNull()).select("doc_id", "source", "text"),
+        "doc_id",
     )
-    vocab = F.broadcast(
-        tok.select("tk").distinct().select("tk", mh.char_hash(F.col("tk")).alias("h"))
+    toks = base.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("tks"),
+        mh.char_hash_map(F.col("text")).alias("__m"),
     )
-    th = tok.join(vocab, "tk").select("doc_id", "source", "pos", "h")
-    wseq = Window.partitionBy("doc_id").orderBy("pos")
-    h1, h2, h3 = F.col("h"), F.lead("h", 1).over(wseq), F.lead("h", 2).over(wseq)
-    tri = ((h1 * 31 + h2) % p * 37 + h3) % p
+    hs = toks.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.col("tks"), lambda t: F.element_at(F.col("__m"), t)
+        ).alias("h"),
+    )
+    n_t = F.greatest(F.size("h") - 2, F.lit(0))
+    tri_arr = F.zip_with(
+        F.zip_with(
+            F.slice("h", 1, n_t),
+            F.slice(F.col("h"), 2, n_t),
+            lambda a, b: (a * 31 + b) % F.lit(p),
+        ),
+        F.slice(F.col("h"), 3, n_t),
+        lambda ab, c: (ab * 37 + c) % F.lit(p),
+    )
     # Persisted: tg feeds the benchmark branch (ev → bits/evf) AND the
     # corpus probe — same contract as llm/ngrams.py (CacheManager
     # dedups by logical plan; bench.py clears caches between keys).
     tg = (
-        th.select("doc_id", "source", tri.alias("t"))
-        .where(F.col("t").isNotNull())
-        .distinct()
+        hs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(tri_arr)).alias("t"),
+        )
         .persist()
     )
     ev = tg.where(F.col("doc_id") % _DECON_STRIDE == 0).select("t").distinct()
