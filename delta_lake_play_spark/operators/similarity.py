@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_lake_play_spark.functions.fanout import fan_out
 from delta_lake_play_spark.functions.vectors import cosine_sim, dot, l2_norm
 
 # Pair-scoring discipline (guide §2.3/§4: do per-ROW work once, not
@@ -49,17 +50,20 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("__emb_q"),
         l2_norm(vec_col).alias("__nq"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    # same under-split-scan guard as ivf_assign/knn_join: the n×|q|
+    # scoring is the map stage; a single-file local scan would run
+    # it on one core (no-op on multi-split inputs). Keyed fan_out —
+    # not keyless repartition (sort-before-repartition, SPARK-23207)
+    # — applied BELOW the cast/norm projection so the conditional
+    # exchange moves the narrow float rows, not the widened doubles.
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).select(
+        "neighbor_id",
         F.col(vec_col).cast("array<double>").alias("__emb_c"),
         l2_norm(vec_col).alias("__nc"),
     )
-    # same under-split-scan guard as ivf_assign/knn_join: the n×|q|
-    # scoring is the map stage; a single-file local scan would run
-    # it on one core (no-op on multi-split inputs).
-    want = corpus.sparkSession.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < want:
-        c = c.repartition(want)
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
@@ -393,6 +397,7 @@ def lsh_topk(
     vec_col: str,
     n_planes: int = 6,
     k: int = 10,
+    dims: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: exact cosine ranking restricted
     to the query's hyperplane-sign bucket.
@@ -402,11 +407,24 @@ def lsh_topk(
     work is O(n / 2^n_planes) — the sibling of :func:`ivf_topk` that
     needs NO centroid set or training pass. Multi-probe (flipping
     the lowest-margin bits) is the standard recall knob at scale.
-    Returns (query_id, neighbor_id, bucket, cos_sim, rank)."""
-    dims = len(corpus.select(vec_col).first()[0])
+    Returns (query_id, neighbor_id, bucket, cos_sim, rank).
+
+    ``dims``: pass the (fixed) embedding width when the caller knows
+    it; the ``None`` fallback derives it with a one-row driver action
+    — a whole Spark job spent on a schema-level fact (guide §7.3
+    driver-side fixed cost)."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
     planes = lsh_planes(dims, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    # under-split-scan guard (same as cosine_topk/ivf_assign): the
+    # per-pair scoring below is the map stage of the bucket join;
+    # fan_out below the projection so the conditional exchange moves
+    # float rows and the bucket/norm map runs on every core.
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).select(
+        "neighbor_id",
         F.col(vec_col).cast("array<double>").alias("__emb_c"),
         l2_norm(vec_col).alias("__nc"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),

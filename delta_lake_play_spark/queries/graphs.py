@@ -139,74 +139,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The triangle COUNT is orientation-invariant, so the oracle's
     id-oriented closure counts the same set."""
     ev = load_table(spark, sf_dir, "events")
+    # Both persists are in-query intermediates consumed by several
+    # branches of ONE lazy plan (below); they stay alive until the
+    # caller's single action has run — same discipline as the dedup
+    # signature table (operators/dedup.py).
     edges = cooccurrence_edges(ev).persist()
-    try:
-        bi = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    bi = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = bi.groupBy("u").agg(F.count("*").alias("d")).select(
+        F.col("u").alias("node"), "d"
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("d", "du"), edges.u == deg.node)
+        .drop("node")
+        .join(
+            deg.withColumnRenamed("d", "dv").withColumnRenamed(
+                "node", "node_v"
+            ),
+            edges.v == F.col("node_v"),
         )
-        deg = bi.groupBy("u").agg(F.count("*").alias("d")).select(
-            F.col("u").alias("node"), "d"
-        )
-        e = (
-            edges.join(deg.withColumnRenamed("d", "du"), edges.u == deg.node)
-            .drop("node")
-            .join(
-                deg.withColumnRenamed("d", "dv").withColumnRenamed(
-                    "node", "node_v"
-                ),
-                edges.v == F.col("node_v"),
-            )
-            .drop("node_v")
-        )
-        u_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oriented = e.select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-        ).persist()
-        # (Measured note, optimization r11: building per-pivot
-        # adjacency arrays — groupBy(src).collect_list + map-side
-        # ordered-pair expansion — LOST an interleaved A/B ~2× (10.4
-        # vs 5.5 s): the codegen'd self-join generates wedge pairs
-        # faster than interpreted struct-filter HOFs even paying its
-        # second exchange. The join stays.)
-        o2 = oriented.select(
-            F.col("src").alias("src2"),
-            F.col("dst").alias("b"),
-            F.col("ddst").alias("db"),
-        )
-        # pair the pivot's out-neighbors in (deg, id) order so each
-        # wedge is generated once and matches the closing edge's
-        # orientation
-        a_first = (F.col("ddst") < F.col("db")) | (
-            (F.col("ddst") == F.col("db")) & (F.col("dst") < F.col("b"))
-        )
-        wedges = (
-            oriented.join(o2, oriented.src == o2.src2)
-            .where(F.col("dst") != F.col("b"))
-            .where(a_first)
-            .select(F.col("dst").alias("a"), "b")
-        )
-        closing = oriented.select(
-            F.col("src").alias("a"), F.col("dst").alias("b")
-        )
-        tri = wedges.join(closing, ["a", "b"]).count()
-        oriented.unpersist()
-        nodes = (
-            edges.select(F.col("u").alias("n"))
-            .union(edges.select("v"))
-            .distinct()
-            .count()
-        )
-        n_edges = edges.count()
-        return spark.createDataFrame(
-            [(nodes, n_edges, tri)],
-            "n_nodes bigint, n_edges bigint, n_triangles bigint",
-        )
-    finally:
-        edges.unpersist()
+        .drop("node_v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).persist()
+    # (Measured note, optimization r11: building per-pivot
+    # adjacency arrays — groupBy(src).collect_list + map-side
+    # ordered-pair expansion — LOST an interleaved A/B ~2× (10.4
+    # vs 5.5 s): the codegen'd self-join generates wedge pairs
+    # faster than interpreted struct-filter HOFs even paying its
+    # second exchange. The join stays.)
+    o2 = oriented.select(
+        F.col("src").alias("src2"),
+        F.col("dst").alias("b"),
+        F.col("ddst").alias("db"),
+    )
+    # pair the pivot's out-neighbors in (deg, id) order so each
+    # wedge is generated once and matches the closing edge's
+    # orientation
+    a_first = (F.col("ddst") < F.col("db")) | (
+        (F.col("ddst") == F.col("db")) & (F.col("dst") < F.col("b"))
+    )
+    wedges = (
+        oriented.join(o2, oriented.src == o2.src2)
+        .where(F.col("dst") != F.col("b"))
+        .where(a_first)
+        .select(F.col("dst").alias("a"), "b")
+    )
+    closing = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    # Optimization r12 (guide §7.3 driver-side fixed cost / §2.6
+    # idle-capacity): the three counts used to run as three
+    # SEPARATE driver actions (tri .count(), nodes .count(), edges
+    # .count()) feeding a createDataFrame of literals — three jobs'
+    # scheduling fixed cost, run strictly one after another. As three
+    # 1-row aggregates cross-joined into one lazy plan they execute
+    # inside the caller's single action, the persisted edge/oriented
+    # tables are shared, and the small node/edge branches back-fill
+    # the big wedge join's straggler tail instead of waiting for it.
+    tri_df = wedges.join(closing, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes_df = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select("v"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    edges_df = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes_df.crossJoin(edges_df).crossJoin(tri_df).select(
+        F.col("n_nodes").cast("long"),
+        F.col("n_edges").cast("long"),
+        F.col("n_triangles").cast("long"),
+    )
 
 
 # --- graph_connected_components -------------------------------------------

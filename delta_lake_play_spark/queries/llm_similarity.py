@@ -357,6 +357,8 @@ def llm_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         n_planes=_LSH_PLANES,
         k=_TOP_K,
+        dims=_LSH_DIMS,  # fixed by the fixture schema — skips the
+        # one-row driver action the None fallback pays (guide §7.3)
     )
 
 
