@@ -26,6 +26,35 @@ def _hint(df: DataFrame, broadcast_hints: bool) -> DataFrame:
     return F.broadcast(df) if broadcast_hints else df
 
 
+#: Estimated SOURCE bytes (catalyst plan stats — for a parquet scan,
+#: the compressed file bytes of the projected columns) past which the
+#: auto-resolved ``broadcast_hints`` flips to False. Calibration: the
+#: fixture packs ~120 compressed source bytes/doc and the broadcast
+#: build sides here cost ~320 B/doc (K=16 sig longs + the distinct
+#: hash set), so 256 MB of source ≈ a 2M-doc corpus ≈ a ~700 MB
+#: broadcast relation — the top of the guide §3.1 "a few hundred MB
+#: is usually fine" band, comfortably under the 8 GB hard cap. Past
+#: it every hinted join degrades gracefully to its shuffle form.
+_AUTO_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _resolve_hints(df: DataFrame, broadcast_hints: bool | None) -> bool:
+    """VERDICT r11 ask #5: ``broadcast_hints=None`` (the new default)
+    resolves from the catalyst size ESTIMATE of the operator's input —
+    no action, no count job — so at 100 TB the degradation to shuffle
+    joins is automatic instead of an opt-in flag the caller must know
+    to pass. Explicit True/False still override (the estimate is a
+    heuristic; array-heavy projections inflate it, which errs toward
+    the safe shuffle side)."""
+    if broadcast_hints is not None:
+        return broadcast_hints
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-classic DataFrame (connect) — keep old default
+        return True
+    return est <= _AUTO_BROADCAST_MAX_BYTES
+
+
 def _spread_ids(
     df: DataFrame, id_col: str, text_col: str, carry: tuple = ()
 ) -> DataFrame:
@@ -46,7 +75,7 @@ def minhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH candidate pairs, verified by exact set
     Jaccard ≥ ``threshold`` over distinct token-hash sets.
@@ -65,13 +94,14 @@ def minhash_near_dup_pairs(
 
     Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
 
-    ``broadcast_hints``: the vocabulary, band and signature tables are
-    broadcast by default (right for any corpus whose docs×BANDS rows
-    fit an executor — the planner won't pick this itself because array
-    column size estimates are inflated). Pass ``False`` when the
-    corpus is large enough that those tables outgrow broadcast: every
-    join degrades gracefully to its shuffle form instead of failing
-    the broadcast build.
+    ``broadcast_hints``: the band and signature tables are broadcast
+    while the corpus is small enough that they fit an executor — the
+    planner won't pick this itself because array column size
+    estimates are inflated. The ``None`` default AUTO-resolves from
+    the catalyst size estimate of ``df`` (``_resolve_hints``): past
+    ``_AUTO_BROADCAST_MAX_BYTES`` every hinted join degrades
+    gracefully to its shuffle form instead of failing the broadcast
+    build at the 8 GB cap. Pass True/False to override.
     """
     # Signatures and the verify-stage hash sets are built MAP-SIDE
     # from each document's token-hash array (optimization r11,
@@ -81,6 +111,7 @@ def minhash_near_dup_pairs(
     # gone — the signature table is one narrow projection off the
     # scan. persisted: feeds the band explosion and both verify sides
     # (at 100 TB this becomes a checkpointed signature table).
+    broadcast_hints = _resolve_hints(df, broadcast_hints)
     th = mh.token_hashes(F.col("__text"))
     sig = (
         _spread_ids(df, id_col, text_col)
@@ -305,7 +336,7 @@ def incremental_minhash_dedup(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ONE NEW BATCH against an already-signed corpus: the
     standard shape for a training-data pipeline that ingests
@@ -351,6 +382,7 @@ def incremental_minhash_dedup(
     join to its shuffle form."""
     # new_sigs persisted (by the helper): feeds the band branch, the
     # expansion join, and the caller's store-advancing append
+    broadcast_hints = _resolve_hints(new_df, broadcast_hints)
     new_sigs, hits, rep_pairs = _incremental_rep_candidates(
         store_df, new_df, id_col, text_col, threshold, broadcast_hints
     )
@@ -388,7 +420,7 @@ def incremental_minhash_flagged(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The DUP-SET variant of :func:`incremental_minhash_dedup`: same
     semantics, but returns only ``(doc_id,)`` — the batch docs flagged
@@ -412,6 +444,7 @@ def incremental_minhash_flagged(
     ``incremental_minhash_dedup(...)[0].select('new_doc').distinct()``
     (pinned by tests/test_operators.py::test_incremental_flagged_matches_pairs).
     Returns ``(flagged, new_sigs)``; flagged has one ``doc_id`` column."""
+    broadcast_hints = _resolve_hints(new_df, broadcast_hints)
     new_sigs, hits, rep_pairs = _incremental_rep_candidates(
         store_df, new_df, id_col, text_col, threshold, broadcast_hints
     )
@@ -491,7 +524,7 @@ def priority_dedup_flagged(
     text_col: str,
     priority_col: str,
     threshold: float = 0.8,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> DataFrame:
     """Priority ("onion") dedup decided at REP level: per document,
     ``kept`` is False iff some near-dup is strictly better — lower
@@ -522,6 +555,7 @@ def priority_dedup_flagged(
     Returns ``(doc_id, __prio, kept)`` for every doc that HAS a
     signature; callers left-join and default docs without tokens to
     kept=True (they pair with nothing)."""
+    broadcast_hints = _resolve_hints(df, broadcast_hints)
     members = _priority_members(
         df, id_col, text_col, priority_col, broadcast_hints
     ).persist()
@@ -570,7 +604,7 @@ def priority_dedup_closure(
     text_col: str,
     priority_col: str,
     threshold: float = 0.8,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Priority ("onion") dedup with TRANSITIVE-CLOSURE semantics:
@@ -592,6 +626,7 @@ def priority_dedup_closure(
 
     Returns ``(doc_id, __prio, kept)`` for docs WITH a signature;
     callers default no-token docs to kept=True."""
+    broadcast_hints = _resolve_hints(df, broadcast_hints)
     members = _priority_members(
         df, id_col, text_col, priority_col, broadcast_hints
     ).persist()
@@ -648,13 +683,14 @@ def priority_dedup_pairs(
     text_col: str,
     priority_col: str,
     threshold: float = 0.8,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> DataFrame:
     """Member-pair demo form of :func:`priority_dedup_flagged`: every
     verified near-dup pair with both sides' priorities —
     ``(doc_a, doc_b, prio_a, prio_b, est_jaccard)``, ``doc_a <
     doc_b``. Output is O(clique²) on dup-heavy corpora; a keep/drop
     consumer should use the flagged form, which never expands these."""
+    broadcast_hints = _resolve_hints(df, broadcast_hints)
     members = _priority_members(
         df, id_col, text_col, priority_col, broadcast_hints
     ).persist()
@@ -690,7 +726,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ ``max_hamming`` via
     15-bit-block LSH over a 60-bit signature (perfect recall up to
@@ -707,6 +743,7 @@ def simhash_near_dup_pairs(
     per-doc vote aggregate exchange are all gone; the persisted
     signature table is one narrow projection off the scan.
     ``broadcast_hints`` as in :func:`minhash_near_dup_pairs`."""
+    broadcast_hints = _resolve_hints(df, broadcast_hints)
     th = mh.token_hashes(F.col("__text"))
     sims = (
         _spread_ids(df, id_col, text_col)

@@ -141,7 +141,7 @@ def blocked_pairs(
     vec_col: str,
     block_col: str | list[str],
     min_cos: float,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
 ) -> DataFrame:
     """Within-block near-dup pairs: cosine ≥ ``min_cos`` for every
     ``a < b`` pair sharing ``block_col`` (the IVF-cell / LSH-bucket /
@@ -169,7 +169,13 @@ def blocked_pairs(
     block key — there the block key IS high-cardinality (IVF cell /
     LSH bucket) so it parallelizes fine. The flag only changes
     physical strategy, never the pair set (pinned by
-    ``tests/test_operators.py::test_blocked_pairs_hint_off_same_pairs``)."""
+    ``tests/test_operators.py::test_blocked_pairs_hint_off_same_pairs``).
+    The ``None`` default auto-resolves from the catalyst size estimate
+    of the input (operators/dedup.py::_resolve_hints) so the 100 TB
+    degradation is automatic, not opt-in."""
+    from delta_lake_play_spark.operators.dedup import _resolve_hints
+
+    broadcast_hints = _resolve_hints(vectors, broadcast_hints)
     spark = vectors.sparkSession
     want = spark.sparkContext.defaultParallelism
     blocks = [block_col] if isinstance(block_col, str) else list(block_col)

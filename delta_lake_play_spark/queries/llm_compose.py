@@ -511,12 +511,24 @@ def llm_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = docs.select(F.sha2(F.col("text"), 256).alias("h"), "source").distinct()
     a = dup.select("h", F.col("source").alias("sa"))
     b = dup.select("h", F.col("source").alias("sb"))
-    eund = a.join(b, "h").where(F.col("sa") < F.col("sb")).select("sa", "sb").distinct()
-    edges = eund.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).unionByName(
-        eund.select(F.col("sb").alias("src"), F.col("sa").alias("dst"))
+    # The unrolled iterations reference edges/nodes/outdeg once per
+    # round; unpersisted, every reference re-embeds the whole corpus
+    # subtree (measured: 56 parquet scans and 124 Exchange mentions in
+    # the 3-iteration plan, ReusedExchange caught none of it because
+    # the re-planned subtrees differ by expression ids). All three are
+    # node-table-sized (domains, not documents) — persisting them is
+    # exactly the "checkpoint the iteration inputs" discipline of
+    # operators/dedup.connected_components (optimization r12).
+    eund = (
+        a.join(b, "h").where(F.col("sa") < F.col("sb")).select("sa", "sb").distinct()
     )
-    nodes = docs.select(F.col("source").alias("node")).distinct()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = (
+        eund.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionByName(eund.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .persist()
+    )
+    nodes = docs.select(F.col("source").alias("node")).distinct().persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     ranks = nodes.select("node", F.lit(_PR_BASE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (

@@ -901,12 +901,13 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report that decides whether two crawl snapshots are worth
     mixing or one effectively contains the other.
 
-    Plan: per-doc distinct grams (narrow transform, same gram builder
-    as ``llm_decontaminate``) → distinct (gram, source) → self-join
-    on gram (group size ≤ #sources) → count per pair; per-source
-    denominators broadcast back in. No doc×doc join anywhere;
-    everything after the distinct is sized by the shingle vocabulary,
-    not the corpus."""
+    Plan (optimization r11): per-doc grams (narrow transform, same
+    gram builder as ``llm_decontaminate``) → ONE map-side-combined
+    ``groupBy(gram).agg(collect_set(source))`` → each gram's
+    (≤ #sources) set expands its ordered source pairs MAP-SIDE →
+    count per pair; per-source denominators broadcast back in. No
+    doc×doc join anywhere, and only (src_a, src_b) rows shuffle after
+    the single gram exchange."""
     from delta_lake_play_spark.functions.fanout import fan_out
 
     d = load_table(spark, sf_dir, "documents")

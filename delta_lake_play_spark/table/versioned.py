@@ -746,13 +746,12 @@ class VersionedTable:
         # One source aggregation serves both the duplicate-key check
         # (Delta semantics: a target row may match at most one source
         # row) and the touched-file semi-join below — no second scan.
+        # The check itself is FUSED into the touched-file probe job
+        # (optimization r12, guide §7.3 driver-side fixed cost): the
+        # commit-bound keys run 25-30 sub-second jobs each and every
+        # extra action costs a scheduling gap, so the dup probe rides
+        # the same collect as the file probe instead of its own job.
         src_keys = source.groupBy(key).count().persist()
-        dup = src_keys.filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            src_keys.unpersist()
-            raise MergeSourceKeyError(
-                f"source has multiple rows for key {key}={dup[0][0]!r}"
-            )
 
         def attempt() -> int:
             base = self.latest_version()
@@ -821,9 +820,34 @@ class VersionedTable:
             target = self._read_files(
                 entry["files"], schema, keep_path="__file", column_map=cmap
             )
-            touched = self._distinct_files(
+            # One probe job: distinct touched files UNION'd with (at
+            # most one) duplicated source key — both branches read
+            # relations this attempt needs anyway (the persisted
+            # src_keys aggregate and the touched-file semi-join), so
+            # the dup check costs no extra action. Tag 'd' rows win
+            # the error before any file is interpreted.
+            probe = (
                 target.join(src_keys.select(key), key, "left_semi")
+                .select(F.lit("f").alias("__t"), F.col("__file").alias("__v"))
+                .distinct()
+                .unionByName(
+                    src_keys.filter(F.col("count") > 1)
+                    .limit(1)
+                    .select(
+                        F.lit("d").alias("__t"),
+                        F.col(key).cast("string").alias("__v"),
+                    )
+                )
+                .collect()
             )
+            dup = [r["__v"] for r in probe if r["__t"] == "d"]
+            if dup:
+                raise MergeSourceKeyError(
+                    f"source has multiple rows for key {key}={dup[0]!r}"
+                )
+            touched = {
+                self._norm_file(r["__v"]) for r in probe if r["__t"] == "f"
+            }
             hit_files = [
                 f for f in entry["files"] if self._abs(f["path"]) in touched
             ]

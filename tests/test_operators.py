@@ -236,6 +236,44 @@ def test_blocked_pairs_hint_off_same_pairs(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_broadcast_hints_auto_flip_past_size_threshold(spark, sf_dir, monkeypatch):
+    """VERDICT r11 ask #5: the default broadcast_hints=None resolves
+    from the input's catalyst size estimate — small corpus keeps the
+    broadcast plan, a corpus estimated past _AUTO_BROADCAST_MAX_BYTES
+    flips every hinted join to its shuffle form AUTOMATICALLY (no
+    caller flag), with the identical pair set."""
+    from delta_lake_play_spark.operators import dedup as dd
+    from delta_lake_play_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        "doc_id < 120"
+    ).select("doc_id", "text")
+
+    auto_small = dd.minhash_near_dup_pairs(docs, "doc_id", "text", 0.8)
+    plan_small = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_small  # small corpus: hints on
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # shrink the threshold below any real input: the SAME call,
+        # no flag, must now plan shuffle joins end to end
+        monkeypatch.setattr(dd, "_AUTO_BROADCAST_MAX_BYTES", 1)
+        auto_big = dd.minhash_near_dup_pairs(docs, "doc_id", "text", 0.8)
+        plan_big = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan_big, (
+            "auto-resolved hints still broadcast past the size "
+            "threshold:\n" + plan_big
+        )
+        canon = lambda df: sorted(  # noqa: E731
+            (r["doc_a"], r["doc_b"]) for r in df.collect()
+        )
+        pairs = canon(auto_small)
+        assert pairs == canon(auto_big) and len(pairs) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_cms_python_probe_matches_jvm(spark):
     """The numpy read-path in operators/sketches.py must reproduce
     ``CountMinSketchImpl.estimateCount`` bit-for-bit — same wire
