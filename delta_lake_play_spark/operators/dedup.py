@@ -279,16 +279,25 @@ def _incremental_rep_candidates(
     """Shared front half of the incremental dedup operators: sign the
     batch, bucket-semi-join the streamed store down to hits, and
     verify candidates at REP level (one row per distinct signature).
-    Returns ``(new_sigs, hits, rep_pairs)`` where rep_pairs is
-    ``(sig_a, sig_b, est_jaccard)`` with sig_a a batch signature and
-    sig_b a batch or store-hit signature. new_sigs is persisted; the
-    caller owns the unpersist."""
+    Returns ``(new_sigs, hits, hit_sigs, rep_pairs)`` where rep_pairs
+    is ``(sig_a, sig_b, est_jaccard)`` with sig_a a batch signature
+    and sig_b a batch or store-hit signature; ``hit_sigs`` is the
+    DISTINCT store-hit signature set and ``hits`` the (doc_id, sig)
+    member rows. Both are lazy; only the pair-expansion form needs
+    doc granularity. (Measured note, optimization r12: deriving
+    hit_sigs directly — instead of ``hits.select("sig").distinct()``
+    — produces a BYTE-IDENTICAL plan, because column pruning already
+    drops doc_id out of the lower distinct; the explicit form just
+    stops relying on that optimizer behavior. An interleaved A/B
+    showed a "1.24×" win that the plan identity disproves — ambient
+    VM drift, kept here as a calibration caution.) new_sigs is
+    persisted; the caller owns the unpersist."""
     new_sigs = minhash_signature_table(
         new_df, id_col, text_col, broadcast_hints
     ).persist()
 
     # 1. batch bucket keys, broadcast into a semi-join that filters
-    #    the streamed store down to docs sharing a bucket with the
+    #    the streamed store down to rows sharing a bucket with the
     #    batch ("hits")
     batch_buckets = (
         _sig_bands(new_sigs, "sig").select("band_id", "band_val").distinct()
@@ -299,27 +308,27 @@ def _incremental_rep_candidates(
             F.array(*_band_vals_from_array(F.col("sig")))
         ).alias("band_id", "band_val"),
     )
-    hits = (
-        store_bands.join(
-            _hint(batch_buckets, broadcast_hints),
-            on=["band_id", "band_val"],
-            how="leftsemi",
-        )
-        .select("doc_id", "sig")
-        .distinct()
+    band_hits = store_bands.join(
+        _hint(batch_buckets, broadcast_hints),
+        on=["band_id", "band_val"],
+        how="leftsemi",
     )
-    # (not persisted: it would outlive this call in a long-running
-    # streaming sink; the two consumers below cost one extra
-    # map-side store scan, which AQE exchange reuse usually elides)
+    hits = band_hits.select("doc_id", "sig").distinct()
+    # distinct store-hit SIGNATURES, derived straight from the band
+    # hits — identical to hits.select("sig").distinct() but without
+    # the doc-level distinct below it
+    hit_sigs = band_hits.select("sig").distinct()
+    # (not persisted: they would outlive this call in a long-running
+    # streaming sink; consumers re-deriving the semi-join cost one
+    # extra map-side store scan, which AQE exchange reuse usually
+    # elides)
 
     # 2. rep-level candidate generation + verification: one row per
     #    DISTINCT signature on each side. Identical signatures share
     #    every band, so the rep bucket join also yields the reflexive
     #    (s, s) pair that expands to intra-clique member pairs.
     batch_reps = new_sigs.select("sig").distinct()
-    b_reps = (
-        hits.select("sig").distinct().unionByName(batch_reps).distinct()
-    )
+    b_reps = hit_sigs.unionByName(batch_reps).distinct()
     rep_cand = _rep_band_pairs(
         b_reps, "sig_b", batch_reps, "sig_a", broadcast_hints
     )
@@ -327,7 +336,7 @@ def _incremental_rep_candidates(
     rep_pairs = rep_cand.select(
         "sig_a", "sig_b", est.alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
-    return new_sigs, hits, rep_pairs
+    return new_sigs, hits, hit_sigs, rep_pairs
 
 
 def incremental_minhash_dedup(
@@ -383,7 +392,7 @@ def incremental_minhash_dedup(
     # new_sigs persisted (by the helper): feeds the band branch, the
     # expansion join, and the caller's store-advancing append
     broadcast_hints = _resolve_hints(new_df, broadcast_hints)
-    new_sigs, hits, rep_pairs = _incremental_rep_candidates(
+    new_sigs, hits, _hit_sigs, rep_pairs = _incremental_rep_candidates(
         store_df, new_df, id_col, text_col, threshold, broadcast_hints
     )
 
@@ -445,7 +454,7 @@ def incremental_minhash_flagged(
     (pinned by tests/test_operators.py::test_incremental_flagged_matches_pairs).
     Returns ``(flagged, new_sigs)``; flagged has one ``doc_id`` column."""
     broadcast_hints = _resolve_hints(new_df, broadcast_hints)
-    new_sigs, hits, rep_pairs = _incremental_rep_candidates(
+    new_sigs, _hits, hit_sigs, rep_pairs = _incremental_rep_candidates(
         store_df, new_df, id_col, text_col, threshold, broadcast_hints
     )
     members = new_sigs.select(
@@ -456,9 +465,7 @@ def incremental_minhash_flagged(
     # has a store member, and the smallest batch member id carrying
     # it. Reflexive (s, s) rep pairs make the min-id route cover
     # intra-clique dups (every clique member except the lowest id).
-    store_sigs = (
-        hits.select("sig").distinct().withColumn("in_store", F.lit(True))
-    )
+    store_sigs = hit_sigs.withColumn("in_store", F.lit(True))
     batch_min = new_sigs.groupBy("sig").agg(F.min("doc_id").alias("min_id"))
     sig_info = store_sigs.join(batch_min, "sig", "full").select(
         F.col("sig").alias("sig_b"),

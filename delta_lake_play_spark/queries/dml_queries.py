@@ -22,7 +22,11 @@ from pyspark.sql import types as T
 from delta_lake_play_spark.functions.exact import sql_dsum
 from delta_lake_play_spark.registry import register
 from delta_lake_play_spark.sources.catalog import load_table
-from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+from delta_lake_play_spark.table.versioned import (
+    VersionedTable,
+    empty_df,
+    temp_table_path,
+)
 
 # Deterministic derived sets over customer -----------------------------------
 
@@ -346,7 +350,7 @@ def create_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = spark.createDataFrame(_SEED_ROWS, _SEED_SCHEMA)
     path = temp_table_path("names-cia")
     VersionedTable.create_if_absent(spark, path, seed)
-    empty = spark.createDataFrame([], _SEED_SCHEMA)
+    empty = empty_df(spark, _SEED_SCHEMA)
     t = VersionedTable.create_if_absent(spark, path, empty)  # opens, no reseed
     return t.to_df()
 

@@ -617,7 +617,11 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_minhash_flagged,
         minhash_signature_table,
     )
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") % 3 != 0)
@@ -674,7 +678,11 @@ def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature_table,
     )
     from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     spark.dataSource.register(VersionedTableDataSource)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -689,7 +697,7 @@ def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = VersionedTable.create(
         spark,
         temp_table_path("sigstream-dups"),
-        spark.createDataFrame([], "doc_id bigint"),
+        empty_df(spark, "doc_id bigint"),
     )
 
     # two ascending-id commits on bronze; under availableNow the

@@ -242,7 +242,11 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_play_spark.queries.dml_queries import _appended_rows
     from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     spark.dataSource.register(VersionedTableDataSource)
     # Few large files, not many tiny ones: each file is one Python
@@ -279,7 +283,11 @@ def stream_table_source_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_play_spark.queries.dml_queries import _appended_rows
     from delta_lake_play_spark.sources.table_stream import stream_table_jvm
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     t = VersionedTable.create(
         spark,
@@ -328,7 +336,11 @@ def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_play_spark.functions import exact
     from delta_lake_play_spark.sources.table_stream import stream_table_jvm
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     bronze = VersionedTable.create(
@@ -340,7 +352,7 @@ def stream_medallion_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = VersionedTable.create(
         spark,
         temp_table_path("medallion-gold"),
-        spark.createDataFrame([], "event_type string, n bigint, cents bigint"),
+        empty_df(spark, "event_type string, n bigint, cents bigint"),
     )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -405,7 +417,11 @@ def stream_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     spark.dataSource.register(VersionedTableDataSource)
     c = load_table(spark, sf_dir, "customer")
@@ -468,7 +484,11 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from delta_lake_play_spark.sources.table_stream import stream_table_jvm
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 4 == 1)
     bronze = VersionedTable.create(
@@ -477,7 +497,7 @@ def stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = VersionedTable.create(
         spark,
         temp_table_path("eo-gold"),
-        spark.createDataFrame([], "event_type string, n bigint"),
+        empty_df(spark, "event_type string, n bigint"),
     )
     app_id = "gold-sink-" + _uuid.uuid4().hex[:8]
 
@@ -534,7 +554,11 @@ def stream_starting_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     spark.dataSource.register(VersionedTableDataSource)
     c = load_table(spark, sf_dir, "customer")
@@ -667,7 +691,11 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_play_spark.queries.dml_queries import _cdf_script
     from delta_lake_play_spark.sources.table_stream import VersionedTableDataSource
-    from delta_lake_play_spark.table.versioned import VersionedTable, temp_table_path
+    from delta_lake_play_spark.table.versioned import (
+        VersionedTable,
+        empty_df,
+        temp_table_path,
+    )
 
     spark.dataSource.register(VersionedTableDataSource)
     src = _cdf_script(spark, sf_dir)
@@ -683,7 +711,7 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = VersionedTable.create(
         spark,
         temp_table_path("scd2-target"),
-        spark.createDataFrame([], scd_schema),
+        empty_df(spark, scd_schema),
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:

@@ -3394,6 +3394,16 @@ class VersionedTable:
                         }
 
         new_entries: list[dict] = []
+        if new_df is not None and _is_empty_local(new_df):
+            # A provably-empty LOCAL relation (e.g. the empty seed of
+            # a CREATE: spark.createDataFrame([], schema)) writes no
+            # files and yields no entries — skip the Spark write job
+            # outright (optimization r12, guide §7.3 fixed cost: an
+            # empty create otherwise pays a full job + committer
+            # round-trip for zero rows; a 0-row parquet file is
+            # skipped by _footer_entries anyway, so the commit entry
+            # is byte-identical).
+            new_df = None
         if new_df is not None:
             # Schema enforcement (Delta writer behavior): everything
             # written conforms to the logged schema, whatever types the
@@ -3681,6 +3691,37 @@ class VersionedTable:
                     entry["nullCounts"] = null_counts
                 entries.append(entry)
         return entries
+
+
+def empty_df(spark: SparkSession, schema: T.StructType | str) -> DataFrame:
+    """Empty DataFrame that OPTIMIZES to an empty LocalRelation —
+    emptiness is then a driver-side-provable plan fact, so committing
+    it as a table seed skips the data-write job (``_is_empty_local``).
+    ``createDataFrame([], schema)`` instead parallelizes an empty RDD
+    (a LogicalRDD plan) whose emptiness only a job can prove."""
+    s = (
+        schema
+        if isinstance(schema, T.StructType)
+        else T._parse_datatype_string(schema)
+    )
+    cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in s.fields]
+    return spark.range(1).select(*cols).where(F.lit(False))
+
+
+def _is_empty_local(df: DataFrame) -> bool:
+    """True iff ``df`` optimizes to an EMPTY LocalRelation — a plan
+    whose row count is a driver-side fact (no job needed). Used to
+    skip the data-write job of empty commits; any uncertainty (a real
+    scan, a non-collapsed projection, Connect) returns False and the
+    normal write path runs."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and plan.data().isEmpty()
+        )
+    except Exception:
+        return False
 
 
 def _nullable(schema: T.StructType) -> T.StructType:
