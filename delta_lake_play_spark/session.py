@@ -52,7 +52,17 @@ def get_spark(app_name: str = "delta_lake_play_spark", cpus: int | None = None) 
         # date from MapReduce-on-HDFS; v2 + no marker is the standard
         # choice wherever the filesystem's rename is atomic (local FS,
         # HDFS). Measured ~4% across the DML/commit-bound keys.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # SAFETY GATE (ADVICE r11): v2 can expose partial/duplicated
+        # task output under task-attempt failure or speculation on
+        # filesystems WITHOUT atomic rename (object stores). This
+        # session always targets the local FS; deployments writing to
+        # object storage must set SPARK_GRAFT_COMMITTER_ALGO=1 (or use
+        # a cloud-native committer) — the env hook keeps the choice a
+        # config, not a code edit.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            os.environ.get("SPARK_GRAFT_COMMITTER_ALGO", "2"),
+        )
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         # Cap the SQL status store: retaining 1000 executions' plan
         # graphs is pure overhead with the UI disabled.

@@ -786,6 +786,44 @@ def test_hashed_bigram_relation_shape(spark, sf_dir, key):
         assert "Join" not in plan, "lm model must be a window, not a join"
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        "llm_repetition_filter",      # llm/ngrams.py bigram relation
+        "llm_ngram_lm_score",
+        "llm_dedup_containment",      # queries/llm_dedup.py shingle chains
+        "llm_decontaminate_bloom",    # queries/llm_text.py trigram chains
+    ],
+)
+def test_char_hash_map_never_inlined(spark, sf_dir, key):
+    """ADVICE r11 #1/#2: the per-doc token→hash lookup map
+    (llm/minhash.py::char_hash_map) relies on an F.shuffle
+    nondeterminism shield as the ONLY barrier stopping CollapseProject
+    from inlining the map build into consumer lambdas; an inlined map
+    re-evaluates per array element — re-hashing the whole document's
+    vocabulary per token, the measured O(n²) trap (53 s vs 0.7 s at
+    sf0.1). Version-fragile and invisible to row tests, so pin it in
+    the plan: every map LOOKUP (element_at) must reference a
+    materialized attribute, never an inline map_from_entries; and no
+    indexed access may index into an inline-computed transform (the
+    same quadratic re-evaluation for the shingle chains)."""
+    plan = _plan(spark, sf_dir, key)
+    assert "map_from_entries" in plan, (
+        f"{key} no longer uses the lookup map — update or drop this test"
+    )
+    for line in plan.splitlines():
+        if "element_at(" in line and "map_from_entries(" in line:
+            raise AssertionError(
+                f"{key}: lookup-map build inlined into its consumer "
+                f"(O(n²) re-evaluation per element):\n{line[:400]}"
+            )
+        if "element_at(transform(" in line:
+            raise AssertionError(
+                f"{key}: indexed access into an inline-computed array "
+                f"(O(n²) re-evaluation per index):\n{line[:400]}"
+            )
+
+
 def test_source_capping_single_scan(spark, sf_dir):
     # corpus scalars (total/n_sources/total_capped) as unpartitioned
     # window aggregates over the #sources-row aggregate, not
