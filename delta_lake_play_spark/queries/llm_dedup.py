@@ -18,12 +18,40 @@ mandates for 100 TB corpora. Scale shape for every variant:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_play_spark.llm import minhash as mh
 from delta_lake_play_spark.registry import register
 from delta_lake_play_spark.sources.catalog import load_table
+
+
+def _footer_midpoint(path: str, col: str) -> int | None:
+    """Midpoint of ``col``'s [min, max] range read from the parquet
+    FOOTER statistics — a driver-side metadata fact, no Spark job.
+    Returns None when any row group lacks stats for the column (the
+    caller falls back to a distributed aggregate)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in idx:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx[col]).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return (int(lo) + int(hi)) // 2
 
 # --- llm_dedup_exact ------------------------------------------------------
 
@@ -708,7 +736,17 @@ def llm_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned at the operator level by tests/test_operators.py::
     # test_incremental_minhash_two_batches_match_one_shot and the
     # steady-state pacing by tests/test_streaming.py.
-    (b1,) = arrivals.agg(F.expr("percentile(doc_id, 0.5)")).first()
+    #
+    # Split point (optimization r12, guide §7.3 driver-side fixed
+    # cost): ANY ascending-range boundary yields the same flagged set
+    # (the invariance documented above), so the exact percentile(0.5)
+    # job is replaced by the doc_id range midpoint read from the
+    # parquet FOOTER stats — a driver-side metadata read instead of a
+    # distributed aggregate job. Falls back to the percentile job
+    # when the footer carries no doc_id stats.
+    b1 = _footer_midpoint(os.path.join(sf_dir, "documents.parquet"), "doc_id")
+    if b1 is None:
+        (b1,) = arrivals.agg(F.expr("percentile(doc_id, 0.5)")).first()
     bronze = VersionedTable.create(
         spark,
         temp_table_path("sigstream-bronze"),
