@@ -551,39 +551,54 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain stays on the 1e-3 integer grid, so Spark and the
     unrolled DuckDB CTE oracle are bit-identical — a hash-checked
     end-to-end curation composite."""
-    from pyspark.sql import Window
-
     from delta_lake_play_spark.operators.kmeans import (
         _sq_dist,
         kmeans_assignments,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
+    # persisted: the assignment pass feeds both the representative
+    # aggregate and the member join below — unpersisted it would run
+    # the whole final Lloyd assignment twice (optimization r12).
     fin = kmeans_assignments(
         spark, e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS
+    ).persist()
+    # Representative per cluster as a K-ROW map-side-combined
+    # aggregate instead of a corpus-wide row_number window
+    # (optimization r12: the window cost a full (cl) exchange + sort
+    # of every member row to extract k winners). min over
+    # struct(dist IS NULL, dist, vid, qv) is the identical ordering:
+    # the leading boolean reproduces asc_nulls_last (a NULL-embedding
+    # vector must not become the representative — Spark's window
+    # default is NULLS FIRST, DuckDB's is NULLS LAST), ties fall to
+    # vid, and qv can never decide (vid is unique) — it just rides
+    # along so no join-back is needed.
+    rep_rank = F.struct(
+        F.col("dist").isNull().alias("dn"),
+        F.col("dist").alias("dist"),
+        F.col("vid").alias("vid"),
+        F.col("qv").alias("qv"),
     )
-    # asc_nulls_last: a NULL-embedding vector has NULL dist; Spark's
-    # ascending default is NULLS FIRST (it would become the cluster
-    # REPRESENTATIVE) while DuckDB's ORDER BY default is NULLS LAST.
-    w = Window.partitionBy("cl").orderBy(F.col("dist").asc_nulls_last(), "vid")
-    ranked = fin.select(
-        "vid", "cl", "qv", F.row_number().over(w).alias("rn")
+    reps = fin.groupBy(F.col("cl").alias("rep_cl")).agg(
+        F.min(rep_rank).alias("r")
+    ).select(
+        "rep_cl",
+        F.col("r.vid").alias("rep_id"),
+        F.col("r.qv").alias("rep_qv"),
     )
-    reps = ranked.where(F.col("rn") == 1).select(
-        F.col("cl").alias("rep_cl"),
-        F.col("vid").alias("rep_id"),
-        F.col("qv").alias("rep_qv"),
-    )
-    joined = ranked.join(
-        F.broadcast(reps), ranked.cl == reps.rep_cl
+    joined = fin.join(
+        F.broadcast(reps), fin.cl == reps.rep_cl
     ).withColumn("dist_to_rep", _sq_dist("qv", "rep_qv"))
+    # kept: rn == 1 ⟺ this member IS the representative (vid unique)
     return joined.select(
         F.col("vid").alias("vec_id"),
         F.col("cl").alias("centroid_id"),
         "rep_id",
         "dist_to_rep",
-        ((F.col("rn") == 1) | (F.col("dist_to_rep") > F.lit(_SEMDEDUP_TAU)))
-        .alias("kept"),
+        (
+            (F.col("vid") == F.col("rep_id"))
+            | (F.col("dist_to_rep") > F.lit(_SEMDEDUP_TAU))
+        ).alias("kept"),
     )
 
 
