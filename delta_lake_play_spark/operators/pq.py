@@ -50,11 +50,16 @@ def pq_adc_topk(
     iters: int = 2,
     grid: int = 1000,
     topk: int = 20,
+    dim: int | None = None,
 ) -> DataFrame:
     """Train PQ codebooks, encode the corpus, and ADC-search the
     corpus against the min-id vector as query. Returns the top-k
     ``(vec_id, adist, rnk)`` by approximate distance (ties broken on
-    vec_id) — rank 1 is the query itself at distance 0."""
+    vec_id) — rank 1 is the query itself at distance 0.
+
+    ``dim``: pass the (fixed) vector width when the caller knows it;
+    the ``None`` fallback derives it with a one-row driver action —
+    a whole Spark job for a schema-level fact (guide §7.3)."""
     from delta_lake_play_spark.functions.fanout import fan_out
 
     # fan_out BEFORE the quantize map and subvector explode: a local
@@ -65,7 +70,8 @@ def pq_adc_topk(
         vectors.select(F.col(id_col).alias("vid"), F.col(vec_col)), "vid"
     ).select("vid", _quantize(vec_col, grid).alias("qv"))
     # One exploded subvector table drives training, encoding and ADC.
-    dim = len(q.select("qv").first()["qv"])
+    if dim is None:
+        dim = len(q.select("qv").first()["qv"])
     subdim = dim // n_sub
     slices = F.array(
         *[F.slice("qv", mi * subdim + 1, subdim) for mi in range(n_sub)]
@@ -76,19 +82,24 @@ def pq_adc_topk(
         # `vid < ksub` — a filtered corpus or non-contiguous id space
         # would otherwise train with fewer (possibly zero) centroids
         # silently. cl stays the seed vid itself, mirroring the
-        # oracle's `vec_id AS cl`. ksub-row collect, driver-trivial.
-        seed_ids = [
-            int(r["vid"])
-            for r in q.select("vid").orderBy("vid").limit(ksub).collect()
-        ]
+        # oracle's `vec_id AS cl`.
+        # ONE ordered-limit collect fetches every seed row (each vid
+        # owns exactly n_sub subvector rows, so the first ksub·n_sub
+        # rows by (vid, m) are precisely the ksub smallest vids'
+        # rows); seed ids, the initial codebooks AND the ADC query
+        # subvectors below all come from it — this replaces the three
+        # separate driver jobs (seed-id limit, isin-filter collect,
+        # min-vid filter collect) the r11 shape paid (guide §7.3
+        # fixed cost; optimization r12).
+        seed_rows = sub.orderBy("vid", "m").limit(ksub * n_sub).collect()
+        seed_ids = sorted({int(r["vid"]) for r in seed_rows})
         if len(seed_ids) < ksub:
             raise ValueError(
                 f"PQ needs at least ksub={ksub} vectors to seed each "
                 f"subspace codebook; corpus has only {len(seed_ids)}"
             )
         codebooks = [
-            (int(r["m"]), int(r["vid"]), list(r["sv"]))
-            for r in sub.filter(F.col("vid").isin(seed_ids)).collect()
+            (int(r["m"]), int(r["vid"]), list(r["sv"])) for r in seed_rows
         ]
 
         def assign(cbs: list[tuple[int, int, list[int]]]) -> DataFrame:
@@ -146,12 +157,14 @@ def pq_adc_topk(
         # ADC lookup table: exact per-subspace distance from the query
         # (min-id vector, kept exact/uncompressed) to each codeword —
         # M×k rows, computed driver-side from the collected codebooks.
-        # seed_ids[0] IS the smallest actual vid (ordered limit above),
-        # so the min-vid row filters directly — no extra global-min
-        # aggregate + join job (optimization r11).
+        # seed_ids[0] IS the smallest actual vid, and its subvector
+        # rows are already in hand from the single seed collect — no
+        # extra filter job (optimization r11 removed the global-min
+        # aggregate; r12 removed the remaining per-query-vector job).
         query = {
             int(r["m"]): list(r["sv"])
-            for r in sub.filter(F.col("vid") == seed_ids[0]).collect()
+            for r in seed_rows
+            if int(r["vid"]) == seed_ids[0]
         }
         lut_rows = [
             (m, cl, sum((a - b) * (a - b) for a, b in zip(query[m], cv)))

@@ -118,4 +118,6 @@ def llm_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ksub=_KSUB,
         iters=_ITERS,
         topk=_TOPK,
+        dim=_M * _SUBDIM,  # fixed by the fixture schema (64) — skips
+        # the one-row driver action the None fallback pays (§7.3)
     )
