@@ -214,7 +214,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     edges_df = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return nodes_df.crossJoin(edges_df).crossJoin(tri_df).select(
+    # explicit broadcast hints: the cross joins are 1-row scalar
+    # attaches and must plan BroadcastNestedLoopJoin at ANY threshold
+    # (the registry-wide anti-cartesian sweep pins exactly this).
+    return nodes_df.crossJoin(F.broadcast(edges_df)).crossJoin(
+        F.broadcast(tri_df)
+    ).select(
         F.col("n_nodes").cast("long"),
         F.col("n_edges").cast("long"),
         F.col("n_triangles").cast("long"),

@@ -1031,7 +1031,7 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices it in-engine)."""
     from pyspark.sql import Window as W
 
-    from delta_lake_play_spark.functions.vectors import cosine_sim
+    from delta_lake_play_spark.functions.vectors import dot, l2_norm
     from delta_lake_play_spark.operators.similarity import knn_join
     from delta_lake_play_spark.queries.llm_similarity import (
         _EMB_DIMS,
@@ -1045,14 +1045,30 @@ def llm_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < _KNN_RECALL_SCOPE)
         .select("vec_id", "embedding")
     )
-    a = sc.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__va"))
-    b = sc.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vb"))
+    # per-SIDE cast + norm precompute (the r11 pair-scoring
+    # discipline from operators/similarity.py, applied to this inline
+    # exact-truth join too): one dot fold per pair instead of three
+    # folds + two casts. Bit-exact — identical fold order.
+    a = sc.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__va"),
+        l2_norm("embedding").alias("__na"),
+    )
+    b = sc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("__vb"),
+        l2_norm("embedding").alias("__nb"),
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), "neighbor_id"
     )
     exact = (
         a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_sim("__va", "__vb").alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.try_divide(dot("__va", "__vb"), F.col("__na") * F.col("__nb")).alias("cos"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id")
